@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, token counting, language stats, language-ID heuristic,
+  * and document fingerprinting.
+  *
+  * All per-document features are pure column expressions (array functions +
+  * lambdas), so the whole pipeline is one codegen'd projection over the
+  * scan — embarrassingly parallel, zero shuffles until the final aggregate
+  * (if any). That is the shape that survives 100 TB.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Quality features per document: token count, average token length,
+    * stopword ratio, punctuation ratio, uppercase ratio. The building
+    * blocks of a C4/Gopher-style quality filter.
+    */
+  def qualityFeatures(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks).cast("long")
+    val nStop = size(filter(toks,
+      t => lower(t).isInCollection(Stopwords))).cast("long")
+    val charLen = length(col("text")).cast("double")
+    val nPunct =
+      (charLen - length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
+    val nonSpaceLen = length(regexp_replace(col("text"), "\\s+", ""))
+    documents.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      round(nonSpaceLen.cast("double") / nTokens.cast("double"), 4)
+        .as("avg_token_len"),
+      round(nStop.cast("double") / nTokens.cast("double"), 4)
+        .as("stopword_ratio"),
+      round(nPunct / charLen, 4).as("punct_ratio"))
+  }
+
+  /** Token counts aggregated per language — the "how many tokens do I have
+    * per shard" question every dataset card needs. Whitespace tokenizer
+    * plus a BPE-ish subword proxy (4 chars ≈ 1 token) for comparison.
+    */
+  def tokenStatsByLang(documents: DataFrame): DataFrame = {
+    val nTokens = size(tokens(col("text"))).cast("long")
+    documents
+      .groupBy("lang")
+      .agg(
+        sum(nTokens).as("total_tokens"),
+        round(avg(nTokens.cast("double")), 4).as("avg_tokens_per_doc"),
+        sum(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+          .as("approx_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Corpus stats per (lang, source) — multi-key agg A8 over the docs table. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+        sum("n_chars").as("total_chars"))
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text.
+    * The canonical exact-dedup key — identical content with incidental
+    * whitespace/case differences collapses to one fingerprint.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      length(col("text")).cast("long").as("text_len"))
+
+  /** Language-ID heuristic: score each candidate language by stopword hits
+    * and characteristic n-grams, pick argmax. A stand-in for fastText-style
+    * LID with the same plan shape: per-row scoring expression, no shuffle.
+    * (The synthetic corpus's `lang` labels are random, so accuracy is not
+    * the point — the operator contract is.)
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "is"),
+      "es" -> Seq("el", "la", "de", "que"),
+      "fr" -> Seq("le", "la", "et", "les"),
+      "de" -> Seq("der", "die", "und", "das"),
+      "zh" -> Seq("的", "是", "了", "在"))
+    val toks = tokens(lower(col("text")))
+    val scores = markers.toSeq.sortBy(_._1).map { case (langCode, ms) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(ms))).cast("long").as("score"),
+        lit(langCode).as("lang"))
+    }
+    documents.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      greatest(scores: _*).getField("lang").as("predicted_lang"),
+      greatest(scores: _*).getField("score").as("marker_hits"))
+  }
+}
