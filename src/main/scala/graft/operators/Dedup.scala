@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Three tiers, all built to never go all-pairs:
+  *   1. exact     — hash-groupBy on a normalized fingerprint (md5);
+  *   2. near-dup  — shingle → MinHash signature → LSH banding → candidate
+  *                  pairs *within buckets only* → exact-Jaccard verify;
+  *   3. SimHash   — 64-bit per-doc sketch, banded for Hamming-neighbor
+  *                  candidates.
+  *
+  * Scale shape: every step is either a per-row projection (signatures,
+  * sketches) or a hash-partitioned groupBy/join on a uniform key (the
+  * fingerprint / band hash). Candidate generation is bounded by
+  * `maxBucket` so one degenerate bucket (e.g. the empty document) can't
+  * quadratically explode a reducer. Nothing here collects to the driver.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-dup groups: one row per distinct fingerprint with the surviving
+    * (minimum) doc_id and the copy count. `min` is a partial aggregate —
+    * one shuffle of (fp, partial) pairs regardless of corpus size.
+    */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** The deduplicated corpus: keeps the lowest-doc_id row per fingerprint.
+    * Window row_number over the fingerprint partition — one shuffle, no
+    * join-back needed to carry the full row through.
+    */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(TextAnalysis.fingerprint(col("text")))
+      .orderBy(col("doc_id").asc)
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Corpus-level dup statistics (one output row). */
+  def dupStats(documents: DataFrame): DataFrame =
+    documents.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"),
+      (count(lit(1)) -
+        countDistinct(TextAnalysis.fingerprint(col("text")))).as("n_dups"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of a text column, as an array<string>.
+    * Pure per-row array expression (no explode → no row blowup before the
+    * signature is computed).
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(c)
+    val cnt = size(toks) - (n - 1)
+    array_distinct(
+      when(cnt > 0,
+        transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array()))
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature of a shingle-set column: `k` independent salted
+    * xxhash64 min-hashes, as array<long>. One per-row expression — the
+    * signature costs O(k·|shingles|) compute and O(k) storage, and gives an
+    * unbiased Jaccard estimator.
+    */
+  def minhashSignature(sh: Column, k: Int = 64): Column =
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** LSH band hashes of a MinHash signature: `bands` hashes, band j hashing
+    * rows [j·r, (j+1)·r) of the signature. Two docs share a band hash with
+    * probability 1-(1-J^r)^b — the classic S-curve.
+    */
+  def bandHashes(sig: Column, bands: Int = 16, rows: Int = 4): Column =
+    array((0 until bands).map { j =>
+      xxhash64(slice(sig, j * rows + 1, rows), lit(j))
+    }: _*)
+
+  /** Near-duplicate pairs via MinHash/LSH: shingle → sign → band → bucket
+    * join → exact-Jaccard verify *within buckets only*, keeping pairs with
+    * verified Jaccard ≥ `threshold`.
+    *
+    * Buckets larger than `maxBucket` docs are dropped before the self-join
+    * (the quadratic-blowup guard: a pathological bucket of 1M docs would
+    * otherwise emit 5·10^11 candidate pairs on one reducer). Output is one
+    * row per (doc_a < doc_b) pair with its exact Jaccard.
+    */
+  def minhashDupPairs(
+      documents: DataFrame,
+      threshold: Double = 0.7,
+      ngram: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = k / bands
+    val withSig = documents.select(
+      col("doc_id"),
+      shingles(col("text"), ngram).as("sh"))
+      .withColumn("bands", bandHashes(minhashSignature(col("sh"), k), bands, rows))
+    // (band_idx, band_hash, doc_id, shingles) — explode AFTER signatures
+    val buckets = withSig.select(
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")),
+      col("doc_id"), col("sh"))
+    val bounded = buckets.withColumn(
+      "bucket_n",
+      count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = bounded.select(
+      col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bounded.select(
+      col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      // a pair found by several bands must verify once, not once per band
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Brute-force exact-Jaccard pairs — the quadratic oracle the LSH path is
+    * tested against. Deliberately all-pairs; only for small fixtures/tests.
+    */
+  def bruteForceJaccardPairs(
+      documents: DataFrame,
+      threshold: Double,
+      ngram: Int = 3): DataFrame = {
+    val sh = documents.select(
+      col("doc_id"), shingles(col("text"), ngram).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document. Tokens are exploded and the 64 per-bit
+    * ±1 sums run through one hash-partitioned groupBy(doc_id) — partial
+    * aggregation keeps the shuffle proportional to #docs, not #tokens.
+    */
+  def simhash(documents: DataFrame, bits: Int = 64): DataFrame = {
+    val tok = documents.select(
+      col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
+    * 16-bit chunks; by pigeonhole, any pair within Hamming distance 3
+    * shares at least one chunk. Verify with bit_count(xor) ≤ maxHamming
+    * inside buckets only.
+    */
+  def simhashDupPairs(
+      documents: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sh = simhash(documents)
+    val chunks = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val bounded = chunks.withColumn(
+      "bucket_n",
+      count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = bounded.select(
+      col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = bounded.select(
+      col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

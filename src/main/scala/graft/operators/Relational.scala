@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Discounted price as exact DECIMAL arithmetic. Money sums over many
+    * rows must be DECIMAL, not DOUBLE: a double sum's value depends on
+    * partition/merge order (different every run and every engine), and at
+    * 60k+ rows the wobble exceeds a cent — decimal sums are
+    * order-independent and bit-stable, which is what the cross-engine
+    * correctness hash needs and what a real revenue pipeline wants anyway.
+    */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+
+  /** Deterministic average: exact DECIMAL sum ÷ count, in double, rounded.
+    * A plain `avg(double)` is summation-order-dependent (different per run
+    * / engine); the decimal sum is exact and order-independent, and the
+    * single double division + round is IEEE-deterministic — so the value
+    * hashes identically here and in the DuckDB oracle.
+    */
+  private[operators] def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)), scale)
+
   /** S10 + P3/P4: scan → filter → project. The filter and the projection
     * both reach the parquet reader (PushedFilters + ReadSchema) — at 100 TB
     * this is the difference between reading 3 columns and reading 11.
@@ -31,18 +51,20 @@ object Relational {
     * shuffle payload is #groups × #partitions rows, independent of input
     * size — the MR-combiner pattern (`Ex4AverageWordLengthWithCombiner
     * .java:39-51`) for free.
-    * Doubles are rounded so results are stable across summation orders.
+    * Money sums run in DECIMAL (order-independent, exact); averages stay
+    * DOUBLE and are rounded.
     */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** A2: max/min by key (`ExerciseComplete.scala:83,151`,
@@ -62,22 +84,27 @@ object Relational {
   def avgBalanceByNation(customer: DataFrame): DataFrame =
     customer
       .groupBy("c_nationkey")
-      .agg(round(avg("c_acctbal"), 4).as("avg_bal"),
+      .agg(davg(col("c_acctbal")).as("avg_bal"),
         count(lit(1)).as("cnt"))
 
-  /** J3/J4: broadcast (map-side) join. `part` is a dimension table — at any
-    * scale factor it is orders of magnitude smaller than `lineitem`, so we
-    * broadcast it and the fact table is never shuffled
+  /** J3/J4: map-side join against a dimension table
     * (`ExerciseComplete.scala:240-248`, `303-spark-sql/README.md:141-143`).
+    * No forced `broadcast(part)` hint: `part` grows linearly with scale
+    * factor (TPC-H: 200k rows/sf), so a hard-coded broadcast OOMs executors
+    * at 100-TB scale. `autoBroadcastJoinThreshold` + AQE pick broadcast
+    * while the dim fits and degrade to shuffle join when it doesn't —
+    * the only column pulled from `part` is pruned to (p_partkey, p_brand),
+    * which keeps the broadcast small far longer.
     */
   def revenueByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
-        round(sum("l_quantity"), 2).as("sum_qty"),
+        sum(discPrice).cast("double").as("revenue"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
         count(lit(1)).as("cnt"))
 
   /** J6: multi-way join (reference: movies ⋈ tags ⋈ ratings,
@@ -97,8 +124,7 @@ object Relational {
       region: DataFrame): DataFrame = {
     val revPerOrder = lineitem
       .groupBy("l_orderkey")
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("order_rev"),
+      .agg(sum(discPrice).as("order_rev"),
         count(lit(1)).as("n_items"))
     orders
       .join(revPerOrder, col("o_orderkey") === col("l_orderkey"))
@@ -106,7 +132,7 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name", "r_name")
-      .agg(round(sum("order_rev"), 2).as("revenue"),
+      .agg(sum("order_rev").cast("double").as("revenue"),
         sum("n_items").as("n_items"),
         count(lit(1)).as("n_orders"))
   }
@@ -135,30 +161,32 @@ object Relational {
       customer
         .filter(col("c_mktsegment") === seg)
         .groupBy("c_nationkey")
-        .agg(avg("c_acctbal").as(alias))
+        .agg(davg(col("c_acctbal")).as(alias))
     side("BUILDING", "building_avg")
       .join(side("AUTOMOBILE", "automobile_avg"), Seq("c_nationkey"))
       .select(
         col("c_nationkey"),
-        round(col("building_avg"), 4).as("building_avg"),
-        round(col("automobile_avg"), 4).as("automobile_avg"),
+        col("building_avg"),
+        col("automobile_avg"),
         round(col("building_avg") - col("automobile_avg"), 4).as("gap"))
   }
 
   /** J7 variant: the idiomatic pivot form of the same query — one shuffle
-    * instead of two + join. Kept alongside the self-join; tests assert both
-    * agree (SURVEY §2.3 J7).
+    * instead of two + join. Nations present in only one of the two segments
+    * are dropped (matching the inner-join semantics of segmentBalanceGap);
+    * tests assert both forms agree (SURVEY §2.3 J7).
     */
   def segmentBalancePivot(customer: DataFrame): DataFrame =
     customer
       .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
       .groupBy("c_nationkey")
       .pivot("c_mktsegment", Seq("BUILDING", "AUTOMOBILE"))
-      .agg(avg("c_acctbal"))
+      .agg(davg(col("c_acctbal")))
+      .na.drop(Seq("BUILDING", "AUTOMOBILE"))
       .select(
         col("c_nationkey"),
-        round(col("BUILDING"), 4).as("building_avg"),
-        round(col("AUTOMOBILE"), 4).as("automobile_avg"),
+        col("BUILDING").as("building_avg"),
+        col("AUTOMOBILE").as("automobile_avg"),
         round(col("BUILDING") - col("AUTOMOBILE"), 4).as("gap"))
 
   /** O1–O4: global sort + limit. Spark executes order-by-limit as a TakeOrdered
@@ -203,14 +231,14 @@ object Relational {
   def orderScalarFeatures(orders: DataFrame): DataFrame =
     orders.select(
       col("o_orderkey"),
-      year(col("o_orderdate")).cast("int").as("order_year"),
-      month(col("o_orderdate")).cast("int").as("order_month"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
       round(col("o_totalprice") * 1.2, 2).as("price_usd"),
       lower(col("o_orderpriority")).as("priority_lower"),
-      substring(col("o_orderpriority"), 1, 1).cast("int").as("priority_rank"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("priority_rank"),
       concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
         .as("status_priority"),
-      col("o_totalprice").cast("long").as("price_long"))
+      floor(col("o_totalprice")).as("price_floor"))
 
   /** T7 batch analogue: tumbling-window aggregation over event time.
     * date_trunc is a pure column expression → stays in whole-stage codegen;
@@ -223,7 +251,7 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
         countDistinct("user_id").as("n_users"))
 
   /** Running/cumulative aggregate per user over event time (window frame) —
@@ -236,9 +264,9 @@ object Relational {
     events.select(
       col("user_id"),
       col("event_id"),
-      round(sum("value").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
-        .as("running_value"),
+      sum(col("value").cast("decimal(18,2)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_value"),
       row_number().over(w).cast("long").as("event_seq"))
   }
 

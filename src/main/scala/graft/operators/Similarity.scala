@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table
+  * (vec_id: long, embedding: array<float>, label: int).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k — the exact baseline: one scan of the
+  *     corpus per query batch (queries broadcast), no index;
+  *   - LSH-bucketed ANN — random-hyperplane signatures bucket the corpus;
+  *     probing the query's bucket plus its Hamming-1 neighbors trades a
+  *     little recall for touching only a 2^-bits slice of the corpus. This
+  *     is the shape that scales: the signature is a per-row projection, the
+  *     bucket lookup is a hash join on the signature key.
+  *
+  * All arithmetic is done in double via array lambdas
+  * (`transform`/`zip_with`/`aggregate`) — codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  private def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two array<float>/array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k most cosine-
+    * similar corpus vectors. `queries` is assumed small and is broadcast;
+    * the corpus is scanned once — at 100 TB this is one full pass, the
+    * correctness baseline ANN variants are measured against.
+    *
+    * Similarity is rounded to 6 decimals BEFORE ranking so the ranking is
+    * stable across summation orders and engines; ties break on vec_id.
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    embeddings
+      .crossJoin(q)
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "sim", "rnk")
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes: plane p, dim d
+    * weight derived from a splitmix64-style integer mix — reproducible
+    * across sessions with no RNG state.
+    */
+  private def planeWeight(p: Int, d: Int): Double = {
+    var z = (p.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    // map to (-1, 1)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Sign-LSH signature: bit p = [v · plane_p > 0], packed into a long.
+    * Per-row projection; the planes are plan-time literal arrays.
+    */
+  def lshSignature(emb: Column, bits: Int = 12, dim: Int = 64): Column =
+    (0 until bits).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(toDouble(emb), plane) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** All signatures at Hamming distance ≤ 1 from `sig` (multi-probe set). */
+  private def probeSet(sig: Column, bits: Int): Column =
+    array_union(
+      array(sig),
+      array((0 until bits).map(p => sig.bitwiseXOR(lit(1L << p))): _*))
+
+  /** ANN top-k via sign-LSH with Hamming-1 multi-probe: the corpus is
+    * bucketed by signature (computed once, reusable as an index); each
+    * query joins only its probe buckets — expected corpus fraction touched
+    * ≈ (bits+1)/2^bits. Recall vs bruteForceTopK is asserted in tests.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      bits: Int = 12): DataFrame = {
+    val corpus = embeddings
+      .withColumn("sig", lshSignature(col("embedding"), bits))
+    val q = broadcast(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("probe",
+          explode(probeSet(lshSignature(col("q_emb"), bits), bits))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    corpus
+      .join(q, corpus("sig") === q("probe"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "sim", "rnk")
+  }
+
+  /** Embedding near-duplicate pairs: corpus × corpus restricted to same
+    * LSH bucket, verified by exact cosine ≥ threshold. Same
+    * never-all-pairs shape as Dedup.minhashDupPairs.
+    */
+  def cosineDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      bits: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val sig = embeddings
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding"), bits).as("sig"))
+    val bounded = sig.withColumn(
+      "bucket_n", count(lit(1)).over(Window.partitionBy("sig")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = bounded.select(
+      col("sig"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = bounded.select(
+      col("sig"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, "sig")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

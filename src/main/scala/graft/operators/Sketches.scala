@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-query sketches (SURVEY §2.4 A11–A13) with their exact twins
+  * (A10/A14), matching the reference's parameters
+  * (`304-streaming/spark/README.md:168-243`): HLL++ rsd ∈ {0.05, 0.1,
+  * 0.01}; Bloom n=1000 fpp=0.01; CMS ε=0.01 conf=0.99 seed=10.
+  *
+  * HLL++ is a built-in partial aggregate (fixed-size buffer per partition,
+  * merged associatively — the canonical 100-TB distinct count). Bloom and
+  * CMS build distributed (treeAggregate under `df.stat`) into a driver-side
+  * sketch object; both are order-independent merges, so results are
+  * deterministic for a given dataset.
+  */
+object Sketches {
+
+  /** A11 + A10: approximate (HLL++) and exact distinct count side by side,
+    * at the reference's three rsd settings.
+    */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      countDistinct(col("l_partkey")).as("exact_distinct"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx_rsd05"),
+      approx_count_distinct(col("l_partkey"), 0.1).as("approx_rsd10"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_rsd01"))
+
+  /** A12: Bloom-filter membership. Builds the filter over `df[colName]`
+    * distributed, then probes each candidate. Returns
+    * (candidate, might_contain); false-positive rate ≤ fpp for absent keys.
+    */
+  def bloomMembership(
+      spark: SparkSession,
+      df: DataFrame,
+      colName: String,
+      candidates: Seq[String],
+      expectedN: Long = 1000,
+      fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val bf = df.stat.bloomFilter(colName, expectedN, fpp)
+    candidates.map(c => (c, bf.mightContain(c))).toDF("candidate", "might_contain")
+  }
+
+  /** A13: count-min-sketch frequency estimates for chosen keys
+    * (ε=0.01, confidence=0.99, seed=10 — the reference's parameters).
+    * CMS cells are exact sums (merge-order independent) so estimates are
+    * deterministic; they over-count, never under-count.
+    */
+  def cmsFrequencies(
+      spark: SparkSession,
+      df: DataFrame,
+      colName: String,
+      keys: Seq[String],
+      eps: Double = 0.01,
+      confidence: Double = 0.99,
+      seed: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cms = df.stat.countMinSketch(colName, eps, confidence, seed)
+    keys.map(k => (k, cms.estimateCount(k))).toDF("key", "estimate")
+  }
+
+  /** Exact frequency twin for the CMS keys — groupBy count restricted to
+    * the probed keys.
+    */
+  def exactFrequencies(df: DataFrame, colName: String, keys: Seq[String]): DataFrame =
+    df.filter(col(colName).isin(keys: _*))
+      .groupBy(col(colName).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+}

@@ -16,30 +16,41 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
 
-  private def tokens(c: Column): Column =
+  /** Shared whitespace tokenizer — the single tokenization used across all
+    * text operators (TextOps + TextAnalysis), so token counts agree
+    * corpus-wide: split on runs of whitespace, drop empty tokens.
+    */
+  private[operators] def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
-  /** Quality features per document: token count, average token length,
+  /** Quality features per document: token count, average token length
+    * (over token characters only — punctuation outside tokens excluded),
     * stopword ratio, punctuation ratio, uppercase ratio. The building
-    * blocks of a C4/Gopher-style quality filter.
+    * blocks of a C4/Gopher-style quality filter. Divisions are guarded:
+    * empty/whitespace-only text yields null ratios instead of div-by-zero.
     */
   def qualityFeatures(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTokens = size(toks).cast("long")
+    val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val nStop = size(filter(toks,
       t => lower(t).isInCollection(Stopwords))).cast("long")
     val charLen = length(col("text")).cast("double")
     val nPunct =
-      (charLen - length(regexp_replace(col("text"), "[\\p{Punct}]", "")))
-    val nonSpaceLen = length(regexp_replace(col("text"), "\\s+", ""))
+      charLen - length(regexp_replace(col("text"), "[\\p{Punct}]", ""))
+    val nUpper =
+      charLen - length(regexp_replace(col("text"), "[A-Z]", ""))
     documents.select(
       col("doc_id"),
       nTokens.as("n_tokens"),
-      round(nonSpaceLen.cast("double") / nTokens.cast("double"), 4)
+      when(nTokens > 0,
+        round(tokChars.cast("double") / nTokens.cast("double"), 4))
         .as("avg_token_len"),
-      round(nStop.cast("double") / nTokens.cast("double"), 4)
+      when(nTokens > 0,
+        round(nStop.cast("double") / nTokens.cast("double"), 4))
         .as("stopword_ratio"),
-      round(nPunct / charLen, 4).as("punct_ratio"))
+      when(charLen > 0, round(nPunct / charLen, 4)).as("punct_ratio"),
+      when(charLen > 0, round(nUpper / charLen, 4)).as("upper_ratio"))
   }
 
   /** Token counts aggregated per language — the "how many tokens do I have
@@ -52,7 +63,8 @@ object TextAnalysis {
       .groupBy("lang")
       .agg(
         sum(nTokens).as("total_tokens"),
-        round(avg(nTokens.cast("double")), 4).as("avg_tokens_per_doc"),
+        round(sum(nTokens).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens_per_doc"),
         sum(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
           .as("approx_bpe_tokens"),
         count(lit(1)).as("n_docs"))
@@ -64,7 +76,8 @@ object TextAnalysis {
       .groupBy("lang", "source")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 4)
+          .as("avg_chars"),
         sum("n_chars").as("total_chars"))
 
   /** Document fingerprint: md5 over whitespace-normalized lowercased text.
@@ -83,8 +96,10 @@ object TextAnalysis {
   /** Language-ID heuristic: score each candidate language by stopword hits
     * and characteristic n-grams, pick argmax. A stand-in for fastText-style
     * LID with the same plan shape: per-row scoring expression, no shuffle.
-    * (The synthetic corpus's `lang` labels are random, so accuracy is not
-    * the point — the operator contract is.)
+    *
+    * Zero marker hits in every language → "unknown" (not a confident wrong
+    * guess); genuine ties break by a fixed preference order (en > es > fr >
+    * de > zh), not by accidental string ordering.
     */
   def languageId(documents: DataFrame): DataFrame = {
     val markers: Map[String, Seq[String]] = Map(
@@ -93,16 +108,22 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "et", "les"),
       "de" -> Seq("der", "die", "und", "das"),
       "zh" -> Seq("的", "是", "了", "在"))
+    val tiePriority =
+      Map("en" -> 5, "es" -> 4, "fr" -> 3, "de" -> 2, "zh" -> 1)
     val toks = tokens(lower(col("text")))
     val scores = markers.toSeq.sortBy(_._1).map { case (langCode, ms) =>
       struct(
         size(filter(toks, t => t.isInCollection(ms))).cast("long").as("score"),
+        lit(tiePriority(langCode)).as("prio"),
         lit(langCode).as("lang"))
     }
-    documents.select(
-      col("doc_id"),
-      col("lang").as("labeled_lang"),
-      greatest(scores: _*).getField("lang").as("predicted_lang"),
-      greatest(scores: _*).getField("score").as("marker_hits"))
+    documents
+      .withColumn("best", greatest(scores: _*))
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        when(col("best.score") > 0, col("best.lang"))
+          .otherwise(lit("unknown")).as("predicted_lang"),
+        col("best.score").as("marker_hits"))
   }
 }

@@ -1,14 +1,17 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The word-count family (SURVEY §2.4 A1/A5/A6/A7) over the `documents`
-  * table. Tokenization is `explode(split(...))` — the Generator path that
+  * table. Tokenization is `explode(tokens(...))` — the Generator path that
   * replaces MR/RDD flatMap (`WordCount.java:25-32`,
-  * `301-solutions.scala:11`). All aggregations get map-side partial
-  * aggregation; the shuffle moves (token, partial-count) pairs, which for a
-  * natural-language corpus is vastly smaller than the input.
+  * `301-solutions.scala:11`) — and uses the same whitespace tokenizer as
+  * TextAnalysis so token counts agree corpus-wide. All aggregations get
+  * map-side partial aggregation; the shuffle moves (token, partial-count)
+  * pairs, which for a natural-language corpus is vastly smaller than the
+  * input.
   */
 object TextOps {
 
@@ -16,8 +19,7 @@ object TextOps {
   private def words(documents: DataFrame) =
     documents.select(
       col("doc_id"),
-      explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
+      explode(TextAnalysis.tokens(col("text"))).as("word"))
 
   /** A1: word count (`301-solutions.scala:21-31`). */
   def wordCount(documents: DataFrame): DataFrame =
@@ -38,22 +40,39 @@ object TextOps {
     words(documents)
       .groupBy(substring(col("word"), 1, 1).as("initial"))
       .agg(
-        round(avg(length(col("word"))), 4).as("avg_len"),
+        // exact long sum ÷ count — deterministic across engines
+        round(sum(length(col("word")).cast("long")).cast("double") /
+          count(lit(1)), 4).as("avg_len"),
         count(lit(1)).as("cnt"))
 
-  /** A6/A7: inverted index — word → sorted distinct posting list
+  /** A6/A7: inverted index — word → sorted posting list of the first
+    * `maxPostings` doc ids (by doc_id asc), plus the exact total doc count
     * (`Ex4InvertedIndex.java:23-45`). Posting lists are rendered as a CSV
-    * string for a stable cross-engine representation. collect_set is a
-    * partial-aggregating set union; at web scale you would cap posting-list
-    * length or switch to a positional index, noted here.
+    * string for a stable cross-engine representation.
+    *
+    * Scale note: posting lists are CAPPED — an unbounded
+    * `collect_set(doc_id)` for a corpus-scale stopword is one
+    * hundreds-of-millions-element aggregation buffer on one reducer (OOM on
+    * the skewed key). The cap is applied with a window `row_number` BEFORE
+    * the collect, so no buffer ever exceeds `maxPostings`; the exact
+    * cardinality is still reported via `n_docs` (a partial-aggregating
+    * count, safe at any scale).
     */
-  def invertedIndex(documents: DataFrame): DataFrame =
-    words(documents)
+  def invertedIndex(documents: DataFrame, maxPostings: Int = 100): DataFrame = {
+    val pairs = words(documents).select("word", "doc_id").distinct()
+    val w = Window.partitionBy("word").orderBy(col("doc_id").asc)
+    pairs
+      .withColumn("rn", row_number().over(w))
       .groupBy("word")
       .agg(
+        // collect_list skips nulls, so only the first maxPostings survive;
+        // array_sort restores doc_id order after the unordered collect.
         array_join(
-          transform(sort_array(collect_set(col("doc_id"))),
+          transform(
+            array_sort(collect_list(
+              when(col("rn") <= maxPostings, col("doc_id")))),
             x => x.cast("string")),
           ",").as("postings"),
-        countDistinct(col("doc_id")).as("n_docs"))
+        count(lit(1)).as("n_docs"))
+  }
 }
