@@ -117,14 +117,19 @@ object Dedup {
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val withSig = documents.select(
+    val sigs = documents.select(
       col("doc_id"),
       shingles(col("text"), ngram).as("sh"))
-      .withColumn("bands", bandHashes(minhashSignature(col("sh"), k), bands, rows))
-    // (band_idx, band_hash, doc_id, shingles) — explode AFTER signatures
-    val buckets = withSig.select(
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")),
-      col("doc_id"), col("sh"))
+    // (band_idx, band_hash, doc_id) ONLY — the shingle arrays stay out of
+    // the bucket join entirely. Candidate generation shuffles 3 small
+    // columns; the (large) shingle arrays are joined back just twice, once
+    // per pair side, AFTER the candidate set has been deduplicated. At
+    // corpus scale this is the difference between shuffling O(candidates ×
+    // |doc|) bytes and O(candidates) bytes.
+    val buckets = sigs.select(
+      col("doc_id"),
+      posexplode(bandHashes(minhashSignature(col("sh"), k), bands, rows))
+        .as(Seq("band_idx", "band_hash")))
     val bounded = buckets.withColumn(
       "bucket_n",
       count(lit(1)).over(
@@ -132,16 +137,16 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
     val a = bounded.select(
-      col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bounded.select(
-      col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+      col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
       // a pair found by several bands must verify once, not once per band
-      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b").distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -167,24 +172,26 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document. Tokens are exploded and the 64 per-bit
-    * ±1 sums run through one hash-partitioned groupBy(doc_id) — partial
-    * aggregation keeps the shuffle proportional to #docs, not #tokens.
+  /** 64-bit SimHash per document, as ONE per-row array expression: hash
+    * the distinct tokens, then bit i of the sketch is set iff more than
+    * half the token hashes have bit i set (the ±1 bit-sum rule, computed
+    * as 2·#set − n > 0). No explode, no shuffle, no wide aggregate — the
+    * whole sketch is a codegen'd projection over the scan, which is the
+    * shape that survives a 100-TB corpus.
     */
   def simhash(documents: DataFrame, bits: Int = 64): DataFrame = {
-    val tok = documents.select(
-      col("doc_id"),
-      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until bits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hs = transform(
+      array_distinct(TextAnalysis.tokens(col("text"))),
+      t => xxhash64(t))
+    val n = size(hs)
     val sig = (0 until bits)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .map { i =>
+        val nSet = size(filter(hs,
+          h => shiftright(h, i).bitwiseAND(1) === 1))
+        when(nSet * 2 > n, lit(1L << i)).otherwise(0L)
+      }
       .reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("simhash"))
+    documents.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
