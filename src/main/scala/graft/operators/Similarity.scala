@@ -69,40 +69,50 @@ object Similarity {
     z.toDouble / Long.MaxValue.toDouble
   }
 
-  /** Sign-LSH signature: bit p = [v · plane_p > 0], packed into a long.
-    * Per-row projection; the planes are plan-time literal arrays.
+  /** Sign-LSH signature for one hash table: bit p = [v · plane_p > 0],
+    * packed into a long. Per-row projection; the planes are plan-time
+    * literal arrays, distinct per table index.
     */
-  def lshSignature(emb: Column, bits: Int = 12, dim: Int = 64): Column =
+  def lshSignature(emb: Column, bits: Int = 8, table: Int = 0,
+      dim: Int = 64): Column =
     (0 until bits).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      val plane = array(
+        (0 until dim).map(d => lit(planeWeight(table * bits + p, d))): _*)
       when(dot(toDouble(emb), plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** All signatures at Hamming distance ≤ 1 from `sig` (multi-probe set). */
-  private def probeSet(sig: Column, bits: Int): Column =
-    array_union(
-      array(sig),
-      array((0 until bits).map(p => sig.bitwiseXOR(lit(1L << p))): _*))
+  /** All `tables` signatures of a vector, as array<long>. */
+  private def tableSignatures(emb: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t => lshSignature(emb, bits, t)): _*)
 
-  /** ANN top-k via sign-LSH with Hamming-1 multi-probe: the corpus is
-    * bucketed by signature (computed once, reusable as an index); each
-    * query joins only its probe buckets — expected corpus fraction touched
-    * ≈ (bits+1)/2^bits. Recall vs bruteForceTopK is asserted in tests.
+  /** ANN top-k via multi-table sign-LSH: `tables` independent b-bit hash
+    * tables; a corpus vector is a candidate for a query iff they share a
+    * bucket in AT LEAST ONE table (recall 1-(1-p^b)^L for per-bit
+    * agreement probability p = 1 - θ/π). The corpus index is `tables`×
+    * the corpus in rows but each query touches only L buckets — an
+    * expected L/2^b slice of the corpus per query, vs the full scan of
+    * bruteForceTopK. Recall vs brute force is asserted in tests.
     */
   def lshTopK(
       embeddings: DataFrame,
       queries: DataFrame,
       k: Int = 10,
-      bits: Int = 12): DataFrame = {
-    val corpus = embeddings
-      .withColumn("sig", lshSignature(col("embedding"), bits))
+      bits: Int = 8,
+      tables: Int = 16): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id"), col("embedding"),
+      posexplode(tableSignatures(col("embedding"), bits, tables))
+        .as(Seq("tbl", "sig")))
     val q = broadcast(
       queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .withColumn("probe",
-          explode(probeSet(lshSignature(col("q_emb"), bits), bits))))
+        .select(col("q_id"), col("q_emb"),
+          posexplode(tableSignatures(col("q_emb"), bits, tables))
+            .as(Seq("tbl", "sig"))))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
     corpus
-      .join(q, corpus("sig") === q("probe"))
+      .join(q, Seq("tbl", "sig"))
+      // a candidate found in several tables is scored once
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

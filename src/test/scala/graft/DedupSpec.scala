@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private lazy val withDups = Seq(
+    (1L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+    (2L, "ALPHA  beta gamma delta epsilon", "en", "s", 31L), // exact dup mod case/ws
+    (3L, "alpha beta gamma delta zeta", "en", "s", 27L),     // near dup
+    (4L, "totally different text here now", "en", "s", 31L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exactDedup keeps the lowest doc_id per fingerprint") {
+    val kept = Dedup.exactDedup(withDups).select("doc_id")
+      .as[Long].collect().sorted
+    kept.toSeq shouldBe Seq(1L, 3L, 4L)
+  }
+
+  test("exactGroups reports copy counts") {
+    val g = Dedup.exactGroups(withDups)
+      .filter(col("n_copies") > 1).collect()
+    g.length shouldBe 1
+    g(0).getAs[Long]("keep_id") shouldBe 1L
+    g(0).getAs[Long]("n_copies") shouldBe 2L
+  }
+
+  test("dupStats n_docs = n_unique + n_dups") {
+    val r = Dedup.dupStats(withDups).collect()(0)
+    r.getAs[Long]("n_docs") shouldBe
+      r.getAs[Long]("n_unique") + r.getAs[Long]("n_dups")
+    r.getAs[Long]("n_dups") shouldBe 1L
+  }
+
+  test("shingles produces distinct n-grams; short docs yield empty") {
+    val sh = withDups.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    sh(1L) should contain("alpha beta gamma")
+    sh(1L).length shouldBe 3 // 5 tokens -> 3 trigrams
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()(0)
+    short shouldBe empty
+  }
+
+  test("jaccard: identical sets 1.0, disjoint sets 0.0") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "v w x y z"))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(
+        Dedup.shingles(col("x"), 3), Dedup.shingles(col("y"), 3)).as("j"))
+    df.as[Double].collect().toSeq shouldBe Seq(1.0, 0.0)
+  }
+
+  test("minhashDupPairs equals brute-force Jaccard on the corpus") {
+    val lsh = rowSet(Dedup.minhashDupPairs(tables.documents,
+      threshold = 0.7, k = 64, bands = 32))
+    val brute = rowSet(Dedup.bruteForceJaccardPairs(tables.documents, 0.7))
+    lsh shouldBe brute
+    lsh.size shouldBe 28 // DuckDB golden at sf0.001
+  }
+
+  // simhash is a bag-of-distinct-tokens sketch: token ORDER must not
+  // matter, token IDENTITY (incl. case) must
+  private lazy val reordered = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "epsilon delta gamma beta alpha"), // same tokens, shuffled
+    (3L, "totally different text here now")
+  ).toDF("doc_id", "text")
+
+  test("simhash near-dup pairs include the same-token-set pair") {
+    val pairs = Dedup.simhashDupPairs(reordered, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    pairs should contain((1L, 2L, 0)) // identical token set -> hamming 0
+  }
+
+  test("simhash is order-insensitive over tokens") {
+    val sigs = Dedup.simhash(reordered.filter(col("doc_id") <= 2))
+      .as[(Long, Long)].collect().toMap
+    sigs(1L) shouldBe sigs(2L)
+  }
+}

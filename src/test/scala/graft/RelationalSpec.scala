@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Golden + plan-shape tests for the relational operator family. Golden
+  * values were computed independently with DuckDB over the same parquet.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("scanFilterProject filters and projects; filter reaches the scan") {
+    val df = Relational.scanFilterProject(tables.lineitem)
+    df.columns.toSeq shouldBe Seq("l_orderkey", "l_linenumber", "l_quantity")
+    df.filter(col("l_quantity") <= 45.0).count() shouldBe 0
+    // predicate pushdown + column pruning visible in the physical plan
+    val p = plan(df)
+    p should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]")
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>")
+  }
+
+  test("pricingSummary matches the DuckDB golden for the A/F group") {
+    val r = Relational.pricingSummary(tables.lineitem)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .collect()(0)
+    r.getAs[Double]("sum_qty") shouldBe 24851.0
+    r.getAs[Double]("avg_disc") shouldBe 0.0502
+    r.getAs[Long]("count_order") shouldBe 977L
+  }
+
+  test("pricingSummary groups partition the table exactly") {
+    val total = Relational.pricingSummary(tables.lineitem)
+      .agg(sum("count_order")).collect()(0).getLong(0)
+    total shouldBe tables.lineitem.count()
+  }
+
+  test("extremaByKey max >= min for every key") {
+    val bad = Relational.extremaByKey(tables.lineitem)
+      .filter(col("max_price") < col("min_price")).count()
+    bad shouldBe 0
+  }
+
+  test("avgBalanceByNation covers all 25 nations") {
+    Relational.avgBalanceByNation(tables.customer).count() shouldBe 25
+  }
+
+  test("revenueByNation matches the DuckDB golden for NATION_0/AFRICA") {
+    val r = Relational.revenueByNation(tables.lineitem, tables.orders,
+      tables.customer, tables.nation, tables.region)
+      .filter(col("n_name") === "NATION_0").collect()(0)
+    r.getAs[String]("r_name") shouldBe "AFRICA"
+    r.getAs[Double]("revenue") shouldBe 7249844.1343
+    r.getAs[Long]("n_items") shouldBe 142L
+    r.getAs[Long]("n_orders") shouldBe 34L
+  }
+
+  test("revenueByNation broadcasts the dimension chain") {
+    val p = plan(Relational.revenueByNation(tables.lineitem, tables.orders,
+      tables.customer, tables.nation, tables.region))
+    p should include("BroadcastHashJoin")
+  }
+
+  test("topOrdersByPrice compiles to TakeOrderedAndProject (no global sort)") {
+    val df = Relational.topOrdersByPrice(tables.orders)
+    plan(df) should include("TakeOrderedAndProject")
+    val rows = df.collect()
+    rows.length shouldBe 10
+    rows.head.getAs[Long]("o_orderkey") shouldBe 988L
+    rows.head.getAs[Double]("o_totalprice") shouldBe 499705.05
+    // descending by price
+    rows.map(_.getAs[Double]("o_totalprice")).toSeq shouldBe
+      rows.map(_.getAs[Double]("o_totalprice")).sorted(Ordering[Double].reverse).toSeq
+  }
+
+  test("topOrdersPerPriority returns exactly N per group, ranked") {
+    val df = Relational.topOrdersPerPriority(tables.orders, n = 3)
+    val counts = df.groupBy("o_orderpriority").count().collect()
+    counts.length shouldBe 5
+    all(counts.map(_.getAs[Long]("count"))) shouldBe 3L
+  }
+
+  test("segmentBalanceGap and segmentBalancePivot agree") {
+    val gap = rowSet(Relational.segmentBalanceGap(tables.customer))
+    val piv = rowSet(Relational.segmentBalancePivot(tables.customer))
+    gap shouldBe piv
+  }
+
+  test("distinctPartCount matches golden") {
+    val r = Relational.distinctPartCount(tables.lineitem).collect()(0)
+    r.getAs[Long]("distinct_parts") shouldBe 200L
+    r.getAs[Long]("total_rows") shouldBe 6000L
+  }
+
+  test("set operations partition consistently") {
+    val inter = Relational.nationsIntersect(tables.customer, tables.supplier)
+    val exc = Relational.nationsExcept(tables.customer, tables.supplier)
+    val uni = Relational.nationsUnion(tables.customer, tables.supplier)
+    // customer nations = intersect ∪ except, disjointly
+    val custN = tables.customer.select(col("c_nationkey")).distinct().count()
+    inter.count() + exc.count() shouldBe custN
+    uni.count() should be >= custN
+  }
+
+  test("userRunningValue is cumulative and ends at the per-user total") {
+    val df = Relational.userRunningValue(tables.events)
+    val perUserMax = df.groupBy("user_id")
+      .agg(max("running_value").as("final_run"),
+        max("event_seq").as("n"))
+    val expected = tables.events.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+        .as("total"), count(lit(1)).as("cnt"))
+    val joined = perUserMax.join(expected, "user_id")
+      .filter(abs(col("final_run") - col("total")) > 1e-9 ||
+        col("n") =!= col("cnt"))
+    joined.count() shouldBe 0
+  }
+
+  test("eventsHourly bucket counts sum to the table size") {
+    Relational.eventsHourly(tables.events)
+      .agg(sum("n_events")).collect()(0).getLong(0) shouldBe
+      tables.events.count()
+  }
+
+  test("sampleLineitem is deterministic under a fixed seed") {
+    val a = Relational.sampleLineitem(tables.lineitem).count()
+    val b = Relational.sampleLineitem(tables.lineitem).count()
+    a shouldBe b
+    a should be > 0L
+  }
+}

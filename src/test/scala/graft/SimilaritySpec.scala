@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private lazy val queries = tables.embeddings.filter(col("vec_id") < 5)
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+      .select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+    df.as[Double].collect().toSeq shouldBe Seq(1.0, 0.0)
+  }
+
+  test("bruteForceTopK: rank 1 for each query is the query itself") {
+    val top = Similarity.bruteForceTopK(tables.embeddings, queries, k = 10)
+    val r1 = top.filter(col("rnk") === 1)
+      .select("q_id", "vec_id", "sim").collect()
+    r1.length shouldBe 5
+    all(r1.map(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id"))) shouldBe true
+    all(r1.map(_.getAs[Double]("sim"))) shouldBe 1.0
+  }
+
+  test("bruteForceTopK returns exactly k per query, descending") {
+    val top = Similarity.bruteForceTopK(tables.embeddings, queries, k = 10)
+      .collect()
+    top.length shouldBe 50
+    top.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("sim"))
+      sims.toSeq shouldBe sims.sorted(Ordering[Double].reverse).toSeq
+    }
+  }
+
+  test("lshTopK recall@10 vs brute force is >= 0.6 with 16x4-bit tables") {
+    // this corpus is near-random (top-10 neighbor cosine ~0.3 => per-bit
+    // agreement ~0.59): 16 tables x 4 bits gives expected recall ~0.87
+    val exact = Similarity.bruteForceTopK(tables.embeddings, queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(tables.embeddings, queries, k = 10,
+      bits = 4, tables = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    recall should be >= 0.6
+  }
+
+  test("lshTopK results are a subset of correct cosine ranking per bucket") {
+    // every ANN hit's similarity matches the exact cosine for that pair
+    val ann = Similarity.lshTopK(tables.embeddings, queries, k = 10,
+      bits = 4, tables = 16)
+    val withExact = ann.join(
+      Similarity.bruteForceTopK(tables.embeddings, queries, k = 500)
+        .withColumnRenamed("sim", "exact_sim")
+        .select("q_id", "vec_id", "exact_sim"),
+      Seq("q_id", "vec_id"))
+    withExact.filter(col("sim") =!= col("exact_sim")).count() shouldBe 0
+  }
+
+  test("cosineDupPairs finds only pairs above threshold, verified exactly") {
+    val pairs = Similarity.cosineDupPairs(tables.embeddings,
+      threshold = 0.9, bits = 4)
+    pairs.filter(col("cos") < 0.9).count() shouldBe 0
+    pairs.filter(col("id_a") >= col("id_b")).count() shouldBe 0
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextAnalysis, TextOps}
+
+class TextSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private lazy val tiny = Seq(
+    (1L, "the cat  sat", "en", "s", 12L),
+    (2L, "THE CAT SAT", "en", "s", 11L),
+    (3L, "", "en", "s", 0L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("wordCount golden: most frequent corpus word") {
+    val top = TextOps.wordCount(tables.documents)
+      .orderBy(col("cnt").desc, col("word")).collect()(0)
+    top.getAs[String]("word") shouldBe "scan"
+    top.getAs[Long]("cnt") shouldBe 984L
+  }
+
+  test("wordCount total equals token count (tokenizers agree)") {
+    val wcTotal = TextOps.wordCount(tables.documents)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    val taTotal = TextAnalysis.tokenStatsByLang(tables.documents)
+      .agg(sum("total_tokens")).collect()(0).getLong(0)
+    wcTotal shouldBe taTotal
+  }
+
+  test("tokenizer handles runs of whitespace and empty text") {
+    val q = TextAnalysis.qualityFeatures(tiny).orderBy("doc_id").collect()
+    q(0).getAs[Long]("n_tokens") shouldBe 3L // double space != empty token
+    q(2).getAs[Long]("n_tokens") shouldBe 0L
+    assert(q(2).isNullAt(q(2).fieldIndex("avg_token_len"))) // guarded div
+  }
+
+  test("wordLengthCount weights sum to total tokens") {
+    val wl = TextOps.wordLengthCount(tables.documents)
+    val total = wl.agg(sum("cnt")).collect()(0).getLong(0)
+    TextOps.wordCount(tables.documents)
+      .agg(sum("cnt")).collect()(0).getLong(0) shouldBe total
+  }
+
+  test("avgWordLengthByInitial: every initial is one character") {
+    val bad = TextOps.avgWordLengthByInitial(tables.documents)
+      .filter(expr("length(initial) <> 1")).count()
+    bad shouldBe 0L
+  }
+
+  test("invertedIndex caps postings but reports exact n_docs") {
+    val idx = TextOps.invertedIndex(tables.documents, maxPostings = 5)
+    val r = idx.collect()
+    all(r.map(_.getAs[String]("postings").split(",").length)) should be <= 5
+    // n_docs exact: 'scan' appears in more than 5 docs
+    val scan = idx.filter(col("word") === "scan").collect()(0)
+    scan.getAs[Long]("n_docs") should be > 5L
+    // postings are the lowest doc ids, ascending
+    val p = scan.getAs[String]("postings").split(",").map(_.toLong)
+    p.toSeq shouldBe p.sorted.toSeq
+  }
+
+  test("fingerprint collapses case and whitespace differences") {
+    val fps = TextAnalysis.fingerprints(tiny).collect()
+    fps(0).getAs[String]("fp") shouldBe fps(1).getAs[String]("fp")
+  }
+
+  test("languageId returns unknown for zero marker hits, never guesses") {
+    val pred = TextAnalysis.languageId(tiny).orderBy("doc_id").collect()
+    pred(0).getAs[String]("predicted_lang") shouldBe "en" // 'the' marker
+    pred(2).getAs[String]("predicted_lang") shouldBe "unknown"
+  }
+
+  test("corpusStats totals match the raw table") {
+    val total = TextAnalysis.corpusStats(tables.documents)
+      .agg(sum("total_chars")).collect()(0).getLong(0)
+    tables.documents.agg(sum("n_chars")).collect()(0).getLong(0) shouldBe total
+  }
+}
