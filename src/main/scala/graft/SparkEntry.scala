@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Ingest, Sinks, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -186,7 +186,54 @@ object SparkEntry {
         Multimodal.attachBinary(Tables(s, d).documents))
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // ---- ingest layer through the correctness gate (S1–S9/K1–K3) ------
+    // round trips: engine-written file -> engine-read file -> aggregate;
+    // the oracle is the same aggregate straight off the parquet, so any
+    // value/row corruption in the sink or source fails the hash compare
+    "q42_csv_roundtrip" -> ((s, d) => {
+      val src = Tables(s, d).lineitem
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_csv"
+      Sinks.writeCsv(src, dir)
+      Ingest.readCsv(s, dir, src.schema)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    "q43_fixedwidth_roundtrip" -> ((s, d) => {
+      // format orders as fixed-width records in flight, parse them back
+      // with the positional parser, aggregate — S3 without touching disk
+      val lines = Tables(s, d).orders.select(
+        format_string("%08d%015.2f%-15s",
+          col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .as("value"))
+      Ingest.parseFixedWidth(lines, Seq(
+        Ingest.FixedField("o_orderkey", 0, 8, "long"),
+        Ingest.FixedField("o_totalprice", 8, 23, "double"),
+        Ingest.FixedField("o_orderpriority", 23, 38)))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+    "q44_json_roundtrip" -> ((s, d) => {
+      val src = Tables(s, d).nation
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_json"
+      Sinks.writeJson(src, dir)
+      Ingest.readJson(s, dir, Some(src.schema))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy("n_regionkey")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -488,6 +535,23 @@ object SparkEntry {
     "q38_exact_frequencies" ->
       """SELECT l_returnflag AS key, count(*) AS cnt FROM lineitem
          WHERE l_returnflag IN ('A', 'N', 'R')
+         GROUP BY 1 ORDER BY 1""",
+
+    "q42_csv_roundtrip" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q43_fixedwidth_roundtrip" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+         count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q44_json_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations FROM nation
          GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink layer (SURVEY §2.1 K1–K5, K7): file and table writers.
+  *
+  * All writers default to `overwrite` — the corpus's output-dir
+  * idempotency contract (K7): re-running a job replaces its output
+  * instead of failing on the existing directory.
+  */
+object Sinks {
+
+  /** K1: text sink — single string column, one line per row. */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  /** K2: JSON-lines sink; `append = true` matches the reference's
+    * accumulate-batches mode (`303-spark-sql/README.md:55-60`).
+    */
+  def writeJson(df: DataFrame, path: String, append: Boolean = false): Unit =
+    df.write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .json(path)
+
+  /** CSV sink with header — the file-interchange twin of Ingest.readCsv. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).csv(path)
+
+  /** K3: parquet sink — the engine's canonical persistent format. */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** K4: managed-table sink (`303-spark-sql/README.md:61-66`). */
+  def saveTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** K5: partitioned and/or bucketed managed table
+    * (`303-spark-sql/README.md:71-79`). Bucketing by join/agg key is the
+    * J2 enabler: two tables bucketed the same way join with ZERO shuffle —
+    * at 100 TB this converts the nightly big-join from a full network
+    * shuffle into a local merge of co-located buckets.
+    */
+  def saveTablePartitioned(
+      df: DataFrame,
+      table: String,
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+      if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+    }
+    w.saveAsTable(table)
+  }
+
+  /** O5: single sorted output file — an explicit, deliberate funnel to one
+    * writer task (the reference's coalesce(1) pattern). Only sane for
+    * small final results; the sort is global.
+    */
+  def writeSingleSorted(df: DataFrame, path: String,
+      sortCols: Seq[String]): Unit =
+    df.orderBy(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}
