@@ -20,7 +20,7 @@ object TextAnalysis {
     * text operators (TextOps + TextAnalysis), so token counts agree
     * corpus-wide: split on runs of whitespace, drop empty tokens.
     */
-  private[operators] def tokens(c: Column): Column =
+  private[graft] def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
   /** Quality features per document: token count, average token length

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.operators.TextAnalysis
+
+/** Structured Streaming surface (SURVEY §2.8 T1–T10, S12–S13, K6).
+  *
+  * The reference's DStream programs (`304-streaming/spark/src/main/scala/
+  * ExerciseNetcat.scala`, `ExerciseKafka.scala`) are re-expressed as
+  * unbounded DataFrames: every transform below is a plain
+  * DataFrame→DataFrame function, so it runs identically on a batch frame
+  * (unit tests, backfills) and on a stream — and the SAME operator
+  * library (TextAnalysis tokenizer etc.) serves both. State management
+  * (running counts, running averages) is the engine's incremental
+  * aggregation or an explicit `GroupState`, not hand-rolled
+  * `updateStateByKey` closures; recovery comes from the checkpoint
+  * contract (T4) instead of manual restart logic.
+  */
+object Streams {
+
+  // ------------------------------------------------------------ sources
+
+  /** S12: socket text source (`ExerciseNetcat.scala:37`). Dev/debug only —
+    * a socket has no replay, so exactly-once does not hold across restart.
+    */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host).option("port", port)
+      .load()
+
+  /** S1-as-stream: file-arrival text source — each new file in `dir` is a
+    * micro-batch; fully replayable, so checkpoint recovery (T4) is exact.
+    */
+  def fileLines(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else r).text(dir)
+  }
+
+  /** S13: Kafka source (`ExerciseKafka.scala:51-55`) — value bytes decoded
+    * to string. Requires the spark-sql-kafka connector jar on the
+    * classpath (not bundled in this container).
+    */
+  def kafkaLines(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("value"))
+
+  // --------------------------------------------------------- transforms
+
+  /** T2/T3: per-batch word counts — stateless; each micro-batch is
+    * counted independently (`ExerciseNetcat.scala:44-55`). Append-safe.
+    */
+  def batchWordCounts(lines: DataFrame): DataFrame =
+    lines.select(explode(TextAnalysis.tokens(col("value"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** T5: running word counts across ALL batches — the engine's
+    * incremental stateful aggregation replaces `updateStateByKey`
+    * (`ExerciseNetcat.scala:91-109`). Emit with Update/Complete mode.
+    */
+  def runningWordCounts(lines: DataFrame): DataFrame =
+    batchWordCounts(lines)
+
+  /** T9: hashtag extraction + running counts
+    * (`ExerciseNetcat.scala:136-149`): tokens starting with '#',
+    * lowercased, counted across batches.
+    */
+  def hashtagCounts(lines: DataFrame): DataFrame =
+    lines.select(explode(TextAnalysis.tokens(col("value"))).as("tok"))
+      .filter(col("tok").startsWith("#"))
+      .select(lower(col("tok")).as("hashtag"))
+      .groupBy("hashtag").agg(count(lit(1)).as("cnt"))
+
+  /** Composite state carried across batches for T6. */
+  final case class AvgState(sum: Double, count: Long)
+  final case class KeyedAvg(key: String, avg: Double, count: Long)
+
+  /** T6: running average per key with EXPLICIT composite state — the
+    * (sum, count) accumulator the reference threads through
+    * `updateStateByKey` (`ExerciseNetcat.scala:175-203`), here a typed
+    * `GroupState[AvgState]` under `mapGroupsWithState`. Use when the
+    * state transition genuinely can't be an aggregate; otherwise prefer
+    * `groupBy.avg` (same result, engine-managed partial aggregation).
+    */
+  def runningAvgWithState(pairs: Dataset[(String, Double)]): Dataset[KeyedAvg] = {
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_._1)
+      .mapGroupsWithState[AvgState, KeyedAvg](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[AvgState]) =>
+          val prev = state.getOption.getOrElse(AvgState(0.0, 0L))
+          var sum = prev.sum
+          var n = prev.count
+          rows.foreach { case (_, v) => sum += v; n += 1 }
+          state.update(AvgState(sum, n))
+          KeyedAvg(key, if (n > 0) sum / n else 0.0, n)
+      }
+  }
+
+  /** T7: sliding event-time window counts with a watermark — the modern
+    * form of the reference's processing-time `window(Seconds(30),
+    * Seconds(10))` (`ExerciseNetcat.scala:115-142`). The watermark bounds
+    * state: buckets older than it are finalized and dropped, which is
+    * what makes windowed aggregation runnable forever at scale.
+    */
+  def slidingEventCounts(
+      events: DataFrame,
+      windowDur: String = "10 minutes",
+      slideDur: String = "5 minutes",
+      watermarkDelay: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        window(col("ts"), windowDur, slideDur).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
+  // -------------------------------------------------------------- sinks
+
+  /** K6: console sink with an explicit trigger (T1 batch-interval
+    * analogue, `ExerciseNetcat.scala:40`).
+    */
+  def startConsole(df: DataFrame, mode: OutputMode,
+      intervalMs: Long = 1000): StreamingQuery =
+    df.writeStream
+      .outputMode(mode)
+      .format("console")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .start()
+
+  /** T10: ranked output per micro-batch via foreachBatch (T8): the top-N
+    * rows of each batch's state snapshot go to `sink`. foreachBatch gives
+    * every batch as a normal DataFrame — the seam for arbitrary batch
+    * sinks (`ExerciseNetcat.scala:155-166` prints ranked hashtags).
+    */
+  def startRankedForeachBatch(
+      counts: DataFrame,
+      n: Int,
+      checkpoint: String,
+      sink: (Array[org.apache.spark.sql.Row], Long) => Unit): StreamingQuery =
+    counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(batch.orderBy(col("cnt").desc, col(batch.columns.head).asc)
+          .limit(n).collect(), id)
+      }
+      .start()
+
+  /** T4/T5: start a running-aggregate query into the in-memory table
+    * `name` (complete mode) with a checkpoint — stop + restart with the
+    * same checkpoint resumes the state exactly (tested in StreamingSpec).
+    */
+  def startMemorySink(df: DataFrame, name: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext =
+    SparkSpec.spark.sqlContext
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-stream-$tag").toString
+
+  test("T5: running word counts accumulate across micro-batches") {
+    val in = MemoryStream[String]
+    val q = Streams.runningWordCounts(in.toDF())
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("t5").start()
+    try {
+      in.addData("spark streams spark")
+      q.processAllAvailable()
+      spark.table("t5").filter(col("word") === "spark")
+        .collect()(0).getAs[Long]("cnt") shouldBe 2L
+      in.addData("spark again")
+      q.processAllAvailable()
+      spark.table("t5").filter(col("word") === "spark")
+        .collect()(0).getAs[Long]("cnt") shouldBe 3L // state carried over
+    } finally q.stop()
+  }
+
+  test("T9: hashtag pipeline filters, lowercases and counts") {
+    val in = MemoryStream[String]
+    val q = Streams.hashtagCounts(in.toDF())
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("t9").start()
+    try {
+      in.addData("check #Spark and #spark plus #OTHER words")
+      q.processAllAvailable()
+      val rows = spark.table("t9").collect()
+        .map(r => r.getAs[String]("hashtag") -> r.getAs[Long]("cnt")).toMap
+      rows shouldBe Map("#spark" -> 2L, "#other" -> 1L)
+    } finally q.stop()
+  }
+
+  test("T6: mapGroupsWithState running average carries composite state") {
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.runningAvgWithState(in.toDS())
+      .toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("t6").start()
+    try {
+      in.addData(("u1", 10.0), ("u1", 20.0), ("u2", 5.0))
+      q.processAllAvailable()
+      in.addData(("u1", 30.0))
+      q.processAllAvailable()
+      // last update for u1 reflects ALL three values: (10+20+30)/3
+      val u1 = spark.table("t6").filter(col("key") === "u1")
+        .orderBy(col("count").desc).collect()(0)
+      u1.getAs[Long]("count") shouldBe 3L
+      u1.getAs[Double]("avg") shouldBe 20.0
+    } finally q.stop()
+  }
+
+  test("T7: sliding event-time windows with watermark") {
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "event_type")
+    val q = Streams.slidingEventCounts(df)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("t7").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2026-01-01 10:02:00"), "click"),
+        (Timestamp.valueOf("2026-01-01 10:07:00"), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("t7").collect()
+      // 10:02 falls in [9:55,10:05) and [10:00,10:10); 10:07 in
+      // [10:00,10:10) and [10:05,10:15) -> the 10:00 window holds both
+      val w10 = rows.filter(_.getAs[Timestamp]("window_start")
+        == Timestamp.valueOf("2026-01-01 10:00:00"))
+      w10.length shouldBe 1
+      w10(0).getAs[Long]("n_events") shouldBe 2L
+      rows.length shouldBe 3
+    } finally q.stop()
+  }
+
+  test("T2/T3/T8/T10: foreachBatch emits ranked top-N per batch") {
+    val in = MemoryStream[String]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Long)])]()
+    val q = Streams.startRankedForeachBatch(
+      Streams.runningWordCounts(in.toDF()), n = 2, tmp("t10"),
+      (rows, id) => seen.synchronized {
+        seen += ((id, rows.map(r =>
+          r.getAs[String]("word") -> r.getAs[Long]("cnt")).toSeq))
+      })
+    try {
+      in.addData("b b b a a c")
+      q.processAllAvailable()
+      val last = seen.synchronized(seen.last._2)
+      last shouldBe Seq("b" -> 3L, "a" -> 2L) // ranked, capped at N
+    } finally q.stop()
+  }
+
+  test("T4: checkpointed query resumes state across restart") {
+    val srcDir = tmp("t4-src")
+    val ckpt = tmp("t4-ckpt")
+    def start(name: String) =
+      Streams.startMemorySink(
+        Streams.runningWordCounts(Streams.fileLines(spark, srcDir)),
+        name, ckpt)
+
+    Files.writeString(java.nio.file.Paths.get(srcDir, "f1.txt"), "a a b\n")
+    val q1 = start("t4a")
+    try { q1.processAllAvailable() } finally q1.stop()
+    spark.table("t4a").filter(col("word") === "a")
+      .collect()(0).getAs[Long]("cnt") shouldBe 2L
+
+    // new data lands while the query is DOWN; restart from the checkpoint
+    Files.writeString(java.nio.file.Paths.get(srcDir, "f2.txt"), "a c\n")
+    val q2 = start("t4b")
+    try { q2.processAllAvailable() } finally q2.stop()
+    val counts = spark.table("t4b").collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
+    // state recovered: 'a' counts from BOTH files; f1 not re-emitted twice
+    counts shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
+  }
+}
