@@ -233,7 +233,31 @@ object SparkEntry {
         .groupBy("n_regionkey")
         .agg(count(lit(1)).as("n_nations"))
         .orderBy("n_regionkey")
-    })
+    }),
+
+    // ---- P11 / U1 / semi-structured ----------------------------------
+    "q45_row_index" -> ((s, d) =>
+      Relational.withRowIndex(
+        Tables(s, d).orders.select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey"))
+        .orderBy("row_idx")),
+    "q46_typed_avg" -> ((s, d) => {
+      val words = Tables(s, d).documents.select(
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      words
+        .select(substring(col("word"), 1, 1).as("initial"),
+          length(col("word")).cast("long").as("len"))
+        .groupBy("initial")
+        .agg(
+          udaf(graft.functions.LongAvg,
+            org.apache.spark.sql.Encoders.scalaLong)(col("len"))
+            .as("avg_len"),
+          count(lit(1)).as("cnt"))
+        .orderBy("initial")
+    }),
+    "q47_event_prop_stats" -> ((s, d) =>
+      Relational.eventPropStats(Tables(s, d).events)
+        .orderBy("event_type"))
   )
 
   // ---------------------------------------------------------------------
@@ -552,6 +576,28 @@ object SparkEntry {
 
     "q44_json_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q45_row_index" ->
+      """SELECT o_orderkey, o_totalprice,
+         CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+           AS row_idx
+         FROM orders ORDER BY row_idx""",
+
+    "q46_typed_avg" ->
+      s"""SELECT substring(word, 1, 1) AS initial,
+          round(CAST(sum(length(word)) AS DOUBLE) / count(*), 4) AS avg_len,
+          count(*) AS cnt
+          FROM (SELECT unnest($Toks) AS word FROM documents)
+          GROUP BY 1 ORDER BY 1""",
+
+    "q47_event_prop_stats" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+         CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k,
+         count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

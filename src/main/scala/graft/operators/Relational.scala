@@ -276,4 +276,39 @@ object Relational {
   def sampleLineitem(lineitem: DataFrame, fraction: Double = 0.1): DataFrame =
     lineitem.sample(withReplacement = false, fraction, seed = 42L)
       .select("l_orderkey", "l_linenumber")
+
+  /** P11: contiguous 0-based positional index (the RDD `zipWithIndex`
+    * semantic, `301-solutions.scala:56`). zipWithIndex is the
+    * scale-correct contiguous index: one extra lightweight job counts
+    * partition sizes, then each partition numbers its rows from its
+    * offset — fully distributed, unlike a global `row_number()` window
+    * which funnels every row through ONE partition. The index follows
+    * the frame's current row order, so sort first for a deterministic
+    * assignment.
+    */
+  def withRowIndex(df: DataFrame, idxCol: String = "row_idx"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        idxCol, org.apache.spark.sql.types.LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      schema)
+  }
+
+  /** Parse the events table's JSON `props` column and aggregate the
+    * extracted field per event type — the map/semi-structured column
+    * surface (events.props carries e.g. {"k": 87}). get_json_object is a
+    * codegen'd per-row expression; no UDF, no shuffle beyond the agg.
+    */
+  def eventPropStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        sum("k").as("sum_k"),
+        max("k").as("max_k"),
+        count(col("k")).as("n_with_k"))
 }

@@ -131,6 +131,32 @@ class IngestSpec extends SparkSpec {
     spark.read.parquet(dir).count() shouldBe 25
   }
 
+  test("P7/J1: weather joins stations on the multi-column (usaf, wban) key") {
+    val stations = Seq(
+      ("720110", "03036", "STATION A", "UK"),
+      ("720120", "03037", "STATION B", "IT")
+    ).toDF("usaf", "wban", "name", "country")
+    // multi-column key as Seq(...) — NOT the reference's string-concat
+    // composite key (SURVEY §7 pitfall): concat keys break pushdown and
+    // statistics, and collide on ambiguous boundaries
+    val joined = Ingest.parseWeather(weatherLines)
+      .join(stations, Seq("usaf", "wban"))
+    joined.count() shouldBe 3 // 999999/00001 has no station
+    val uk = joined.filter(col("country") === "UK")
+    uk.count() shouldBe 2
+    uk.agg(max("temperature")).collect()(0).getDouble(0) shouldBe 12.3
+  }
+
+  test("O5: writeSingleSorted emits one sorted part file") {
+    val dir = tmpDir("single")
+    Sinks.writeSingleSorted(tables.nation, dir, Seq("n_name"))
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    parts.length shouldBe 1
+    val names = spark.read.parquet(dir).select("n_name").as[String].collect()
+    names.toSeq shouldBe names.sorted.toSeq
+  }
+
   test("K4/K5/J2: bucketed tables join with zero shuffle") {
     Sinks.saveTablePartitioned(tables.orders, "orders_b",
       bucketBy = Some((8, Seq("o_orderkey"))), sortBy = Seq("o_orderkey"))
