@@ -26,8 +26,20 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity of two array<float>/array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<float> columns — the native codegen
+    * expression (one fused loop inside whole-stage codegen; see
+    * graft.functions.CosineSimilarity). Same left-to-right double
+    * accumulation as the HOF form below, so results are bit-identical.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Composable higher-order-function form of cosine — works on any
+    * numeric array type, but the lambdas evaluate interpreted and the
+    * arrays are traversed three times. Kept as the readable reference
+    * implementation; tests assert it agrees with the native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = toDouble(a)
     val bd = toDouble(b)
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))

@@ -8,6 +8,22 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val queries = tables.embeddings.filter(col("vec_id") < 5)
 
+  test("native cosine expression agrees bit-for-bit with the HOF form") {
+    val both = tables.embeddings.crossJoin(
+      queries.select(col("embedding").as("q_emb")))
+      .select(
+        Similarity.cosine(col("embedding"), col("q_emb")).as("native"),
+        Similarity.cosineHof(col("embedding"), col("q_emb")).as("hof"))
+    both.filter(col("native") =!= col("hof")).count() shouldBe 0
+    // a native-only projection stays inside whole-stage codegen — the HOF
+    // form in the same projection would disable it (that's why the native
+    // expression exists)
+    val nativeOnly = tables.embeddings.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    nativeOnly.queryExecution.executedPlan
+      .toString should include("*(1)") // WholeStageCodegen stage marker
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
