@@ -30,7 +30,12 @@ object TextAnalysis {
     * empty/whitespace-only text yields null ratios instead of div-by-zero.
     */
   def qualityFeatures(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize ONCE into an attribute; the features below reference the
+    // materialized array instead of re-running the regex tokenizer per
+    // feature (see the expression-duplication note in Dedup)
+    val withToks = documents.select(
+      col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
     val nTokens = size(toks).cast("long")
     val tokChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val nStop = size(filter(toks,
@@ -40,7 +45,7 @@ object TextAnalysis {
       charLen - length(regexp_replace(col("text"), "[\\p{Punct}]", ""))
     val nUpper =
       charLen - length(regexp_replace(col("text"), "[A-Z]", ""))
-    documents.select(
+    withToks.select(
       col("doc_id"),
       nTokens.as("n_tokens"),
       when(nTokens > 0,
@@ -110,14 +115,18 @@ object TextAnalysis {
       "zh" -> Seq("的", "是", "了", "在"))
     val tiePriority =
       Map("en" -> 5, "es" -> 4, "fr" -> 3, "de" -> 2, "zh" -> 1)
-    val toks = tokens(lower(col("text")))
+    // one tokenize into an attribute; the five language scorers below
+    // each reference the materialized array
+    val withToks = documents.select(
+      col("doc_id"), col("lang"), tokens(lower(col("text"))).as("toks"))
+    val toks = col("toks")
     val scores = markers.toSeq.sortBy(_._1).map { case (langCode, ms) =>
       struct(
         size(filter(toks, t => t.isInCollection(ms))).cast("long").as("score"),
         lit(tiePriority(langCode)).as("prio"),
         lit(langCode).as("lang"))
     }
-    documents
+    withToks
       .withColumn("best", greatest(scores: _*))
       .select(
         col("doc_id"),

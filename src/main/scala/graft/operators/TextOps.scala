@@ -58,6 +58,32 @@ object TextOps {
     * cardinality is still reported via `n_docs` (a partial-aggregating
     * count, safe at any scale).
     */
+  /** A6 variant (SURVEY §7.4.6): word → global word POSITIONS in reading
+    * order, over a text-file frame (one line per row, single ordered
+    * source) — the RDD `zipWithIndex` index. Positions are assigned by
+    * the distributed partition-offset numbering of
+    * [[Relational.withRowIndex]]; the doc_id-postings form above is the
+    * canonical one for the table-shaped corpus.
+    */
+  def invertedIndexPositions(lines: DataFrame,
+      maxPostings: Int = 100): DataFrame = {
+    val positioned = Relational.withRowIndex(
+      lines.select(explode(TextAnalysis.tokens(col("value"))).as("word")),
+      "pos")
+    val w = Window.partitionBy("word").orderBy(col("pos").asc)
+    positioned
+      .withColumn("rn", row_number().over(w))
+      .groupBy("word")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") <= maxPostings, col("pos")))),
+            x => x.cast("string")),
+          ",").as("positions"),
+        count(lit(1)).as("n_occurrences"))
+  }
+
   def invertedIndex(documents: DataFrame, maxPostings: Int = 100): DataFrame = {
     val pairs = words(documents).select("word", "doc_id").distinct()
     val w = Window.partitionBy("word").orderBy(col("doc_id").asc)

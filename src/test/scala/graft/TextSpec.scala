@@ -59,6 +59,16 @@ class TextSpec extends SparkSpec {
     p.toSeq shouldBe p.sorted.toSeq
   }
 
+  test("invertedIndexPositions assigns global word positions in file order") {
+    val lines = Seq("alpha beta alpha", "gamma alpha").toDF("value")
+    val idx = TextOps.invertedIndexPositions(lines)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[String]("positions"), r.getAs[Long]("n_occurrences"))).toMap
+    idx("alpha") shouldBe (("0,2,4", 3L))
+    idx("beta") shouldBe (("1", 1L))
+    idx("gamma") shouldBe (("3", 1L))
+  }
+
   test("fingerprint collapses case and whitespace differences") {
     val fps = TextAnalysis.fingerprints(tiny).collect()
     fps(0).getAs[String]("fp") shouldBe fps(1).getAs[String]("fp")
