@@ -41,12 +41,19 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // two passes per query, report the min: this box shows ~2x run-to-run
+    // variance (GC/load), and min-of-2 is the cheapest stable estimator
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
+      var best = Double.MaxValue
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        (1 to runs).foreach { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        timings(name) = best
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
