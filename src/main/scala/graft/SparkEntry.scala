@@ -257,7 +257,31 @@ object SparkEntry {
     }),
     "q47_event_prop_stats" -> ((s, d) =>
       Relational.eventPropStats(Tables(s, d).events)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // K5/J2 through the gate: write both sides as co-bucketed managed
+    // tables, join them WITHOUT a shuffle (bucket-local sort-merge), and
+    // aggregate — the oracle is the same join+agg straight off parquet
+    "q48_bucketed_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      Sinks.saveTablePartitioned(t.orders, "graft_orders_b",
+        bucketBy = Some((8, Seq("o_orderkey"))), sortBy = Seq("o_orderkey"))
+      Sinks.saveTablePartitioned(
+        t.lineitem.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("order_qty"),
+            count(lit(1)).as("n_items")),
+        "graft_lineitem_agg_b",
+        bucketBy = Some((8, Seq("l_orderkey"))), sortBy = Seq("l_orderkey"))
+      s.table("graft_orders_b")
+        .join(s.table("graft_lineitem_agg_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum("order_qty").cast("double").as("sum_qty"),
+          sum("n_items").as("n_items"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -590,6 +614,19 @@ object SparkEntry {
           count(*) AS cnt
           FROM (SELECT unnest($Toks) AS word FROM documents)
           GROUP BY 1 ORDER BY 1""",
+
+    "q48_bucketed_join" ->
+      """WITH la AS (
+           SELECT l_orderkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS order_qty,
+             count(*) AS n_items
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT o_orderpriority,
+           CAST(sum(order_qty) AS DOUBLE) AS sum_qty,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           count(*) AS n_orders
+         FROM orders JOIN la ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q47_event_prop_stats" ->
       """SELECT event_type,

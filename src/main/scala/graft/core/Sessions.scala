@@ -25,6 +25,7 @@ object Sessions {
     val spark = SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -24,6 +24,20 @@ class SimilaritySpec extends SparkSpec {
       .toString should include("*(1)") // WholeStageCodegen stage marker
   }
 
+  test("cosine_similarity is callable from the SQL surface") {
+    // production sessions register via GraftExtensions
+    // (spark.sql.extensions); the shared test session is already built,
+    // so register into its live registry
+    org.apache.spark.sql.graft.bridge.registerFunction(
+      spark, "cosine_similarity",
+      es => graft.functions.CosineSimilarity(es(0), es(1)))
+    tables.embeddings.createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      """SELECT vec_id, round(cosine_similarity(embedding, embedding), 6) c
+         FROM emb_sql""")
+    viaSql.filter(col("c") =!= 1.0).count() shouldBe 0
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),

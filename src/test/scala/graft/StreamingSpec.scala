@@ -104,6 +104,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream over the driver's events parquet equals the batch answer") {
+    // the real testdata as a stream: same transform, same result as batch
+    // the file stream source wants a directory; stage the single parquet
+    // file into one
+    val dir = tmp("evt-src")
+    Files.copy(java.nio.file.Paths.get(s"${SparkSpec.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val raw = spark.read.parquet(dir)
+    val stream = spark.readStream.schema(raw.schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.slidingEventCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("evt").start()
+    try {
+      q.processAllAvailable()
+      val streamed = rowSet(spark.table("evt"))
+      val batch = rowSet(tables.events
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"),
+          col("w.end").as("window_end"),
+          col("event_type"), col("n_events")))
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("T4: checkpointed query resumes state across restart") {
     val srcDir = tmp("t4-src")
     val ckpt = tmp("t4-ckpt")
