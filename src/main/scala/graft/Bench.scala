@@ -17,7 +17,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-bench-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-bench-warehouse-${System.nanoTime()}")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

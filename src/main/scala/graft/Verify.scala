@@ -10,8 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // unique per run: a stale warehouse dir from a previous JVM makes
+      // saveAsTable fail with LOCATION_ALREADY_EXISTS (fresh in-memory
+      // catalog does not know it may overwrite the location)
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-verify-warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft-verify-warehouse-${System.nanoTime()}")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a degenerate-parallelism input (single fat file / one parquet
+    * row group → one partition) across the cluster before CPU-heavy
+    * per-row stages: one cheap shuffle of the raw rows buys N cores of
+    * shingling/hashing. No-op when the scan already has enough splits —
+    * at real scale inputs arrive with thousands of partitions and this
+    * never fires.
+    */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact-dup groups: one row per distinct fingerprint with the surviving
@@ -82,11 +94,20 @@ object Dedup {
   // -------------------------------------------------------------- MinHash
 
   /** MinHash signature of a shingle-set column: `k` independent salted
-    * xxhash64 min-hashes, as array<long>. One per-row expression — the
-    * signature costs O(k·|shingles|) compute and O(k) storage, and gives an
-    * unbiased Jaccard estimator.
+    * min-hashes, as array<long> — delegated to the native codegen
+    * expression (graft.functions.MinHashSignature), which hashes each
+    * shingle's bytes once and applies the k salts as long-mixes in one
+    * fused primitive loop. The signature costs O(|shingles|·k) cheap ops
+    * and O(k) storage, and gives an unbiased Jaccard estimator.
     */
   def minhashSignature(sh: Column, k: Int = 64): Column =
+    graft.functions.MinHashSignature(sh, k)
+
+  /** Composable HOF form of the signature — k interpreted passes; kept as
+    * the readable reference implementation (tests assert both produce
+    * signatures with equal Jaccard-estimation behavior).
+    */
+  def minhashSignatureHof(sh: Column, k: Int = 64): Column =
     array((0 until k).map { i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))
     }: _*)
@@ -117,7 +138,8 @@ object Dedup {
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val sigs = documents.select(
+    val docsSpread = spread(documents)
+    val sigs = docsSpread.select(
       col("doc_id"),
       shingles(col("text"), ngram).as("sh"))
     // Each step below references the PREVIOUS step's column as a plan
@@ -157,7 +179,7 @@ object Dedup {
     val candIds = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
-    val candSh = documents.join(candIds, "doc_id")
+    val candSh = docsSpread.join(candIds, "doc_id")
       .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
     candidates
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -198,7 +220,7 @@ object Dedup {
     // materialize the token hashes as an attribute first: the 64 per-bit
     // filters below each reference `hs`, and inlining the tokenize+hash
     // tree would re-run the regex tokenizer 64x per row
-    val hashed = documents.select(
+    val hashed = spread(documents).select(
       col("doc_id"),
       transform(array_distinct(TextAnalysis.tokens(col("text"))),
         t => xxhash64(t)).as("hs"))

@@ -60,7 +60,7 @@ object Similarity {
     val q = broadcast(queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    embeddings
+    Dedup.spread(embeddings)
       .crossJoin(q)
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -111,7 +111,9 @@ object Similarity {
       k: Int = 10,
       bits: Int = 8,
       tables: Int = 16): DataFrame = {
-    val corpus = embeddings.select(
+    // spread a single-split corpus before the signature computation —
+    // 16 tables x b dot products per row serialize on one core otherwise
+    val corpus = Dedup.spread(embeddings).select(
       col("vec_id"), col("embedding"),
       posexplode(tableSignatures(col("embedding"), bits, tables))
         .as(Seq("tbl", "sig")))
@@ -140,7 +142,7 @@ object Similarity {
       threshold: Double = 0.95,
       bits: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
-    val sig = embeddings
+    val sig = Dedup.spread(embeddings)
       .select(col("vec_id"), col("embedding"),
         lshSignature(col("embedding"), bits).as("sig"))
     val bounded = sig.withColumn(

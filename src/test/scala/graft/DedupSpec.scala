@@ -54,6 +54,24 @@ class DedupSpec extends SparkSpec {
     df.as[Double].collect().toSeq shouldBe Seq(1.0, 0.0)
   }
 
+  test("native minhash signature: deterministic, k slots, unbiased estimate") {
+    val df = Seq(
+      ("a b c d e f g h i j k l", "a b c d e f g h i j k l"), // identical
+      ("a b c d e f g h i j k l", "a b c d e f z y x w v u")  // ~half overlap
+    ).toDF("x", "y")
+      .select(
+        Dedup.minhashSignature(Dedup.shingles(col("x"), 3), 64).as("sx"),
+        Dedup.minhashSignature(Dedup.shingles(col("y"), 3), 64).as("sy"))
+      .select(
+        expr("size(filter(zip_with(sx, sy, (a, b) -> a = b), m -> m))")
+          .cast("double").divide(lit(64.0)).as("est"))
+      .collect().map(_.getDouble(0))
+    df(0) shouldBe 1.0 // identical sets -> identical signatures
+    // true trigram Jaccard of row 2 is 4/16 = 0.25; 64-hash estimate
+    // should land well within 3 sigma (~0.16)
+    df(1) should be(0.25 +- 0.17)
+  }
+
   test("minhashDupPairs equals brute-force Jaccard on the corpus") {
     val lsh = rowSet(Dedup.minhashDupPairs(tables.documents,
       threshold = 0.7, k = 64, bands = 32))
