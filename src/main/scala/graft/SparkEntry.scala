@@ -259,6 +259,11 @@ object SparkEntry {
       Relational.eventPropStats(Tables(s, d).events)
         .orderBy("event_type")),
 
+    // W1 heap variant through the gate: same oracle as q07
+    "q49_topk_heap" -> ((s, d) =>
+      Relational.topOrdersPerPriorityHeap(Tables(s, d).orders)
+        .orderBy("o_orderpriority", "rn")),
+
     // K5/J2 through the gate: write both sides as co-bucketed managed
     // tables, join them WITHOUT a shuffle (bucket-local sort-merge), and
     // aggregate — the oracle is the same join+agg straight off parquet
@@ -614,6 +619,14 @@ object SparkEntry {
           count(*) AS cnt
           FROM (SELECT unnest($Toks) AS word FROM documents)
           GROUP BY 1 ORDER BY 1""",
+
+    "q49_topk_heap" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_orderpriority, rn""",
 
     "q48_bucketed_join" ->
       """WITH la AS (

@@ -151,6 +151,31 @@ object Relational {
       .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
   }
 
+  /** W1 scale variant: same result as [[topOrdersPerPriority]] via a
+    * bounded-heap typed Aggregator instead of a window — each map task
+    * keeps ≤2n rows per group, so the shuffle moves O(n·partitions) rows
+    * per group instead of every row, and nothing is ever fully sorted.
+    * This is the grouped-top-k rewrite Catalyst doesn't do itself; at
+    * 100 TB it converts the window's all-rows shuffle + per-group sort
+    * into a combiner-style partial aggregate.
+    */
+  def topOrdersPerPriorityHeap(orders: DataFrame, n: Int = 3): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(n).toColumn.name("top"))
+      .flatMap { case (prio, tops) =>
+        tops.zipWithIndex.map { case ((price, key), i) =>
+          (prio, key, price, (i + 1).toLong)
+        }
+      }
+      .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+  }
+
   /** J7: self-join of two aggregates (the gender-pay-gap query,
     * `303-solutions.scala:11-30`) on customer segments. Both sides are
     * #nations-sized after aggregation, so the join is a broadcast of two

@@ -78,6 +78,14 @@ class RelationalSpec extends SparkSpec {
     all(counts.map(_.getAs[Long]("count"))) shouldBe 3L
   }
 
+  test("bounded-heap top-k per group equals the window form") {
+    val heap = rowSet(Relational.topOrdersPerPriorityHeap(tables.orders)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn"))
+    val window = rowSet(Relational.topOrdersPerPriority(tables.orders)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn"))
+    heap shouldBe window
+  }
+
   test("segmentBalanceGap and segmentBalancePivot agree") {
     val gap = rowSet(Relational.segmentBalanceGap(tables.customer))
     val piv = rowSet(Relational.segmentBalancePivot(tables.customer))
