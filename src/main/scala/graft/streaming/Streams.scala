@@ -83,6 +83,18 @@ object Streams {
       .select(lower(col("tok")).as("hashtag"))
       .groupBy("hashtag").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming exact-dedup for a document stream: one row per first-seen
+    * content fingerprint across ALL batches — the streaming face of
+    * `Dedup.exactDedup`. State is one entry per distinct fingerprint;
+    * pass a watermark column + `withWatermark` upstream and swap to
+    * `dropDuplicatesWithinWatermark` when the key space is unbounded, so
+    * state ages out instead of growing forever.
+    */
+  def streamingExactDedup(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fp")
+
   /** Composite state carried across batches for T6. */
   final case class AvgState(sum: Double, count: Long)
   final case class KeyedAvg(key: String, avg: Double, count: Long)

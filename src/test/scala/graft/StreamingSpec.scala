@@ -131,6 +131,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup keeps first-seen content across batches") {
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingExactDedup(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup").start()
+    try {
+      in.addData((1L, "same content"), (2L, "other content"))
+      q.processAllAvailable()
+      in.addData((3L, "SAME   content"), (4L, "new content")) // 3 dups 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("doc_id")
+        .as[Long].collect().sorted
+      ids.toSeq shouldBe Seq(1L, 2L, 4L) // cross-batch dup suppressed
+    } finally q.stop()
+  }
+
+  test("batch text operators compose unchanged onto a stream") {
+    val in = MemoryStream[(Long, String)]
+    // TextAnalysis.qualityFeatures is a plain DataFrame function — the
+    // same code path serves batch tables and unbounded streams
+    val q = graft.operators.TextAnalysis.qualityFeatures(
+      in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qf").start()
+    try {
+      in.addData((1L, "the quick brown fox"), (2L, ""))
+      q.processAllAvailable()
+      val r = spark.table("qf").orderBy("doc_id").collect()
+      r(0).getAs[Long]("n_tokens") shouldBe 4L
+      r(0).getAs[Double]("stopword_ratio") shouldBe 0.25
+      r(1).getAs[Long]("n_tokens") shouldBe 0L
+    } finally q.stop()
+  }
+
   test("T4: checkpointed query resumes state across restart") {
     val srcDir = tmp("t4-src")
     val ckpt = tmp("t4-ckpt")
