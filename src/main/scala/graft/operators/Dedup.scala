@@ -30,6 +30,7 @@ object Dedup {
     * never fires.
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch planning handles splits
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -217,22 +218,11 @@ object Dedup {
     * shape that survives a 100-TB corpus.
     */
   def simhash(documents: DataFrame, bits: Int = 64): DataFrame = {
-    // materialize the token hashes as an attribute first: the 64 per-bit
-    // filters below each reference `hs`, and inlining the tokenize+hash
-    // tree would re-run the regex tokenizer 64x per row
-    val hashed = spread(documents).select(
+    require(bits == 64, "native simhash is fixed at 64 bits")
+    spread(documents).select(
       col("doc_id"),
-      transform(array_distinct(TextAnalysis.tokens(col("text"))),
-        t => xxhash64(t)).as("hs"))
-    val n = size(col("hs"))
-    val sig = (0 until bits)
-      .map { i =>
-        val nSet = size(filter(col("hs"),
-          h => shiftright(h, i).bitwiseAND(1) === 1))
-        when(nSet * 2 > n, lit(1L << i)).otherwise(0L)
-      }
-      .reduce(_ + _)
-    hashed.select(col("doc_id"), sig.as("simhash"))
+      graft.functions.SimHashSignature(
+        array_distinct(TextAnalysis.tokens(col("text")))).as("simhash"))
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit sketch into four

@@ -33,7 +33,7 @@ object TextAnalysis {
     // tokenize ONCE into an attribute; the features below reference the
     // materialized array instead of re-running the regex tokenizer per
     // feature (see the expression-duplication note in Dedup)
-    val withToks = documents.select(
+    val withToks = Dedup.spread(documents).select(
       col("doc_id"), col("text"), tokens(col("text")).as("toks"))
     val toks = col("toks")
     val nTokens = size(toks).cast("long")
@@ -117,7 +117,7 @@ object TextAnalysis {
       Map("en" -> 5, "es" -> 4, "fr" -> 3, "de" -> 2, "zh" -> 1)
     // one tokenize into an attribute; the five language scorers below
     // each reference the materialized array
-    val withToks = documents.select(
+    val withToks = Dedup.spread(documents).select(
       col("doc_id"), col("lang"), tokens(lower(col("text"))).as("toks"))
     val toks = col("toks")
     val scores = markers.toSeq.sortBy(_._1).map { case (langCode, ms) =>

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Tokens per document row, empty tokens dropped. */
+  /** Tokens per document row, empty tokens dropped. Single-split inputs
+    * are spread first — tokenization+explode is per-row CPU work.
+    */
   private def words(documents: DataFrame) =
-    documents.select(
+    Dedup.spread(documents).select(
       col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("word"))
 
