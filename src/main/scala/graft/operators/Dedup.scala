@@ -73,17 +73,12 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles of a text column, as an array<string>.
-    * Pure per-row array expression (no explode → no row blowup before the
-    * signature is computed).
+    * Pure per-row expression (no explode → no row blowup before the
+    * signature is computed); the gram construction is the single-pass
+    * native graft.functions.WordNgrams.
     */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(c)
-    val cnt = size(toks) - (n - 1)
-    array_distinct(
-      when(cnt > 0,
-        transform(sequence(lit(1), cnt), i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array()))
-  }
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.functions.WordNgrams(TextAnalysis.tokens(c), n)
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
