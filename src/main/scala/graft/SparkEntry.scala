@@ -164,6 +164,14 @@ object SparkEntry {
     "q35_cosine_dup_pairs" -> ((s, d) =>
       Similarity.cosineDupPairs(Tables(s, d).embeddings)
         .orderBy("id_a", "id_b")),
+    "q50_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroidComponents(Tables(s, d).embeddings)
+        .orderBy("label", "pos")),
+    "q51_ann_topk_ivf" -> ((s, d) => {
+      val t = Tables(s, d)
+      Similarity.ivfTopK(t.embeddings, annQueries(t), nprobe = 5)
+        .orderBy("q_id", "rnk")
+    }),
 
     // ---- sketches (A11–A13) with exact twins --------------------------
     "q36_sketch_distinct" -> ((s, d) =>
@@ -584,6 +592,14 @@ object SparkEntry {
              AS rnk FROM s)
          SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
          ORDER BY q_id, rnk""",
+
+    "q50_label_centroids" ->
+      """SELECT label, pos,
+         round(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+           AS c
+         FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q38_exact_frequencies" ->
       """SELECT l_returnflag AS key, count(*) AS cnt FROM lineitem

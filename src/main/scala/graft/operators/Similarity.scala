@@ -133,6 +133,66 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rnk")
   }
 
+  /** Element-wise centroid components per label — the coarse-quantizer
+    * training for [[ivfTopK]], and the driver-oracle form (scalar rows,
+    * exact DECIMAL averages). `pos` is 1-based.
+    */
+  def labelCentroidComponents(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).cast("long").as("pos"))
+      .agg(round(sum(col("v").cast("decimal(20,10)")).cast("double") /
+        count(lit(1)), 6).as("c"))
+
+  /** Centroids assembled as vectors: label → array<float>(dim). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    labelCentroidComponents(embeddings)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c").cast("float")).as("centroid"))
+
+  /** ANN top-k via IVF (inverted-file) cells. The centroid set is tiny
+    * (one per cell) and is collected once into plan literals — the
+    * classic IVF coarse quantizer — so cell assignment is a pure
+    * projection (per-row argmax over literal centroids, ZERO shuffles for
+    * the index build) and each query searches only its `nprobe` nearest
+    * cells: expected corpus fraction touched ≈ nprobe / #cells.
+    * `nprobe = #cells` degenerates to exactly the brute-force answer
+    * (asserted in tests). Complements [[lshTopK]]: IVF adapts to real
+    * cluster structure, LSH is data-oblivious but needs no training.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val cents: Array[(Int, Seq[Float])] = labelCentroids(embeddings)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    def cellSims(vec: Column): Seq[Column] = cents.toSeq.map {
+      case (cellId, c) =>
+        struct(cosine(vec, typedLit(c)).as("sim"), lit(cellId).as("cell"))
+    }
+    val corpus = Dedup.spread(embeddings)
+      .select(col("vec_id"), col("embedding"),
+        greatest(cellSims(col("embedding")): _*).getField("cell").as("cell"))
+    val q = broadcast(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .withColumn("cell",
+          explode(transform(
+            slice(reverse(array_sort(array(cellSims(col("q_emb")): _*))),
+              1, nprobe),
+            s => s.getField("cell")))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    corpus.join(q, "cell")
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "sim", "rnk")
+  }
+
   /** Embedding near-duplicate pairs: corpus × corpus restricted to same
     * LSH bucket, verified by exact cosine ≥ threshold. Same
     * never-all-pairs shape as Dedup.minhashDupPairs.

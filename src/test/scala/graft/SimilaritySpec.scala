@@ -90,6 +90,32 @@ class SimilaritySpec extends SparkSpec {
     withExact.filter(col("sim") =!= col("exact_sim")).count() shouldBe 0
   }
 
+  test("IVF with nprobe = #cells reproduces brute force exactly") {
+    val all = rowSet(Similarity.ivfTopK(tables.embeddings, queries,
+      k = 10, nprobe = 10))
+    val brute = rowSet(Similarity.bruteForceTopK(tables.embeddings, queries,
+      k = 10))
+    all shouldBe brute
+  }
+
+  test("IVF recall degrades gracefully with fewer probed cells") {
+    val brute = Similarity.bruteForceTopK(tables.embeddings, queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(tables.embeddings, queries,
+      k = 10, nprobe = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // labels are weakly correlated with neighborhoods on this corpus;
+    // probing half the cells must find a solid fraction of true neighbors
+    recall should be >= 0.4
+  }
+
+  test("labelCentroids produces one dim-64 centroid per label") {
+    val c = Similarity.labelCentroids(tables.embeddings).collect()
+    c.length shouldBe 10
+    all(c.map(_.getSeq[Float](1).length)) shouldBe 64
+  }
+
   test("cosineDupPairs finds only pairs above threshold, verified exactly") {
     val pairs = Similarity.cosineDupPairs(tables.embeddings,
       threshold = 0.9, bits = 4)
