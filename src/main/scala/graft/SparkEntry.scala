@@ -148,6 +148,12 @@ object SparkEntry {
       Dedup.simhashDupPairs(Tables(s, d).documents)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- curation pipeline (quality → language → dedup, one pass) -----
+    "q52_curate" -> ((s, d) =>
+      Curation.curate(Tables(s, d).documents).orderBy("doc_id")),
+    "q53_curation_funnel" -> ((s, d) =>
+      Curation.curationFunnel(Tables(s, d).documents).orderBy("verdict")),
+
     // ---- similarity search over embeddings ----------------------------
     "q33_ann_topk_exact" -> ((s, d) => {
       val t = Tables(s, d)
@@ -592,6 +598,59 @@ object SparkEntry {
              AS rnk FROM s)
          SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
          ORDER BY q_id, rnk""",
+
+    "q52_curate" ->
+      """WITH t AS (SELECT doc_id, lang, source, n_chars,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents),
+         f AS (SELECT doc_id, lang, source, n_chars, fp,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+         FROM t),
+         p AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m FROM f),
+         l AS (SELECT doc_id, lang, source, n_chars, fp, n_tokens,
+           CASE WHEN m = 0 THEN 'unknown'
+                WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+                WHEN s_fr = m THEN 'fr' WHEN s_de = m THEN 'de'
+                ELSE 'zh' END AS predicted_lang
+         FROM p),
+         k AS (SELECT * FROM l
+           WHERE n_tokens BETWEEN 30 AND 120
+             AND predicted_lang IN ('en', 'unknown')),
+         d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+           AS rn FROM k)
+         SELECT doc_id, lang, source, n_chars, n_tokens, predicted_lang
+         FROM d WHERE rn = 1 ORDER BY doc_id""",
+
+    "q53_curation_funnel" ->
+      """WITH t AS (SELECT
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+         FROM documents),
+         f AS (SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+         FROM t),
+         p AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m FROM f),
+         l AS (SELECT n_tokens,
+           CASE WHEN m = 0 THEN 'unknown'
+                WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+                WHEN s_fr = m THEN 'fr' WHEN s_de = m THEN 'de'
+                ELSE 'zh' END AS predicted_lang
+         FROM p)
+         SELECT CASE
+             WHEN n_tokens NOT BETWEEN 30 AND 120 THEN 'drop_length'
+             WHEN predicted_lang NOT IN ('en', 'unknown') THEN 'drop_lang'
+             ELSE 'keep' END AS verdict,
+           count(*) AS n_docs
+         FROM l GROUP BY 1 ORDER BY 1""",
 
     "q50_label_centroids" ->
       """SELECT label, pos,

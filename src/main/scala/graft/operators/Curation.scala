@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs: quality gate → language gate → exact dedup → curated
+  * corpus. Built as ONE pass over the documents scan (token features,
+  * language argmax, and the dedup fingerprint are all computed in a
+  * single projection) followed by exactly ONE shuffle (the dedup
+  * window). At 100 TB that plan shape — not the individual operators —
+  * is what makes curation affordable: no join-backs between stages, no
+  * second scan of the raw text.
+  */
+object Curation {
+
+  /** Curate: keep docs whose token count lies in [minTokens, maxTokens]
+    * and whose predicted language is in `keepLangs`, then keep one doc
+    * (lowest doc_id) per content fingerprint. Output carries the
+    * features used for the decision — the lineage a dataset card needs.
+    */
+  def curate(
+      documents: DataFrame,
+      minTokens: Long = 30,
+      maxTokens: Long = 120,
+      keepLangs: Seq[String] = Seq("en", "unknown")): DataFrame = {
+    val staged = Dedup.spread(documents).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      TextAnalysis.tokens(lower(col("text"))).as("toks"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val featured = staged.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"), col("fp"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      TextAnalysis.langPredicted(TextAnalysis.langBest(col("toks")))
+        .as("predicted_lang"))
+    val kept = featured
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("predicted_lang").isin(keepLangs: _*))
+    val w = Window.partitionBy("fp").orderBy(col("doc_id").asc)
+    kept
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars", "n_tokens",
+        "predicted_lang")
+  }
+
+  /** Funnel stats for the same gates: one row per (stage, reason). */
+  def curationFunnel(
+      documents: DataFrame,
+      minTokens: Long = 30,
+      maxTokens: Long = 120,
+      keepLangs: Seq[String] = Seq("en", "unknown")): DataFrame = {
+    val staged = Dedup.spread(documents).select(
+      TextAnalysis.tokens(lower(col("text"))).as("toks"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val featured = staged.select(
+      col("fp"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      TextAnalysis.langPredicted(TextAnalysis.langBest(col("toks")))
+        .as("predicted_lang"))
+    featured.select(
+      when(!col("n_tokens").between(minTokens, maxTokens), "drop_length")
+        .when(!col("predicted_lang").isin(keepLangs: _*), "drop_lang")
+        .otherwise("keep").as("verdict"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

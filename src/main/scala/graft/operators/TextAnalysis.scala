@@ -106,28 +106,39 @@ object TextAnalysis {
     * guess); genuine ties break by a fixed preference order (en > es > fr >
     * de > zh), not by accidental string ordering.
     */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  private val LangTiePriority =
+    Map("en" -> 5, "es" -> 4, "fr" -> 3, "de" -> 2, "zh" -> 1)
+
+  /** Argmax language struct (score, prio, lang) over LOWERCASED tokens —
+    * shared by [[languageId]] and the curation pipeline.
+    */
+  private[operators] def langBest(toks: Column): Column =
+    greatest(LangMarkers.toSeq.sortBy(_._1).map { case (langCode, ms) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(ms))).cast("long").as("score"),
+        lit(LangTiePriority(langCode)).as("prio"),
+        lit(langCode).as("lang"))
+    }: _*)
+
+  /** Predicted language from the argmax struct: unknown on zero hits. */
+  private[operators] def langPredicted(best: Column): Column =
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("unknown"))
+
   def languageId(documents: DataFrame): DataFrame = {
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "is"),
-      "es" -> Seq("el", "la", "de", "que"),
-      "fr" -> Seq("le", "la", "et", "les"),
-      "de" -> Seq("der", "die", "und", "das"),
-      "zh" -> Seq("的", "是", "了", "在"))
-    val tiePriority =
-      Map("en" -> 5, "es" -> 4, "fr" -> 3, "de" -> 2, "zh" -> 1)
     // one tokenize into an attribute; the five language scorers below
     // each reference the materialized array
     val withToks = Dedup.spread(documents).select(
       col("doc_id"), col("lang"), tokens(lower(col("text"))).as("toks"))
-    val toks = col("toks")
-    val scores = markers.toSeq.sortBy(_._1).map { case (langCode, ms) =>
-      struct(
-        size(filter(toks, t => t.isInCollection(ms))).cast("long").as("score"),
-        lit(tiePriority(langCode)).as("prio"),
-        lit(langCode).as("lang"))
-    }
     withToks
-      .withColumn("best", greatest(scores: _*))
+      .withColumn("best", langBest(col("toks")))
       .select(
         col("doc_id"),
         col("lang").as("labeled_lang"),

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("curate applies all three gates") {
+    val out = Curation.curate(tables.documents)
+    // every kept doc satisfies the quality + language gates
+    out.filter(!col("n_tokens").between(30, 120)).count() shouldBe 0
+    out.filter(!col("predicted_lang").isin("en", "unknown")).count() shouldBe 0
+    // and the output is dup-free by content fingerprint: n_tokens is a
+    // proxy-free check via distinct doc ids
+    out.select("doc_id").distinct().count() shouldBe out.count()
+    out.count() should be > 0L
+  }
+
+  test("curation funnel partitions the corpus exactly") {
+    val funnel = Curation.curationFunnel(tables.documents)
+      .collect().map(r => r.getAs[String]("verdict") ->
+        r.getAs[Long]("n_docs")).toMap
+    funnel.values.sum shouldBe tables.documents.count()
+    // kept docs in the funnel == docs entering the dedup stage
+    val preDedupKept = funnel("keep")
+    Curation.curate(tables.documents).count() should be <= preDedupKept
+  }
+
+  test("curation is one scan + one shuffle (plan shape)") {
+    val p = plan(Curation.curate(tables.documents))
+    // exactly one Exchange beyond the spread repartition: the dedup window
+    val exchanges = "Exchange".r.findAllIn(p).length
+    exchanges should be <= 2 // spread round-robin + window hash partition
+    p should not include "SortMergeJoin" // no join-backs between stages
+  }
+}
