@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Scale-up sanity harness: inflates the driver testdata N× IN FLIGHT
+  * (mutated copies, so near-dup structure is real, not degenerate) and
+  * times the operators whose scale behavior matters most — dedup,
+  * similarity, curation. Usage:
+  *   SPARK_GRAFT_SCALE=20 sbt 'runMain graft.Stress /root/testdata/sf0.1'
+  *
+  * This is evidence, not proof: it checks that candidate generation,
+  * bucket bounds, and shuffle volumes grow as designed (linearly in
+  * corpus size, quadratically ONLY inside true near-dup groups).
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, sfDir)
+
+    // n mutated copies of every document: copy i appends a distinct tail
+    // token, so copies are NEAR-dups (trigram Jaccard ~0.9+), the
+    // realistic worst case for LSH candidate volume
+    val docs = t.documents
+      .crossJoin(spark.range(n).toDF("copy"))
+      .select(
+        (col("doc_id") * n + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" tail"), col("copy")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    // n perturbed copies of every embedding (deterministic shift)
+    val embs = t.embeddings
+      .crossJoin(spark.range(n).toDF("copy"))
+      .select(
+        (col("vec_id") * n + col("copy")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("copy") % 7).cast("float") * lit(0.01f))
+          .as("embedding"),
+        col("label"))
+    val queries = embs.filter(col("vec_id") < 5)
+
+    def time(tag: String)(df: DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $tag%-24s $sec%8.2f s  ($rows rows)")
+      (tag, sec, rows)
+    }
+
+    val nDocs = docs.count()
+    val nEmbs = embs.count()
+    println(s"[stress] corpus: $nDocs docs, $nEmbs embeddings (x$n)")
+    val results = Seq(
+      time("curate")(Curation.curate(docs)),
+      time("exactDedup")(Dedup.exactDedup(docs)),
+      time("minhashDupPairs")(Dedup.minhashDupPairs(docs,
+        threshold = 0.7, k = 64, bands = 32)),
+      time("simhashDupPairs")(Dedup.simhashDupPairs(docs)),
+      time("lshTopK")(Similarity.lshTopK(embs, queries, 10, 4, 16)),
+      time("ivfTopK")(Similarity.ivfTopK(embs, queries, 10, 5)),
+      time("bruteForceTopK")(Similarity.bruteForceTopK(embs, queries, 10)))
+    val qs = results.map { case (k, v, r) =>
+      s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
+    println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")
+    spark.stop()
+  }
+}
