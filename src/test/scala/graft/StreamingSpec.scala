@@ -165,6 +165,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S14: replay producer feeds the file stream in rate-limited batches") {
+    val dir = tmp("replay")
+    val lines = Seq.tabulate(10)(i => s"event $i").toDF("value")
+    val written = graft.streaming.Replay.replayLines(
+      lines, dir, batchSize = 4, intervalMs = 10)
+    written shouldBe 10L
+    // 10 lines in batches of 4 -> 3 files, all complete
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".txt"))
+    files.length shouldBe 3
+    val q = Streams.runningWordCounts(Streams.fileLines(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("replay").start()
+    try {
+      q.processAllAvailable()
+      spark.table("replay").filter(col("word") === "event")
+        .collect()(0).getAs[Long]("cnt") shouldBe 10L
+    } finally q.stop()
+  }
+
   test("T4: checkpointed query resumes state across restart") {
     val srcDir = tmp("t4-src")
     val ckpt = tmp("t4-ckpt")
