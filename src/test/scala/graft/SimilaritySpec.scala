@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     viaSql.filter(col("c") =!= 1.0).count() shouldBe 0
   }
 
+  test("native expressions reject wrong input types at analysis time") {
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      tables.lineitem.select(
+        Similarity.cosine(col("l_quantity"), col("l_quantity"))).collect()
+    }
+    bad.getMessage should include("array<float>")
+    val badGrams = intercept[org.apache.spark.sql.AnalysisException] {
+      tables.lineitem.select(
+        graft.functions.WordNgrams(col("l_quantity"), 3)).collect()
+    }
+    badGrams.getMessage should include("array<string>")
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     val df = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
