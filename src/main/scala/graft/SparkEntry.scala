@@ -120,6 +120,8 @@ object SparkEntry {
         .orderBy("initial")),
     "q22_inverted_index" -> ((s, d) =>
       TextOps.invertedIndex(Tables(s, d).documents).orderBy("word")),
+    "q54_tf_idf" -> ((s, d) =>
+      TextOps.tfIdf(Tables(s, d).documents).orderBy("doc_id", "word")),
 
     // ---- text analysis ------------------------------------------------
     "q23_quality_features" -> ((s, d) =>
@@ -484,6 +486,17 @@ object SparkEntry {
               ',' ORDER BY doc_id) AS postings,
             count(*) AS n_docs
           FROM r GROUP BY word ORDER BY word""",
+
+    "q54_tf_idf" ->
+      s"""WITH w AS (SELECT doc_id, unnest($Toks) AS word FROM documents),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+          dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents)
+          SELECT doc_id, word, tf.tf,
+            round(tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (dfq.df + 1)) + 1), 6)
+              AS tf_idf
+          FROM tf JOIN dfq USING (word) CROSS JOIN n
+          ORDER BY doc_id, word""",
 
     "q23_quality_features" ->
       s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents)

@@ -60,6 +60,27 @@ object TextOps {
     * cardinality is still reported via `n_docs` (a partial-aggregating
     * count, safe at any scale).
     */
+  /** TF-IDF per (doc, term): smoothed idf = ln((N+1)/(df+1)) + 1 (the
+    * sklearn-style smoothing — never zero, no div-by-zero on unseen
+    * terms). Three aggregations, all on uniformly-hashed keys: term
+    * frequency per (doc, word), document frequency per word, corpus size
+    * as a broadcast scalar — no step is bounded by a single reducer.
+    */
+  def tfIdf(documents: DataFrame): DataFrame = {
+    val tf = words(documents)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    tf.join(docFreq, "word")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("word"), col("tf"),
+        round(col("tf") *
+          (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1), 6)
+          .as("tf_idf"))
+  }
+
   /** A6 variant (SURVEY §7.4.6): word → global word POSITIONS in reading
     * order, over a text-file frame (one line per row, single ordered
     * source) — the RDD `zipWithIndex` index. Positions are assigned by

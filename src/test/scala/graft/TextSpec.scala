@@ -59,6 +59,18 @@ class TextSpec extends SparkSpec {
     p.toSeq shouldBe p.sorted.toSeq
   }
 
+  test("tfIdf: ubiquitous terms score near tf, rare terms above it") {
+    val scores = TextOps.tfIdf(tables.documents)
+    // smoothed idf >= 1, so tf_idf >= tf always
+    scores.filter(col("tf_idf") < col("tf")).count() shouldBe 0
+    // a word in every doc has idf == ln((N+1)/(N+1)) + 1 == exactly 1
+    val nDocs = tables.documents.count()
+    val everywhere = scores.groupBy("word")
+      .agg(count(lit(1)).as("df"), max(col("tf_idf") / col("tf")).as("r"))
+      .filter(col("df") === nDocs)
+    everywhere.filter(col("r") =!= 1.0).count() shouldBe 0
+  }
+
   test("invertedIndexPositions assigns global word positions in file order") {
     val lines = Seq("alpha beta alpha", "gamma alpha").toDF("value")
     val idx = TextOps.invertedIndexPositions(lines)
