@@ -274,6 +274,9 @@ object SparkEntry {
     "q47_event_prop_stats" -> ((s, d) =>
       Relational.eventPropStats(Tables(s, d).events)
         .orderBy("event_type")),
+    "q55_sessionize" -> ((s, d) =>
+      Relational.sessionize(Tables(s, d).events)
+        .orderBy("user_id", "session_id")),
 
     // W1 heap variant through the gate: same oracle as q07
     "q49_topk_heap" -> ((s, d) =>
@@ -715,6 +718,27 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3
          ORDER BY o_orderpriority, rn""",
+
+    "q55_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 1e6, 3)
+             AS duration_sec,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q48_bucketed_join" ->
       """WITH la AS (

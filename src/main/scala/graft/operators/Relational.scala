@@ -322,6 +322,34 @@ object Relational {
       schema)
   }
 
+  /** Sessionization: split each user's event stream into sessions at
+    * inactivity gaps > `gapMinutes`, then aggregate per session. The
+    * classic two-window pipeline — lag() marks session starts, a running
+    * sum numbers them — uses ONE shuffle on user_id for both windows plus
+    * the final aggregation (same partitioning reused across all three
+    * steps). Timestamps compare as integral microseconds, so the gap
+    * test is exact.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Long = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val us = unix_micros(col("ts"))
+    val newSession = when(
+      lag(us, 1).over(w).isNull ||
+        us - lag(us, 1).over(w) > gapMicros, 1L).otherwise(0L)
+    events
+      .withColumn("session_id",
+        sum(newSession).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .cast("double") / 1e6, 3).as("duration_sec"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("session_value"))
+  }
+
   /** Parse the events table's JSON `props` column and aggregate the
     * extracted field per event type — the map/semi-structured column
     * surface (events.props carries e.g. {"k": 87}). get_json_object is a

@@ -128,6 +128,26 @@ class RelationalSpec extends SparkSpec {
       tables.events.count()
   }
 
+  test("sessionize splits at inactivity gaps and aggregates per session") {
+    import SparkSpec.spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, at(0), 7L, "click", 1.0, "{}"),
+      (2L, at(10), 7L, "click", 2.0, "{}"),   // same session (10 min gap)
+      (3L, at(45), 7L, "click", 4.0, "{}"),   // new session (35 min gap)
+      (4L, at(0), 8L, "view", 8.0, "{}")      // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = Relational.sessionize(ev).orderBy("user_id", "session_id")
+      .collect()
+    sessions.length shouldBe 3
+    val u7 = sessions.filter(_.getAs[Long]("user_id") == 7L)
+    u7.map(_.getAs[Long]("n_events")).toSeq shouldBe Seq(2L, 1L)
+    u7(0).getAs[Double]("duration_sec") shouldBe 600.0
+    u7(0).getAs[Double]("session_value") shouldBe 3.0
+    u7(1).getAs[Double]("session_value") shouldBe 4.0
+  }
+
   test("sampleLineitem is deterministic under a fixed seed") {
     val a = Relational.sampleLineitem(tables.lineitem).count()
     val b = Relational.sampleLineitem(tables.lineitem).count()
