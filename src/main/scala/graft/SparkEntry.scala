@@ -122,6 +122,8 @@ object SparkEntry {
       TextOps.invertedIndex(Tables(s, d).documents).orderBy("word")),
     "q54_tf_idf" -> ((s, d) =>
       TextOps.tfIdf(Tables(s, d).documents).orderBy("doc_id", "word")),
+    "q56_collocations" -> ((s, d) =>
+      TextOps.collocations(Tables(s, d).documents).orderBy("w1", "w2")),
 
     // ---- text analysis ------------------------------------------------
     "q23_quality_features" -> ((s, d) =>
@@ -500,6 +502,29 @@ object SparkEntry {
               AS tf_idf
           FROM tf JOIN dfq USING (word) CROSS JOIN n
           ORDER BY doc_id, word""",
+
+    "q56_collocations" ->
+      s"""WITH t AS (SELECT $Toks AS toks FROM documents),
+          b AS (SELECT unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+          pc AS (SELECT string_split(bigram, ' ')[1] AS w1,
+              string_split(bigram, ' ')[2] AS w2,
+              count(*) AS pair_count
+            FROM b GROUP BY bigram),
+          uc AS (SELECT unnest(toks) AS word FROM t),
+          u AS (SELECT word, count(*) AS c FROM uc GROUP BY 1),
+          nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM u),
+          nb AS (SELECT CAST(sum(pair_count) AS BIGINT) AS n_big FROM pc)
+          SELECT w1, w2, pair_count,
+            round(ln((CAST(pair_count AS DOUBLE) * n_uni * n_uni)
+              / (CAST(n_big AS DOUBLE) * a.c * b2.c)), 6) AS pmi
+          FROM pc
+          JOIN u a ON pc.w1 = a.word
+          JOIN u b2 ON pc.w2 = b2.word
+          CROSS JOIN nu CROSS JOIN nb
+          WHERE pair_count >= 5
+          ORDER BY w1, w2""",
 
     "q23_quality_features" ->
       s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents)

@@ -60,6 +60,43 @@ object TextOps {
     * cardinality is still reported via `n_docs` (a partial-aggregating
     * count, safe at any scale).
     */
+  /** Collocation mining: adjacent-token bigram counts + pointwise mutual
+    * information. PMI = ln(P(w1,w2) / (P(w1)·P(w2))) computed as one
+    * double expression with the operand order mirrored in the SQL oracle
+    * (deterministic cross-engine). Three uniform-key aggregations plus
+    * two broadcast scalars; the bigram explode is per-row and the counts
+    * shuffle is bounded by vocabulary², not corpus size.
+    */
+  def collocations(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    val toksDf = Dedup.spread(documents)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+    val bigrams = toksDf.select(
+      explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks)-1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+        .otherwise(expr("array()"))).as("bigram"))
+    val pairCounts = bigrams.groupBy("bigram")
+      .agg(count(lit(1)).as("pair_count"))
+      .select(
+        split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"),
+        col("pair_count"))
+    val uniCounts = toksDf.select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val nUni = uniCounts.agg(sum("c").as("n_uni"))
+    val nBig = pairCounts.agg(sum("pair_count").as("n_big"))
+    pairCounts
+      .join(uniCounts.select(col("word").as("w1"), col("c").as("c_a")), "w1")
+      .join(uniCounts.select(col("word").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .filter(col("pair_count") >= minCount)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log(
+          (col("pair_count").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_big").cast("double") * col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+  }
+
   /** TF-IDF per (doc, term): smoothed idf = ln((N+1)/(df+1)) + 1 (the
     * sklearn-style smoothing — never zero, no div-by-zero on unseen
     * terms). Three aggregations, all on uniformly-hashed keys: term

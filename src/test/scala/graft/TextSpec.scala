@@ -71,6 +71,19 @@ class TextSpec extends SparkSpec {
     everywhere.filter(col("r") =!= 1.0).count() shouldBe 0
   }
 
+  test("collocations: perfectly-coupled bigram scores high positive PMI") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, s"alpha beta x$i filler", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.collocations(docs, minCount = 5)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Double]("pmi"))).toList
+    // 'alpha beta' occurs in every doc and alpha/beta never occur apart
+    val ab = out.filter(p => p._1 == "alpha" && p._2 == "beta")
+    ab.length shouldBe 1
+    ab.head._3 should be > 1.0
+  }
+
   test("invertedIndexPositions assigns global word positions in file order") {
     val lines = Seq("alpha beta alpha", "gamma alpha").toDF("value")
     val idx = TextOps.invertedIndexPositions(lines)
