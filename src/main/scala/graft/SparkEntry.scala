@@ -124,6 +124,8 @@ object SparkEntry {
       TextOps.tfIdf(Tables(s, d).documents).orderBy("doc_id", "word")),
     "q56_collocations" -> ((s, d) =>
       TextOps.collocations(Tables(s, d).documents).orderBy("w1", "w2")),
+    "q57_bm25" -> ((s, d) =>
+      TextOps.bm25(Tables(s, d).documents).orderBy("doc_id", "word")),
 
     // ---- text analysis ------------------------------------------------
     "q23_quality_features" -> ((s, d) =>
@@ -502,6 +504,27 @@ object SparkEntry {
               AS tf_idf
           FROM tf JOIN dfq USING (word) CROSS JOIN n
           ORDER BY doc_id, word""",
+
+    "q57_bm25" ->
+      s"""WITH w AS (SELECT doc_id, unnest($Toks) AS word FROM documents),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+          dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+          dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n FROM documents),
+          avg AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+          SELECT tf.doc_id, tf.word, tf.tf,
+            round(
+              ln((CAST(n.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * ((1.0 - 0.75)
+                      + 0.75 * (CAST(dl.dl AS DOUBLE) / avg.avgdl)))), 6)
+              AS bm25
+          FROM tf
+          JOIN dl ON tf.doc_id = dl.doc_id
+          JOIN dfq ON tf.word = dfq.word
+          CROSS JOIN n CROSS JOIN avg
+          ORDER BY tf.doc_id, tf.word""",
 
     "q56_collocations" ->
       s"""WITH t AS (SELECT $Toks AS toks FROM documents),

@@ -316,7 +316,7 @@ object Relational {
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         idxCol, org.apache.spark.sql.types.LongType, nullable = false))
     df.sparkSession.createDataFrame(
-      df.rdd.zipWithIndex.map { case (r, i) =>
+      df.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       },
       schema)

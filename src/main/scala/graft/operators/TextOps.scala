@@ -60,6 +60,32 @@ object TextOps {
     * cardinality is still reported via `n_docs` (a partial-aggregating
     * count, safe at any scale).
     */
+  /** BM25 relevance score per (doc, term) — Robertson idf with the +1
+    * floor (never negative) and standard k1/b length normalization. Same
+    * aggregation shape as [[tfIdf]] plus a per-doc length table; the two
+    * corpus scalars (N, avgdl) broadcast. All double arithmetic is one
+    * mirrored expression chain (see the oracle SQL), exact inputs.
+    */
+  def bm25(documents: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val w = words(documents)
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = w.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val avg = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log(
+      (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfn = (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(dl, "doc_id").join(dfq, "word")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avg))
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(idf * tfn, 6).as("bm25"))
+  }
+
   /** Collocation mining: adjacent-token bigram counts + pointwise mutual
     * information. PMI = ln(P(w1,w2) / (P(w1)·P(w2))) computed as one
     * double expression with the operand order mirrored in the SQL oracle

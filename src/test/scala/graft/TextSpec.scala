@@ -71,6 +71,20 @@ class TextSpec extends SparkSpec {
     everywhere.filter(col("r") =!= 1.0).count() shouldBe 0
   }
 
+  test("bm25: positive scores; rarer term outranks commoner one at equal tf") {
+    val scores = TextOps.bm25(tables.documents)
+    scores.filter(col("bm25") <= 0).count() shouldBe 0
+    // document frequency per word, to order terms by rarity
+    val docFreq = scores.groupBy("word").agg(count(lit(1)).as("df"))
+    val s = scores.join(docFreq, "word")
+    // same doc + same tf => identical length normalization, so the score
+    // must be strictly monotone in idf: strictly smaller df, higher score
+    val violations = s.alias("a").join(s.alias("b"),
+      expr("a.doc_id = b.doc_id AND a.tf = b.tf AND a.df < b.df"))
+      .filter(expr("a.bm25 <= b.bm25")).count()
+    violations shouldBe 0
+  }
+
   test("collocations: perfectly-coupled bigram scores high positive PMI") {
     val docs = Seq.tabulate(20)(i =>
       (i.toLong, s"alpha beta x$i filler", "en", "s", 0L))
