@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
 
 /** Similarity search over the `embeddings` table
   * (vec_id: long, embedding: array<float>, label: int).
@@ -45,13 +47,25 @@ object Similarity {
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
+  /** Shared scoring tail of every top-k variant: exact cosine on the
+    * candidate set, ranked per query. Similarity is rounded to 6 decimals
+    * BEFORE ranking so the ranking is stable across summation orders and
+    * engines; ties break on vec_id. Candidates must carry
+    * (q_id, q_emb, vec_id, embedding).
+    */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    candidates
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "sim", "rnk")
+  }
+
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors. `queries` is assumed small and is broadcast;
     * the corpus is scanned once — at 100 TB this is one full pass, the
     * correctness baseline ANN variants are measured against.
-    *
-    * Similarity is rounded to 6 decimals BEFORE ranking so the ranking is
-    * stable across summation orders and engines; ties break on vec_id.
     */
   def bruteForceTopK(
       embeddings: DataFrame,
@@ -59,13 +73,7 @@ object Similarity {
       k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    Dedup.spread(embeddings)
-      .crossJoin(q)
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "vec_id", "sim", "rnk")
+    rankTopK(Dedup.spread(embeddings).crossJoin(q), k)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes: plane p, dim d
@@ -111,26 +119,69 @@ object Similarity {
       k: Int = 10,
       bits: Int = 8,
       tables: Int = 16): DataFrame = {
-    // spread a single-split corpus before the signature computation —
-    // 16 tables x b dot products per row serialize on one core otherwise
-    val corpus = Dedup.spread(embeddings).select(
+    rankTopK(
+      lshIndexFrame(embeddings, bits, tables)
+        .join(broadcast(lshQuerySignatures(queries, bits, tables)),
+          Seq("tbl", "sig"))
+        // a candidate found in several tables is scored once
+        .dropDuplicates("q_id", "vec_id"),
+      k)
+  }
+
+  /** The LSH index relation: corpus × tables rows of
+    * (tbl, sig, vec_id, embedding). Spread a single-split corpus before
+    * the signature computation — `tables` × b dot products per row
+    * serialize on one core otherwise.
+    */
+  private def lshIndexFrame(embeddings: DataFrame, bits: Int,
+      tables: Int): DataFrame =
+    Dedup.spread(embeddings).select(
       col("vec_id"), col("embedding"),
       posexplode(tableSignatures(col("embedding"), bits, tables))
         .as(Seq("tbl", "sig")))
-    val q = broadcast(
-      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .select(col("q_id"), col("q_emb"),
-          posexplode(tableSignatures(col("q_emb"), bits, tables))
-            .as(Seq("tbl", "sig"))))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    corpus
-      .join(q, Seq("tbl", "sig"))
-      // a candidate found in several tables is scored once
-      .dropDuplicates("q_id", "vec_id")
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "vec_id", "sim", "rnk")
+
+  /** Broadcast-sized frame of each query's signature per table (hinted
+    * at the join site — hinting here would warn on driver-side collects).
+    */
+  private def lshQuerySignatures(queries: DataFrame, bits: Int,
+      tables: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(tableSignatures(col("q_emb"), bits, tables))
+          .as(Seq("tbl", "sig")))
+
+  /** Build the PERSISTED multi-table LSH index: the (tbl, sig, vec_id,
+    * embedding) relation saved as a managed parquet table bucketed and
+    * sorted by signature. [[lshTopK]] recomputes this explode on every
+    * call — fine for one-shot queries, wasteful under query volume. Build
+    * once, then [[queryLshIndex]] amortizes: the index build is `tables`
+    * passes over the corpus ONCE, and each query batch reads only its
+    * probed buckets (bucket pruning + parquet min/max on the sorted sig).
+    * Rebuild when the corpus changes — the table is a snapshot.
+    */
+  def buildLshIndex(embeddings: DataFrame, table: String, bits: Int = 8,
+      tables: Int = 16): Unit =
+    Sinks.saveTablePartitioned(
+      lshIndexFrame(embeddings, bits, tables), table,
+      bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
+
+  /** Probe a persisted LSH index built by [[buildLshIndex]] (same bits/
+    * tables). The query batch is small by contract (it is broadcast), so
+    * collecting its signature set is bounded; pushed into the index scan
+    * as an IN filter it prunes the read to the probed buckets instead of
+    * scanning all `tables` × corpus rows.
+    */
+  def queryLshIndex(spark: SparkSession, indexTable: String,
+      queries: DataFrame, k: Int = 10, bits: Int = 8,
+      tables: Int = 16): DataFrame = {
+    val qsig = lshQuerySignatures(queries, bits, tables)
+    val probedSigs = qsig.select("sig").distinct().collect().map(_.getLong(0))
+    rankTopK(
+      spark.table(indexTable)
+        .filter(col("sig").isin(probedSigs: _*))
+        .join(broadcast(qsig), Seq("tbl", "sig"))
+        .dropDuplicates("q_id", "vec_id"),
+      k)
   }
 
   /** Element-wise centroid components per label — the coarse-quantizer
@@ -167,30 +218,81 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       nprobe: Int = 3): DataFrame = {
-    val cents: Array[(Int, Seq[Float])] = labelCentroids(embeddings)
-      .collect()
+    val cents = collectCentroids(labelCentroids(embeddings))
+    rankTopK(
+      cellAssigned(embeddings, cents)
+        .join(broadcast(probeCells(queries, cents, nprobe)), "cell"),
+      k)
+  }
+
+  /** The tiny centroid relation collected into plan literals — the
+    * classic IVF coarse quantizer (bounded by #cells).
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float])] =
+    centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1)
-    def cellSims(vec: Column): Seq[Column] = cents.toSeq.map {
-      case (cellId, c) =>
-        struct(cosine(vec, typedLit(c)).as("sim"), lit(cellId).as("cell"))
+
+  private def cellSims(vec: Column,
+      cents: Array[(Int, Seq[Float])]): Seq[Column] =
+    cents.toSeq.map { case (cellId, c) =>
+      struct(cosine(vec, typedLit(c)).as("sim"), lit(cellId).as("cell"))
     }
-    val corpus = Dedup.spread(embeddings)
+
+  /** Corpus with its nearest-centroid cell — a pure projection (per-row
+    * argmax over literal centroids), ZERO shuffles.
+    */
+  private def cellAssigned(embeddings: DataFrame,
+      cents: Array[(Int, Seq[Float])]): DataFrame =
+    Dedup.spread(embeddings)
       .select(col("vec_id"), col("embedding"),
-        greatest(cellSims(col("embedding")): _*).getField("cell").as("cell"))
-    val q = broadcast(
-      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .withColumn("cell",
-          explode(transform(
-            slice(reverse(array_sort(array(cellSims(col("q_emb")): _*))),
-              1, nprobe),
-            s => s.getField("cell")))))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    corpus.join(q, "cell")
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "vec_id", "sim", "rnk")
+        greatest(cellSims(col("embedding"), cents): _*).getField("cell")
+          .as("cell"))
+
+  /** Broadcast-sized frame of each query × its `nprobe` nearest cells
+    * (hinted at the join site).
+    */
+  private def probeCells(queries: DataFrame,
+      cents: Array[(Int, Seq[Float])], nprobe: Int): DataFrame =
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cell",
+        explode(transform(
+          slice(reverse(array_sort(array(cellSims(col("q_emb"), cents): _*))),
+            1, nprobe),
+          s => s.getField("cell"))))
+
+  /** Build the PERSISTED IVF index: the trained centroids as one tiny
+    * table, and the cell-assigned corpus as a managed parquet table
+    * PARTITIONED by cell. [[ivfTopK]] re-trains the quantizer (a full
+    * corpus aggregation) and re-assigns every row on each call; built
+    * once, [[queryIvfIndex]] reads only the probed cells' partitions.
+    * Rebuild when the corpus changes — the tables are a snapshot.
+    */
+  def buildIvfIndex(embeddings: DataFrame, indexTable: String,
+      centroidTable: String): Unit = {
+    Sinks.saveTable(labelCentroids(embeddings), centroidTable)
+    val cents = collectCentroids(
+      embeddings.sparkSession.table(centroidTable))
+    Sinks.saveTablePartitioned(cellAssigned(embeddings, cents), indexTable,
+      partitionBy = Seq("cell"))
+  }
+
+  /** Probe a persisted IVF index built by [[buildIvfIndex]]. The probed
+    * cell set across the (small, broadcast) query batch is collected and
+    * pushed as a partition filter, so the scan reads ≈ nprobe/#cells of
+    * the corpus instead of all of it.
+    */
+  def queryIvfIndex(spark: SparkSession, indexTable: String,
+      centroidTable: String, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val cents = collectCentroids(spark.table(centroidTable))
+    val q = probeCells(queries, cents, nprobe)
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    rankTopK(
+      spark.table(indexTable)
+        .filter(col("cell").isin(probed: _*))
+        .join(broadcast(q), "cell"),
+      k)
   }
 
   /** Embedding near-duplicate pairs: corpus × corpus restricted to same

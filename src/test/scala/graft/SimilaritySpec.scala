@@ -123,6 +123,37 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.4
   }
 
+  test("persisted LSH index path equals the inline lshTopK results") {
+    Similarity.buildLshIndex(tables.embeddings, "test_lsh_index",
+      bits = 4, tables = 16)
+    val indexed = rowSet(Similarity.queryLshIndex(spark, "test_lsh_index",
+      queries, k = 10, bits = 4, tables = 16))
+    val inline = rowSet(Similarity.lshTopK(tables.embeddings, queries,
+      k = 10, bits = 4, tables = 16))
+    indexed shouldBe inline
+  }
+
+  test("persisted IVF index path equals the inline ivfTopK results") {
+    Similarity.buildIvfIndex(tables.embeddings, "test_ivf_index",
+      "test_ivf_centroids")
+    val indexed = rowSet(Similarity.queryIvfIndex(spark, "test_ivf_index",
+      "test_ivf_centroids", queries, k = 10, nprobe = 5))
+    val inline = rowSet(Similarity.ivfTopK(tables.embeddings, queries,
+      k = 10, nprobe = 5))
+    indexed shouldBe inline
+  }
+
+  test("persisted IVF probe scans only the probed cells' partitions") {
+    Similarity.buildIvfIndex(tables.embeddings, "test_ivf_prune",
+      "test_ivf_prune_cents")
+    val probe = Similarity.queryIvfIndex(spark, "test_ivf_prune",
+      "test_ivf_prune_cents", queries, k = 10, nprobe = 2)
+    // partition pruning: the index scan's plan must carry the cell filter
+    // (partition column), not read all 10 cells
+    probe.queryExecution.executedPlan.toString should include("cell")
+    probe.collect().length should be > 0
+  }
+
   test("labelCentroids produces one dim-64 centroid per label") {
     val c = Similarity.labelCentroids(tables.embeddings).collect()
     c.length shouldBe 10
