@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// HiveSpec runs in its own JVM: the external catalog implementation is
+// fixed per-JVM at first SparkSession creation, and every other suite
+// shares one in-memory-catalog session.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (hive, rest) =
+    (Test / definedTests).value.partition(_.name.endsWith("HiveSpec"))
+  Seq(
+    Tests.Group("hive", hive, Tests.SubProcess(opts)),
+    Tests.Group("rest", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}

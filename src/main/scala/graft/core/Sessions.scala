@@ -21,12 +21,27 @@ object Sessions {
   def local(
       appName: String = "graft",
       cores: Int = 32,
-      shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+      shufflePartitions: Int = 32,
+      hive: Boolean = false): SparkSession = {
+    val builder = SparkSession
       .builder()
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
+    // S11 deep form (303-spark-sql/README.md:46-73): a Hive-metastore-
+    // backed catalog, so databases / saveAsTable / partitioned+bucketed
+    // tables persist across sessions. Local derby metastore per run; on a
+    // cluster you would point javax.jdo.option.ConnectionURL (or
+    // hive.metastore.uris) at the shared metastore instead. NOTE: the
+    // catalog implementation is fixed per-JVM at first session creation.
+    val spark = (if (hive) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-hive-${System.nanoTime()}"
+      builder
+        .enableHiveSupport()
+        .config("spark.sql.warehouse.dir", s"$dir/warehouse")
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+    } else builder)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -142,6 +142,29 @@ object Streams {
         col("w.end").as("window_end"),
         col("event_type"), col("n_events"))
 
+  /** Event-time sessionization on a stream: `session_window` groups each
+    * user's events into sessions separated by ≥ `gap` of inactivity — the
+    * streaming face of [[graft.operators.Relational.sessionize]] (q55).
+    * The watermark finalizes a session once event time passes its close
+    * plus `watermarkDelay`, so per-user state is bounded and append mode
+    * emits each session exactly once. (Edge note: the batch twin starts a
+    * new session strictly AFTER `gap`; `session_window` starts one AT the
+    * gap — events exactly `gap` apart split here and merge there.)
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("session_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   // -------------------------------------------------------------- sinks
 
   /** K6: console sink with an explicit trigger (T1 batch-interval

@@ -87,6 +87,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: streaming sessionization finalizes sessions in append mode") {
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.sessionWindows(df, gap = "30 minutes",
+      watermarkDelay = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess").start()
+    try {
+      // u1: two events 10 min apart (one session), then a 2h-later event
+      // (second session, still open)
+      in.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 5.0),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), 1L, 7.0),
+        (Timestamp.valueOf("2026-01-01 12:30:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first session's close so it is
+      // finalized and emitted
+      in.addData((Timestamp.valueOf("2026-01-01 18:00:00"), 2L, 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess").filter(col("user_id") === 1L)
+        .orderBy("session_start").collect()
+      u1.length shouldBe 2
+      u1(0).getAs[Long]("n_events") shouldBe 2L
+      u1(0).getAs[Double]("session_value") shouldBe 12.0
+      u1(0).getAs[Timestamp]("session_start") shouldBe
+        Timestamp.valueOf("2026-01-01 10:00:00")
+      // session close = last event + gap
+      u1(0).getAs[Timestamp]("session_end") shouldBe
+        Timestamp.valueOf("2026-01-01 10:40:00")
+      u1(1).getAs[Long]("n_events") shouldBe 1L
+    } finally q.stop()
+  }
+
   test("T2/T3/T8/T10: foreachBatch emits ranked top-N per batch") {
     val in = MemoryStream[String]
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Long)])]()
