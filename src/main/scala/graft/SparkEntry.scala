@@ -329,6 +329,28 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- training-data assembly ops ------------------------------------
+    // decontamination: does a training doc share 5-grams with the eval
+    // set? Benchmark = every 29th doc (deterministic slice of the corpus)
+    "q62_benchmark_overlap" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.benchmarkOverlap(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0))
+        .orderBy("doc_id")
+    }),
+    "q63_repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables(s, d).documents)
+        .orderBy("doc_id")),
+    "q64_pack_sequences" -> ((s, d) =>
+      Relational.packSequences(Tables(s, d).documents, budgetTokens = 2048)
+        .orderBy("doc_id")),
+    "q65_stratified_mix" -> ((s, d) =>
+      Relational.stratifiedSampleDeterministic(
+        Tables(s, d).documents.select("doc_id", "lang", "source"),
+        "lang", Map("en" -> 0.5, "zh" -> 0.25), "doc_id")
+        .orderBy("doc_id")),
+
     // ---- S11: the spark.sql STRING surface over registered views ------
     // same semantics as the DataFrame twins (q06/q19/q07), authored as
     // SQL text against Tables.registerAll's catalog — proves §3.2 ≡ §3.3
@@ -889,6 +911,64 @@ object SparkEntry {
            count(*) AS n_orders
          FROM orders JOIN la ON o_orderkey = l_orderkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q62_benchmark_overlap" ->
+      s"""WITH sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 4, 0)),
+              i -> array_to_string(toks[i:i+4], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          bg AS (SELECT DISTINCT unnest(sh) AS gram FROM sh
+                 WHERE doc_id % 29 = 0),
+          cg AS (SELECT doc_id, unnest(sh) AS gram FROM sh
+                 WHERE doc_id % 29 <> 0),
+          h AS (SELECT doc_id, count(*) AS n_overlap
+                FROM cg JOIN bg USING (gram) GROUP BY 1)
+          SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+            coalesce(h.n_overlap, 0) > 0 AS contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+          LEFT JOIN h USING (doc_id) ORDER BY doc_id""",
+
+    "q63_repetition_signals" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+          g AS (SELECT doc_id, text, toks,
+              CASE WHEN len(toks) >= 2 THEN list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS grams
+            FROM t),
+          b AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+          mx AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY 1)
+          SELECT g.doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CASE WHEN len(toks) > 0 THEN
+              round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                / len(toks), 4) END AS dup_token_ratio,
+            CASE WHEN len(grams) > 0 THEN
+              round(CAST(mx.mx AS DOUBLE) / len(grams), 4)
+              END AS top_bigram_ratio,
+            CASE WHEN length(text) > 0 THEN
+              round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                AS DOUBLE) / length(text), 4) END AS symbol_ratio
+          FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id
+          ORDER BY g.doc_id""",
+
+    "q64_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+            coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+            FROM t)
+          SELECT doc_id, n_tokens, CAST(prev // 2048 AS BIGINT) AS bin_id
+          FROM c ORDER BY doc_id""",
+
+    "q65_stratified_mix" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % 10000 <
+           CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 10000 END
+         ORDER BY doc_id""",
 
     // the SQL-authored surface reuses the DataFrame twins' oracles: same
     // semantics, different authoring path — both must hash-match DuckDB

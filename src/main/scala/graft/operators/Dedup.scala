@@ -31,8 +31,16 @@ object Dedup {
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch planning handles splits
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // metadata-only split estimate (plan stats ÷ maxPartitionBytes — the
+    // same arithmetic the file scan uses to cut splits). The previous
+    // probe, df.rdd.getNumPartitions, forced an RDD conversion of the
+    // analyzed plan on every call and pinned the plan outside AQE's view.
+    val bytesPerSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val estSplits =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / bytesPerSplit + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 
   // ---------------------------------------------------------------- exact
@@ -183,6 +191,32 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Decontamination: per corpus document, how many of its distinct word
+    * n-grams appear anywhere in a benchmark/eval set — the standard
+    * train/test-overlap check run before training. The benchmark gram set
+    * is small by nature (eval suites, not corpora) and is broadcast, so
+    * the corpus side is ONE scan + explode with a map-side join; the only
+    * shuffle is the count-shaped groupBy on doc_id. Docs with zero
+    * overlap are kept (n_overlap = 0) — the output is a decision table
+    * for the whole corpus, not just the contaminated slice.
+    */
+  def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame,
+      ngram: Int = 5): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(shingles(col("text"), ngram)).as("gram"))
+      .distinct()
+    val cGrams = spread(corpus).select(
+      col("doc_id"), explode(shingles(col("text"), ngram)).as("gram"))
+    val hits = cGrams.join(broadcast(bGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
 
   /** Brute-force exact-Jaccard pairs — the quadratic oracle the LSH path is

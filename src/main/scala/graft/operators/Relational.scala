@@ -350,6 +350,70 @@ object Relational {
           .as("session_value"))
   }
 
+  /** Sequence packing for training-data assembly: assign documents (in
+    * doc_id order) to fixed token-budget bins — bin = how many full
+    * budgets precede the document's start in the global token stream.
+    * The semantics are a global running token sum, but the implementation
+    * is the DISTRIBUTED two-pass prefix sum (the zipWithIndex pattern):
+    * range-partition by doc_id, pass 1 collects one token total per
+    * partition (#partitions rows, bounded), pass 2 numbers each
+    * partition's rows from its offset. No global-window single-reducer
+    * funnel — a `sum() over (order by doc_id)` window would pull the
+    * whole corpus through ONE partition.
+    *
+    * The two passes rescan the input; persist the sized projection first
+    * when the upstream is expensive.
+    */
+  def packSequences(documents: DataFrame, budgetTokens: Long = 2048,
+      partitions: Int = 0): DataFrame = {
+    val spark = documents.sparkSession
+    val nParts =
+      if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val sized = documents
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(nParts, col("doc_id").asc)
+      .sortWithinPartitions("doc_id")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val partTotals = sized
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(_._2).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val packed = sized.mapPartitionsWithIndex { case (i, it) =>
+      var cum = offsets(i)
+      it.map { case (id, n) =>
+        val bin = cum / budgetTokens // the doc STARTS at offset cum
+        cum += n
+        (id, n, bin)
+      }
+    }
+    spark.createDataFrame(packed).toDF("doc_id", "n_tokens", "bin_id")
+  }
+
+  /** Deterministic stratified sampling — the source-mixing op that turns
+    * "80% web, 15% books, 5% code" target weights into a reproducible
+    * keep/drop decision per row: bucket = md5(id) mod 10000 compared to
+    * the stratum's rate. Pure per-row projection + filter (no sampler
+    * state, no RNG): re-running the pipeline, or running it on a
+    * different partitioning, selects the SAME rows — which is what makes
+    * the mix auditable and the job retry-safe at scale.
+    */
+  def stratifiedSampleDeterministic(df: DataFrame, stratumCol: String,
+      rates: Map[String, Double], idCol: String,
+      defaultRate: Double = 1.0): DataFrame = {
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10000
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * 10000))) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(math.round(v * 10000))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Parse the events table's JSON `props` column and aggregate the
     * extracted field per event type — the map/semi-structured column
     * surface (events.props carries e.g. {"k": 87}). get_json_object is a

@@ -58,6 +58,60 @@ object TextAnalysis {
       when(charLen > 0, round(nUpper / charLen, 4)).as("upper_ratio"))
   }
 
+  /** Gopher-style repetition and symbol signals per document — the
+    * filters that catch boilerplate/spam which length-based quality
+    * features miss: duplicate-token ratio, top-bigram frequency ratio,
+    * and symbol-character ratio (chars outside [A-Za-z0-9\s]; non-Latin
+    * scripts count as symbols — tune the class per corpus).
+    *
+    * Everything is a pure per-row column expression: even the top-bigram
+    * count is a single fold over the SORTED bigram array (the max run
+    * length of equal neighbors), so the whole operator is one projection
+    * over the scan — no explode, no shuffle, the shape that survives
+    * 100 TB.
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    // tokenize and build bigrams ONCE each, as materialized attributes
+    // (expression-duplication note in Dedup)
+    val withToks = Dedup.spread(documents).select(
+      col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    val withGrams = withToks.select(
+      col("doc_id"), col("text"), col("toks"),
+      when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks)-1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+        .otherwise(expr("array()")).as("grams"))
+    val toks = col("toks")
+    val nTokens = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val nGrams = size(col("grams"))
+    // top bigram count = longest run of equal neighbors in the sorted
+    // gram array: one O(g log g) pass per row, no per-doc histogram agg
+    val topGram = aggregate(
+      array_sort(col("grams")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val charLen = length(col("text")).cast("double")
+    val nSym = length(
+      regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double")
+    withGrams.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      when(nTokens > 0,
+        round(lit(1.0) - nDistinct.cast("double") / nTokens.cast("double"), 4))
+        .as("dup_token_ratio"),
+      when(nGrams > 0,
+        round(topGram.cast("double") / nGrams.cast("double"), 4))
+        .as("top_bigram_ratio"),
+      when(charLen > 0, round(nSym / charLen, 4)).as("symbol_ratio"))
+  }
+
   /** Token counts aggregated per language — the "how many tokens do I have
     * per shard" question every dataset card needs. Whitespace tokenizer
     * plus a BPE-ish subword proxy (4 chars ≈ 1 token) for comparison.

@@ -100,4 +100,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     sigs(1L) shouldBe sigs(2L)
   }
+
+  test("benchmarkOverlap counts shared n-grams and keeps clean docs") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven"), // shares grams w/ bench
+      (2L, "nothing in common with that set at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "zero one two three four five end")
+    ).toDF("doc_id", "text")
+    val out = Dedup.benchmarkOverlap(corpus, bench, ngram = 5)
+      .orderBy("doc_id").collect()
+    // doc 1's 5-grams: {one..five, two..six, three..seven}; bench holds
+    // {zero..four, one..five, two..end} -> exactly one shared gram
+    out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq shouldBe
+      Seq((1L, 1L, true), (2L, 0L, false))
+  }
 }

@@ -154,4 +154,35 @@ class RelationalSpec extends SparkSpec {
     a shouldBe b
     a should be > 0L
   }
+
+  test("packSequences equals the sequential prefix-sum reference") {
+    val packed = Relational.packSequences(tables.documents,
+      budgetTokens = 512)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential reference: running token sum in doc_id order
+    var cum = 0L
+    packed.foreach { case (_, n, bin) =>
+      bin shouldBe cum / 512
+      cum += n
+    }
+    // multiple bins actually produced, ids non-decreasing
+    packed.map(_._3).distinct.length should be > 1
+    packed.map(_._3).toSeq shouldBe packed.map(_._3).toSeq.sorted
+  }
+
+  test("stratifiedSampleDeterministic: reproducible, honest rates") {
+    def run() = Relational.stratifiedSampleDeterministic(
+      tables.documents.select("doc_id", "lang"),
+      "lang", Map("en" -> 0.5, "zh" -> 0.25), "doc_id")
+    val a = run().collect().map(_.getLong(0)).toSet
+    a shouldBe run().collect().map(_.getLong(0)).toSet // same rows again
+    val total = tables.documents.filter(col("lang") === "en").count()
+    val kept = run().filter(col("lang") === "en").count()
+    // md5 buckets are uniform-ish; 500-doc strata land near the target
+    kept.toDouble / total shouldBe 0.5 +- 0.15
+    // unlisted strata keep everything (default rate 1.0)
+    val frTotal = tables.documents.filter(col("lang") === "fr").count()
+    run().filter(col("lang") === "fr").count() shouldBe frTotal
+  }
 }

@@ -124,4 +124,24 @@ class TextSpec extends SparkSpec {
       .agg(sum("total_chars")).collect()(0).getLong(0)
     tables.documents.agg(sum("n_chars")).collect()(0).getLong(0) shouldBe total
   }
+
+  test("repetitionSignals: hand-computed ratios, null-guarded empties") {
+    val docs = Seq(
+      (1L, "a a a b"),          // 4 tokens, 2 distinct; bigrams: aa,aa,ab
+      (2L, "x! y? z."),         // 3 symbols of 8 chars; no repeated bigram
+      (3L, "")                  // empty: every ratio null
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs).orderBy("doc_id")
+      .collect()
+    out(0).getLong(1) shouldBe 4L
+    out(0).getDouble(2) shouldBe 0.5   // 1 - 2/4
+    out(0).getDouble(3) shouldBe 0.6667 // "a a" twice of 3 bigrams
+    out(1).getDouble(2) shouldBe 0.0
+    out(1).getDouble(3) shouldBe 0.5   // both bigrams distinct -> 1/2
+    out(1).getDouble(4) shouldBe 0.375 // 3 symbol chars / 8
+    out(2).getLong(1) shouldBe 0L
+    out(2).isNullAt(2) shouldBe true
+    out(2).isNullAt(3) shouldBe true
+    out(2).isNullAt(4) shouldBe true
+  }
 }
