@@ -1,28 +1,59 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHashSignature, WordNgrams}
 
 /** Session extensions for the graft engine — the
   * `SparkSessionExtensions` registration point. Activate with either
   *   `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * on a builder, or `.withExtensions(new GraftExtensions)`.
   *
-  * Currently injects the native [[CosineSimilarity]] expression as the
-  * SQL function `cosine_similarity(array<float>, array<float>)`, so the
-  * pure-SQL surface gets the same fused codegen loop as the Column API
-  * (engine-complete: `spark.sql` and DataFrame are one engine).
+  * Injects every native graft expression into the SQL function registry —
+  * `cosine_similarity(array<float>, array<float>)`,
+  * `minhash_signature(array<string>, k)`,
+  * `simhash_signature(array<string>)`,
+  * `word_ngrams(array<string>, n)` —
+  * so the pure-SQL surface gets the same fused loops as the Column API
+  * (engine-complete: `spark.sql` and DataFrame are one engine). Integer
+  * parameters (k, n) must be literals, as in Spark's own parameterized
+  * functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName,
-        "cosine_similarity"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: parameter must be an integer literal")
+    e.eval().asInstanceOf[Number].intValue()
   }
+
+  private[plans] val functions
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", classOf[CosineSimilarity],
+      es => CosineSimilarity(es(0), es(1))),
+    ("minhash_signature", classOf[MinHashSignature],
+      es => MinHashSignature(es(0), litInt(es(1), "minhash_signature"))),
+    ("simhash_signature", classOf[SimHashSignature],
+      es => SimHashSignature(es(0))),
+    ("word_ngrams", classOf[WordNgrams],
+      es => WordNgrams(es(0), litInt(es(1), "word_ngrams"))))
+
+  /** Register into an ALREADY-RUNNING session's registry (tests, shells —
+    * extensions only apply at session build time).
+    */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graft.bridge.registerFunction(spark, name, builder)
+    }
 }

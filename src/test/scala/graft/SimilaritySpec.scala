@@ -24,18 +24,24 @@ class SimilaritySpec extends SparkSpec {
       .toString should include("*(1)") // WholeStageCodegen stage marker
   }
 
-  test("cosine_similarity is callable from the SQL surface") {
+  test("every native expression is callable from the SQL surface") {
     // production sessions register via GraftExtensions
     // (spark.sql.extensions); the shared test session is already built,
     // so register into its live registry
-    org.apache.spark.sql.graft.bridge.registerFunction(
-      spark, "cosine_similarity",
-      es => graft.functions.CosineSimilarity(es(0), es(1)))
+    graft.plans.GraftExtensions.registerAll(spark)
     tables.embeddings.createOrReplaceTempView("emb_sql")
     val viaSql = spark.sql(
       """SELECT vec_id, round(cosine_similarity(embedding, embedding), 6) c
          FROM emb_sql""")
     viaSql.filter(col("c") =!= 1.0).count() shouldBe 0
+    tables.documents.createOrReplaceTempView("docs_sql")
+    val sig = spark.sql(
+      """SELECT doc_id,
+           minhash_signature(word_ngrams(split(text, '\\s+'), 3), 8) AS mh,
+           simhash_signature(split(text, '\\s+')) AS sh
+         FROM docs_sql""").collect()
+    all(sig.map(_.getSeq[Long](1).length)) shouldBe 8
+    sig.length should be > 0
   }
 
   test("native expressions reject wrong input types at analysis time") {
