@@ -26,6 +26,8 @@ object Stress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", // fresh: index tables built below
+        s"${System.getProperty("java.io.tmpdir")}/graft-stress-warehouse-${System.nanoTime()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,14 +64,39 @@ object Stress {
     val nDocs = docs.count()
     val nEmbs = embs.count()
     println(s"[stress] corpus: $nDocs docs, $nEmbs embeddings (x$n)")
+
+    // persisted-index build/query split: the build is the one-time cost
+    // that [[Similarity.lshTopK]]/[[ivfTopK]] pay on EVERY call; the
+    // query probe is what repeats at serving time
+    def timed(tag: String)(body: => Unit): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] $tag%-24s $sec%8.2f s")
+      (tag, sec, 0L)
+    }
+
     val results = Seq(
       time("curate")(Curation.curate(docs)),
       time("exactDedup")(Dedup.exactDedup(docs)),
       time("minhashDupPairs")(Dedup.minhashDupPairs(docs,
         threshold = 0.7, k = 64, bands = 32)),
       time("simhashDupPairs")(Dedup.simhashDupPairs(docs)),
+      time("benchmarkOverlap")(Dedup.benchmarkOverlap(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0))),
+      time("repetitionSignals")(TextAnalysis.repetitionSignals(docs)),
+      time("packSequences")(Relational.packSequences(docs)),
       time("lshTopK")(Similarity.lshTopK(embs, queries, 10, 4, 16)),
+      timed("lshIndexBuild")(
+        Similarity.buildLshIndex(embs, "stress_lsh", 4, 16)),
+      time("lshIndexQuery")(
+        Similarity.queryLshIndex(spark, "stress_lsh", queries, 10, 4, 16)),
       time("ivfTopK")(Similarity.ivfTopK(embs, queries, 10, 5)),
+      timed("ivfIndexBuild")(
+        Similarity.buildIvfIndex(embs, "stress_ivf", "stress_ivf_cents")),
+      time("ivfIndexQuery")(Similarity.queryIvfIndex(spark, "stress_ivf",
+        "stress_ivf_cents", queries, 10, 5)),
       time("bruteForceTopK")(Similarity.bruteForceTopK(embs, queries, 10)))
     val qs = results.map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
