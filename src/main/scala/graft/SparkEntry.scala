@@ -350,6 +350,14 @@ object SparkEntry {
         Tables(s, d).documents.select("doc_id", "lang", "source"),
         "lang", Map("en" -> 0.5, "zh" -> 0.25), "doc_id")
         .orderBy("doc_id")),
+    // exact form through the oracle; the approx_percentile sketch is the
+    // 100 TB path and is tolerance-tested against this in TextSpec
+    "q66_token_quantiles" -> ((s, d) =>
+      TextAnalysis.tokenQuantiles(Tables(s, d).documents, exact = true)
+        .orderBy("lang")),
+    "q67_funnel" -> ((s, d) =>
+      Relational.funnel(Tables(s, d).events,
+        Seq("view", "click", "purchase")).orderBy("step")),
 
     // ---- S11: the spark.sql STRING surface over registered views ------
     // same semantics as the DataFrame twins (q06/q19/q07), authored as
@@ -969,6 +977,31 @@ object SparkEntry {
            % 10000 <
            CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 10000 END
          ORDER BY doc_id""",
+
+    "q66_token_quantiles" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+          round(quantile_cont(n, 0.9), 4) AS p90_tokens,
+          round(quantile_cont(n, 0.99), 4) AS p99_tokens,
+          max(n) AS max_tokens
+          FROM (SELECT lang, CAST(len($Toks) AS BIGINT) AS n FROM documents)
+          GROUP BY lang ORDER BY lang""",
+
+    "q67_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+           JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             count(*) AS n_users FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         ORDER BY step""",
 
     // the SQL-authored surface reuses the DataFrame twins' oracles: same
     // semantics, different authoring path — both must hash-match DuckDB

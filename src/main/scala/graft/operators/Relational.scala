@@ -393,6 +393,34 @@ object Relational {
     spark.createDataFrame(packed).toDF("doc_id", "n_tokens", "bin_id")
   }
 
+  /** Ordered funnel analysis over the events table: how many users
+    * reached step k — where reaching step k means a step-k event STRICTLY
+    * AFTER that user's first step-(k-1) arrival. Each stage is one
+    * filtered scan + equi-join on user_id + min-aggregate: k bounded
+    * passes with partial aggregation, never a per-user full-history sort
+    * or window — at 100 TB the event log is scanned k times pruned to one
+    * event type each (a pushed-down filter), not materialized per user.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val stages = steps.zipWithIndex.drop(1)
+      .scanLeft(first) { case (prev, (step, i)) =>
+        events.filter(col("event_type") === step)
+          .join(prev.select("user_id", s"t$i"), "user_id")
+          .filter(col("ts") > col(s"t$i"))
+          .groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
+      }
+    stages.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(
+          lit(i + 1).cast("long").as("step"),
+          lit(steps(i)).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Deterministic stratified sampling — the source-mixing op that turns
     * "80% web, 15% books, 5% code" target weights into a reproducible
     * keep/drop decision per row: bucket = md5(id) mod 10000 compared to

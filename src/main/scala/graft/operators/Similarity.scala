@@ -178,7 +178,7 @@ object Similarity {
     val probedSigs = qsig.select("sig").distinct().collect().map(_.getLong(0))
     rankTopK(
       spark.table(indexTable)
-        .filter(col("sig").isin(probedSigs: _*))
+        .filter(col("sig").isin(probedSigs.toIndexedSeq: _*))
         .join(broadcast(qsig), Seq("tbl", "sig"))
         .dropDuplicates("q_id", "vec_id"),
       k)
@@ -290,7 +290,7 @@ object Similarity {
     val probed = q.select("cell").distinct().collect().map(_.getInt(0))
     rankTopK(
       spark.table(indexTable)
-        .filter(col("cell").isin(probed: _*))
+        .filter(col("cell").isin(probed.toIndexedSeq: _*))
         .join(broadcast(q), "cell"),
       k)
   }

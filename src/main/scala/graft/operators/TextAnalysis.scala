@@ -129,6 +129,28 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Token-length distribution per language — the percentile block of a
+    * dataset card (p50/p90/p99 document lengths drive packing budgets and
+    * truncation limits). `exact = false` (default) uses
+    * `approx_percentile`, a mergeable fixed-size sketch — the only shape
+    * that survives a 100 TB corpus, since exact percentile buffers every
+    * value of a group on one reducer. The exact form exists for bounded
+    * inputs and is what the DuckDB oracle checks; tests assert the sketch
+    * lands within tolerance of it.
+    */
+  def tokenQuantiles(documents: DataFrame, exact: Boolean = false): DataFrame = {
+    val sized = Dedup.spread(documents)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+    val fn = if (exact) "percentile" else "approx_percentile"
+    sized.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr(s"$fn(n, 0.5)").cast("double"), 4).as("p50_tokens"),
+        round(expr(s"$fn(n, 0.9)").cast("double"), 4).as("p90_tokens"),
+        round(expr(s"$fn(n, 0.99)").cast("double"), 4).as("p99_tokens"),
+        max("n").as("max_tokens"))
+  }
+
   /** Corpus stats per (lang, source) — multi-key agg A8 over the docs table. */
   def corpusStats(documents: DataFrame): DataFrame =
     documents

@@ -171,6 +171,30 @@ class RelationalSpec extends SparkSpec {
     packed.map(_._3).toSeq shouldBe packed.map(_._3).toSeq.sorted
   }
 
+  test("funnel: counts users per ordered step, order constraint enforced") {
+    import SparkSpec.spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-01 10:01:00"), "click"),
+      (1L, ts("2026-01-01 10:02:00"), "purchase"),
+      // u2 views then clicks, never purchases
+      (2L, ts("2026-01-01 11:00:00"), "view"),
+      (2L, ts("2026-01-01 11:05:00"), "click"),
+      // u3 purchases BEFORE viewing - must not count past step 1
+      (3L, ts("2026-01-01 09:00:00"), "purchase"),
+      (3L, ts("2026-01-01 09:30:00"), "view"),
+      // u4 never views - counts nowhere
+      (4L, ts("2026-01-01 12:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      (1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L))
+  }
+
   test("stratifiedSampleDeterministic: reproducible, honest rates") {
     def run() = Relational.stratifiedSampleDeterministic(
       tables.documents.select("doc_id", "lang"),

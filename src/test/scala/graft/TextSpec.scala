@@ -125,6 +125,30 @@ class TextSpec extends SparkSpec {
     tables.documents.agg(sum("n_chars")).collect()(0).getLong(0) shouldBe total
   }
 
+  test("tokenQuantiles: approx sketch lands near the exact percentiles") {
+    val exact = TextAnalysis.tokenQuantiles(tables.documents, exact = true)
+      .orderBy("lang").collect()
+    val approx = TextAnalysis.tokenQuantiles(tables.documents)
+      .orderBy("lang").collect()
+    exact.length shouldBe approx.length
+    exact.zip(approx).foreach { case (e, a) =>
+      a.getString(0) shouldBe e.getString(0)
+      a.getLong(1) shouldBe e.getLong(1)           // counts exact
+      a.getLong(5) shouldBe e.getLong(5)           // max exact
+      // percentile sketch within 10% relative of the true quantile
+      Seq(2, 3, 4).foreach { i =>
+        math.abs(a.getDouble(i) - e.getDouble(i)) should be <=
+          (0.1 * e.getDouble(i))
+      }
+    }
+    // quantiles are ordered: p50 <= p90 <= p99 <= max
+    exact.foreach { r =>
+      r.getDouble(2) should be <= r.getDouble(3)
+      r.getDouble(3) should be <= r.getDouble(4)
+      r.getDouble(4) should be <= r.getLong(5).toDouble
+    }
+  }
+
   test("repetitionSignals: hand-computed ratios, null-guarded empties") {
     val docs = Seq(
       (1L, "a a a b"),          // 4 tokens, 2 distinct; bigrams: aa,aa,ab
