@@ -359,6 +359,59 @@ object SparkEntry {
       Relational.funnel(Tables(s, d).events,
         Seq("view", "click", "purchase")).orderBy("step")),
 
+    // ---- OLAP surface widening -----------------------------------------
+    // rollup subtotals; NULL grouping slots relabeled 'ALL' for a stable
+    // cross-engine representation (data itself has no nulls in the keys)
+    "q68_rollup_subtotals" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("returnflag", "linestatus")),
+    // salting must be TRANSPARENT: the oracle is the plain unsalted agg
+    "q69_salted_agg" -> ((s, d) =>
+      Skew.saltedSumCount(
+        Tables(s, d).lineitem.select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(12,2)").as("q")),
+        "l_returnflag", "q")
+        .select(col("l_returnflag"),
+          col("sum_value").cast("double").as("sum_qty"), col("cnt"))
+        .orderBy("l_returnflag")),
+    // customers with NO high-value order (threshold keeps the result
+    // non-empty on the synthetic data, where every customer has orders)
+    "q70_anti_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders.filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_nationkey").orderBy("c_custkey")
+    }),
+    "q71_semi_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.supplier
+        .join(t.lineitem, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_nationkey").orderBy("s_suppkey")
+    }),
+    "q72_full_outer" -> ((s, d) => {
+      val t = Tables(s, d)
+      val c = t.customer.groupBy(col("c_nationkey").as("ck"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sp = t.supplier.groupBy(col("s_nationkey").as("sk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("ck") === col("sk"), "full_outer")
+        .select(
+          coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
     // ---- S11: the spark.sql STRING surface over registered views ------
     // same semantics as the DataFrame twins (q06/q19/q07), authored as
     // SQL text against Tables.registerAll's catalog — proves §3.2 ≡ §3.3
@@ -986,6 +1039,41 @@ object SparkEntry {
           max(n) AS max_tokens
           FROM (SELECT lang, CAST(len($Toks) AS BIGINT) AS n FROM documents)
           GROUP BY lang ORDER BY lang""",
+
+    "q68_rollup_subtotals" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+
+    "q69_salted_agg" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q70_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q71_semi_join" ->
+      """SELECT s_suppkey, s_nationkey FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+         ORDER BY s_suppkey""",
+
+    "q72_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+           FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+           FROM supplier GROUP BY 1)
+         SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+         ORDER BY 1""",
 
     "q67_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
