@@ -359,6 +359,10 @@ object SparkEntry {
       Relational.funnel(Tables(s, d).events,
         Seq("view", "click", "purchase")).orderBy("step")),
 
+    "q73_cohort_retention" -> ((s, d) =>
+      Relational.cohortRetention(Tables(s, d).events)
+        .orderBy("cohort_day", "day_offset")),
+
     // ---- OLAP surface widening -----------------------------------------
     // rollup subtotals; NULL grouping slots relabeled 'ALL' for a stable
     // cross-engine representation (data itself has no nulls in the keys)
@@ -1039,6 +1043,17 @@ object SparkEntry {
           max(n) AS max_tokens
           FROM (SELECT lang, CAST(len($Toks) AS BIGINT) AS n FROM documents)
           GROUP BY lang ORDER BY lang""",
+
+    "q73_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+           FROM events GROUP BY 1),
+         e AS (SELECT user_id, CAST(ts AS DATE) AS event_day FROM events)
+         SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', cohort_day, event_day) AS BIGINT)
+             AS day_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q68_rollup_subtotals" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -421,6 +421,25 @@ object Relational {
     }.reduce(_ unionAll _)
   }
 
+  /** Cohort retention: users grouped by the DAY of their first event;
+    * for each (cohort day, day offset) the distinct users active that
+    * many days later. Two aggregations — first-day per user, then the
+    * cohort×offset distinct count — with the per-user cohort table
+    * (bounded by user count, far smaller than the event log) joined back
+    * broadcast-style. No per-user event-history window.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("event_day"))
+      .join(firstDay, "user_id")
+      .groupBy(
+        col("cohort_day").cast("string").as("cohort_day"),
+        datediff(col("event_day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Deterministic stratified sampling — the source-mixing op that turns
     * "80% web, 15% books, 5% code" target weights into a reproducible
     * keep/drop decision per row: bucket = md5(id) mod 10000 compared to

@@ -120,6 +120,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dedup state is bounded by event time") {
+    // the documented upgrade path of Streams.streamingExactDedup for
+    // unbounded key spaces: duplicates within the watermark are dropped,
+    // and a key seen again AFTER its state aged out is re-admitted —
+    // state never grows past the watermark horizon
+    val in = MemoryStream[(Timestamp, String)]
+    val df = in.toDF().toDF("ts", "fp")
+    val q = df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wmdedup").start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "A"),
+        (Timestamp.valueOf("2026-01-01 10:01:00"), "A")) // dup, in window
+      q.processAllAvailable()
+      spark.table("wmdedup").filter(col("fp") === "A").count() shouldBe 1
+      // push the watermark far past A's expiry so its state is evicted
+      in.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "B"))
+      q.processAllAvailable()
+      // A reappears hours later: old state gone, so it is emitted again
+      in.addData((Timestamp.valueOf("2026-01-01 14:05:00"), "A"))
+      q.processAllAvailable()
+      spark.table("wmdedup").filter(col("fp") === "A").count() shouldBe 2
+    } finally q.stop()
+  }
+
   test("T2/T3/T8/T10: foreachBatch emits ranked top-N per batch") {
     val in = MemoryStream[String]
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Long)])]()
