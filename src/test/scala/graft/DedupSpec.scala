@@ -101,6 +101,14 @@ class DedupSpec extends SparkSpec {
     sigs(1L) shouldBe sigs(2L)
   }
 
+  test("benchmarkOverlap plan broadcasts the benchmark gram set") {
+    val p = Dedup.benchmarkOverlap(
+      withDups.filter(col("doc_id") <= 2), withDups.filter(col("doc_id") > 2))
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
   test("benchmarkOverlap counts shared n-grams and keeps clean docs") {
     val corpus = Seq(
       (1L, "one two three four five six seven"), // shares grams w/ bench

@@ -171,6 +171,21 @@ class RelationalSpec extends SparkSpec {
     packed.map(_._3).toSeq shouldBe packed.map(_._3).toSeq.sorted
   }
 
+  test("packSequences plan has no single-partition global window") {
+    // the distributed prefix sum must NOT plan a Window over an empty
+    // partition spec (which funnels every row through one reducer)
+    val p = Relational.packSequences(tables.documents, 512)
+      .queryExecution.executedPlan.toString
+    p should not include "Window"
+  }
+
+  test("funnel pushes the event-type filter into each stage's scan") {
+    val p = Relational.funnel(tables.events, Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    p should include("PushedFilters")
+    p should include("event_type")
+  }
+
   test("funnel: counts users per ordered step, order constraint enforced") {
     import SparkSpec.spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
