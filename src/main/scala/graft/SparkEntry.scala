@@ -362,6 +362,13 @@ object SparkEntry {
     "q73_cohort_retention" -> ((s, d) =>
       Relational.cohortRetention(Tables(s, d).events)
         .orderBy("cohort_day", "day_offset")),
+    // near-dup cluster resolution over q31's pair list: every doc in a
+    // pair mapped to its component's minimum doc_id
+    "q74_dup_components" -> ((s, d) =>
+      Dedup.dupComponents(
+        Dedup.minhashDupPairs(Tables(s, d).documents, threshold = 0.7,
+          k = 64, bands = 32))
+        .orderBy("doc_id")),
 
     // ---- OLAP surface widening -----------------------------------------
     // rollup subtotals; NULL grouping slots relabeled 'ALL' for a stable
@@ -1043,6 +1050,37 @@ object SparkEntry {
           max(n) AS max_tokens
           FROM (SELECT lang, CAST(len($Toks) AS BIGINT) AS n FROM documents)
           GROUP BY lang ORDER BY lang""",
+
+    // transitive closure of the exact-Jaccard pair list (small by
+    // construction: only true near-dup pairs), then min per node
+    "q74_dup_components" ->
+      s"""WITH RECURSIVE sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          p AS (
+            -- same rounded-Jaccard predicate as q31, so the edge list is
+            -- identical at the threshold boundary
+            SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                    AS DOUBLE), 4) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.7),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+          nodes AS (SELECT DISTINCT a FROM e)
+          SELECT a AS doc_id,
+            least(a, min(b)) AS component
+          FROM (SELECT a, b FROM reach UNION SELECT a, a FROM nodes)
+          GROUP BY a ORDER BY a""",
 
     "q73_cohort_retention" ->
       """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day

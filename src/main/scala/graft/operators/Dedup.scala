@@ -193,6 +193,40 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs — the cluster-resolution
+    * step that turns [[minhashDupPairs]]' edge list into one canonical
+    * document per near-dup GROUP (pairs alone can't dedup transitively:
+    * a~b and b~c must collapse to one survivor even when a~c was never
+    * emitted). Iterative min-label propagation: each round is one
+    * join + min-aggregate over the edge list, labels converge to the
+    * component's minimum doc_id in at most diameter rounds (dup clusters
+    * are near-cliques, so 2–3 in practice). No driver-side graph; the
+    * per-round change count (one action) stops the loop early.
+    */
+  def dupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select("node", "label").union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+        // materialize the iteration: without this, each round re-plans
+        // the whole lineage and the plan grows exponentially
+        .localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** Decontamination: per corpus document, how many of its distinct word
     * n-grams appear anywhere in a benchmark/eval set — the standard
     * train/test-overlap check run before training. The benchmark gram set

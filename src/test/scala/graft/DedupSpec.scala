@@ -101,6 +101,25 @@ class DedupSpec extends SparkSpec {
     sigs(1L) shouldBe sigs(2L)
   }
 
+  test("dupComponents resolves transitive chains to one canonical id") {
+    // 1~2, 2~3 (no 1~3 edge) must still collapse to one component; 7~8
+    // is a separate component; doc 9 appears in no pair -> absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.dupComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+  }
+
+  test("dupComponents converges on a long path within maxIter") {
+    // a 12-node path: worst case for plain min propagation (diameter 11)
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.dupComponents(pairs, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    comps.values.toSet shouldBe Set(1L)
+    comps.size shouldBe 12
+  }
+
   test("benchmarkOverlap plan broadcasts the benchmark gram set") {
     val p = Dedup.benchmarkOverlap(
       withDups.filter(col("doc_id") <= 2), withDups.filter(col("doc_id") > 2))
