@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational, TextAnalysis}
+
+/** Degenerate-input behavior of the round-3 operators: empty corpora,
+  * empty pair lists, single rows. These are the shapes that crash real
+  * pipelines at 3am (an empty partition after a filter, a benchmark set
+  * with no overlap, a first run with no duplicate pairs yet).
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val oneDoc =
+    Seq((1L, "just one tiny document")).toDF("doc_id", "text")
+
+  test("packSequences: empty input yields empty output, single doc bin 0") {
+    Relational.packSequences(noDocs, 128).count() shouldBe 0
+    val one = Relational.packSequences(oneDoc, 128).collect()
+    one.length shouldBe 1
+    one(0).getLong(2) shouldBe 0L
+  }
+
+  test("dupComponents: empty pair list terminates and yields no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    Dedup.dupComponents(empty).count() shouldBe 0
+  }
+
+  test("benchmarkOverlap: empty benchmark set marks nothing contaminated") {
+    val out = Dedup.benchmarkOverlap(oneDoc, noDocs).collect()
+    out.length shouldBe 1
+    out(0).getLong(1) shouldBe 0L
+    out(0).getBoolean(2) shouldBe false
+  }
+
+  test("funnel: step with no matching events flows zero through later steps") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Relational.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step").collect().map(_.getLong(2))
+    out.toSeq shouldBe Seq(1L, 0L, 0L)
+  }
+
+  test("stratifiedSampleDeterministic: rate 0 drops all, rate 1 keeps all") {
+    val docs = tables.documents.select("doc_id", "lang")
+    Relational.stratifiedSampleDeterministic(docs, "lang",
+      Map("en" -> 0.0), "doc_id")
+      .filter(col("lang") === "en").count() shouldBe 0
+    val total = docs.count()
+    Relational.stratifiedSampleDeterministic(docs, "lang",
+      Map.empty, "doc_id").count() shouldBe total
+  }
+
+  test("tokenQuantiles and repetitionSignals survive an empty frame") {
+    TextAnalysis.tokenQuantiles(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),
+      exact = true).count() shouldBe 0
+    TextAnalysis.repetitionSignals(noDocs).count() shouldBe 0
+  }
+
+  test("cohortRetention on a single-event user is (day, 0, 1)") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-02 10:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Relational.cohortRetention(events).collect()
+    out.length shouldBe 1
+    out(0).getString(0) shouldBe "2026-01-02"
+    out(0).getLong(1) shouldBe 0L
+    out(0).getLong(2) shouldBe 1L
+  }
+}
