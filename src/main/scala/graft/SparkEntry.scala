@@ -471,6 +471,26 @@ object SparkEntry {
         ORDER BY o_orderpriority, rn""")
     }),
 
+    // the native Catalyst expression itself through the gate, via SQL
+    // text: cosine_similarity is injected by GraftExtensions (the Verify/
+    // Bench sessions set spark.sql.extensions), and the result must
+    // hash-match DuckDB's dot-product arithmetic — same oracle as q33
+    "q75_sql_cosine_topk" -> ((s, d) => {
+      Tables(s, d).registerAll()
+      s.sql("""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 5),
+        sc AS (SELECT q_id, vec_id,
+                 round(cosine_similarity(q_emb, embedding), 6) AS sim
+               FROM embeddings CROSS JOIN q),
+        r AS (SELECT q_id, vec_id, sim,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+              FROM sc)
+        SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
+        ORDER BY q_id, rnk""")
+    }),
+
     // ---- S1/S2/S6/S8 through the gate: text sink → text scan →
     // in-flight CSV parse (from_csv) → aggregate; the oracle is the same
     // aggregate straight off parquet, so any line-level corruption in
@@ -829,6 +849,22 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           SELECT doc_a, doc_b, jaccard FROM p
           WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""",
+
+    "q75_sql_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         s AS (SELECT q_id, vec_id,
+           round(list_dot_product(q_emb, emb)
+             / (sqrt(list_dot_product(q_emb, q_emb))
+                * sqrt(list_dot_product(emb, emb))), 6) AS sim
+           FROM q CROSS JOIN c),
+         r AS (SELECT q_id, vec_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+             AS rnk FROM s)
+         SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
+         ORDER BY q_id, rnk""",
 
     "q33_ann_topk_exact" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
