@@ -53,13 +53,18 @@ object Stress {
         col("label"))
     val queries = embs.filter(col("vec_id") < 5)
 
-    def time(tag: String)(df: DataFrame): (String, Double, Long) = {
+    // rows = -1 marks a timed action with no row count (index builds) —
+    // distinguishable in the JSON from a genuinely empty result
+    def timeAction(tag: String)(action: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
-      val rows = df.count()
+      val rows = action
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] $tag%-24s $sec%8.2f s  ($rows rows)")
+      val suffix = if (rows >= 0) s"  ($rows rows)" else ""
+      println(f"[stress] $tag%-24s $sec%8.2f s$suffix")
       (tag, sec, rows)
     }
+    def time(tag: String)(df: DataFrame): (String, Double, Long) =
+      timeAction(tag)(df.count())
 
     val nDocs = docs.count()
     val nEmbs = embs.count()
@@ -68,13 +73,8 @@ object Stress {
     // persisted-index build/query split: the build is the one-time cost
     // that [[Similarity.lshTopK]]/[[ivfTopK]] pay on EVERY call; the
     // query probe is what repeats at serving time
-    def timed(tag: String)(body: => Unit): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      body
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[stress] $tag%-24s $sec%8.2f s")
-      (tag, sec, 0L)
-    }
+    def timed(tag: String)(body: => Unit): (String, Double, Long) =
+      timeAction(tag) { body; -1L }
 
     val results = Seq(
       time("curate")(Curation.curate(docs)),

@@ -33,13 +33,22 @@ object Dedup {
     if (df.isStreaming) return df // micro-batch planning handles splits
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    // metadata-only split estimate (plan stats ÷ maxPartitionBytes — the
-    // same arithmetic the file scan uses to cut splits). The previous
-    // probe, df.rdd.getNumPartitions, forced an RDD conversion of the
-    // analyzed plan on every call and pinned the plan outside AQE's view.
-    val bytesPerSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes / bytesPerSplit + 1
+    // metadata-only split estimate replicating the file scan's own split
+    // arithmetic (FilePartition.maxSplitBytes): splits are cut at
+    // min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)),
+    // so a mid-size corpus that the scan already spreads across all cores
+    // is NOT re-shuffled here. The previous probe, df.rdd.getNumPartitions,
+    // forced an RDD conversion of the analyzed plan on every call and
+    // pinned the plan outside AQE's view. Limits of the estimate: plans
+    // without real stats (sizeInBytes = defaultSizeInBytes) and
+    // non-splittable compressed files skip spreading — repartition
+    // explicitly in those cases.
+    val conf = spark.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxSplitBytes =
+      (BigInt(conf.filesMaxPartitionBytes) min
+        (BigInt(conf.filesOpenCostInBytes) max (bytes / target))) max 1
+    val estSplits = bytes / maxSplitBytes + 1
     if (estSplits < target) df.repartition(target) else df
   }
 
@@ -228,6 +237,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silent partial result here would split true clusters — fail loud
+    require(changed == 0,
+      s"dupComponents did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — raise maxIter (component " +
+        "diameter exceeds the round budget)")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

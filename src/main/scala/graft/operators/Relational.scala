@@ -451,12 +451,17 @@ object Relational {
   def stratifiedSampleDeterministic(df: DataFrame, stratumCol: String,
       rates: Map[String, Double], idCol: String,
       defaultRate: Double = 1.0): DataFrame = {
+    // bucket = first 16 md5 bits, compared against rate * 2^16: the
+    // denominator matches the bucket range EXACTLY, so P(keep) is
+    // rate to within 1/65536. (A mod-10000 bucket would over-sample
+    // buckets 0..5535 by 7/6 — a systematic ~7% relative bias that the
+    // oracle could never catch because it would share the formula.)
     val bucket =
       conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-        .cast("long") % 10000
+        .cast("long")
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(
-      lit(math.round(defaultRate * 10000))) { case (acc, (k, v)) =>
-      when(col(stratumCol) === k, lit(math.round(v * 10000))).otherwise(acc)
+      lit(math.round(defaultRate * 65536))) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(math.round(v * 65536))).otherwise(acc)
     }
     df.filter(bucket < threshold)
   }

@@ -38,16 +38,29 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  /** Wrong argument COUNT must be a clear error at resolution, not an
+    * IndexOutOfBoundsException from the builder.
+    */
+  private def arity(fn: String, n: Int)(
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n,
+        s"$fn expects $n arguments, got ${es.length}")
+      builder(es)
+    }
+
   private[plans] val functions
       : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity", classOf[CosineSimilarity],
-      es => CosineSimilarity(es(0), es(1))),
+      arity("cosine_similarity", 2)(es => CosineSimilarity(es(0), es(1)))),
     ("minhash_signature", classOf[MinHashSignature],
-      es => MinHashSignature(es(0), litInt(es(1), "minhash_signature"))),
+      arity("minhash_signature", 2)(
+        es => MinHashSignature(es(0), litInt(es(1), "minhash_signature")))),
     ("simhash_signature", classOf[SimHashSignature],
-      es => SimHashSignature(es(0))),
+      arity("simhash_signature", 1)(es => SimHashSignature(es(0)))),
     ("word_ngrams", classOf[WordNgrams],
-      es => WordNgrams(es(0), litInt(es(1), "word_ngrams"))))
+      arity("word_ngrams", 2)(
+        es => WordNgrams(es(0), litInt(es(1), "word_ngrams")))))
 
   /** Register into an ALREADY-RUNNING session's registry (tests, shells —
     * extensions only apply at session build time).
