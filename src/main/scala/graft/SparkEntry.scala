@@ -521,7 +521,56 @@ object SparkEntry {
             .as("sum_bal"),
           count(lit(1)).as("cnt"))
         .orderBy("c_nationkey")
-    })
+    }),
+
+    // ---- temporal joins (beyond the reference's equi-join-only §2.3) --
+    // as-of join via one tagged-union window sweep; oracle = DuckDB's
+    // native ASOF LEFT JOIN — two independent implementations of the
+    // same semantics must hash-match
+    "q76_asof_join" -> ((s, d) =>
+      Temporal.viewsWithLastPurchase(Tables(s, d).events)
+        .orderBy("user_id", "event_id")),
+    // interval join via bucket-explode + equi-join; oracle = the naive
+    // range-predicate join DuckDB can afford at sf0.01
+    "q77_interval_join" -> ((s, d) =>
+      Temporal.purchaseWindowViews(Tables(s, d).events)
+        .orderBy("purchase_id")),
+
+    // ---- window-analytics breadth (lag/delta/rank/moving avg) ---------
+    "q78_event_windows" -> ((s, d) =>
+      Relational.userEventWindows(Tables(s, d).events)
+        .orderBy("user_id", "event_seq")),
+
+    // ---- OLAP: cube (all 2^k subtotal combinations; q68 is rollup) ----
+    "q79_cube_subtotals" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("returnflag", "linestatus")),
+
+    // ---- OLAP: unpivot/melt — the inverse of q09's pivot --------------
+    "q80_unpivot_segments" -> ((s, d) =>
+      Relational.segmentBalancePivot(Tables(s, d).customer)
+        .unpivot(
+          Array(col("c_nationkey")),
+          Array(col("building_avg"), col("automobile_avg")),
+          "segment", "avg_bal")
+        .orderBy("c_nationkey", "segment")),
+
+    // ---- PII redaction (curation-pipeline compliance pass) ------------
+    // corpus is PII-free word salad, so the oracle's real job is proving
+    // the Java-regex and RE2 pattern semantics agree byte-for-byte;
+    // behavior on PII-laden text is asserted in TextSpec
+    "q81_redact_pii" -> ((s, d) =>
+      TextAnalysis.redactPii(Tables(s, d).documents)
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -1232,6 +1281,96 @@ object SparkEntry {
          CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
            AS max_k,
          count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // DuckDB's native ASOF JOIN vs the engine's tagged-union window
+    // sweep: two independent algorithms for the same semantics.
+    // Timestamps compare in epoch-µs on both sides (Spark stores µs;
+    // epoch_us truncates DuckDB's ns identically).
+    "q76_asof_join" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT v.user_id, v.event_id, epoch_us(v.ts) AS view_us,
+           coalesce(epoch_us(p.ts), -1) AS purchase_us,
+           coalesce(p.value, 0.0) AS purchase_value
+         FROM v ASOF LEFT JOIN p
+           ON v.user_id = p.user_id AND v.ts >= p.ts
+         ORDER BY v.user_id, v.event_id""",
+
+    "q77_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+           epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS v_us, value FROM events
+           WHERE event_type = 'view')
+         SELECT p.purchase_id, p.user_id,
+           count(v.v_us) AS n_views,
+           coalesce(CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+             AS sum_view_value
+         FROM p LEFT JOIN v ON v.user_id = p.user_id
+           AND v.v_us >= p.p_us AND v.v_us < p.p_us + 3600000000
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    "q78_event_windows" ->
+      """SELECT user_id, event_id,
+           row_number() OVER w AS event_seq,
+           lag(value) OVER w AS prev_value,
+           value - lag(value) OVER w AS delta,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC)
+             AS val_rank,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_avg5
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_seq""",
+
+    "q79_cube_subtotals" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+
+    // melt of q09's pivot: one output row per (nation, segment-column)
+    "q80_unpivot_segments" ->
+      """WITH b AS (SELECT c_nationkey,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 4) AS building_avg
+           FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+         a AS (SELECT c_nationkey,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 4) AS automobile_avg
+           FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+         j AS (SELECT b.c_nationkey, building_avg, automobile_avg
+           FROM b JOIN a USING (c_nationkey))
+         SELECT c_nationkey, segment, avg_bal FROM (
+           SELECT c_nationkey, 'building_avg' AS segment,
+             building_avg AS avg_bal FROM j
+           UNION ALL
+           SELECT c_nationkey, 'automobile_avg', automobile_avg FROM j)
+         ORDER BY c_nationkey, segment""",
+
+    "q81_redact_pii" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+             '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -295,6 +295,32 @@ object Relational {
       row_number().over(w).cast("long").as("event_seq"))
   }
 
+  /** Per-event window analytics beyond W1/q17: lag, delta-vs-previous,
+    * rank within group, and a 5-row moving average — the standard
+    * event-feature block of an OLAP/feature-engineering surface. All four
+    * window expressions share the (user_id) partitioning, so the whole
+    * select is ONE shuffle; Catalyst merges the identical-frame window
+    * specs into a minimal set of Window physical nodes. The moving
+    * average is an exact DECIMAL sum over the frame divided in double
+    * (see [[davg]] rationale) for a cross-engine-stable value.
+    */
+  def userEventWindows(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val frame5 = w.rowsBetween(-4, Window.currentRow)
+    val byValue = Window.partitionBy("user_id").orderBy(col("value").desc)
+    events.select(
+      col("user_id"),
+      col("event_id"),
+      row_number().over(w).cast("long").as("event_seq"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+      rank().over(byValue).cast("long").as("val_rank"),
+      round(
+        sum(col("value").cast("decimal(18,2)")).over(frame5).cast("double") /
+          count(lit(1)).over(frame5),
+        4).as("mov_avg5"))
+  }
+
   /** P10: sampling — deterministic with a fixed seed (per-partition
     * Bernoulli; distributed, no collect).
     */

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators.
+  *
+  * The reference corpus has only inner equi-joins (SURVEY §2.3: "no
+  * outer/semi/anti/theta/range/as-of joins exist"), but any event-log
+  * workload — and any training-data pipeline joining logs to labels or
+  * snapshots — needs the two classic temporal joins:
+  *
+  *   - as-of join: attach to each fact row the most recent dimension
+  *     observation at-or-before its timestamp;
+  *   - interval (range) join: match point events into time windows.
+  *
+  * Both are implemented as shuffle-bounded compositions of built-in
+  * operators (union + window, bucket-explode + equi-join) rather than the
+  * naive range-predicate join Spark would otherwise plan as a
+  * BroadcastNestedLoopJoin — O(n·m) per key and a scale killer at 100 TB.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, the payload of the latest `right`
+    * row with `rightTs <= leftTs` in the same key group, as new columns
+    * `prefix + payloadCol` (null when no such right row exists).
+    *
+    * Spark-first plan: both sides are tagged and unioned, then ONE window
+    * pass per key ordered by (ts, tag) carries the latest right payload
+    * forward via `last(_, ignoreNulls = true)` onto every left row. That
+    * is a single shuffle of |L|+|R| rows and O(1) running state per key —
+    * the same scale envelope as any window aggregate, with no range
+    * cross-product anywhere. Right rows sort BEFORE left rows at equal
+    * ts (tag 0 < 1), so ts-equality matches, mirroring SQL `ASOF ... >=`.
+    *
+    * `rightTiebreak` orders right rows that share a timestamp (last one
+    * wins); left-side rows carry nulls in those columns, which cannot
+    * reorder them relative to right rows because the tag sorts first.
+    *
+    * Caveat (documented, inherent to the ignoreNulls sweep): a right row
+    * whose payload value is itself null is looked through to the previous
+    * right row — nulls in payload columns mean "no observation".
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      rightTiebreak: Seq[String] = Nil,
+      prefix: String = "asof_"): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val tb = rightTiebreak.map(c => s"__tb_$c")
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
+        payload.map(c => col(c).as(s"__p_$c")) ++
+        rightTiebreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(Seq(col("__ts"), col("__tag")) ++ tb.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(prefix + c, last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    swept
+      .filter(col("__tag") === 1)
+      .drop("__ts" +: "__tag" +: (payload.map(c => s"__p_$c") ++ tb): _*)
+  }
+
+  /** Interval (range) join: inner-join `points` rows into `intervals`
+    * rows with `startUs <= pointUs < endUs` within the same key group.
+    * All three timestamp columns are epoch-MICROSECOND longs (callers
+    * convert timestamps via `unix_micros`); non-key column names must be
+    * disjoint between the two frames.
+    *
+    * Spark-first plan: both sides are assigned coarse time buckets of
+    * `bucketUs` — points to one bucket, intervals exploded over the
+    * buckets they overlap — turning the range predicate into an
+    * EQUI-join on (keys, bucket) plus a residual exact filter. Each
+    * (point, interval) pair can meet in at most one bucket (the point's),
+    * so no dedup pass is needed. Shuffle volume is |P| + |I|·spanFactor,
+    * where spanFactor = avg buckets per interval; pick `bucketUs` near
+    * the typical interval width so spanFactor stays ~2. This is the plan
+    * that survives 100 TB; the naive `p.ts between i.start and i.end`
+    * join degenerates to a per-key nested loop.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointUs: String,
+      startUs: String,
+      endUs: String,
+      bucketUs: Long = 3600L * 1000000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val p = points.withColumn("__b", floor(col(pointUs) / bucketUs))
+    // [start, end) overlaps buckets floor(start/W) .. floor((end-1)/W);
+    // empty/inverted intervals produce an empty sequence and drop out.
+    val i = intervals
+      .filter(col(endUs) > col(startUs))
+      .withColumn(
+        "__b",
+        explode(
+          sequence(
+            floor(col(startUs) / bucketUs),
+            floor((col(endUs) - 1) / bucketUs))))
+    p.join(i, keys :+ "__b")
+      .filter(col(pointUs) >= col(startUs) && col(pointUs) < col(endUs))
+      .drop("__b")
+  }
+
+  // ------------------------------------------------------------------
+  // Gate instantiations over the driver's events table
+  // ------------------------------------------------------------------
+
+  /** q76: for every 'view' event, the most recent at-or-before 'purchase'
+    * per user (epoch-µs timestamp + value; -1/0.0 sentinels when the user
+    * has no prior purchase, keeping the output columns non-null for a
+    * stable cross-engine hash). Oracle: DuckDB `ASOF LEFT JOIN`.
+    */
+  def viewsWithLastPurchase(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    asofJoin(views, purchases, Seq("user_id"), "ts", "ts",
+      payload = Seq("ts", "value"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("view_us"),
+        coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("purchase_us"),
+        coalesce(col("asof_value"), lit(0.0)).as("purchase_value"))
+  }
+
+  /** q77: per purchase, how many 'view' events the same user produced in
+    * the hour starting at the purchase ([ts, ts+1h)), plus their summed
+    * value — the "attribution window" shape. Composes [[intervalJoin]]
+    * with bucket width = window width (spanFactor ≤ 2), then left-joins
+    * the counts back so zero-view purchases survive.
+    */
+  def purchaseWindowViews(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_start"))
+      .withColumn("p_end", col("p_start") + hourUs)
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("v_us"),
+        col("value").as("view_value"))
+    val matched = intervalJoin(views, purchases, Seq("user_id"),
+      "v_us", "p_start", "p_end", bucketUs = hourUs)
+      .groupBy("purchase_id")
+      .agg(
+        count(lit(1)).as("n_views"),
+        sum(col("view_value").cast("decimal(18,2)")).cast("double")
+          .as("sum_view_value"))
+    purchases
+      .join(matched, Seq("purchase_id"), "left")
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
+  }
+}

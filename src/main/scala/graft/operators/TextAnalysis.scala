@@ -174,6 +174,39 @@ object TextAnalysis {
       fingerprint(col("text")).as("fp"),
       length(col("text")).cast("long").as("text_len"))
 
+  /** PII patterns, ASCII-only on purpose: the same source compiles
+    * identically under Java regex (Spark codegen) and RE2 (DuckDB/most
+    * scanners), so redaction is reproducible across engines — a property
+    * a compliance pipeline has to prove, not assume. Each pattern is
+    * deliberately conservative (low false-positive) rather than
+    * exhaustive; swap in stricter ones per deployment.
+    */
+  private[operators] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "[IP]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]"))
+
+  /** PII redaction: replace emails / IPv4s / SSNs / phone-shaped spans
+    * with class tags, and count matches per class. Pure per-row
+    * projection — no shuffle, fully codegen'd, embarrassingly parallel at
+    * any scale. Counts are measured on the ORIGINAL text independently
+    * per class; redaction applies the patterns in the fixed order above
+    * (email first so its digits can't be half-eaten by the phone rule).
+    */
+  def redactPii(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    documents.select(
+      col("doc_id") +:
+        PiiPatterns.map { case (name, pat, _) =>
+          size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+            .cast("long").as(s"n_$name")
+        } :+
+        redacted.as("redacted"): _*)
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword hits
     * and characteristic n-grams, pick argmax. A stand-in for fastText-style
     * LID with the same plan shape: per-row scoring expression, no shuffle.
