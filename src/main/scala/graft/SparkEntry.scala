@@ -567,10 +567,23 @@ object SparkEntry {
     // ---- PII redaction (curation-pipeline compliance pass) ------------
     // corpus is PII-free word salad, so the oracle's real job is proving
     // the Java-regex and RE2 pattern semantics agree byte-for-byte;
-    // behavior on PII-laden text is asserted in TextSpec
+    // behavior on PII-laden text is asserted in TemporalSpec
     "q81_redact_pii" -> ((s, d) =>
       TextAnalysis.redactPii(Tables(s, d).documents)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- int8 embedding quantization (the 4x vector-storage path) -----
+    // the gate emits the code vector as a CSV string: the driver's
+    // value-hash compare is only proven over scalar cells, and the
+    // stringified codes are exactly as strict a check
+    "q82_quantize_embeddings" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(Tables(s, d).embeddings)
+        .select(
+          col("vec_id"),
+          col("scale"),
+          concat_ws(",", transform(col("qvec"), _.cast("string")))
+            .as("qvec_csv"))
+        .orderBy("vec_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -1371,6 +1384,24 @@ object SparkEntry {
              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
              '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // float→double cast, abs/max fold, and x/scale division are all
+    // IEEE-exact, and both engines round half away from zero — so the
+    // int8 codes hash-match bit-for-bit
+    "q82_quantize_embeddings" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         s AS (SELECT vec_id, emb,
+           list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+           FROM e)
+         SELECT vec_id, scale,
+           array_to_string(
+             CASE WHEN scale = 0
+               THEN list_transform(emb, x -> CAST(CAST(0 AS TINYINT) AS VARCHAR))
+               ELSE list_transform(emb,
+                 x -> CAST(CAST(round(x / scale) AS TINYINT) AS VARCHAR))
+             END, ',') AS qvec_csv
+         FROM s ORDER BY vec_id"""
   )
 }

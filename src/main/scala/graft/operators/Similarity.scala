@@ -321,4 +321,45 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Symmetric scalar int8 quantization: per-vector scale = max|x|/127,
+    * elements stored as round(x/scale) ∈ [-127, 127]. At 100 TB this is
+    * THE embedding-storage play — 4× smaller than float32 (so 4× less
+    * scan I/O and shuffle for every ANN probe) at <0.4% cosine error on
+    * unit-scale vectors. Pure per-row projection, no shuffle; the
+    * intermediate double array is materialized as a column once so the
+    * scale fold and the quantize transform don't re-evaluate the cast
+    * per element. All-zero vectors get scale 0 and an all-zero code
+    * vector (guarded division).
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb_d"))
+      .select(
+        col("vec_id"),
+        (aggregate(col("emb_d"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+          / 127.0).as("scale"),
+        col("emb_d"))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("emb_d"), _ => lit(0).cast("byte")))
+          .otherwise(
+            transform(col("emb_d"),
+              x => round(x / col("scale"), 0).cast("byte")))
+          .as("qvec"))
+
+  /** Inverse of [[quantizeEmbeddings]]: reconstruct vectors from
+    * (scale, qvec), back in the corpus storage type (array<float>) so
+    * the result plugs into every ANN path unchanged. Reconstruction
+    * error per element is ≤ scale/2 (+ one float ulp) by construction;
+    * SimilaritySpec asserts that and the end-to-end top-k recall of
+    * brute-force search on dequantized vectors.
+    */
+  def dequantizeEmbeddings(quantized: DataFrame): DataFrame =
+    quantized.select(
+      col("vec_id"),
+      transform(col("qvec"), q => (q.cast("double") * col("scale"))
+        .cast("float")).as("embedding"))
 }

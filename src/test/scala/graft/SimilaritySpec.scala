@@ -166,6 +166,39 @@ class SimilaritySpec extends SparkSpec {
     all(c.map(_.getSeq[Float](1).length)) shouldBe 64
   }
 
+  test("quantize/dequantize: per-element error <= scale/2, zero vector safe") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero: scale 0, no div-by-0
+      (3L, Seq(127.0f, -127.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(vecs)
+    val codes = q.orderBy("vec_id").collect()
+    codes(1).getDouble(1) shouldBe 0.0
+    codes(1).getSeq[Byte](2) shouldBe Seq[Byte](0, 0, 0, 0)
+    codes(2).getSeq[Byte](2) shouldBe Seq[Byte](127, -127, 1, -1)
+    val err = Similarity.dequantizeEmbeddings(q)
+      .select(col("vec_id"), col("embedding").as("deq"))
+      .join(vecs.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("orig")), "vec_id")
+      .join(q.select(col("vec_id"), col("scale")), "vec_id")
+      .select(col("scale"), explode(arrays_zip(col("deq"), col("orig"))).as("z"))
+      .filter(abs(col("z.deq") - col("z.orig")) > col("scale") / 2 + 1e-6)
+    err.count() shouldBe 0
+  }
+
+  test("brute-force top-k on dequantized int8 vectors: recall@10 >= 0.9") {
+    val deq = Similarity.dequantizeEmbeddings(
+      Similarity.quantizeEmbeddings(tables.embeddings))
+    val qs = deq.filter(col("vec_id") < 5)
+    val approx = Similarity.bruteForceTopK(deq, qs, 10)
+      .select("q_id", "vec_id")
+    val exact = Similarity.bruteForceTopK(tables.embeddings, queries, 10)
+      .select("q_id", "vec_id")
+    val hit = approx.intersect(exact).count().toDouble
+    (hit / exact.count()) should be >= 0.9
+  }
+
   test("cosineDupPairs finds only pairs above threshold, verified exactly") {
     val pairs = Similarity.cosineDupPairs(tables.embeddings,
       threshold = 0.9, bits = 4)

@@ -20,6 +20,14 @@ def norm(df):
     return df
 
 def values_equal(a, b):
+    # array-valued cells (numpy arrays / lists) compare element-wise
+    if hasattr(a, "tolist"):
+        a = a.tolist()
+    if hasattr(b, "tolist"):
+        b = b.tolist()
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            values_equal(x, y) for x, y in zip(a, b))
     if a is b:
         return True
     if isinstance(a, float) and isinstance(b, float):
