@@ -572,6 +572,32 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables(s, d).documents)
         .orderBy("doc_id")),
 
+    // ---- optimizer-rule surface: q05's query optimized by the
+    // PartialAggPushdown rule (forced, since sf0.01 sides broadcast) —
+    // the REWRITTEN plan must still hash-match q05's oracle. The force
+    // flag is scoped to this query by materializing the optimized plan
+    // before resetting it (QueryExecution caches the result).
+    "q83_agg_pushdown" -> ((s, d) => {
+      val t = Tables(s, d)
+      val df = Relational.revenueByBrand(t.lineitem, t.part)
+        .orderBy("p_brand")
+      s.conf.set("spark.graft.aggPushdown.force", "true")
+      try {
+        val pushed = df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+            j.children.exists(_.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+            }.isDefined)
+        }.exists(identity)
+        if (!pushed)
+          // loud but non-fatal: the answer is correct either way; this
+          // flags a session wired without the GraftExtensions rule
+          System.err.println(
+            "[graft] q83_agg_pushdown: rewrite did NOT fire in this session")
+        df
+      } finally s.conf.unset("spark.graft.aggPushdown.force")
+    }),
+
     // ---- int8 embedding quantization (the 4x vector-storage path) -----
     // the gate emits the code vector as a CSV string: the driver's
     // value-hash compare is only proven over scalar cells, and the
@@ -1385,6 +1411,15 @@ object SparkEntry {
              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
              '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    // same oracle as q05: the pushdown rewrite is answer-preserving
+    "q83_agg_pushdown" ->
+      s"""SELECT p_brand,
+          CAST(sum($DiscPrice) AS DOUBLE) AS revenue,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          count(*) AS cnt
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
 
     // float→double cast, abs/max fold, and x/scale division are all
     // IEEE-exact, and both engines round half away from zero — so the

@@ -22,13 +22,17 @@ import graft.functions.{CosineSimilarity, MinHashSignature, SimHashSignature, Wo
   * functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, clazz, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name),
         builder))
     }
+    // partial-aggregation pushdown through shuffle joins — the rewrite
+    // the reference hand-teaches (303-solutions.scala:45-48), as a rule
+    ext.injectOptimizerRule(_ => PartialAggPushdown)
+  }
 }
 
 object GraftExtensions {
