@@ -165,6 +165,43 @@ object Streams {
         col("w.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream hash-
+    * joins against the (small) static dimension, broadcast so the stream
+    * side never shuffles — the streaming face of J3/J4. The dimension is
+    * re-resolved per batch, so a refreshed underlying table is picked up
+    * without restarting the query.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
+  /** Stream-stream interval join: views matched to the purchases they
+    * follow within `horizon` per user — the streaming face of
+    * [[graft.operators.Temporal.purchaseWindowViews]] (q77), with the
+    * same [start, end) semantics. Both sides carry a watermark and the
+    * join condition bounds event-time distance, which is exactly what
+    * lets the engine EXPIRE buffered rows: without the time-range bound
+    * a stream-stream join's state grows forever. `delayThreshold` is
+    * how much lateness is tolerated before a row is dropped; state held
+    * ≈ watermark + horizon per side.
+    */
+  def streamingAttribution(views: DataFrame, purchases: DataFrame,
+      horizonSeconds: Long = 3600L,
+      delayThreshold: String = "2 hours"): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+      .withWatermark("v_ts", delayThreshold)
+    val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
+      col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", delayThreshold)
+    v.join(p,
+      expr(s"""v_ts >= p_ts AND
+               v_ts < p_ts + INTERVAL $horizonSeconds SECONDS""") &&
+        v("user_id") === p("user_id"))
+      .select(v("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   // -------------------------------------------------------------- sinks
 
   /** K6: console sink with an explicit trigger (T1 batch-interval

@@ -120,6 +120,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each batch against the broadcast dim") {
+    val in = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streams.streamStaticEnrich(
+      in.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich").start()
+    try {
+      in.addData((1L, 5.0), (2L, 7.0), (3L, 9.0)) // 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      rows shouldBe Map(1L -> "gold", 2L -> "basic")
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution join matches views into purchase windows") {
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    def ev(s: MemoryStream[(Timestamp, Long, Long)]) =
+      s.toDF().toDF("ts", "user_id", "event_id")
+    val q = Streams.streamingAttribution(ev(views), ev(purchases),
+      horizonSeconds = 3600L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr").start()
+    try {
+      purchases.addData((Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 100L))
+      views.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 200L), // t=0 in
+        (Timestamp.valueOf("2026-01-01 10:59:59"), 1L, 201L), // in window
+        (Timestamp.valueOf("2026-01-01 11:00:00"), 1L, 202L), // end excl.
+        (Timestamp.valueOf("2026-01-01 09:59:59"), 1L, 203L), // before
+        (Timestamp.valueOf("2026-01-01 10:30:00"), 2L, 204L)) // other user
+      q.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id")))
+        .toSet
+      got shouldBe Set((100L, 200L), (100L, 201L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: dedup state is bounded by event time") {
     // the documented upgrade path of Streams.streamingExactDedup for
     // unbounded key spaces: duplicates within the watermark are dropped,
