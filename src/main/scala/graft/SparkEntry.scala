@@ -572,6 +572,21 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables(s, d).documents)
         .orderBy("doc_id")),
 
+    // ---- OLAP: explicit grouping sets via the SQL surface (each-key
+    // subtotals + grand total — the shape rollup/cube can't express) ----
+    "q84_grouping_sets" -> ((s, d) => {
+      Tables(s, d).registerAll()
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus""")
+    }),
+
     // ---- optimizer-rule surface: q05's query optimized by the
     // PartialAggPushdown rule (forced, since sf0.01 sides broadcast) —
     // the REWRITTEN plan must still hash-match q05's oracle. The force
@@ -1411,6 +1426,15 @@ object SparkEntry {
              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
              '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    "q84_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY 1, 2""",
 
     // same oracle as q05: the pushdown rewrite is answer-preserving
     "q83_agg_pushdown" ->

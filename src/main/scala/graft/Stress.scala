@@ -52,6 +52,15 @@ object Stress {
           .as("embedding"),
         col("label"))
     val queries = embs.filter(col("vec_id") < 5)
+    // n shifted copies of the event stream with DISTINCT users, so the
+    // per-user event density stays realistic while total volume scales
+    val evs = t.events
+      .crossJoin(spark.range(n).toDF("copy"))
+      .select(
+        (col("event_id") * n + col("copy")).as("event_id"),
+        col("ts"),
+        (col("user_id") * n + col("copy")).as("user_id"),
+        col("event_type"), col("value"))
 
     // rows = -1 marks a timed action with no row count (index builds) —
     // distinguishable in the JSON from a genuinely empty result
@@ -97,7 +106,11 @@ object Stress {
         Similarity.buildIvfIndex(embs, "stress_ivf", "stress_ivf_cents")),
       time("ivfIndexQuery")(Similarity.queryIvfIndex(spark, "stress_ivf",
         "stress_ivf_cents", queries, 10, 5)),
-      time("bruteForceTopK")(Similarity.bruteForceTopK(embs, queries, 10)))
+      time("bruteForceTopK")(Similarity.bruteForceTopK(embs, queries, 10)),
+      time("asofJoin")(Temporal.viewsWithLastPurchase(evs)),
+      time("intervalJoin")(Temporal.purchaseWindowViews(evs)),
+      time("quantize")(Similarity.quantizeEmbeddings(embs)),
+      time("redactPii")(TextAnalysis.redactPii(docs)))
     val qs = results.map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")
