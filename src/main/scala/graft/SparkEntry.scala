@@ -598,12 +598,8 @@ object SparkEntry {
         .orderBy("p_brand")
       s.conf.set("spark.graft.aggPushdown.force", "true")
       try {
-        val pushed = df.queryExecution.optimizedPlan.collect {
-          case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
-            j.children.exists(_.collectFirst {
-              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-            }.isDefined)
-        }.exists(identity)
+        val pushed = graft.plans.PartialAggPushdown
+          .pushedBelowJoin(df.queryExecution.optimizedPlan)
         if (!pushed)
           // loud but non-fatal: the answer is correct either way; this
           // flags a session wired without the GraftExtensions rule

@@ -131,9 +131,13 @@ object Temporal {
       .select("user_id", "event_id", "ts")
     val purchases = events
       .filter(col("event_type") === "purchase")
-      .select("user_id", "ts", "value")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("event_id").as("p_event_id"))
+    // tiebreak pins which purchase wins if two ever share a (user, µs);
+    // the ASOF oracle leaves ties engine-arbitrary, but the testdata is
+    // tie-free (verified) and real data should carry the pin anyway
     asofJoin(views, purchases, Seq("user_id"), "ts", "ts",
-      payload = Seq("ts", "value"))
+      payload = Seq("ts", "value"), rightTiebreak = Seq("p_event_id"))
       .select(
         col("user_id"),
         col("event_id"),

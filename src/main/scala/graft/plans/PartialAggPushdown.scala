@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Partial-aggregation pushdown through inner equi-joins — the one
   * rewrite the reference corpus identifies as missing from Catalyst
@@ -36,7 +36,11 @@ import org.apache.spark.sql.types.LongType
   *   - the join is Inner with a purely conjunctive equi-condition on
   *     bare attributes;
   *   - every aggregate is a non-distinct, unfiltered sum/count/min/max
-  *     with deterministic inputs, all from ONE side;
+  *     with deterministic inputs, all from ONE side — and sums only over
+  *     EXACT types (integral/decimal): re-associating a floating-point
+  *     sum changes its low-order bits, and whether this rule fires
+  *     depends on table stats, so a pushed double sum would make results
+  *     drift the day a table crosses the broadcast threshold;
   *   - no grouping expression references that side;
   *   - BOTH join inputs exceed `autoBroadcastJoinThreshold` (a broadcast
   *     join leaves the fact side unshuffled, so pre-aggregating there
@@ -55,6 +59,15 @@ import org.apache.spark.sql.types.LongType
 object PartialAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   private val Pushed = TreeNodeTag[Boolean]("graft.partialAggPushed")
+
+  /** True iff some join input subtree contains an Aggregate — the plan
+    * signature of this rule having fired. Shared by the q83 gate query
+    * and OptimizerRuleSpec so the detection logic cannot drift.
+    */
+  def pushedBelowJoin(plan: LogicalPlan): Boolean =
+    plan.collect { case j: Join =>
+      j.children.exists(_.collectFirst { case a: Aggregate => a }.isDefined)
+    }.exists(identity)
 
   private def flag(key: String, default: Boolean): Boolean =
     try SQLConf.get.getConfString(s"spark.graft.aggPushdown.$key",
@@ -106,7 +119,13 @@ object PartialAggPushdown extends Rule[LogicalPlan] with PredicateHelper {
       !ae.isDistinct && ae.filter.isEmpty &&
         ae.aggregateFunction.children.forall(_.deterministic) &&
         (ae.aggregateFunction match {
-          case _: Sum | _: Count | _: Min | _: Max => true
+          case s: Sum => s.child.dataType match {
+            // FP sums re-associate under the rewrite; exact types only
+            case _: DecimalType | ByteType | ShortType | IntegerType |
+                LongType => true
+            case _ => false
+          }
+          case _: Count | _: Min | _: Max => true
           case _ => false
         })
     }

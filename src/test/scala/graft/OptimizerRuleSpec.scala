@@ -30,17 +30,13 @@ class OptimizerRuleSpec extends SparkSpec {
     try f finally spark.conf.unset("spark.graft.aggPushdown.enabled")
   }
 
-  /** True iff some join input subtree contains an Aggregate. */
   private def hasAggBelowJoin(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.collect {
-      case j: Join => j.children.exists(
-        _.collectFirst { case a: Aggregate => a }.isDefined)
-    }.exists(identity)
+    PartialAggPushdown.pushedBelowJoin(df.queryExecution.optimizedPlan)
 
-  // integer-valued measures so sums are exact and re-association-proof
+  // exact-typed measures: the rule only pushes sums over integral/decimal
   private lazy val fact = spark.range(0, 10000).select(
     (col("id") % 100).as("k"),
-    (col("id") % 7).cast("double").as("v"),
+    (col("id") % 7).as("v"),
     col("id").as("i"))
   private lazy val dim = spark.range(0, 100).select(
     col("id").as("k"),
@@ -84,7 +80,7 @@ class OptimizerRuleSpec extends SparkSpec {
     // duplicate join keys on BOTH sides: 3 left rows x 2 fact rows per key
     val l = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"))
       .toDF("k", "grp")
-    val f = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0))
+    val f = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
       .toDF("k", "v")
     def q(): DataFrame =
       l.join(f, "k").groupBy("grp")
@@ -94,8 +90,8 @@ class OptimizerRuleSpec extends SparkSpec {
       q().collect().toSet
     }
     pushed shouldBe disabled(q().collect().toSet)
-    // grp=a: 2 left rows x key-1 fact (30.0, 2) => sv 60, cnt 4
-    q().filter($"grp" === "a").collect().head.getDouble(1) shouldBe 60.0
+    // grp=a: 2 left rows x key-1 fact (30, 2) => sv 60, cnt 4
+    q().filter($"grp" === "a").collect().head.getLong(1) shouldBe 60L
   }
 
   test("refuses shapes it cannot prove safe") {
@@ -120,6 +116,10 @@ class OptimizerRuleSpec extends SparkSpec {
       hasAggBelowJoin(
         fact.join(dim, "k")
           .groupBy("grp").agg(avg("v"))) shouldBe false
+      // floating-point sum: re-association would drift low-order bits
+      hasAggBelowJoin(
+        fact.join(dim, "k")
+          .groupBy("grp").agg(sum(col("v").cast("double")))) shouldBe false
     }
   }
 
