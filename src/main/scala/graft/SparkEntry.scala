@@ -572,6 +572,18 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables(s, d).documents)
         .orderBy("doc_id")),
 
+    // ---- sliding-window document chunking (the RAG/pretraining
+    // chunker: 64-token windows every 48 tokens, overlap 16) -----------
+    "q85_chunk_documents" -> ((s, d) =>
+      TextOps.chunkDocuments(Tables(s, d).documents, 64, 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- per-group z-score feature scaling ----------------------------
+    "q86_standardize" -> ((s, d) =>
+      Relational.standardizeByGroup(Tables(s, d).events)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")),
+
     // ---- OLAP: explicit grouping sets via the SQL surface (each-key
     // subtotals + grand total — the shape rollup/cube can't express) ----
     "q84_grouping_sets" -> ((s, d) => {
@@ -1422,6 +1434,40 @@ object SparkEntry {
              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
              '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    // DuckDB list_slice is 1-based with an INCLUSIVE end index, so
+    // end = start + chunkTokens − 1 mirrors Spark's slice(start, length)
+    "q85_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+          n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+            FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks, n_toks,
+            unnest(generate_series(0, CAST((n_toks - 1) // 48 AS BIGINT)))
+              AS chunk_id
+            FROM n)
+          SELECT doc_id, chunk_id,
+            array_to_string(list_slice(toks,
+              CAST(chunk_id * 48 + 1 AS INT),
+              CAST(chunk_id * 48 + 64 AS INT)), ' ') AS chunk_text,
+            least(64, n_toks - chunk_id * 48) AS n_chunk_tokens
+          FROM c ORDER BY doc_id, chunk_id""",
+
+    "q86_standardize" ->
+      """WITH s AS (
+           SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+               * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             count(*) AS n
+           FROM events GROUP BY 1),
+         st AS (SELECT event_type, s1 / n AS mu,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
+           FROM s)
+         SELECT event_id, e.event_type, value,
+           CASE WHEN sigma = 0 THEN 0.0
+                ELSE round((value - mu) / sigma, 4) END AS z
+         FROM events e JOIN st USING (event_type)
+         ORDER BY event_id""",
 
     "q84_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -321,6 +321,39 @@ object Relational {
         4).as("mov_avg5"))
   }
 
+  /** Per-group z-score standardization — the feature-scaling pass of an
+    * ML data pipeline: z = (v − μ_g)/σ_g per group g. Computed as
+    * grouped stats + a BROADCAST join back, not a per-group window: with
+    * few groups a window would funnel the whole table through #groups
+    * partitions (the skew trap), while the stats frame is #groups rows
+    * and broadcasts for free. μ and σ derive from exact decimal sums of
+    * v and v² (order-independent), then a fixed double expression —
+    * deterministic across engines and partitionings. σ = 0 groups
+    * (constant value) get z = 0.
+    */
+  def standardizeByGroup(df: DataFrame, groupCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val d = col(valueCol).cast("decimal(18,2)")
+    val stats = df
+      .groupBy(groupCol)
+      .agg(
+        sum(d).cast("double").as("_s1"),
+        sum(d * d).cast("double").as("_s2"),
+        count(lit(1)).as("_n"))
+      .select(
+        col(groupCol),
+        (col("_s1") / col("_n")).as("_mu"),
+        sqrt(greatest(
+          col("_s2") / col("_n") -
+            (col("_s1") / col("_n")) * (col("_s1") / col("_n")),
+          lit(0.0))).as("_sigma"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z",
+        when(col("_sigma") === 0.0, lit(0.0))
+          .otherwise(round((col(valueCol) - col("_mu")) / col("_sigma"), 4)))
+      .drop("_mu", "_sigma")
+  }
+
   /** P10: sampling — deterministic with a fixed seed (per-partition
     * Bernoulli; distributed, no collect).
     */

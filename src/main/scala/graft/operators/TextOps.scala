@@ -187,4 +187,37 @@ object TextOps {
           ",").as("postings"),
         count(lit(1)).as("n_docs"))
   }
+
+  /** Sliding-window document chunking: token windows of `chunkTokens`
+    * every `stride` tokens (overlap = chunkTokens − stride), the chunker
+    * every RAG/pretraining pipeline runs before embedding or packing.
+    * Chunk starts are 0, stride, 2·stride, … while < n_tokens, so every
+    * token lands in ≥1 chunk and the last chunk may be short; empty
+    * documents produce no chunks. Pure per-row explode — no shuffle, and
+    * the token array is materialized ONCE as a column before the
+    * per-chunk slices (expression-duplication rule: a HOF intermediate
+    * referenced k times re-evaluates k times unless it is an attribute).
+    */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride > 0 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens] so no token is skipped")
+    Dedup.spread(documents)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+      .select(
+        col("doc_id"), col("toks"), col("n_toks"),
+        explode(sequence(lit(0L), floor((col("n_toks") - 1) / stride)))
+          .as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          col("n_toks") - col("chunk_id") * stride).as("n_chunk_tokens"))
+  }
 }

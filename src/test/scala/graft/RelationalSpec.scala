@@ -224,4 +224,28 @@ class RelationalSpec extends SparkSpec {
     val frTotal = tables.documents.filter(col("lang") === "fr").count()
     run().filter(col("lang") === "fr").count() shouldBe frTotal
   }
+
+  test("standardizeByGroup: hand-computed z-scores, constant group -> 0") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(("x", 1.0), ("x", 2.0), ("x", 3.0), ("c", 5.0), ("c", 5.0))
+      .toDF("event_type", "value")
+    val out = Relational.standardizeByGroup(df)
+      .orderBy("event_type", "value").collect()
+    // group c: sigma 0 -> z 0 for both rows
+    out(0).getDouble(2) shouldBe 0.0
+    out(1).getDouble(2) shouldBe 0.0
+    // group x: mu 2, sigma sqrt(2/3); z(1) = -1/sigma rounded to 4
+    val sigma = math.sqrt(2.0 / 3.0)
+    out(2).getDouble(2) shouldBe BigDecimal(-1.0 / sigma)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(3).getDouble(2) shouldBe 0.0
+    out(4).getDouble(2) shouldBe BigDecimal(1.0 / sigma)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("standardizeByGroup: broadcast stats join, no per-group window") {
+    val p = plan(Relational.standardizeByGroup(tables.events))
+    p should include("BroadcastHashJoin")
+    p should not include "Window"
+  }
 }

@@ -168,4 +168,26 @@ class TextSpec extends SparkSpec {
     out(2).isNullAt(3) shouldBe true
     out(2).isNullAt(4) shouldBe true
   }
+
+  test("chunkDocuments: sliding windows with overlap, short tail chunk") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, chunkTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    out.map(_.getString(2)).toSeq shouldBe Seq("a b c", "c d e", "e")
+    out.map(_.getLong(3)).toSeq shouldBe Seq(3L, 3L, 1L)
+    // empty document yields no chunks at all
+    out.map(_.getLong(0)).distinct.toSeq shouldBe Seq(1L)
+  }
+
+  test("chunkDocuments: stride == chunkTokens reconstructs the corpus") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq((1L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val rebuilt = TextOps.chunkDocuments(docs, chunkTokens = 3, stride = 3)
+      .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+    rebuilt shouldBe "one two three four five six seven"
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.chunkDocuments(docs, chunkTokens = 3, stride = 4)
+  }
 }
