@@ -135,6 +135,34 @@ class OptimizerRuleSpec extends SparkSpec {
     }
   }
 
+  test("multi-key equi-join pushdown keeps answers exact") {
+    val f2 = spark.range(0, 5000).select(
+      (col("id") % 20).as("k1"), (col("id") % 3).as("k2"),
+      (col("id") % 11).as("v"))
+    val d2 = spark.range(0, 60).select(
+      (col("id") % 20).as("k1"), (col("id") % 3).as("k2"),
+      concat(lit("g"), col("id") % 4).as("grp"))
+    def q(): DataFrame =
+      f2.join(d2, Seq("k1", "k2")).groupBy("grp")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+    val pushed = forced {
+      hasAggBelowJoin(q()) shouldBe true
+      q().collect().toSet
+    }
+    pushed shouldBe disabled(q().collect().toSet)
+  }
+
+  test("fires naturally (no force) when broadcasts are disabled") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // threshold < 0 = no broadcast possible, the join must shuffle:
+      // exactly the regime where the pushdown is free — the rule should
+      // engage on stats alone
+      hasAggBelowJoin(query()) shouldBe true
+      query().collect().toSet shouldBe disabled(query().collect().toSet)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("stats gate: does not fire when a side is broadcast-small") {
     // no force: both inputs are tiny in-memory relations, far below the
     // broadcast threshold, so the join will broadcast and pushing would

@@ -49,6 +49,33 @@ class TemporalSpec extends SparkSpec {
     out.head.getDouble(0) shouldBe 7.0 // highest seq wins
   }
 
+  test("asofJoin: matches the brute-force as-of on random data") {
+    val l = spark.range(300).select(
+      (col("id") % 7).cast("string").as("k"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("ts"),
+      col("id").as("lid"))
+    val r = spark.range(80).select(
+      (col("id") % 7).cast("string").as("k"),
+      pmod(hash(col("id") * 31), lit(1000)).cast("long").as("ts"),
+      col("id").as("rid"))
+    val fast = Temporal
+      .asofJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"),
+        rightTiebreak = Seq("rid"))
+      .select(col("lid"), col("asof_rid"))
+    // brute force: all at-or-before right rows per left row, keep the
+    // (max ts, max rid) winner — the same tiebreak asofJoin pins
+    val brute = l.join(
+      r.select(col("k"), col("ts").as("rts"), col("rid")), Seq("k"), "left")
+      .filter(col("rts") <= col("ts") || col("rts").isNull)
+      .groupBy("lid")
+      .agg(max(struct(col("rts"), col("rid"))).getField("rid").as("asof_rid"))
+    // left rows with NO match drop out of the filter above; re-add them
+    val expected = l.select("lid").join(brute, Seq("lid"), "left")
+      .select(col("lid"), col("asof_rid"))
+    rowSet(fast) shouldBe rowSet(expected)
+    fast.filter(col("asof_rid").isNotNull).count() should be > 0L
+  }
+
   test("asofJoin: one shuffle, no nested-loop join in the plan") {
     val p = plan(Temporal.asofJoin(asofLeft, asofRight, Seq("k"), "ts", "ts",
       Seq("price")))
