@@ -572,6 +572,13 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables(s, d).documents)
         .orderBy("doc_id")),
 
+    // ---- deterministic per-group reservoir sample (bounded-heap, no
+    // per-group sort; md5 priority = engine-independent randomness) ----
+    "q87_reservoir_sample" -> ((s, d) =>
+      Relational.reservoirSamplePerGroup(Tables(s, d).events,
+        "event_type", "event_id", k = 10)
+        .orderBy("event_type", "rn")),
+
     // ---- sliding-window document chunking (the RAG/pretraining
     // chunker: 64-token windows every 48 tokens, overlap 16) -----------
     "q85_chunk_documents" -> ((s, d) =>
@@ -1434,6 +1441,18 @@ object SparkEntry {
              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
              '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    // md5 of the same string is identical in both engines; 13 hex chars
+    // = 52 bits, exact in double and in BIGINT, so both sides rank the
+    // same priorities
+    "q87_reservoir_sample" ->
+      """SELECT event_type, event_id, rn FROM (
+           SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'graft'),
+                 1, 13))::BIGINT) AS rn
+           FROM events) WHERE rn <= 10
+         ORDER BY event_type, rn""",
 
     // DuckDB list_slice is 1-based with an INCLUSIVE end index, so
     // end = start + chunkTokens − 1 mirrors Spark's slice(start, length)

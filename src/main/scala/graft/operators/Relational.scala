@@ -321,6 +321,38 @@ object Relational {
         4).as("mov_avg5"))
   }
 
+  /** Deterministic per-group reservoir sample: k rows per group, chosen
+    * by smallest md5-derived priority — uniform (md5 is uniform over the
+    * id space), reproducible (same seed → same sample, on any cluster
+    * layout or partitioning), and cross-engine checkable (md5 is md5
+    * everywhere, unlike engine-native rand/xxhash). Built on the bounded-
+    * heap [[graft.functions.TopKAgg]], so each map task carries ≤2k rows
+    * per group into the shuffle — no per-group sort of the full table,
+    * which is what makes "sample 10k docs per source from 100 TB" a
+    * one-pass cheap job instead of a global sort. Priority = first 13
+    * md5 hex chars (52 bits: exact in double, collision odds ~2⁻⁵² per
+    * pair — and a collision only perturbs sample membership, not
+    * validity).
+    */
+  def reservoirSamplePerGroup(df: DataFrame, groupCol: String,
+      idCol: String, k: Int = 10, seed: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prio = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(seed))), 1, 13),
+      16, 10).cast("double")
+    df.select(col(groupCol).cast("string"), (-prio).as("_negp"),
+      col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (g, tops) =>
+        tops.zipWithIndex.map { case ((_, id), i) => (g, id, (i + 1).toLong) }
+      }
+      .toDF(groupCol, idCol, "rn")
+  }
+
   /** Per-group z-score standardization — the feature-scaling pass of an
     * ML data pipeline: z = (v − μ_g)/σ_g per group g. Computed as
     * grouped stats + a BROADCAST join back, not a per-group window: with

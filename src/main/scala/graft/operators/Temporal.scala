@@ -52,6 +52,8 @@ object Temporal {
       rightTiebreak: Seq[String] = Nil,
       prefix: String = "asof_"): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(!left.columns.exists(_.startsWith("__")),
+      "asofJoin: left columns must not start with __ (internal namespace)")
     val tb = rightTiebreak.map(c => s"__tb_$c")
     val l = left
       .withColumn("__ts", col(leftTs))

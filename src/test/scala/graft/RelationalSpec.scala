@@ -248,4 +248,23 @@ class RelationalSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "Window"
   }
+
+  test("reservoirSamplePerGroup: k per group, layout-independent, uniform-ish") {
+    val base = Relational.reservoirSamplePerGroup(
+      tables.events, "event_type", "event_id", k = 7).collect()
+    base.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.length shouldBe 7
+      rows.map(_.getLong(2)).sorted.toSeq shouldBe (1L to 7L)
+    }
+    // the defining property: the SAME sample on a different partitioning
+    val reshuffled = Relational.reservoirSamplePerGroup(
+      tables.events.repartition(13), "event_type", "event_id", k = 7)
+      .collect()
+    reshuffled.map(_.toSeq).toSet shouldBe base.map(_.toSeq).toSet
+    // a different seed draws a different sample
+    val reseeded = Relational.reservoirSamplePerGroup(
+      tables.events, "event_type", "event_id", k = 7, seed = "other")
+      .collect()
+    reseeded.map(_.toSeq).toSet should not be base.map(_.toSeq).toSet
+  }
 }
