@@ -1445,8 +1445,10 @@ object SparkEntry {
     // md5 of the same string is identical in both engines; 13 hex chars
     // = 52 bits, exact in double and in BIGINT, so both sides rank the
     // same priorities
+    // event_id as VARCHAR: the operator carries ids as strings so any
+    // id type (numeric key, document URI) samples identically
     "q87_reservoir_sample" ->
-      """SELECT event_type, event_id, rn FROM (
+      """SELECT event_type, CAST(event_id AS VARCHAR) AS event_id, rn FROM (
            SELECT event_type, event_id,
              row_number() OVER (PARTITION BY event_type ORDER BY
                ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'graft'),
@@ -1477,13 +1479,13 @@ object SparkEntry {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
              CAST(sum(CAST(value AS DECIMAL(18,2))
                * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
-             count(*) AS n
+             count(value) AS n
            FROM events GROUP BY 1),
          st AS (SELECT event_type, s1 / n AS mu,
              sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sigma
            FROM s)
          SELECT event_id, e.event_type, value,
-           CASE WHEN sigma = 0 THEN 0.0
+           CASE WHEN value IS NOT NULL AND sigma = 0 THEN 0.0
                 ELSE round((value - mu) / sigma, 4) END AS z
          FROM events e JOIN st USING (event_type)
          ORDER BY event_id""",

@@ -1,12 +1,15 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded top-k accumulator: keeps the k largest (value, id) pairs,
   * ordered by value desc then id asc (the same deterministic tiebreak as
-  * the window `row_number` form).
+  * the window `row_number` form). Generic in the id type so numeric keys
+  * (order ids) and string keys (document URIs) share one implementation.
   *
   * Scale rationale: the window formulation (`row_number().over(
   * partitionBy(g).orderBy(v)) <= k`) shuffles EVERY row to its group's
@@ -19,27 +22,30 @@ import org.apache.spark.sql.expressions.Aggregator
   * Pruning is amortized: buffers grow to 2k before being cut back to k,
   * so reduce is O(1) amortized per row.
   */
-class TopKAgg(k: Int)
-    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+class TopKAgg[I: TypeTag](k: Int)(implicit idOrd: Ordering[I])
+    extends Aggregator[(Double, I), Seq[(Double, I)], Seq[(Double, I)]] {
 
-  private def top(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    s.sortBy(t => (-t._1, t._2)).take(k)
+  private val pairOrd: Ordering[(Double, I)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, idOrd)
 
-  override def zero: Seq[(Double, Long)] = Nil
+  private def top(s: Seq[(Double, I)]): Seq[(Double, I)] =
+    s.sorted(pairOrd).take(k)
 
-  override def reduce(b: Seq[(Double, Long)],
-      a: (Double, Long)): Seq[(Double, Long)] = {
+  override def zero: Seq[(Double, I)] = Nil
+
+  override def reduce(b: Seq[(Double, I)],
+      a: (Double, I)): Seq[(Double, I)] = {
     val grown = a +: b
     if (grown.length > 2 * k) top(grown) else grown
   }
 
-  override def merge(x: Seq[(Double, Long)],
-      y: Seq[(Double, Long)]): Seq[(Double, Long)] = top(x ++ y)
+  override def merge(x: Seq[(Double, I)],
+      y: Seq[(Double, I)]): Seq[(Double, I)] = top(x ++ y)
 
-  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = top(r)
+  override def finish(r: Seq[(Double, I)]): Seq[(Double, I)] = top(r)
 
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    ExpressionEncoder[Seq[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def bufferEncoder: Encoder[Seq[(Double, I)]] =
+    ExpressionEncoder[Seq[(Double, I)]]()
+  override def outputEncoder: Encoder[Seq[(Double, I)]] =
+    ExpressionEncoder[Seq[(Double, I)]]()
 }

@@ -167,7 +167,7 @@ object Relational {
       .as[(String, Double, Long)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAgg(n).toColumn.name("top"))
+      .agg(new graft.functions.TopKAgg[Long](n).toColumn.name("top"))
       .flatMap { case (prio, tops) =>
         tops.zipWithIndex.map { case ((price, key), i) =>
           (prio, key, price, (i + 1).toLong)
@@ -341,12 +341,16 @@ object Relational {
     val prio = conv(
       substring(md5(concat(col(idCol).cast("string"), lit(seed))), 1, 13),
       16, 10).cast("double")
-    df.select(col(groupCol).cast("string"), (-prio).as("_negp"),
-      col(idCol).cast("long"))
-      .as[(String, Double, Long)]
+    // ids ride through as strings: any id type works (URIs included),
+    // and null ids — which can't be hashed or returned meaningfully —
+    // are excluded up front instead of crashing the typed encoder
+    df.filter(col(idCol).isNotNull)
+      .select(col(groupCol).cast("string"), (-prio).as("_negp"),
+        col(idCol).cast("string"))
+      .as[(String, Double, String)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .agg(new graft.functions.TopKAgg[String](k).toColumn.name("top"))
       .flatMap { case (g, tops) =>
         tops.zipWithIndex.map { case ((_, id), i) => (g, id, (i + 1).toLong) }
       }
@@ -371,7 +375,9 @@ object Relational {
       .agg(
         sum(d).cast("double").as("_s1"),
         sum(d * d).cast("double").as("_s2"),
-        count(lit(1)).as("_n"))
+        // count the VALUES, not the rows: null values are skipped by the
+        // sums, and counting them would silently deflate μ and inflate σ
+        count(col(valueCol)).as("_n"))
       .select(
         col(groupCol),
         (col("_s1") / col("_n")).as("_mu"),
@@ -381,7 +387,8 @@ object Relational {
           lit(0.0))).as("_sigma"))
     df.join(broadcast(stats), groupCol)
       .withColumn("z",
-        when(col("_sigma") === 0.0, lit(0.0))
+        // null value → null z (the null must not borrow the σ=0 branch)
+        when(col(valueCol).isNotNull && col("_sigma") === 0.0, lit(0.0))
           .otherwise(round((col(valueCol) - col("_mu")) / col("_sigma"), 4)))
       .drop("_mu", "_sigma")
   }

@@ -54,6 +54,10 @@ object Temporal {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     require(!left.columns.exists(_.startsWith("__")),
       "asofJoin: left columns must not start with __ (internal namespace)")
+    val outCols = payload.map(prefix + _)
+    require(!left.columns.exists(outCols.contains),
+      s"asofJoin: left already has ${outCols.mkString("/")} — pass a " +
+        "different prefix instead of silently overwriting")
     val tb = rightTiebreak.map(c => s"__tb_$c")
     val l = left
       .withColumn("__ts", col(leftTs))

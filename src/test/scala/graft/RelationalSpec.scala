@@ -267,4 +267,29 @@ class RelationalSpec extends SparkSpec {
       .collect()
     reseeded.map(_.toSeq).toSet should not be base.map(_.toSeq).toSet
   }
+
+  test("standardizeByGroup: null values neither count nor deflate the mean") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(("x", Some(10.0)), ("x", Some(10.0)), ("x", None))
+      .toDF("event_type", "value")
+    val out = Relational.standardizeByGroup(df)
+      .orderBy(col("value").asc_nulls_last).collect()
+    // the two real rows: constant value -> sigma 0 -> z 0 (not 0.7071,
+    // which is what counting the null row into n would produce)
+    out(0).getDouble(2) shouldBe 0.0
+    out(1).getDouble(2) shouldBe 0.0
+    out(2).isNullAt(2) shouldBe true // null value -> null z
+  }
+
+  test("reservoirSamplePerGroup: string ids and null ids are handled") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(("a", Some("s3://x/1")), ("a", Some("s3://x/2")),
+      ("a", Some("s3://x/3")), ("a", None), ("b", Some("s3://y/1")))
+      .toDF("source", "doc_uri")
+    val out = Relational.reservoirSamplePerGroup(docs, "source", "doc_uri",
+      k = 2).collect()
+    out.count(_.getString(0) == "a") shouldBe 2
+    out.count(_.getString(0) == "b") shouldBe 1
+    out.foreach(r => r.getString(1) should startWith("s3://"))
+  }
 }
