@@ -162,19 +162,33 @@ object Relational {
   def topOrdersPerPriorityHeap(orders: DataFrame, n: Int = 3): DataFrame = {
     val spark = orders.sparkSession
     import spark.implicits._
-    orders
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .as[(String, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAgg[Long](n).toColumn.name("top"))
-      .flatMap { case (prio, tops) =>
-        tops.zipWithIndex.map { case ((price, key), i) =>
-          (prio, key, price, (i + 1).toLong)
-        }
-      }
-      .toDF("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    heapTopK[Long](
+      orders.select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey")),
+      n)
+      .toDF("o_orderpriority", "o_totalprice", "o_orderkey", "rn")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
   }
+
+  /** Shared bounded-heap grouped-top-k pipeline: input frame must be
+    * (group: string, value: double, id) columns; output is
+    * (group, value, id, rn) with rn 1..k in value-desc, id-asc order.
+    * One place owns the groupByKey → TopKAgg → flatMap plumbing so the
+    * heap's callers (grouped top-k, reservoir sampling) cannot drift.
+    */
+  private[operators] def heapTopK[I: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, k: Int)(implicit idOrd: Ordering[I],
+      eIn: org.apache.spark.sql.Encoder[(String, Double, I)],
+      ePair: org.apache.spark.sql.Encoder[(Double, I)],
+      eOut: org.apache.spark.sql.Encoder[(String, Double, I, Long)])
+      : org.apache.spark.sql.Dataset[(String, Double, I, Long)] =
+    df.as[(String, Double, I)]
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg[I](k).toColumn.name("top"))
+      .flatMap { case (g, tops) =>
+        tops.zipWithIndex.map { case ((v, id), i) => (g, v, id, (i + 1).toLong) }
+      }
 
   /** J7: self-join of two aggregates (the gender-pay-gap query,
     * `303-solutions.scala:11-30`) on customer segments. Both sides are
@@ -344,16 +358,12 @@ object Relational {
     // ids ride through as strings: any id type works (URIs included),
     // and null ids — which can't be hashed or returned meaningfully —
     // are excluded up front instead of crashing the typed encoder
-    df.filter(col(idCol).isNotNull)
-      .select(col(groupCol).cast("string"), (-prio).as("_negp"),
-        col(idCol).cast("string"))
-      .as[(String, Double, String)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAgg[String](k).toColumn.name("top"))
-      .flatMap { case (g, tops) =>
-        tops.zipWithIndex.map { case ((_, id), i) => (g, id, (i + 1).toLong) }
-      }
+    heapTopK[String](
+      df.filter(col(idCol).isNotNull)
+        .select(col(groupCol).cast("string"), (-prio).as("_negp"),
+          col(idCol).cast("string")),
+      k)
+      .map { case (g, _, id, rn) => (g, id, rn) }
       .toDF(groupCol, idCol, "rn")
   }
 
