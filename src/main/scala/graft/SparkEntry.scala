@@ -530,6 +530,10 @@ object SparkEntry {
     "q76_asof_join" -> ((s, d) =>
       Temporal.viewsWithLastPurchase(Tables(s, d).events)
         .orderBy("user_id", "event_id")),
+    // the forward direction: earliest purchase at-or-after each view
+    "q88_asof_forward" -> ((s, d) =>
+      Temporal.viewsWithNextPurchase(Tables(s, d).events)
+        .orderBy("user_id", "event_id")),
     // interval join via bucket-explode + equi-join; oracle = the naive
     // range-predicate join DuckDB can afford at sf0.01
     "q77_interval_join" -> ((s, d) =>
@@ -1366,6 +1370,18 @@ object SparkEntry {
            coalesce(p.value, 0.0) AS purchase_value
          FROM v ASOF LEFT JOIN p
            ON v.user_id = p.user_id AND v.ts >= p.ts
+         ORDER BY v.user_id, v.event_id""",
+
+    "q88_asof_forward" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT v.user_id, v.event_id, epoch_us(v.ts) AS view_us,
+           coalesce(epoch_us(p.ts), -1) AS next_purchase_us,
+           coalesce(p.value, 0.0) AS next_purchase_value
+         FROM v ASOF LEFT JOIN p
+           ON v.user_id = p.user_id AND v.ts <= p.ts
          ORDER BY v.user_id, v.event_id""",
 
     "q77_interval_join" ->

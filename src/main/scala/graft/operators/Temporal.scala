@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** As-of join: for each `left` row, the payload of the latest `right`
-    * row with `rightTs <= leftTs` in the same key group, as new columns
+    * row with `rightTs <= leftTs` in the same key group (direction
+    * "backward", the default), or the earliest right row with
+    * `rightTs >= leftTs` ("forward"), as new columns
     * `prefix + payloadCol` (null when no such right row exists).
     *
     * Spark-first plan: both sides are tagged and unioned, then ONE window
@@ -50,7 +52,10 @@ object Temporal {
       rightTs: String,
       payload: Seq[String],
       rightTiebreak: Seq[String] = Nil,
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     require(!left.columns.exists(_.startsWith("__")),
       "asofJoin: left columns must not start with __ (internal namespace)")
@@ -68,9 +73,15 @@ object Temporal {
         payload.map(c => col(c).as(s"__p_$c")) ++
         rightTiebreak.map(c => col(c).as(s"__tb_$c")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // backward sweeps ts-ascending (last right seen = latest at-or-
+    // before); forward sweeps ts-DESCENDING, so the last right seen is
+    // the EARLIEST at-or-after. The tag still sorts right rows before
+    // left rows at equal ts in both sweeps, keeping >= / <= inclusive.
+    val tsOrd =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(Seq(col("__ts"), col("__tag")) ++ tb.map(col): _*)
+      .orderBy(Seq(tsOrd, col("__tag").asc) ++ tb.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = payload.foldLeft(unioned) { (df, c) =>
       df.withColumn(prefix + c, last(col(s"__p_$c"), ignoreNulls = true).over(w))
@@ -150,6 +161,31 @@ object Temporal {
         unix_micros(col("ts")).as("view_us"),
         coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("purchase_us"),
         coalesce(col("asof_value"), lit(0.0)).as("purchase_value"))
+  }
+
+  /** q88: the forward twin of [[viewsWithLastPurchase]] — for every
+    * 'view', the EARLIEST at-or-after 'purchase' per user ("what did
+    * this view lead to"), the attribution direction. Same sweep, ts
+    * order reversed; oracle: DuckDB `ASOF LEFT JOIN ... v.ts <= p.ts`.
+    */
+  def viewsWithNextPurchase(events: DataFrame): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("event_id").as("p_event_id"))
+    asofJoin(views, purchases, Seq("user_id"), "ts", "ts",
+      payload = Seq("ts", "value"), rightTiebreak = Seq("p_event_id"),
+      direction = "forward")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_micros(col("ts")).as("view_us"),
+        coalesce(unix_micros(col("asof_ts")), lit(-1L))
+          .as("next_purchase_us"),
+        coalesce(col("asof_value"), lit(0.0)).as("next_purchase_value"))
   }
 
   /** q77: per purchase, how many 'view' events the same user produced in

@@ -49,6 +49,20 @@ class TemporalSpec extends SparkSpec {
     out.head.getDouble(0) shouldBe 7.0 // highest seq wins
   }
 
+  test("asofJoin forward: earliest right at-or-after, per key") {
+    val out = Temporal
+      .asofJoin(asofLeft, asofRight, Seq("k"), "ts", "ts", Seq("price"),
+        direction = "forward")
+      .select("id", "asof_price")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    out(1L) shouldBe Some(10.0) // equal ts matches (<= semantics)
+    out(2L) shouldBe None       // ts=200: no right at-or-after
+    out(3L) shouldBe Some(10.0) // ts=50: earliest of the two laters
+    out(4L) shouldBe None       // key 'b' has no right rows
+  }
+
   test("asofJoin: matches the brute-force as-of on random data") {
     val l = spark.range(300).select(
       (col("id") % 7).cast("string").as("k"),
