@@ -576,6 +576,18 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables(s, d).documents)
         .orderBy("doc_id")),
 
+    // ---- incremental dedup: a "new batch" (doc_id % 5 = 0) screened
+    // against the existing corpus (the rest) — the per-crawl dedup
+    // shape; survivors = new docs whose fingerprint is unseen ---------
+    "q89_incremental_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic per-group reservoir sample (bounded-heap, no
     // per-group sort; md5 priority = engine-independent randomness) ----
     "q87_reservoir_sample" -> ((s, d) =>
@@ -1457,6 +1469,14 @@ object SparkEntry {
              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
              '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    "q89_incremental_dedup" ->
+      s"""WITH newb AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+          corp AS (SELECT DISTINCT $Fp AS fp FROM documents
+            WHERE doc_id % 5 <> 0)
+          SELECT doc_id, n_chars FROM newb
+          WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.fp = $Fp)
+          ORDER BY doc_id""",
 
     // md5 of the same string is identical in both engines; 13 hex chars
     // = 52 bits, exact in double and in BIGINT, so both sides rank the

@@ -143,6 +143,92 @@ object Dedup {
     * otherwise emit 5·10^11 candidate pairs on one reducer). Output is one
     * row per (doc_a < doc_b) pair with its exact Jaccard.
     */
+  /** LSH band buckets (doc_id, band_idx, band_hash) for a document
+    * frame. Each step references the PREVIOUS step's column as a plan
+    * attribute, not as an inlined expression tree: building
+    * bandHashes(minhashSignature(shingles(...))) as one nested expression
+    * would splice the 64-transform signature tree into each of the 32
+    * band hashes and re-evaluate it 32x per row (measured 250x slower).
+    * The output is 3 small columns — shingle arrays stay OUT of the
+    * bucket join entirely; at corpus scale this is the difference
+    * between shuffling O(candidates × |doc|) bytes and O(candidates).
+    */
+  private def bandBuckets(docsSpread: DataFrame, ngram: Int, k: Int,
+      bands: Int): DataFrame = {
+    val sigs = docsSpread.select(
+      col("doc_id"),
+      shingles(col("text"), ngram).as("sh"))
+    val withSig = sigs.select(
+      col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+    withSig.select(
+      col("doc_id"),
+      posexplode(bandHashes(col("sig"), bands, k / bands))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental exact dedup: the rows of `newDocs` whose normalized
+    * fingerprint does NOT already appear in `corpus` — the operational
+    * dedup shape at 100 TB, where a daily crawl anti-joins against the
+    * corpus's stored fingerprint set instead of re-deduping everything.
+    * Left-anti hash join on a 16-byte key; the corpus side reduces to
+    * DISTINCT fingerprints, so in production you persist that set once
+    * (bucketed by fp) and each batch shuffles only itself. Note: this
+    * screens against the CORPUS; self-duplicates inside the new batch
+    * are a separate [[exactDedup]] pass.
+    */
+  def incrementalExactDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusFps = corpus
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    newDocs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
+  /** Incremental near-dup screen: (new_id, corpus_id, jaccard) pairs
+    * where a new-batch document is a near-duplicate of an EXISTING
+    * corpus document. Same banded-LSH candidate generation as
+    * [[minhashDupPairs]], but the bucket join is new-batch × corpus —
+    * candidate volume scales with the BATCH, not the corpus, which is
+    * what makes per-crawl near-dedup affordable. Corpus buckets are
+    * bounded by `maxBucket` (degenerate boilerplate buckets would
+    * otherwise explode candidates); candidates verify with exact
+    * shingle Jaccard, re-shingling only matched docs.
+    */
+  def incrementalNearDup(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.7,
+      ngram: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val newSpread = spread(newDocs)
+    val corpusSpread = spread(corpus)
+    val nb = bandBuckets(newSpread, ngram, k, bands)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+    val cb = bandBuckets(corpusSpread, ngram, k, bands)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
+    val candidates = nb.join(cb, Seq("band_idx", "band_hash"))
+      .select("new_id", "corpus_id").distinct()
+    val newSh = newSpread
+      .join(candidates.select(col("new_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("new_id"), shingles(col("text"), ngram).as("sh_n"))
+    val corpSh = corpusSpread
+      .join(candidates.select(col("corpus_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("corpus_id"), shingles(col("text"), ngram).as("sh_c"))
+    candidates
+      .join(newSh, "new_id")
+      .join(corpSh, "corpus_id")
+      .withColumn("jaccard", round(jaccard(col("sh_n"), col("sh_c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   def minhashDupPairs(
       documents: DataFrame,
       threshold: Double = 0.7,
@@ -150,28 +236,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = k / bands
     val docsSpread = spread(documents)
-    val sigs = docsSpread.select(
-      col("doc_id"),
-      shingles(col("text"), ngram).as("sh"))
-    // Each step below references the PREVIOUS step's column as a plan
-    // attribute, not as an inlined expression tree: building
-    // bandHashes(minhashSignature(shingles(...))) as one nested expression
-    // would splice the 64-transform signature tree into each of the 32
-    // band hashes and re-evaluate it 32x per row (measured 250x slower).
-    val withSig = sigs.select(
-      col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
-    // (band_idx, band_hash, doc_id) ONLY — the shingle arrays stay out of
-    // the bucket join entirely. Candidate generation shuffles 3 small
-    // columns; the (large) shingle arrays are joined back just twice, once
-    // per pair side, AFTER the candidate set has been deduplicated. At
-    // corpus scale this is the difference between shuffling O(candidates ×
-    // |doc|) bytes and O(candidates) bytes.
-    val buckets = withSig.select(
-      col("doc_id"),
-      posexplode(bandHashes(col("sig"), bands, rows))
-        .as(Seq("band_idx", "band_hash")))
+    val buckets = bandBuckets(docsSpread, ngram, k, bands)
     val bounded = buckets.withColumn(
       "bucket_n",
       count(lit(1)).over(

@@ -143,4 +143,34 @@ class DedupSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq shouldBe
       Seq((1L, 1L, true), (2L, 0L, false))
   }
+
+  test("incrementalExactDedup: corpus-known content is screened out") {
+    import SparkSpec.spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   beta gamma"), // normalizes to corpus doc 1 -> dropped
+      (11L, "completely fresh content"),
+      (12L, "delta epsilon"))      // exact corpus dup -> dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, corpus).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(11L)
+  }
+
+  test("incrementalNearDup: mutated corpus copy caught, fresh doc clean") {
+    import SparkSpec.spark.implicits._
+    val corpus = tables.documents.filter(col("doc_id") < 400)
+    // new batch: one near-dup of corpus doc 7 (a tail token appended,
+    // trigram jaccard ~0.95) and one genuinely fresh doc
+    val nearDup = corpus.filter(col("doc_id") === 7L)
+      .select(lit(9001L).as("doc_id"),
+        concat(col("text"), lit(" zzztail")).as("text"))
+    val fresh = Seq((9002L,
+      "entirely novel sequence of improbable tokens nobody wrote before"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(
+      nearDup.union(fresh), corpus, threshold = 0.7).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((9001L, 7L))
+    out.head.getDouble(2) should be >= 0.7
+  }
 }
