@@ -134,15 +134,6 @@ object Dedup {
       xxhash64(slice(sig, j * rows + 1, rows), lit(j))
     }: _*)
 
-  /** Near-duplicate pairs via MinHash/LSH: shingle → sign → band → bucket
-    * join → exact-Jaccard verify *within buckets only*, keeping pairs with
-    * verified Jaccard ≥ `threshold`.
-    *
-    * Buckets larger than `maxBucket` docs are dropped before the self-join
-    * (the quadratic-blowup guard: a pathological bucket of 1M docs would
-    * otherwise emit 5·10^11 candidate pairs on one reducer). Output is one
-    * row per (doc_a < doc_b) pair with its exact Jaccard.
-    */
   /** LSH band buckets (doc_id, band_idx, band_hash) for a document
     * frame. Each step references the PREVIOUS step's column as a plan
     * attribute, not as an inlined expression tree: building
@@ -177,13 +168,19 @@ object Dedup {
     * are a separate [[exactDedup]] pass.
     */
   def incrementalExactDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    // internal column, guarded like asofJoin's namespace: a batch frame
+    // that already carries a stored fingerprint column must not have it
+    // silently recomputed-over and dropped
+    val fpCol = "__fp_incr"
+    require(!newDocs.columns.contains(fpCol),
+      s"incrementalExactDedup: newDocs must not already have a $fpCol column")
     val corpusFps = corpus
-      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(TextAnalysis.fingerprint(col("text")).as(fpCol))
       .distinct()
     newDocs
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      .join(corpusFps, Seq("fp"), "left_anti")
-      .drop("fp")
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+      .join(corpusFps, Seq(fpCol), "left_anti")
+      .drop(fpCol)
   }
 
   /** Incremental near-dup screen: (new_id, corpus_id, jaccard) pairs
@@ -215,20 +212,45 @@ object Dedup {
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
     val candidates = nb.join(cb, Seq("band_idx", "band_hash"))
       .select("new_id", "corpus_id").distinct()
-    val newSh = newSpread
-      .join(candidates.select(col("new_id").as("doc_id")).distinct(), "doc_id")
-      .select(col("doc_id").as("new_id"), shingles(col("text"), ngram).as("sh_n"))
-    val corpSh = corpusSpread
-      .join(candidates.select(col("corpus_id").as("doc_id")).distinct(), "doc_id")
-      .select(col("doc_id").as("corpus_id"), shingles(col("text"), ngram).as("sh_c"))
-    candidates
-      .join(newSh, "new_id")
-      .join(corpSh, "corpus_id")
-      .withColumn("jaccard", round(jaccard(col("sh_n"), col("sh_c")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("new_id", "corpus_id", "jaccard")
+    verifyCandidates(candidates, newSpread, corpusSpread,
+      "new_id", "corpus_id", ngram, threshold)
   }
 
+  /** Exact-Jaccard verification of an LSH candidate pair list: docs
+    * appearing in candidates are re-shingled via a semi-join (candidates
+    * << corpus at scale, so the expensive shingle expression runs on a
+    * small slice instead of a second full-corpus pass), then pairs keep
+    * only verified Jaccard ≥ `threshold`. One implementation serves the
+    * self-join ([[minhashDupPairs]]) and cross-frame
+    * ([[incrementalNearDup]]) paths so the verify semantics cannot
+    * drift.
+    */
+  private def verifyCandidates(candidates: DataFrame, aDocs: DataFrame,
+      bDocs: DataFrame, aCol: String, bCol: String, ngram: Int,
+      threshold: Double): DataFrame = {
+    val aSh = aDocs
+      .join(candidates.select(col(aCol).as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as(aCol), shingles(col("text"), ngram).as("__sh_a"))
+    val bSh = bDocs
+      .join(candidates.select(col(bCol).as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as(bCol), shingles(col("text"), ngram).as("__sh_b"))
+    candidates
+      .join(aSh, aCol)
+      .join(bSh, bCol)
+      .withColumn("jaccard", round(jaccard(col("__sh_a"), col("__sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(aCol, bCol, "jaccard")
+  }
+
+  /** Near-duplicate pairs via MinHash/LSH: shingle → sign → band → bucket
+    * join → exact-Jaccard verify *within buckets only*, keeping pairs with
+    * verified Jaccard ≥ `threshold`.
+    *
+    * Buckets larger than `maxBucket` docs are dropped before the self-join
+    * (the quadratic-blowup guard: a pathological bucket of 1M docs would
+    * otherwise emit 5·10^11 candidate pairs on one reducer). Output is one
+    * row per (doc_a < doc_b) pair with its exact Jaccard.
+    */
   def minhashDupPairs(
       documents: DataFrame,
       threshold: Double = 0.7,
@@ -252,20 +274,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       // a pair found by several bands must verify once, not once per band
       .select("doc_a", "doc_b").distinct()
-    // re-shingle ONLY the docs that appear in candidate pairs: at corpus
-    // scale candidates << corpus, so the expensive shingle expression runs
-    // on a small semi-joined slice instead of a second full-corpus pass
-    val candIds = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val candSh = docsSpread.join(candIds, "doc_id")
-      .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
-    candidates
-      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyCandidates(candidates, docsSpread, docsSpread,
+      "doc_a", "doc_b", ngram, threshold)
   }
 
   /** Connected components over near-dup pairs — the cluster-resolution

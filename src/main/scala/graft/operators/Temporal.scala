@@ -36,9 +36,12 @@ object Temporal {
     * cross-product anywhere. Right rows sort BEFORE left rows at equal
     * ts (tag 0 < 1), so ts-equality matches, mirroring SQL `ASOF ... >=`.
     *
-    * `rightTiebreak` orders right rows that share a timestamp (last one
-    * wins); left-side rows carry nulls in those columns, which cannot
-    * reorder them relative to right rows because the tag sorts first.
+    * `rightTiebreak` orders right rows that share a timestamp: backward
+    * resolves ties to the HIGHEST tiebreak (the latest observation),
+    * forward to the LOWEST (the earliest) — the tiebreak's meaning
+    * follows the direction. Left-side rows carry nulls in those
+    * columns, which cannot reorder them relative to right rows because
+    * the tag sorts first.
     *
     * Caveat (documented, inherent to the ignoreNulls sweep): a right row
     * whose payload value is itself null is looked through to the previous
@@ -77,11 +80,19 @@ object Temporal {
     // before); forward sweeps ts-DESCENDING, so the last right seen is
     // the EARLIEST at-or-after. The tag still sorts right rows before
     // left rows at equal ts in both sweeps, keeping >= / <= inclusive.
-    val tsOrd =
-      if (direction == "backward") col("__ts").asc else col("__ts").desc
+    // The tiebreak polarity flips with the sweep so its MEANING follows
+    // the direction: backward picks the LATEST observation, so ts-ties
+    // resolve to the highest tiebreak (tb asc, last-seen = max);
+    // forward picks the EARLIEST, so ts-ties resolve to the LOWEST
+    // tiebreak (tb desc, last-seen = min).
+    val (tsOrd, tbOrd) =
+      if (direction == "backward")
+        (col("__ts").asc, tb.map(col(_).asc))
+      else
+        (col("__ts").desc, tb.map(col(_).desc))
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(Seq(tsOrd, col("__tag").asc) ++ tb.map(col): _*)
+      .orderBy(Seq(tsOrd, col("__tag").asc) ++ tbOrd: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = payload.foldLeft(unioned) { (df, c) =>
       df.withColumn(prefix + c, last(col(s"__p_$c"), ignoreNulls = true).over(w))

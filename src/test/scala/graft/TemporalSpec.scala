@@ -63,6 +63,41 @@ class TemporalSpec extends SparkSpec {
     out(4L) shouldBe None       // key 'b' has no right rows
   }
 
+  test("asofJoin forward: ts-ties resolve to the LOWEST tiebreak (earliest)") {
+    val right = Seq(("a", 100L, 1L, 5.0), ("a", 100L, 2L, 7.0))
+      .toDF("k", "ts", "seq", "price")
+    val out = Temporal
+      .asofJoin(asofLeft.filter($"id" === 3L), right, Seq("k"), "ts", "ts",
+        Seq("price"), rightTiebreak = Seq("seq"), direction = "forward")
+      .select("asof_price").collect()
+    out.head.getDouble(0) shouldBe 5.0 // seq=1, the earliest observation
+  }
+
+  test("asofJoin forward: matches the brute-force as-of on random data") {
+    val l = spark.range(300).select(
+      (col("id") % 7).cast("string").as("k"),
+      pmod(hash(col("id")), lit(1000)).cast("long").as("ts"),
+      col("id").as("lid"))
+    val r = spark.range(80).select(
+      (col("id") % 7).cast("string").as("k"),
+      pmod(hash(col("id") * 31), lit(1000)).cast("long").as("ts"),
+      col("id").as("rid"))
+    val fast = Temporal
+      .asofJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"),
+        rightTiebreak = Seq("rid"), direction = "forward")
+      .select(col("lid"), col("asof_rid"))
+    // forward winner = (min ts >= left ts, then min rid)
+    val brute = l.join(
+      r.select(col("k"), col("ts").as("rts"), col("rid")), Seq("k"), "left")
+      .filter(col("rts") >= col("ts") || col("rts").isNull)
+      .groupBy("lid")
+      .agg(min(struct(col("rts"), col("rid"))).getField("rid").as("asof_rid"))
+    val expected = l.select("lid").join(brute, Seq("lid"), "left")
+      .select(col("lid"), col("asof_rid"))
+    rowSet(fast) shouldBe rowSet(expected)
+    fast.filter(col("asof_rid").isNotNull).count() should be > 0L
+  }
+
   test("asofJoin: matches the brute-force as-of on random data") {
     val l = spark.range(300).select(
       (col("id") % 7).cast("string").as("k"),
