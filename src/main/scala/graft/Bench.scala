@@ -41,7 +41,12 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_BENCH_ONLY=q36,q48 narrows the run for local iteration
+    // (prefix match on query names); unset = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // two passes per query, report the min: this box shows ~2x run-to-run

