@@ -663,6 +663,63 @@ object SparkEntry {
           col("scale"),
           concat_ws(",", transform(col("qvec"), _.cast("string")))
             .as("qvec_csv"))
+        .orderBy("vec_id")),
+
+    // ---- URL/domain screen: crawl docs carry deterministic synthetic
+    // URLs (source spreads over 3 registered domains, every 7th doc
+    // plain http), parsed back by the operator and screened against a
+    // blocklist — the pre-content filter of a web-corpus pipeline ------
+    "q90_url_screen" -> ((s, d) => {
+      val docs = Tables(s, d).documents.withColumn("url",
+        concat(
+          when(col("doc_id") % 7 === 0, lit("http")).otherwise(lit("https")),
+          lit("://"), col("source"), lit(".example"), col("doc_id") % 3,
+          lit(".com/"), col("lang"), lit("/doc/"), col("doc_id")))
+      Web.domainScreen(docs, Seq("example2.com"))
+        .select("doc_id", "url", "host", "registered_domain", "path_depth",
+          "is_https", "blocked")
+        .orderBy("doc_id")
+    }),
+
+    // ---- chunk-level exact dedup (boilerplate spans shared ACROSS
+    // distinct docs; 32-token non-overlapping chunks) -------------------
+    "q91_dedup_chunks" -> ((s, d) =>
+      Dedup.dedupChunks(Tables(s, d).documents, chunkTokens = 32)
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- ORC roundtrip through sink+scan, same contract as q42-q44 ----
+    "q92_orc_roundtrip" -> ((s, d) => {
+      val src = Tables(s, d).orders
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rt_orc_$rtTag"
+      Sinks.writeOrc(src, dir)
+      Ingest.readOrc(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- per-language percentile length pruning (drop each language's
+    // shortest decile — distribution-relative Gopher length rule) -------
+    "q93_length_prune" -> ((s, d) =>
+      Curation.lengthPrune(Tables(s, d).documents, dropBelow = 0.1)
+        .orderBy("doc_id")),
+
+    // ---- per-user EWMA of event values (deterministic ordered fold;
+    // cross-engine bit-reproducible, unlike pow()-weight double sums) ---
+    "q94_user_ewma" -> ((s, d) =>
+      Temporal.ewma(Tables(s, d).events, Seq("user_id"), "ts", "event_id",
+        "value", alpha = 0.2)
+        .orderBy("user_id")),
+
+    // ---- k-means document-embedding clustering (rows-only: the oracle
+    // cannot run 5 Lloyd iterations; determinism + objective descent +
+    // nearest-centroid fixpoint are asserted in SimilaritySpec) ---------
+    "q95_kmeans" -> ((s, d) =>
+      Similarity.kMeans(Tables(s, d).embeddings, k = 8, iters = 5)
         .orderBy("vec_id"))
   )
 
@@ -1568,6 +1625,84 @@ object SparkEntry {
                ELSE list_transform(emb,
                  x -> CAST(CAST(round(x / scale) AS TINYINT) AS VARCHAR))
              END, ',') AS qvec_csv
-         FROM s ORDER BY vec_id"""
+         FROM s ORDER BY vec_id""",
+
+    // host/path via split_part (clean synthetic URLs, so string splitting
+    // agrees with Spark's java.net.URI parse; messy-URL semantics —
+    // ports, userinfo, query strings — are asserted in WebSpec)
+    "q90_url_screen" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END)
+               || '://' || source || '.example' || (doc_id % 3) || '.com/'
+               || lang || '/doc/' || doc_id AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+             lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+             split_part(url, '://', 2) AS hp
+           FROM u)
+         SELECT doc_id, url, host,
+           regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS registered_domain,
+           CAST(len(list_filter(
+             string_split(substr(hp, len(host) + 1), '/'), x -> x <> ''))
+             AS BIGINT) AS path_depth,
+           url LIKE 'https://%' AS is_https,
+           regexp_extract(host, '([^.]+[.][^.]+)$', 1) = 'example2.com'
+             AS blocked
+         FROM p ORDER BY doc_id""",
+
+    // chunking CTE as in q85 (stride = size = 32, no overlap); grouping
+    // by the raw chunk text equals the engine's md5-fingerprint grouping
+    // because the fingerprint's whitespace normalization is the identity
+    // on space-joined tokens
+    "q91_dedup_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+          n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+            FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks, n_toks,
+            unnest(generate_series(0, CAST((n_toks - 1) // 32 AS BIGINT)))
+              AS chunk_id
+            FROM n),
+          ch AS (SELECT doc_id, chunk_id,
+            array_to_string(list_slice(toks,
+              CAST(chunk_id * 32 + 1 AS INT),
+              CAST(chunk_id * 32 + 32 AS INT)), ' ') AS chunk_text,
+            least(32, n_toks - chunk_id * 32) AS n_chunk_tokens
+            FROM c)
+          SELECT doc_id, chunk_id, n_chunk_tokens,
+            row_number() OVER (PARTITION BY chunk_text
+              ORDER BY doc_id, chunk_id) = 1 AS kept,
+            count(*) OVER (PARTITION BY chunk_text) AS n_copies
+          FROM ch ORDER BY doc_id, chunk_id""",
+
+    "q92_orc_roundtrip" ->
+      """SELECT o_orderstatus,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+         count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // percent_rank = (rank-1)/(n-1) in both engines; ties share a rank,
+    // and the filter runs on the unrounded value in both
+    "q93_length_prune" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len($Toks) AS BIGINT) AS n_toks FROM documents),
+          p AS (SELECT doc_id, lang, n_toks,
+            percent_rank() OVER (PARTITION BY lang ORDER BY n_toks) AS pr
+            FROM t)
+          SELECT doc_id, lang, n_toks, round(pr, 4) AS len_pr
+          FROM p WHERE pr >= 0.1 ORDER BY doc_id""",
+
+    // list(... ORDER BY) + list_reduce folds left-to-right seeded with
+    // the first element — the exact double-precision recursion the
+    // engine's sort_array + aggregate fold runs, so values match
+    // bit-for-bit before the defensive round
+    "q94_user_ewma" ->
+      """SELECT user_id, count(*) AS n_obs,
+           round(list_reduce(
+             list_transform(list(value ORDER BY ts, event_id),
+               x -> CAST(x AS DOUBLE)),
+             (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS ewma
+         FROM events WHERE value IS NOT NULL
+         GROUP BY user_id ORDER BY user_id"""
   )
 }

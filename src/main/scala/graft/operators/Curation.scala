@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Percentile-based length pruning (the distribution-relative form of
+    * Gopher's length rules): drop each language's shortest `dropBelow`
+    * quantile instead of using one absolute token floor, so a threshold
+    * tuned on English doesn't over-prune languages with different token
+    * statistics. `percent_rank` = (rank−1)/(n−1) over (lang, token
+    * count) — one shuffle on lang; ties share a rank, so equal-length
+    * docs are kept or dropped together (no arbitrary cut inside a tie
+    * class). Skew note: partition-per-language is fine while languages
+    * number in the hundreds; a corpus dominated by one language still
+    * sorts that language on one reducer chain — at that scale switch the
+    * rank to approx_percentile thresholds computed per language and
+    * broadcast back (same decisions up to sketch error, no global sort).
+    */
+  def lengthPrune(documents: DataFrame, dropBelow: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_toks").asc)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("len_pr", percent_rank().over(w))
+      .filter(col("len_pr") >= dropBelow)
+      .withColumn("len_pr", round(col("len_pr"), 4))
+  }
+
   /** Curate: keep docs whose token count lies in [minTokens, maxTokens]
     * and whose predicted language is in `keepLangs`, then keep one doc
     * (lowest doc_id) per content fingerprint. Output carries the

@@ -79,6 +79,32 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Chunk-level exact dedup — the span-granularity pass (C4/RefinedWeb
+    * style) that catches boilerplate repeated ACROSS distinct documents,
+    * which document-level fingerprints miss entirely. Documents are cut
+    * into non-overlapping `chunkTokens`-token chunks
+    * ([[graft.operators.TextOps.chunkDocuments]] with stride =
+    * chunkTokens), and each distinct chunk text keeps exactly one
+    * canonical occurrence: the lowest (doc_id, chunk_id). Output is a
+    * decision table — (doc_id, chunk_id, n_chunk_tokens, kept, n_copies)
+    * — from which a pipeline reassembles kept spans or drops offending
+    * docs.
+    *
+    * One shuffle: both window functions share the chunk-fingerprint
+    * partitioning (dedup groups on the md5 fingerprint, never the raw
+    * chunk string — at 100 TB the shuffle carries 16 bytes per chunk, not
+    * the text).
+    */
+  def dedupChunks(documents: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    val part = Window.partitionBy(col("__cfp"))
+    val ord = part.orderBy(col("doc_id").asc, col("chunk_id").asc)
+    TextOps.chunkDocuments(documents, chunkTokens, chunkTokens)
+      .withColumn("__cfp", TextAnalysis.fingerprint(col("chunk_text")))
+      .withColumn("kept", row_number().over(ord) === 1)
+      .withColumn("n_copies", count(lit(1)).over(part))
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "kept", "n_copies")
+  }
+
   /** Corpus-level dup statistics (one output row). */
   def dupStats(documents: DataFrame): DataFrame =
     documents.agg(

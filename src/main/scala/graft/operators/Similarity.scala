@@ -362,4 +362,92 @@ object Similarity {
       col("vec_id"),
       transform(col("qvec"), q => (q.cast("double") * col("scale"))
         .cast("float")).as("embedding"))
+
+  /** Corpus with squared-Euclidean argmin cluster over literal centroids
+    * — a pure projection (no shuffle). The distance array is materialized
+    * as ONE attribute before the argmin reads two fields out of it, and
+    * distance ties break to the lower cluster id (deterministic).
+    */
+  private def assignClusters(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val cands = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(
+          zip_with(toDouble(col("embedding")), typedLit(c.toSeq),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("d2"),
+        lit(i).as("cluster"))
+    }.toIndexedSeq: _*)
+    Dedup.spread(embeddings)
+      .withColumn("__best", array_min(cands))
+      .select(col("vec_id"), col("embedding"),
+        col("__best").getField("cluster").as("cluster"),
+        col("__best").getField("d2").as("dist2"))
+  }
+
+  /** Lloyd's k-means over the embedding column — the clustering a
+    * data-mixing / domain-discovery pipeline runs over document
+    * embeddings. Deterministic by construction: seeds are the k
+    * lowest-vec_id vectors, distance ties assign to the lower cluster
+    * id, and centroid updates average via exact DECIMAL sums — so
+    * repeated (and resumed) runs produce identical clusterings, the
+    * property that makes a 100-TB clustering job retry-safe.
+    *
+    * Scale shape: centroids are driver state (k × dim doubles, the same
+    * bounded coarse-quantizer pattern as IVF); each iteration is ONE
+    * distributed pass — assignment as a projection over literal
+    * centroids fused into a posexplode + groupBy on (cluster, dim) —
+    * collecting k·dim rows back. Empty clusters keep their previous
+    * centroid. The per-cluster sum of squared distances rides along in
+    * the same aggregate (each (cluster, pos) row repeats its row set's
+    * dist2 sum, so Σ/dim recovers the objective with no second pass).
+    *
+    * Returns (final centroids, objective after each assignment pass —
+    * non-increasing, asserted in tests).
+    */
+  def kMeansFit(embeddings: DataFrame, k: Int = 8, iters: Int = 5)
+      : (Array[Array[Double]], Seq[Double]) = {
+    require(k > 0, "k must be positive")
+    require(iters > 0, "iters must be positive")
+    val seed = embeddings.orderBy("vec_id").limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seed.length == k, s"corpus has fewer than $k vectors")
+    val dim = seed(0).length
+    var cents = seed
+    val objectives = Seq.newBuilder[Double]
+    (1 to iters).foreach { _ =>
+      val perDim = assignClusters(embeddings, cents)
+        .select(col("cluster"), col("dist2"),
+          posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(
+          sum(col("v").cast("decimal(30,12)")).as("s"),
+          count(lit(1)).as("n"),
+          sum(col("dist2").cast("decimal(30,12)")).as("sd"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      var obj = BigDecimal(0)
+      perDim.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
+        obj += BigDecimal(r.getDecimal(4))
+      }
+      objectives += (obj / dim).toDouble
+      cents = next
+    }
+    (cents, objectives.result())
+  }
+
+  /** [[kMeansFit]] + final assignment: (vec_id, cluster, dist2). The
+    * fitted centroids also slot straight into [[buildIvfIndex]]-style
+    * cell partitioning — k-means IS the IVF quantizer trained without
+    * labels.
+    */
+  def kMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val (cents, _) = kMeansFit(embeddings, k, iters)
+    assignClusters(embeddings, cents)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("dist2"), 6).as("dist2"))
+  }
 }

@@ -144,6 +144,48 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Exponentially-weighted moving average of `valCol` per key, over
+    * events ordered by (`tsCol`, `tiebreak`): s₁ = v₁,
+    * sᵢ = α·vᵢ + (1−α)·sᵢ₋₁; returns one row per key with the final
+    * smoothed value and the observation count. Null observations are
+    * excluded up front (keys with none drop out).
+    *
+    * The fold runs LEFT-TO-RIGHT over a per-key `sort_array`ed
+    * collect_list — deliberately, not via window pow()-weight sums:
+    * a weighted groupBy-sum of doubles is merge-order-nondeterministic
+    * (FP addition doesn't associate), while this fold applies the exact
+    * recursion in one deterministic order, bit-reproducible across runs
+    * AND engines. Cost model: state is O(events per key) — right for
+    * per-user/per-entity histories (bounded by retention); for unbounded
+    * per-key histories, window the input first (EWMA over a bounded
+    * trailing slice), which this same operator serves downstream of a
+    * time filter.
+    */
+  def ewma(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tiebreak: String,
+      valCol: String,
+      alpha: Double = 0.2): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val a = lit(alpha)
+    val q = lit(1.0 - alpha)
+    events
+      .filter(col(valCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct(
+          col(tsCol).as("t"), col(tiebreak).as("b"),
+          col(valCol).cast("double").as("v")))).as("__ord"))
+      .withColumn("ewma", round(
+        aggregate(col("__ord"), lit(null).cast("double"),
+          (acc, x) => coalesce(a * x.getField("v") + q * acc,
+            x.getField("v"))), 4))
+      .drop("__ord")
+  }
+
   // ------------------------------------------------------------------
   // Gate instantiations over the driver's events table
   // ------------------------------------------------------------------

@@ -105,6 +105,12 @@ object Ingest {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** ORC scan — self-describing columnar; pushdown and pruning reach the
+    * reader exactly as with parquet.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S8 helper: parse an in-flight string column as CSV against a schema
     * (from_csv) — the programmatic-StructType path without touching disk.
     */

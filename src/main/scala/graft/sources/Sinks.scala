@@ -34,6 +34,12 @@ object Sinks {
       .parquet(path)
   }
 
+  /** ORC sink — the columnar-interchange alternative to parquet (same
+    * predicate-pushdown/column-pruning contract, different ecosystem).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** K4: managed-table sink (`303-spark-sql/README.md:61-66`). */
   def saveTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 
 class CurationSpec extends SparkSpec {
 
@@ -32,5 +32,21 @@ class CurationSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).length
     exchanges should be <= 2 // spread round-robin + window hash partition
     p should not include "SortMergeJoin" // no join-backs between stages
+  }
+
+  test("lengthPrune drops each language's shortest decile, ties together") {
+    val docs = tables.documents.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val kept = Curation.lengthPrune(tables.documents, dropBelow = 0.1)
+    kept.count() should be < docs.count()
+    // within every language, every dropped doc is strictly shorter than
+    // every kept doc — a tie class is never split by the cut
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    dropped.groupBy("lang").agg(max("n_toks").as("mx"))
+      .join(kept.groupBy("lang").agg(min("n_toks").as("mn")), "lang")
+      .filter(col("mx") >= col("mn")).count() shouldBe 0
+    // the decile is distribution-relative: every language loses docs
+    dropped.select("lang").distinct().count() shouldBe
+      docs.select("lang").distinct().count()
   }
 }

@@ -173,4 +173,28 @@ class DedupSpec extends SparkSpec {
     out.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((9001L, 7L))
     out.head.getDouble(2) should be >= 0.7
   }
+
+  test("dedupChunks keeps one canonical copy of a cross-doc repeated chunk") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "a b c d a b c d"), // repeats doc 1's first chunk, twice
+      (3L, "p q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, chunkTokens = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3), r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      (1L, 0L, true, 3L), // canonical 'a b c d' of three copies
+      (1L, 1L, true, 1L),
+      (2L, 0L, false, 3L),
+      (2L, 1L, false, 3L),
+      (3L, 0L, true, 1L))
+  }
+
+  test("dedupChunks: both windows share one fingerprint shuffle") {
+    val p = plan(Dedup.dedupChunks(tables.documents, 32))
+    // at most the spread round-robin + the window hash partitioning
+    "Exchange".r.findAllIn(p).length should be <= 2
+  }
 }

@@ -183,4 +183,14 @@ class IngestSpec extends SparkSpec {
       joined.count() shouldBe expected
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("ORC roundtrip preserves schema and rows exactly") {
+    val src = tables.orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = tmpDir("orc")
+    Sinks.writeOrc(src, dir)
+    val back = Ingest.readOrc(spark, dir)
+    back.schema shouldBe src.schema
+    rowSet(back) shouldBe rowSet(src)
+  }
 }

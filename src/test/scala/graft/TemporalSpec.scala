@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Relational, Temporal, TextAnalysis}
@@ -228,5 +229,34 @@ class TemporalSpec extends SparkSpec {
 
   test("redactPii: pure projection — no shuffle in the plan") {
     plan(TextAnalysis.redactPii(tables.documents)) should not include "Exchange"
+  }
+
+  test("ewma folds in timestamp order and skips null observations") {
+    // rows deliberately out of order; user 1's null at ts=20 is skipped
+    val ev = Seq(
+      (1L, 3L, 30L, Some(20.0)),
+      (1L, 1L, 10L, Some(10.0)),
+      (2L, 4L, 10L, Some(5.0)),
+      (1L, 2L, 20L, None),
+      (3L, 5L, 10L, None) // all-null user drops out entirely
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Temporal.ewma(ev, Seq("user_id"), "ts", "event_id", "value",
+      alpha = 0.2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out shouldBe Map(
+      1L -> ((2L, 0.2 * 20.0 + 0.8 * 10.0)), // = 12.0
+      2L -> ((1L, 5.0)))
+  }
+
+  test("ewma with alpha=1 is just the latest observation per key") {
+    val latest = Temporal.ewma(tables.events, Seq("user_id"), "ts",
+      "event_id", "value", alpha = 1.0)
+      .select(col("user_id"), col("ewma"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = tables.events.filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), round(col("value"), 4).as("ewma"))
+    rowSet(latest) shouldBe rowSet(expected)
   }
 }
