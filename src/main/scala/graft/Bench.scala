@@ -68,21 +68,28 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
       }
     }
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    println(json)
-    // sbt interleaves [info]/[success] lines on stdout, so the driver could
-    // not reliably parse the line above (BENCH_r02 "parsed": null). Also
-    // write the JSON alone to a file the harness can read directly.
+    val full =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    // The driver reads only the stdout TAIL, and the full per-query map
+    // (~4 KB) overflows that window — its head truncates mid-key and the
+    // line never parses (BENCH_r02/r03 "parsed": null). So: full JSON goes
+    // to a file, and the FINAL stdout line is a compact summary (< 1 KB)
+    // with just the slowest 5 queries inline.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slow5 = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"queries":$slow5,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, TextAnalysis}
 
@@ -36,7 +37,7 @@ class CurationSpec extends SparkSpec {
 
   test("lengthPrune drops each language's shortest decile, ties together") {
     val docs = tables.documents.select(col("doc_id"), col("lang"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      F.size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
     val kept = Curation.lengthPrune(tables.documents, dropBelow = 0.1)
     kept.count() should be < docs.count()
     // within every language, every dropped doc is strictly shorter than

@@ -27,7 +27,8 @@ object SparkSpec {
 }
 
 trait SparkSpec extends AnyFunSuite with Matchers {
-  def spark: SparkSession = SparkSpec.spark
+  // Stable val (not def) so `import spark.implicits._` compiles in specs.
+  lazy val spark: SparkSession = SparkSpec.spark
   def tables: Tables = SparkSpec.tables
 
   /** Physical-plan string for plan-shape assertions. */
