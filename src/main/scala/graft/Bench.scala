@@ -68,7 +68,10 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
       }
     }
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a
+    // comma-decimal default locale would emit invalid JSON.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -88,7 +91,7 @@ object Bench {
     val slow5 = timings.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"queries":$slow5,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"slowest":$slow5,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
     println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
