@@ -157,7 +157,7 @@ object SparkEntry {
       Dedup.minhashDupPairs(Tables(s, d).documents, threshold = 0.7,
         k = 64, bands = 32).orderBy("doc_a", "doc_b")),
     "q32_simhash_dup_pairs" -> ((s, d) =>
-      Dedup.simhashDupPairs(Tables(s, d).documents)
+      Dedup.simhashDupPairs(Tables(s, d).documents, portable = true)
         .orderBy("doc_a", "doc_b")),
 
     // ---- curation pipeline (quality → language → dedup, one pass) -----
@@ -1058,6 +1058,46 @@ object SparkEntry {
           SELECT doc_a, doc_b, jaccard FROM p
           WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""",
 
+    // full replay of the portable simhash pipeline: md5-60-bit token
+    // hashes → ±1 bit-sum sketch → four 15-bit chunks → bounded buckets
+    // → xor/bit_count Hamming verify. Every step is engine-neutral
+    // integer arithmetic, so the pair set matches exactly.
+    "q32_simhash_dup_pairs" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_distinct($Toks)) AS tok
+            FROM documents),
+          th AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks),
+          bs AS (
+            SELECT doc_id, i, sum((h >> i) & 1) AS c, count(*) AS n
+            FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+            GROUP BY doc_id, i),
+          sig0 AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN 2 * c > n THEN (1::BIGINT << i)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bs GROUP BY doc_id),
+          sig AS (
+            SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+          ch AS (
+            SELECT doc_id, simhash, i AS chunk_idx,
+              (simhash >> (i * 15)) & 32767 AS chunk
+            FROM sig CROSS JOIN (SELECT unnest(range(4)) AS i) t),
+          bd AS (
+            SELECT doc_id, simhash, chunk_idx, chunk FROM (
+              SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk) AS bn
+              FROM ch) WHERE bn <= 1000),
+          pr AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM bd a JOIN bd b USING (chunk_idx, chunk)
+            WHERE a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM pr
+          WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+
     "q75_sql_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
            FROM embeddings WHERE vec_id < 5),
@@ -1703,6 +1743,67 @@ object SparkEntry {
                x -> CAST(x AS DOUBLE)),
              (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS ewma
          FROM events WHERE value IS NOT NULL
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q95_kmeans" -> kMeansOracle(k = 8, iters = 5)
   )
+
+  /** DuckDB replay of [[graft.operators.Similarity.kMeans]]: seeds are
+    * the k lowest-vec_id vectors, then `iters` chained Lloyd rounds —
+    * each an argmin-assignment CTE (distance tie → lower cluster id)
+    * feeding a DECIMAL-exact per-(cluster, dim) mean CTE, empty clusters
+    * carried over by LEFT JOIN — and a final assignment pass. Distances
+    * fold left-to-right (list_dot_product of the diff list with itself ==
+    * Spark's aggregate/zip_with fold, the same IEEE add sequence as
+    * q33/q75), and centroid updates are CAST(sum(DECIMAL(30,12)) AS
+    * DOUBLE)/count — bit-identical to the Spark fit's BigDecimal math,
+    * so all `iters` rounds stay in lockstep and the final (cluster,
+    * dist2) assignment hash-matches.
+    */
+  private def kMeansOracle(k: Int, iters: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+            SELECT vec_id, emb, cluster, d2 FROM (
+              SELECT vec_id, emb, cluster, d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+                  AS rn
+              FROM (
+                SELECT vec_id, emb, cluster,
+                  list_dot_product(diff, diff) AS d2
+                FROM (
+                  SELECT e.vec_id, e.emb, c.cluster,
+                    list_transform(range(1, len(e.emb) + 1),
+                      j -> e.emb[j] - c.cent[j]) AS diff
+                  FROM emb e CROSS JOIN $cents c)))
+            WHERE rn = 1)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${assign(s"assign_$i", s"cents_${i - 1}")},
+          upd_$i AS (
+            SELECT cluster, pos,
+              CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+                AS val
+            FROM (SELECT a.cluster, unnest(a.emb) AS v,
+                    generate_subscripts(a.emb, 1) AS pos
+                  FROM assign_$i a)
+            GROUP BY cluster, pos),
+          cents_$i AS (
+            SELECT p.cluster, coalesce(u.cent, p.cent) AS cent
+            FROM cents_${i - 1} p LEFT JOIN (
+              SELECT cluster, list(val ORDER BY pos) AS cent
+              FROM upd_$i GROUP BY cluster) u USING (cluster))"""
+    }.mkString(",\n")
+    s"""WITH emb AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        cents_0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+            AS cluster, emb AS cent
+          FROM (SELECT vec_id, emb FROM emb ORDER BY vec_id LIMIT $k)),
+        $rounds,
+        ${assign("assign_final", s"cents_$iters")}
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+          round(d2, 6) AS dist2
+        FROM assign_final ORDER BY vec_id"""
+  }
 }

@@ -408,20 +408,56 @@ object Dedup {
         array_distinct(TextAnalysis.tokens(col("text")))).as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs: band the 64-bit sketch into four
-    * 16-bit chunks; by pigeonhole, any pair within Hamming distance 3
-    * shares at least one chunk. Verify with bit_count(xor) ≤ maxHamming
-    * inside buckets only.
+  /** Cross-engine-reproducible SimHash twin of [[simhash]]: the per-token
+    * hash is the first 15 hex chars of md5 (60 bits — the widest md5
+    * prefix that stays positive in a signed 64-bit int in BOTH Spark and
+    * DuckDB), so an external SQL engine can recompute the identical
+    * sketch and oracle-check the whole near-dup pipeline. Same ±1
+    * bit-sum rule, same pure-projection shape (the hash array is
+    * materialized ONCE as an attribute, then 60 codegen'd filter/size
+    * passes fold into the sketch — no explode, no shuffle). The native
+    * XXH64 form stays the production default: one fused loop beats 60
+    * array passes; this form exists to make the pipeline's banding,
+    * bucketing and Hamming-verify logic externally checkable.
+    */
+  def simhashPortable(documents: DataFrame, bits: Int = 60): DataFrame = {
+    require(bits > 0 && bits <= 60, "portable simhash is at most 60 bits")
+    val hashes = transform(
+      array_distinct(TextAnalysis.tokens(col("text"))),
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)
+        .cast("long"))
+    spread(documents)
+      .select(col("doc_id"), hashes.as("__hs"))
+      .select(
+        col("doc_id"),
+        (0 until bits).map { i =>
+          when(
+            size(filter(col("__hs"),
+              h => h.bitwiseAND(lit(1L << i)) =!= lit(0L))) * 2
+              > size(col("__hs")),
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: band the sketch into four chunks;
+    * by pigeonhole, any pair within Hamming distance 3 shares at least
+    * one chunk. Verify with bit_count(xor) ≤ maxHamming inside buckets
+    * only. `portable = true` swaps the XXH64 sketch for the md5-based
+    * [[simhashPortable]] (60-bit, 15-bit chunks) so a DuckDB oracle can
+    * replay the identical pipeline.
     */
   def simhashDupPairs(
       documents: DataFrame,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val sh = simhash(documents)
+      maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val sh = if (portable) simhashPortable(documents) else simhash(documents)
+    val chunkBits = if (portable) 15 else 16
+    val chunkMask = (1L << chunkBits) - 1
     val chunks = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { j =>
-        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
+        shiftright(col("simhash"), j * chunkBits).bitwiseAND(chunkMask)
       }: _*)).as(Seq("chunk_idx", "chunk")))
     val bounded = chunks.withColumn(
       "bucket_n",

@@ -101,6 +101,22 @@ class DedupSpec extends SparkSpec {
     sigs(1L) shouldBe sigs(2L)
   }
 
+  test("portable (md5) simhash pipeline agrees on the same-token-set pair") {
+    val pairs = Dedup.simhashDupPairs(reordered, maxHamming = 3,
+      portable = true)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    pairs should contain((1L, 2L, 0))
+    // a 60-bit sketch: every signature must fit the positive 60-bit range
+    // both engines can represent (the cross-engine contract of the md5
+    // hash prefix)
+    Dedup.simhashPortable(reordered).as[(Long, Long)].collect()
+      .foreach { case (_, sig) =>
+        sig should be >= 0L
+        sig should be < (1L << 60)
+      }
+  }
+
   test("dupComponents resolves transitive chains to one canonical id") {
     // 1~2, 2~3 (no 1~3 edge) must still collapse to one component; 7~8
     // is a separate component; doc 9 appears in no pair -> absent

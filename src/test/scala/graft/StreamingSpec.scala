@@ -308,4 +308,49 @@ class StreamingSpec extends SparkSpec {
     // state recovered: 'a' counts from BOTH files; f1 not re-emitted twice
     counts shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
   }
+
+  test("S12: socket source streams lines from a live loopback socket") {
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    @volatile var sock: java.net.Socket = null
+    // the socket source connects on query start; this thread plays the
+    // netcat side — accept once, write lines, leave the pipe open so the
+    // source's reader thread can drain it
+    val writer = new Thread(() => {
+      try {
+        val s = server.accept()
+        sock = s
+        val out = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(s.getOutputStream,
+            java.nio.charset.StandardCharsets.UTF_8), true)
+        out.println("spark streams spark")
+        out.println("more spark lines")
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = Streams.runningWordCounts(
+        Streams.socketLines(spark, "127.0.0.1", port))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("s12").start()
+    try {
+      // socket delivery is asynchronous (a reader thread buffers lines
+      // between micro-batches): poll until the counts land
+      def cnt(w: String): Long = spark.table("s12")
+        .filter(col("word") === w).collect()
+        .headOption.map(_.getAs[Long]("cnt")).getOrElse(0L)
+      val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+      while (cnt("spark") != 3L && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(50)
+      }
+      cnt("spark") shouldBe 3L
+      cnt("lines") shouldBe 1L
+    } finally {
+      q.stop()
+      if (sock != null) sock.close()
+      server.close()
+    }
+  }
 }
