@@ -1130,6 +1130,55 @@ object SparkEntry {
          SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
          ORDER BY q_id, rnk""",
 
+    // brute-force replay of the multi-table sign-LSH pair pipeline: at
+    // (θ=0.95, 8 bits, 32 tables) a true pair escapes the candidate step
+    // with probability ~2e-8, so the LSH output equals the exhaustive
+    // pair set and the all-pairs oracle is sound on any corpus.
+    "q35_cosine_dup_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.95
+         ORDER BY id_a, id_b""",
+
+    // the fake decoder is deterministic byte math (md5 + mean byte +
+    // len/64 frames), so DuckDB replays it exactly: per-byte values come
+    // from hex(encode(text)) pairs, and floor(x*10000 + 0.5)/10000 is
+    // Scala's math.round semantics for the 4-dp mean.
+    "q40_media_features" ->
+      """WITH b AS (SELECT doc_id, text, encode(text) AS p FROM documents),
+         h AS (SELECT doc_id, octet_length(p) AS n,
+           md5(text) AS content_md5, hex(p) AS hx FROM b),
+         s AS (SELECT doc_id, n, content_md5,
+           CASE WHEN n > 0 THEN
+             CAST(list_sum(list_transform(range(n),
+               i -> ('0x' || substr(hx, CAST(i*2+1 AS INT), 2))::BIGINT))
+               AS DOUBLE) / n
+           ELSE 0.0 END AS mean_raw
+           FROM h)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, content_md5,
+           floor(mean_raw * 10000 + 0.5) / 10000 AS mean_byte,
+           CAST(n // 64 + 1 AS INT) AS frame_count
+         FROM s ORDER BY doc_id""",
+
+    // frame lengths are pure arithmetic over the byte length: frame i
+    // covers bytes [i*64, min(n, (i+1)*64)), kept when i % stride = 0
+    // and non-empty.
+    "q41_frame_sample" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents),
+         f AS (SELECT doc_id, n,
+           unnest(range(greatest(CAST(ceil(n / 64.0) AS INT), 1))) AS fi
+           FROM b)
+         SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(least(64, n - fi * 64) AS BIGINT) AS frame_len
+         FROM f WHERE fi % 4 = 0 AND n - fi * 64 > 0
+         ORDER BY doc_id, frame_idx""",
+
     "q52_curate" ->
       """WITH t AS (SELECT doc_id, lang, source, n_chars,
            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,

@@ -295,28 +295,47 @@ object Similarity {
       k)
   }
 
-  /** Embedding near-duplicate pairs: corpus × corpus restricted to same
-    * LSH bucket, verified by exact cosine ≥ threshold. Same
-    * never-all-pairs shape as Dedup.minhashDupPairs.
+  /** Embedding near-duplicate pairs: corpus × corpus restricted to pairs
+    * sharing a bucket in AT LEAST ONE of `tables` independent sign-LSH
+    * tables, verified by exact cosine ≥ threshold. Same never-all-pairs
+    * shape as Dedup.minhashDupPairs, and the multi-table OR makes the
+    * candidate step near-exhaustive: a pair at cosine θ is missed with
+    * probability (1 - p^bits)^tables for p = 1 - acos(θ)/π — at the
+    * default (θ=0.95, 8 bits, 32 tables) that is ~2e-8, so the output
+    * EQUALS the brute-force pair set w.h.p. and a brute-force oracle can
+    * gate it on any corpus. Candidates travel as (id_a, id_b) only —
+    * embeddings are re-joined for the verify step AFTER pair dedup, so
+    * the bucket join and the distinct shuffle never carry vector
+    * payloads. At larger corpora raise `bits` (buckets ∝ 2^bits) to keep
+    * per-bucket candidate volume flat; `maxBucket` bounds the worst case
+    * regardless.
     */
   def cosineDupPairs(
       embeddings: DataFrame,
       threshold: Double = 0.95,
       bits: Int = 8,
+      tables: Int = 32,
       maxBucket: Int = 10000): DataFrame = {
-    val sig = Dedup.spread(embeddings)
-      .select(col("vec_id"), col("embedding"),
-        lshSignature(col("embedding"), bits).as("sig"))
-    val bounded = sig.withColumn(
-      "bucket_n", count(lit(1)).over(Window.partitionBy("sig")))
+    val idx = lshIndexFrame(embeddings, bits, tables)
+      .select("tbl", "sig", "vec_id")
+    val bounded = idx.withColumn(
+      "bucket_n", count(lit(1)).over(Window.partitionBy("tbl", "sig")))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val a = bounded.select(
-      col("sig"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = bounded.select(
-      col("sig"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, "sig")
+    val pairs = bounded.select(
+        col("tbl"), col("sig"), col("vec_id").as("id_a"))
+      .join(bounded.select(
+        col("tbl"), col("sig"), col("vec_id").as("id_b")),
+        Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")),
+        "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")),
+        "id_b")
       .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -205,4 +205,21 @@ class SimilaritySpec extends SparkSpec {
     pairs.filter(col("cos") < 0.9).count() shouldBe 0
     pairs.filter(col("id_a") >= col("id_b")).count() shouldBe 0
   }
+
+  test("cosineDupPairs recall: planted near-duplicates are all caught") {
+    // clone three corpus vectors with a tiny per-element nudge: cosine
+    // stays ≳0.9999, far above threshold. Multi-table banding must catch
+    // every planted pair (miss probability ~2e-8 per pair at defaults).
+    val clones = tables.embeddings.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.000001f)).as("embedding"))
+    val planted = tables.embeddings.select("vec_id", "embedding")
+      .union(clones)
+    val found = Similarity.cosineDupPairs(planted, threshold = 0.99)
+      .filter(col("id_b") >= 100000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    found should contain allOf(
+      (0L, 100000L), (1L, 100001L), (2L, 100002L))
+  }
 }
