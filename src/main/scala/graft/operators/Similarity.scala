@@ -80,18 +80,16 @@ object Similarity {
     * weight derived from a splitmix64-style integer mix — reproducible
     * across sessions with no RNG state.
     */
-  private def planeWeight(p: Int, d: Int): Double = {
-    var z = (p.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    // map to (-1, 1)
-    z.toDouble / Long.MaxValue.toDouble
-  }
+  private def planeWeight(p: Int, d: Int): Double =
+    graft.functions.SignLshSignatures.planeWeight(p, d)
 
   /** Sign-LSH signature for one hash table: bit p = [v · plane_p > 0],
     * packed into a long. Per-row projection; the planes are plan-time
     * literal arrays, distinct per table index.
+    */
+  /** Readable HOF reference form of one table's sign-LSH signature; the
+    * production path is the native expression (see [[tableSignatures]]),
+    * which SimilaritySpec asserts agrees bit-for-bit.
     */
   def lshSignature(emb: Column, bits: Int = 8, table: Int = 0,
       dim: Int = 64): Column =
@@ -101,9 +99,12 @@ object Similarity {
       when(dot(toDouble(emb), plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** All `tables` signatures of a vector, as array<long>. */
+  /** All `tables` signatures of a vector, as array<long> — one fused
+    * codegen loop (graft.functions.SignLshSignatures); the HOF form costs
+    * tables × bits interpreted lambda evaluations per row.
+    */
   private def tableSignatures(emb: Column, bits: Int, tables: Int): Column =
-    array((0 until tables).map(t => lshSignature(emb, bits, t)): _*)
+    graft.functions.SignLshSignatures(emb, bits, tables)
 
   /** ANN top-k via multi-table sign-LSH: `tables` independent b-bit hash
     * tables; a corpus vector is a candidate for a query iff they share a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHashSignature, WordNgrams}
+import graft.functions.{CosineSimilarity, MinHashSignature, SignLshSignatures, SimHashSignature, WordNgrams}
 
 /** Session extensions for the graft engine — the
   * `SparkSessionExtensions` registration point. Activate with either
@@ -64,7 +64,11 @@ object GraftExtensions {
       arity("simhash_signature", 1)(es => SimHashSignature(es(0)))),
     ("word_ngrams", classOf[WordNgrams],
       arity("word_ngrams", 2)(
-        es => WordNgrams(es(0), litInt(es(1), "word_ngrams")))))
+        es => WordNgrams(es(0), litInt(es(1), "word_ngrams")))),
+    ("sign_lsh_signatures", classOf[SignLshSignatures],
+      arity("sign_lsh_signatures", 3)(
+        es => SignLshSignatures(es(0), litInt(es(1), "sign_lsh_signatures"),
+          litInt(es(2), "sign_lsh_signatures")))))
 
   /** Register into an ALREADY-RUNNING session's registry (tests, shells —
     * extensions only apply at session build time).

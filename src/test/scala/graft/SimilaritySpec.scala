@@ -199,6 +199,21 @@ class SimilaritySpec extends SparkSpec {
     (hit / exact.count()) should be >= 0.9
   }
 
+  test("native sign-LSH signatures agree bit-for-bit with the HOF form") {
+    val bits = 6; val nTables = 5
+    val hof = array((0 until nTables).map(t =>
+      Similarity.lshSignature(col("embedding"), bits, t)): _*)
+    val both = tables.embeddings.select(
+      graft.functions.SignLshSignatures(col("embedding"), bits, nTables)
+        .as("native"),
+      hof.as("hof"))
+    both.filter(col("native") =!= col("hof")).count() shouldBe 0
+    // and the fused loop stays inside whole-stage codegen
+    tables.embeddings.select(
+      graft.functions.SignLshSignatures(col("embedding"), 8, 32).as("s"))
+      .queryExecution.executedPlan.toString should include("*(1)")
+  }
+
   test("cosineDupPairs finds only pairs above threshold, verified exactly") {
     val pairs = Similarity.cosineDupPairs(tables.embeddings,
       threshold = 0.9, bits = 4)
