@@ -92,8 +92,13 @@ object Bench {
       .map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"slowest":$slow5,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
-    println(summary)
+    // The summary must be the LAST line of the merged stdout+stderr
+    // stream (the driver's tail parser reads the final line): silence
+    // remaining log output, stop Spark (its shutdown messages land on
+    // stderr BEFORE the println this way), THEN print.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(summary)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -708,6 +708,12 @@ object SparkEntry {
       Curation.lengthPrune(Tables(s, d).documents, dropBelow = 0.1)
         .orderBy("doc_id")),
 
+    // the skew-proof sketch-threshold twin of q93: per-language
+    // approx-percentile cut broadcast back, no per-language sort
+    "q96_length_prune_approx" -> ((s, d) =>
+      Curation.lengthPruneApprox(Tables(s, d).documents, dropBelow = 0.1)
+        .orderBy("doc_id")),
+
     // ---- per-user EWMA of event values (deterministic ordered fold;
     // cross-engine bit-reproducible, unlike pow()-weight double sums) ---
     "q94_user_ewma" -> ((s, d) =>
@@ -1239,6 +1245,55 @@ object SparkEntry {
          FROM (SELECT label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) AS pos FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // full IVF replay: the quantizer is the (oracle-gated, q50) label
+    // centroid set cast to FLOAT exactly as the persisted index stores
+    // it; cell assignment and probe order are argmax cosine with the
+    // same higher-cell tiebreak as the Spark greatest(struct) /
+    // reverse(array_sort) forms; final scoring mirrors rankTopK's
+    // round-to-6dp-then-rank contract.
+    "q51_ann_topk_ivf" ->
+      """WITH cc AS (
+           SELECT label, pos,
+             CAST(CAST(round(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 6) AS FLOAT) AS DOUBLE) AS c
+           FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos FROM embeddings)
+           GROUP BY 1, 2),
+         cents AS (
+           SELECT label AS cell, list(c ORDER BY pos) AS cvec
+           FROM cc GROUP BY 1),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         assigned AS (
+           SELECT vec_id, emb, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(emb, cvec)
+                 / (sqrt(list_dot_product(emb, emb))
+                    * sqrt(list_dot_product(cvec, cvec))) DESC,
+               cell DESC) AS crnk
+           FROM e CROSS JOIN cents),
+         corpus AS (SELECT vec_id, emb, cell FROM assigned WHERE crnk = 1),
+         q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+         probe AS (
+           SELECT q_id, q_emb, cell,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(q_emb, cvec)
+                 / (sqrt(list_dot_product(q_emb, q_emb))
+                    * sqrt(list_dot_product(cvec, cvec))) DESC,
+               cell DESC) AS prnk
+           FROM q CROSS JOIN cents),
+         probed AS (SELECT q_id, q_emb, cell FROM probe WHERE prnk <= 5),
+         s AS (SELECT q_id, vec_id,
+             round(list_dot_product(q_emb, emb)
+               / (sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(emb, emb))), 6) AS sim
+           FROM probed JOIN corpus USING (cell)),
+         r AS (SELECT q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM s)
+         SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
+         ORDER BY q_id, rnk""",
 
     "q38_exact_frequencies" ->
       """SELECT l_returnflag AS key, count(*) AS cnt FROM lineitem
@@ -1780,6 +1835,19 @@ object SparkEntry {
             FROM t)
           SELECT doc_id, lang, n_toks, round(pr, 4) AS len_pr
           FROM p WHERE pr >= 0.1 ORDER BY doc_id""",
+
+    // quantile_disc is DuckDB's exact discrete quantile; Spark's
+    // percentile_approx at accuracy 10000 stores every distinct value at
+    // this corpus size, so both return the identical data value — the
+    // sketch-vs-exact gap only opens beyond the accuracy budget
+    "q96_length_prune_approx" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+            CAST(len($Toks) AS BIGINT) AS n_toks FROM documents),
+          c AS (SELECT lang, CAST(quantile_disc(n_toks, 0.1) AS BIGINT)
+            AS len_cut FROM t GROUP BY 1)
+          SELECT doc_id, lang, n_toks, len_cut
+          FROM t JOIN c USING (lang) WHERE n_toks >= len_cut
+          ORDER BY doc_id""",
 
     // list(... ORDER BY) + list_reduce folds left-to-right seeded with
     // the first element — the exact double-precision recursion the

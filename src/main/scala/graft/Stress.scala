@@ -85,11 +85,23 @@ object Stress {
     def timed(tag: String)(body: => Unit): (String, Double, Long) =
       timeAction(tag) { body; -1L }
 
+    // dup-pair edge list materialized ONCE so the two dupComponents
+    // checkpoint paths (executor-pinned localCheckpoint vs reliable
+    // parquet rounds) time ONLY their round-buffer strategy, not a
+    // re-run of the minhash pipeline
+    val ccDir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-cc-${System.nanoTime()}"
+    Dedup.minhashDupPairs(docs, threshold = 0.7, k = 64, bands = 32)
+      .write.mode("overwrite").parquet(s"$ccDir/pairs")
+    val dupPairs = spark.read.parquet(s"$ccDir/pairs")
+
     val results = Seq(
       time("curate")(Curation.curate(docs)),
       time("exactDedup")(Dedup.exactDedup(docs)),
       time("minhashDupPairs")(Dedup.minhashDupPairs(docs,
         threshold = 0.7, k = 64, bands = 32)),
+      time("dupComponentsLocal")(Dedup.dupComponents(dupPairs)),
+      time("dupComponentsReliable")(Dedup.dupComponents(dupPairs,
+        checkpointDir = Some(s"$ccDir/rounds"))),
       time("simhashDupPairs")(Dedup.simhashDupPairs(docs)),
       time("benchmarkOverlap")(Dedup.benchmarkOverlap(
         docs.filter(col("doc_id") % 29 =!= 0),

@@ -38,6 +38,32 @@ object Curation {
       .withColumn("len_pr", round(col("len_pr"), 4))
   }
 
+  /** The skew-proof form of [[lengthPrune]] — the one to run when one
+    * language dominates the corpus. Instead of rank-sorting each
+    * language on a single reducer chain, compute each language's
+    * `dropBelow` token-count quantile with `approx_percentile` (a
+    * mergeable sketch: map-side partials, no sort), broadcast the tiny
+    * per-language threshold table back, and keep docs at or above their
+    * language's cut. Decisions match [[lengthPrune]] up to sketch error
+    * (`accuracy` trades memory for error ≈ 1/accuracy); equal-length
+    * docs are still kept or dropped together, since the decision reads
+    * only (lang, n_toks). Plan: one scan + one agg whose output is
+    * #languages rows + one broadcast join — no per-language sort, so a
+    * 90%-English corpus costs the same as a uniform one.
+    */
+  def lengthPruneApprox(documents: DataFrame, dropBelow: Double = 0.1,
+      accuracy: Int = 10000): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val cuts = toks.groupBy("lang")
+      .agg(percentile_approx(col("n_toks"), lit(dropBelow), lit(accuracy))
+        .as("len_cut"))
+    toks.join(broadcast(cuts), "lang")
+      .filter(col("n_toks") >= col("len_cut"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("len_cut"))
+  }
+
   /** Curate: keep docs whose token count lies in [minTokens, maxTokens]
     * and whose predicted language is in `keepLangs`, then keep one doc
     * (lowest doc_id) per content fingerprint. Output carries the

@@ -314,13 +314,33 @@ object Dedup {
     * are near-cliques, so 2–3 in practice). No driver-side graph; the
     * per-round change count (one action) stops the loop early.
     */
-  def dupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupComponents(pairs: DataFrame, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    // Round materializer. Default: localCheckpoint — fastest, but pins
+    // the round buffer in executor block-manager memory (lost on executor
+    // failure). For long jobs on a real cluster pass `checkpointDir`
+    // (HDFS/S3/local path): each round is written as parquet and read
+    // back, so lineage is truncated AND the buffer survives executor
+    // loss — the reliable form a 100-TB run wants. Rounds are tiny
+    // relative to the corpus (one (node,label) row per node touched by a
+    // dup pair), so the extra I/O per round is small; `graft.Stress`
+    // measures both paths on the 20x corpus.
+    def materialize(df: DataFrame, name: String): DataFrame =
+      checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/$name"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => df.localCheckpoint(eager = true)
+      }
     // materialize the edge list ONCE: it is re-joined every round, and
     // upstream it is typically the whole minhash pipeline — without this
     // each round re-runs shingling + banding (measured 4x slower)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      "edges")
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var iter = 0
@@ -329,11 +349,14 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
-      val next = labels.select("node", "label").union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
-        // materialize the iteration: without this, each round re-plans
-        // the whole lineage and the plan grows exponentially
-        .localCheckpoint(eager = true)
+      // materialize the iteration: without this, each round re-plans
+      // the whole lineage and the plan grows exponentially. Per-round
+      // names: the PREVIOUS round's files are still being read by the
+      // `changed` join below, so rounds never overwrite in place.
+      val next = materialize(
+        labels.select("node", "label").union(viaNeighbors)
+          .groupBy("node").agg(min("label").as("label")),
+        s"round_$iter")
       changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
       labels = next

@@ -405,10 +405,52 @@ object Similarity {
         col("__best").getField("d2").as("dist2"))
   }
 
+  /** Trivial deterministic seeding: the k lowest-vec_id vectors. Fast
+    * (one TakeOrdered) but degenerate when low ids correlate (e.g. a
+    * corpus sorted by source): seeds can all land in one region.
+    */
+  private def lowestIdSeeds(embeddings: DataFrame, k: Int)
+      : Array[Array[Double]] =
+    embeddings.orderBy("vec_id").limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Deterministic farthest-point seeding — the k-means++ idea with the
+    * randomness removed so retried/resumed runs seed identically. Seed 1
+    * is the lowest-vec_id vector; each next seed is the vector with the
+    * MAXIMUM squared distance to its nearest already-chosen seed
+    * (k-means++ samples proportionally to that same D²; taking the max
+    * is its deterministic limit). Exact-distance ties break by
+    * md5(vec_id) — a fixed pseudo-random order, so a corpus full of
+    * duplicate vectors doesn't degenerate to adjacent ids — then vec_id.
+    *
+    * Cost: k-1 extra passes over the corpus, each a projection over
+    * literal seeds + a distributed top-1 (TakeOrdered) — no shuffle, no
+    * driver state beyond the k seeds themselves. For huge k switch to
+    * k-means|| style oversampling; for the k a mixing pipeline uses
+    * (tens to hundreds) a pass per seed is the simpler, still-linear
+    * plan.
+    */
+  private def farthestPointSeeds(embeddings: DataFrame, k: Int)
+      : Array[Array[Double]] = {
+    var seeds = lowestIdSeeds(embeddings, 1)
+    while (seeds.length < k) {
+      val next = assignClusters(embeddings, seeds)
+        .orderBy(col("dist2").desc,
+          md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+        .limit(1)
+        .select(col("embedding")).collect()
+      require(next.nonEmpty, s"corpus has no vectors to seed from")
+      seeds = seeds :+ next(0).getSeq[Float](0).map(_.toDouble).toArray
+    }
+    seeds
+  }
+
   /** Lloyd's k-means over the embedding column — the clustering a
     * data-mixing / domain-discovery pipeline runs over document
     * embeddings. Deterministic by construction: seeds are the k
-    * lowest-vec_id vectors, distance ties assign to the lower cluster
+    * lowest-vec_id vectors by default (`seeding = "farthest"` opts into
+    * [[farthestPointSeeds]]), distance ties assign to the lower cluster
     * id, and centroid updates average via exact DECIMAL sums — so
     * repeated (and resumed) runs produce identical clusterings, the
     * property that makes a 100-TB clustering job retry-safe.
@@ -425,13 +467,17 @@ object Similarity {
     * Returns (final centroids, objective after each assignment pass —
     * non-increasing, asserted in tests).
     */
-  def kMeansFit(embeddings: DataFrame, k: Int = 8, iters: Int = 5)
+  def kMeansFit(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
+      seeding: String = "lowest")
       : (Array[Array[Double]], Seq[Double]) = {
     require(k > 0, "k must be positive")
     require(iters > 0, "iters must be positive")
-    val seed = embeddings.orderBy("vec_id").limit(k)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val seed = seeding match {
+      case "lowest"   => lowestIdSeeds(embeddings, k)
+      case "farthest" => farthestPointSeeds(embeddings, k)
+      case other => throw new IllegalArgumentException(
+        s"seeding must be 'lowest' or 'farthest', got '$other'")
+    }
     require(seed.length == k, s"corpus has fewer than $k vectors")
     val dim = seed(0).length
     var cents = seed
@@ -464,8 +510,9 @@ object Similarity {
     * cell partitioning — k-means IS the IVF quantizer trained without
     * labels.
     */
-  def kMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
-    val (cents, _) = kMeansFit(embeddings, k, iters)
+  def kMeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
+      seeding: String = "lowest"): DataFrame = {
+    val (cents, _) = kMeansFit(embeddings, k, iters, seeding)
     assignClusters(embeddings, cents)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         round(col("dist2"), 6).as("dist2"))

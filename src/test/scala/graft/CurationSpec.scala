@@ -50,4 +50,21 @@ class CurationSpec extends SparkSpec {
     dropped.select("lang").distinct().count() shouldBe
       docs.select("lang").distinct().count()
   }
+
+  test("lengthPruneApprox matches exact decisions up to sketch error") {
+    val exact = Curation.lengthPrune(tables.documents, dropBelow = 0.1)
+      .select("doc_id")
+    val approx = Curation.lengthPruneApprox(tables.documents,
+      dropBelow = 0.1).select("doc_id")
+    val total = tables.documents.count()
+    // decisions agree except (at most) the boundary tie class per lang
+    val disagree = exact.except(approx).count() +
+      approx.except(exact).count()
+    disagree.toDouble / total should be <= 0.02
+    // and the plan is sort-free: threshold sketch + broadcast join-back,
+    // no per-language rank window (the whole point of the variant)
+    val p = plan(Curation.lengthPruneApprox(tables.documents, 0.1))
+    p should not include "Window"
+    p should include("BroadcastHashJoin")
+  }
 }

@@ -127,6 +127,21 @@ class DedupSpec extends SparkSpec {
     comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
   }
 
+  test("dupComponents reliable-checkpoint rounds match localCheckpoint") {
+    // same transitive-chain fixture as above, through the parquet round
+    // buffer a cluster run would use instead of executor-pinned blocks
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-rounds").toString
+    val comps = Dedup.dupComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    // the round buffer really went through the reliable path
+    new java.io.File(s"$dir/edges").exists() shouldBe true
+    new java.io.File(s"$dir/round_0").exists() shouldBe true
+  }
+
   test("dupComponents converges on a long path within maxIter") {
     // a 12-node path: worst case for plain min propagation (diameter 11)
     val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -237,4 +237,44 @@ class SimilaritySpec extends SparkSpec {
     found should contain allOf(
       (0L, 100000L), (1L, 100001L), (2L, 100002L))
   }
+
+  test("kMeansFit: objective descends and repeated runs are identical") {
+    val (c1, obj1) = Similarity.kMeansFit(tables.embeddings, k = 4, iters = 4)
+    val (c2, obj2) = Similarity.kMeansFit(tables.embeddings, k = 4, iters = 4)
+    obj1.size shouldBe 4
+    obj1.zip(obj1.tail).foreach { case (a, b) => b should be <= a + 1e-9 }
+    c1.map(_.toSeq).toSeq shouldBe c2.map(_.toSeq).toSeq
+    obj1 shouldBe obj2
+  }
+
+  test("farthest-point seeding: deterministic, escapes id-degenerate seeds") {
+    // 4 well-separated clusters where the 4 LOWEST vec_ids all sit in
+    // cluster 0 — exactly the layout (corpus sorted by source/region)
+    // that makes lowest-id seeding degenerate: all its seeds start in
+    // one cluster and Lloyd cannot un-merge the other three. Farthest-
+    // point must land one seed per cluster and converge near-optimally.
+    val pts = for { c <- 0 until 4; i <- 0 until 25 } yield {
+      val base = Array.fill(8)(0.0f)
+      base(c) = 10.0f
+      val jit = ((c * 25 + i) * 37 % 10) * 0.01f
+      ((c * 25 + i).toLong, base.toSeq.map(_ + jit))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val (cf1, objF1) = Similarity.kMeansFit(emb, k = 4, iters = 5,
+      seeding = "farthest")
+    val (cf2, objF2) = Similarity.kMeansFit(emb, k = 4, iters = 5,
+      seeding = "farthest")
+    cf1.map(_.toSeq).toSeq shouldBe cf2.map(_.toSeq).toSeq
+    objF1 shouldBe objF2
+    val (_, objL) = Similarity.kMeansFit(emb, k = 4, iters = 5)
+    // decisively better on the degenerate layout (merged clusters cost
+    // ~the inter-cluster distance; spread seeds cost ~the jitter)
+    objF1.last should be < objL.last * 0.5
+    // and on the real (unstructured) corpus it stays at par — spread
+    // seeding must not cost anything when ids are NOT degenerate
+    val (_, oL) = Similarity.kMeansFit(tables.embeddings, k = 8, iters = 5)
+    val (_, oF) = Similarity.kMeansFit(tables.embeddings, k = 8, iters = 5,
+      seeding = "farthest")
+    oF.last should be <= oL.last * 1.01
+  }
 }
