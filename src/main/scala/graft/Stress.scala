@@ -99,9 +99,14 @@ object Stress {
       time("exactDedup")(Dedup.exactDedup(docs)),
       time("minhashDupPairs")(Dedup.minhashDupPairs(docs,
         threshold = 0.7, k = 64, bands = 32)),
-      time("dupComponentsLocal")(Dedup.dupComponents(dupPairs)),
-      time("dupComponentsReliable")(Dedup.dupComponents(dupPairs,
-        checkpointDir = Some(s"$ccDir/rounds"))),
+      // timeAction (by-name), NOT time(df): dupComponents iterates
+      // EAGERLY inside the call — a strict DataFrame argument would run
+      // the propagation outside the timer and clock only the last count
+      timeAction("dupComponentsLocal")(
+        Dedup.dupComponents(dupPairs).count()),
+      timeAction("dupComponentsReliable")(
+        Dedup.dupComponents(dupPairs,
+          checkpointDir = Some(s"$ccDir/rounds")).count()),
       time("simhashDupPairs")(Dedup.simhashDupPairs(docs)),
       time("benchmarkOverlap")(Dedup.benchmarkOverlap(
         docs.filter(col("doc_id") % 29 =!= 0),

@@ -472,37 +472,47 @@ object Similarity {
       : (Array[Array[Double]], Seq[Double]) = {
     require(k > 0, "k must be positive")
     require(iters > 0, "iters must be positive")
-    val seed = seeding match {
-      case "lowest"   => lowestIdSeeds(embeddings, k)
-      case "farthest" => farthestPointSeeds(embeddings, k)
-      case other => throw new IllegalArgumentException(
-        s"seeding must be 'lowest' or 'farthest', got '$other'")
-    }
-    require(seed.length == k, s"corpus has fewer than $k vectors")
-    val dim = seed(0).length
-    var cents = seed
-    val objectives = Seq.newBuilder[Double]
-    (1 to iters).foreach { _ =>
-      val perDim = assignClusters(embeddings, cents)
-        .select(col("cluster"), col("dist2"),
-          posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(
-          sum(col("v").cast("decimal(30,12)")).as("s"),
-          count(lit(1)).as("n"),
-          sum(col("dist2").cast("decimal(30,12)")).as("sd"))
-        .collect()
-      val next = cents.map(_.clone()) // empty cluster keeps its centroid
-      var obj = BigDecimal(0)
-      perDim.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          r.getDecimal(2).doubleValue() / r.getLong(3)
-        obj += BigDecimal(r.getDecimal(4))
+    // Iterative fitting re-reads its input every pass (each Lloyd
+    // iteration, plus one pass per farthest-point seed) — the canonical
+    // Spark answer is to cache the projected training set for the
+    // fit's duration. MEMORY_AND_DISK: a corpus bigger than cluster
+    // memory spills to local disk instead of recomputing the upstream
+    // scan per pass; unpersisted before returning.
+    val fitInput = embeddings.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = seeding match {
+        case "lowest"   => lowestIdSeeds(fitInput, k)
+        case "farthest" => farthestPointSeeds(fitInput, k)
+        case other => throw new IllegalArgumentException(
+          s"seeding must be 'lowest' or 'farthest', got '$other'")
       }
-      objectives += (obj / dim).toDouble
-      cents = next
-    }
-    (cents, objectives.result())
+      require(seed.length == k, s"corpus has fewer than $k vectors")
+      val dim = seed(0).length
+      var cents = seed
+      val objectives = Seq.newBuilder[Double]
+      (1 to iters).foreach { _ =>
+        val perDim = assignClusters(fitInput, cents)
+          .select(col("cluster"), col("dist2"),
+            posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos")
+          .agg(
+            sum(col("v").cast("decimal(30,12)")).as("s"),
+            count(lit(1)).as("n"),
+            sum(col("dist2").cast("decimal(30,12)")).as("sd"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cluster keeps its centroid
+        var obj = BigDecimal(0)
+        perDim.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            r.getDecimal(2).doubleValue() / r.getLong(3)
+          obj += BigDecimal(r.getDecimal(4))
+        }
+        objectives += (obj / dim).toDouble
+        cents = next
+      }
+      (cents, objectives.result())
+    } finally fitInput.unpersist(blocking = false)
   }
 
   /** [[kMeansFit]] + final assignment: (vec_id, cluster, dist2). The

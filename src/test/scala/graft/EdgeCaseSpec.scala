@@ -27,6 +27,30 @@ class EdgeCaseSpec extends SparkSpec {
   test("dupComponents: empty pair list terminates and yields no rows") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     Dedup.dupComponents(empty).count() shouldBe 0
+    // the reliable-checkpoint path must handle the same degenerate input
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-empty").toString
+    Dedup.dupComponents(empty, checkpointDir = Some(dir)).count() shouldBe 0
+  }
+
+  test("lengthPruneApprox: dropBelow 0 keeps every document") {
+    val docs = Seq((1L, "en", "a b c"), (2L, "en", "a"), (3L, "fr", "x y"))
+      .toDF("doc_id", "lang", "text")
+    graft.operators.Curation.lengthPruneApprox(docs, dropBelow = 0.0)
+      .count() shouldBe 3
+  }
+
+  test("kMeansFit: k exceeding distinct vectors still terminates") {
+    // farthest-point seeding on 2 vectors with k=3 repeats a seed —
+    // duplicate centroids collapse via the lower-cluster-id tiebreak and
+    // empty clusters keep their previous centroid; no hang, no crash
+    val two = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (cents, obj) = graft.operators.Similarity.kMeansFit(
+      two, k = 3, iters = 2, seeding = "farthest")
+    cents.length shouldBe 3
+    obj.size shouldBe 2
   }
 
   test("benchmarkOverlap: empty benchmark set marks nothing contaminated") {
