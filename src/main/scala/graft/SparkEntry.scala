@@ -726,7 +726,20 @@ object SparkEntry {
     // nearest-centroid fixpoint are asserted in SimilaritySpec) ---------
     "q95_kmeans" -> ((s, d) =>
       Similarity.kMeans(Tables(s, d).embeddings, k = 8, iters = 5)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- Z-order (Morton) clustering value: interleave user and
+    // time-bucket bits so one sort key yields tight min/max stats on
+    // BOTH dimensions (multi-dim data skipping; LocalitySpec measures
+    // the actual row-group pruning win) ---------------------------------
+    "q97_zorder" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val x = pmod(col("user_id"), lit(1024L))
+      val y = pmod(expr("unix_timestamp(ts) div 3600"), lit(1024L))
+      ev.select(col("event_id"), x.as("zx"), y.as("zy"),
+          Locality.zValue(Seq(x, y), bits = 10).as("zval"))
+        .orderBy("event_id")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -1862,8 +1875,31 @@ object SparkEntry {
          FROM events WHERE value IS NOT NULL
          GROUP BY user_id ORDER BY user_id""",
 
-    "q95_kmeans" -> kMeansOracle(k = 8, iters = 5)
+    "q95_kmeans" -> kMeansOracle(k = 8, iters = 5),
+
+    // same bit-interleave as Locality.zValue: bit b of zx lands at 2b,
+    // bit b of zy at 2b+1 — spelled out as shift/mask/add terms DuckDB
+    // evaluates with the same exact integer semantics. Hour bucket via
+    // epoch_us // 1000000 (floor), matching Spark's unix_timestamp
+    // truncation — CAST(epoch(ts) AS BIGINT) would ROUND fractional
+    // seconds and flip buckets at hh:59:59.5+.
+    "q97_zorder" ->
+      s"""WITH t AS (SELECT event_id,
+            CAST(user_id % 1024 AS BIGINT) AS zx,
+            CAST(((epoch_us(ts) // 1000000) // 3600) % 1024 AS BIGINT)
+              AS zy
+          FROM events)
+          SELECT event_id, zx, zy,
+            CAST(${zInterleaveSql("zx", "zy", 10)} AS BIGINT) AS zval
+          FROM t ORDER BY event_id"""
   )
+
+  /** SQL spelling of a 2-D Morton interleave over `bits` bits. */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { b =>
+      Seq(s"((($x >> $b) & 1) << ${2 * b})",
+        s"((($y >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
 
   /** DuckDB replay of [[graft.operators.Similarity.kMeans]]: seeds are
     * the k lowest-vec_id vectors, then `iters` chained Lloyd rounds —

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Locality
+
+class LocalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave, written the pedestrian way. */
+  private def zRef(coords: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val n = coords.size
+    for (b <- 0 until bits; i <- 0 until n)
+      z |= ((coords(i) >> b) & 1L) << (b * n + i)
+    z
+  }
+
+  test("zValue matches the reference interleave on random coordinates") {
+    val pts = (0 until 500).map { i =>
+      // deterministic pseudo-random coords via splitmix-ish mixing
+      val h = i * 0x9e3779b97f4a7c15L
+      ((h >>> 13) & 1023L, (h >>> 29) & 1023L)
+    }
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Locality.zValue(Seq(col("x"), col("y")), bits = 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => z shouldBe zRef(Seq(x, y), 10) }
+  }
+
+  test("zValue interleaves three dimensions") {
+    val got = Seq((5L, 3L, 6L)).toDF("a", "b", "c")
+      .select(Locality.zValue(Seq(col("a"), col("b"), col("c")), bits = 4))
+      .as[Long].head()
+    got shouldBe zRef(Seq(5L, 3L, 6L), 4)
+  }
+
+  test("zValue rejects configurations wider than a long") {
+    an[IllegalArgumentException] should be thrownBy
+      Locality.zValue(Seq(col("a"), col("b")), bits = 32)
+    an[IllegalArgumentException] should be thrownBy
+      Locality.zValue(Seq(col("a")), bits = 8)
+  }
+
+  test("quantizeLong buckets exactly and clamps out-of-domain values") {
+    val got = Seq(-50L, 0L, 999L, 1000L, 1999L, 5000L).toDF("v")
+      .select(Locality.quantizeLong(col("v"), lo = 0L, hi = 1999L, bits = 4)
+        .as("b"))
+      .as[Long].collect()
+    // span 2000 over 16 buckets = 125 per bucket; clamp below to 0, above
+    // to the last in-domain value
+    got shouldBe Array(0L, 0L, 7L, 8L, 15L, 15L)
+  }
+
+  /** Rows the parquet scan actually emitted (post row-group/page pruning,
+    * pre residual filter) for a collected DataFrame.
+    */
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("Z-clustered layout prunes a 2-D box query; linear layout reads everything") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    // 65k rows, two independent uniform dimensions in [0, 1024)
+    val base = spark.range(65536).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(1024L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1024L)).as("y"))
+
+    // linear layout: written in id order — every file's (x, y) min/max
+    // stats span the whole domain, so footer pruning is powerless
+    base.repartitionByRange(64, col("id"))
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    val z = Locality.zValue(Seq(col("x"), col("y")), bits = 10)
+    Locality.clusterByZ(base, z, files = 64)
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+
+    def boxQuery(path: String) = spark.read.parquet(path)
+      .where(col("x").between(96, 159) && col("y").between(512, 575))
+
+    // both layouts hold the same rows and answer the box identically
+    rowSet(boxQuery(s"$dir/zorder")) shouldBe rowSet(boxQuery(s"$dir/linear"))
+
+    val linearRead = scanRows(boxQuery(s"$dir/linear"))
+    val zRead = scanRows(boxQuery(s"$dir/zorder"))
+    // 64 curve segments tile the 1024x1024 space into ~8x8 regions of
+    // ~128x128; a 64x64 box intersects at most 4 of them, so the scan
+    // should read a small fraction of what the linear layout reads
+    linearRead shouldBe 65536L
+    zRead should be < (linearRead / 4)
+  }
+}
