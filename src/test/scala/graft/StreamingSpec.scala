@@ -353,4 +353,24 @@ class StreamingSpec extends SparkSpec {
       server.close()
     }
   }
+
+  test("K6: console sink renders each micro-batch to stdout") {
+    val in = MemoryStream[String]
+    val counts = Streams.batchWordCounts(in.toDF())
+    val buf = new java.io.ByteArrayOutputStream()
+    // Console.out is a DynamicVariable (InheritableThreadLocal): the
+    // stream-execution thread is created inside start(), so launching the
+    // query within withOut makes the sink's println/show land in `buf`
+    val q = Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Streams.startConsole(counts, OutputMode.Complete(), intervalMs = 50)
+    }
+    try {
+      in.addData("alpha beta alpha")
+      q.processAllAvailable()
+      val out = buf.toString("UTF-8")
+      out should include("Batch:")
+      out should include("alpha")
+      out should include("word")
+    } finally q.stop()
+  }
 }
