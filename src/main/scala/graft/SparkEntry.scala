@@ -739,6 +739,19 @@ object SparkEntry {
       ev.select(col("event_id"), x.as("zx"), y.as("zy"),
           Locality.zValue(Seq(x, y), bits = 10).as("zval"))
         .orderBy("event_id")
+    }),
+
+    // ---- Hilbert-curve clustering index over the same (user, hour)
+    // plane as q97 — the seam-free layout whose contiguous index ranges
+    // cover even tighter boxes than the Z-curve ------------------------
+    "q98_hilbert" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val x = pmod(col("user_id"), lit(1024L))
+      val y = pmod(expr("unix_timestamp(ts) div 3600"), lit(1024L))
+      Locality.withHilbert(
+        ev.select(col("event_id"), x.as("zx"), y.as("zy")),
+        col("zx"), col("zy"), bits = 10)
+        .orderBy("event_id")
     })
   )
 
@@ -1891,8 +1904,53 @@ object SparkEntry {
           FROM events)
           SELECT event_id, zx, zy,
             CAST(${zInterleaveSql("zx", "zy", 10)} AS BIGINT) AS zval
-          FROM t ORDER BY event_id"""
+          FROM t ORDER BY event_id""",
+
+    // chained-CTE replay of Locality.withHilbert: one CTE per bit step
+    // of the public-domain xy2d fold (quadrant select, full-grid
+    // reflect, axis swap) — pure integer CASE arithmetic, so the state
+    // stays in lockstep with the Spark projection chain at every step
+    "q98_hilbert" -> hilbertOracle(bits = 10)
   )
+
+  /** DuckDB replay of [[graft.operators.Locality.withHilbert]] over the
+    * q97/q98 (user % 1024, hour-bucket % 1024) plane: CTE `h_i` holds the
+    * (x, y, d) state after consuming bit i, exactly mirroring the Spark
+    * side's per-step projection columns.
+    */
+  private def hilbertOracle(bits: Int): String = {
+    val m = (1L << bits) - 1
+    val steps = (0 until bits).reverse.map { i =>
+      val s = 1L << i
+      s"""h_$i AS (
+            SELECT event_id, zx, zy,
+              CASE WHEN ry = 0 THEN
+                (CASE WHEN rx = 1 THEN $m - y ELSE y END)
+              ELSE x END AS x,
+              CASE WHEN ry = 0 THEN
+                (CASE WHEN rx = 1 THEN $m - x ELSE x END)
+              ELSE y END AS y,
+              d + ${s * s} * xor(3 * rx, ry) AS d
+            FROM (
+              SELECT event_id, zx, zy, x, y, d,
+                CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+              FROM h_${i + 1}))"""
+    }.mkString(",\n")
+    s"""WITH h_$bits AS (
+          SELECT event_id,
+            CAST(user_id % 1024 AS BIGINT) AS zx,
+            CAST(((epoch_us(ts) // 1000000) // 3600) % 1024 AS BIGINT)
+              AS zy,
+            CAST(user_id % 1024 AS BIGINT) AS x,
+            CAST(((epoch_us(ts) // 1000000) // 3600) % 1024 AS BIGINT)
+              AS y,
+            CAST(0 AS BIGINT) AS d
+          FROM events),
+        $steps
+        SELECT event_id, zx, zy, CAST(d AS BIGINT) AS hval
+        FROM h_0 ORDER BY event_id"""
+  }
 
   /** SQL spelling of a 2-D Morton interleave over `bits` bits. */
   private def zInterleaveSql(x: String, y: String, bits: Int): String =

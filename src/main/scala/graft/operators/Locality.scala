@@ -58,6 +58,58 @@ object Locality {
     ((clamped - lit(lo)) * lit(buckets) / lit(span)).cast("long")
   }
 
+  /** Hilbert-curve index of `(x, y)` appended as column `out`: unlike the
+    * Z-curve, the Hilbert curve has no "seams" (consecutive indexes are
+    * always adjacent cells), so each contiguous index range covers an even
+    * tighter box — it is the layout Delta/Databricks clustering moved to
+    * after ZORDER for exactly this reason.
+    *
+    * The classic per-bit fold (Wikipedia's public-domain `xy2d`: quadrant
+    * select, then reflect/rotate the frame) carries `(x, y, d)` state
+    * across `bits` steps. Each step reads the previous step's outputs
+    * SEVERAL times, so inlining it as one Column tree would duplicate the
+    * subtree exponentially; instead each step materializes its state as
+    * named projection columns (`withColumn` chain). Catalyst keeps the
+    * chain as stacked projections inside ONE whole-stage-codegen stage —
+    * each state var becomes a local in the generated code, evaluated once
+    * per row, `O(bits)` ops total. No UDF, no custom expression needed.
+    */
+  def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int = 16,
+      out: String = "hval"): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"2*bits = ${2 * bits} must stay within a positive long")
+    def xc(i: Int) = s"__hx_$i"
+    def yc(i: Int) = s"__hy_$i"
+    def dc(i: Int) = s"__hd_$i"
+    var cur = df
+      .withColumn(xc(bits), x.cast("long"))
+      .withColumn(yc(bits), y.cast("long"))
+      .withColumn(dc(bits), lit(0L))
+    // steps walk s = 2^(bits-1) ... 1; step i consumes state i+1
+    for (i <- (0 until bits).reverse) {
+      val s = 1L << i
+      val px = col(xc(i + 1)); val py = col(yc(i + 1)); val pd = col(dc(i + 1))
+      val rx = when(px.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(py.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      cur = cur
+        .withColumn(s"__hrx_$i", rx)
+        .withColumn(s"__hry_$i", ry)
+      val rxc = col(s"__hrx_$i"); val ryc = col(s"__hry_$i")
+      // rotate/reflect the quadrant's frame (full-grid n-1 reflection, so
+      // coordinates stay in [0, 2^bits)), then swap axes when ry == 0
+      val m = (1L << bits) - 1
+      val fx = when(ryc === 0 && rxc === 1, lit(m) - px).otherwise(px)
+      val fy = when(ryc === 0 && rxc === 1, lit(m) - py).otherwise(py)
+      cur = cur
+        .withColumn(dc(i),
+          pd + lit(s * s) * (lit(3L) * rxc).bitwiseXOR(ryc))
+        .withColumn(xc(i), when(ryc === 0, fy).otherwise(px))
+        .withColumn(yc(i), when(ryc === 0, fx).otherwise(py))
+    }
+    val keep = df.columns.map(col) :+ col(dc(0)).as(out)
+    cur.select(keep.toIndexedSeq: _*)
+  }
+
   /** Re-layout `df` along the Z-curve of `z`: range-partition into
     * `files` output partitions by z-value (each file then owns one
     * contiguous curve segment = one compact box of the key space) and

@@ -56,6 +56,65 @@ class LocalitySpec extends SparkSpec {
     got shouldBe Array(0L, 0L, 7L, 8L, 15L, 15L)
   }
 
+  /** Reference Hilbert xy2d (public-domain fold: quadrant select,
+    * full-grid reflect, axis swap).
+    */
+  private def hRef(x0: Long, y0: Long, bits: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    val m = (1L << bits) - 1
+    for (i <- (0 until bits).reverse) {
+      val s = 1L << i
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        val (fx, fy) = if (rx == 1) (m - x, m - y) else (x, y)
+        x = fy; y = fx
+      }
+    }
+    d
+  }
+
+  test("withHilbert matches the reference xy2d on random coordinates") {
+    val pts = (0 until 500).map { i =>
+      val h = i * 0x9e3779b97f4a7c15L
+      ((h >>> 13) & 1023L, (h >>> 29) & 1023L)
+    }
+    val got = Locality.withHilbert(
+      pts.toDF("x", "y"), col("x"), col("y"), bits = 10)
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) => h shouldBe hRef(x, y, 10) }
+  }
+
+  test("Hilbert index is a bijection and consecutive cells are adjacent") {
+    // exhaustive 8x8 grid: indexes must cover [0, 64) exactly, and each
+    // consecutive index pair must be Manhattan distance 1 apart — the
+    // defining property that gives Hilbert its seam-free locality
+    val grid = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val cells = Locality.withHilbert(
+      grid.toDF("x", "y"), col("x"), col("y"), bits = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, h) => h -> (x, y) }.toMap
+    cells.keySet shouldBe (0L until 64L).toSet
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = cells(d); val (x2, y2) = cells(d + 1)
+      (math.abs(x1 - x2) + math.abs(y1 - y2)) shouldBe 1L
+    }
+  }
+
+  test("zValue and withHilbert stay inside one whole-stage-codegen span") {
+    val df = spark.range(100).select(
+      pmod(col("id"), lit(32L)).as("x"), pmod(col("id"), lit(17L)).as("y"))
+    val z = df.select(Locality.zValue(Seq(col("x"), col("y")), 10))
+    val h = Locality.withHilbert(df, col("x"), col("y"), bits = 10)
+    // a single *(1) span = the whole index computation is one generated
+    // function over the scan; no UDF/exchange/sort breaks the pipeline
+    plan(z) should include("*(1)")
+    plan(z) should not include "*(2)"
+    plan(h) should include("*(1)")
+    plan(h) should not include "*(2)"
+  }
+
   /** Rows the parquet scan actually emitted (post row-group/page pruning,
     * pre residual filter) for a collected DataFrame.
     */
@@ -89,12 +148,20 @@ class LocalitySpec extends SparkSpec {
     // both layouts hold the same rows and answer the box identically
     rowSet(boxQuery(s"$dir/zorder")) shouldBe rowSet(boxQuery(s"$dir/linear"))
 
+    Locality.clusterByZ(
+      Locality.withHilbert(base, col("x"), col("y"), bits = 10),
+      col("hval"), files = 64)
+      .drop("hval")
+      .write.mode("overwrite").parquet(s"$dir/hilbert")
+
     val linearRead = scanRows(boxQuery(s"$dir/linear"))
     val zRead = scanRows(boxQuery(s"$dir/zorder"))
+    val hRead = scanRows(boxQuery(s"$dir/hilbert"))
     // 64 curve segments tile the 1024x1024 space into ~8x8 regions of
     // ~128x128; a 64x64 box intersects at most 4 of them, so the scan
     // should read a small fraction of what the linear layout reads
     linearRead shouldBe 65536L
     zRead should be < (linearRead / 4)
+    hRead should be < (linearRead / 4)
   }
 }
