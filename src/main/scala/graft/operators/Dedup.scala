@@ -493,12 +493,17 @@ object Dedup {
     val b = bounded.select(
       col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    // Hamming-filter BEFORE dedup: the xor/bit_count check is a codegen'd
+    // scalar on rows already in hand, while dropDuplicates is a shuffle —
+    // at scale candidates >> matches, so deduping only survivors moves
+    // orders of magnitude less data (hamming is a pure function of the
+    // pair, so duplicates agree and the result set is identical)
     a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
   }
 }

@@ -53,14 +53,32 @@ object Similarity {
     * engines; ties break on vec_id. Candidates must carry
     * (q_id, q_emb, vec_id, embedding).
     */
-  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame =
+    rankScored(candidates
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6)), k)
+
+  /** Ranking tail over already-scored (q_id, vec_id, sim) rows. */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    candidates
-      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+    scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "vec_id", "sim", "rnk")
   }
+
+  /** Score candidates BEFORE the multi-table dedup so the distinct
+    * shuffle moves (q_id, vec_id, sim) scalars instead of both vector
+    * payloads: a pair found in several tables is scored redundantly (a
+    * few fused dot products — CPU the scan already paid for in cache
+    * misses), but the shuffle shrinks by the embedding width. The score
+    * is deterministic per pair, so deduping scored rows is equivalent to
+    * scoring deduped rows.
+    */
+  private def rankDedupedCandidates(candidates: DataFrame, k: Int): DataFrame =
+    rankScored(candidates
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .select("q_id", "vec_id", "sim")
+      .dropDuplicates("q_id", "vec_id"), k)
 
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors. `queries` is assumed small and is broadcast;
@@ -120,12 +138,10 @@ object Similarity {
       k: Int = 10,
       bits: Int = 8,
       tables: Int = 16): DataFrame = {
-    rankTopK(
+    rankDedupedCandidates(
       lshIndexFrame(embeddings, bits, tables)
         .join(broadcast(lshQuerySignatures(queries, bits, tables)),
-          Seq("tbl", "sig"))
-        // a candidate found in several tables is scored once
-        .dropDuplicates("q_id", "vec_id"),
+          Seq("tbl", "sig")),
       k)
   }
 
@@ -177,11 +193,10 @@ object Similarity {
       tables: Int = 16): DataFrame = {
     val qsig = lshQuerySignatures(queries, bits, tables)
     val probedSigs = qsig.select("sig").distinct().collect().map(_.getLong(0))
-    rankTopK(
+    rankDedupedCandidates(
       spark.table(indexTable)
         .filter(col("sig").isin(probedSigs.toIndexedSeq: _*))
-        .join(broadcast(qsig), Seq("tbl", "sig"))
-        .dropDuplicates("q_id", "vec_id"),
+        .join(broadcast(qsig), Seq("tbl", "sig")),
       k)
   }
 
