@@ -752,7 +752,15 @@ object SparkEntry {
         ev.select(col("event_id"), x.as("zx"), y.as("zy")),
         col("zx"), col("zy"), bits = 10)
         .orderBy("event_id")
-    })
+    }),
+
+    // ---- weighted sample: Efraimidis–Spirakis priorities over the md5
+    // uniform, so high-value events are proportionally more likely —
+    // the quality-weighted training-mix sampler ------------------------
+    "q99_weighted_sample" -> ((s, d) =>
+      Relational.weightedSamplePerGroup(Tables(s, d).events,
+        "event_type", "event_id", "value", k = 10)
+        .orderBy("event_type", "rn"))
   )
 
   // ---------------------------------------------------------------------
@@ -1910,7 +1918,21 @@ object SparkEntry {
     // of the public-domain xy2d fold (quadrant select, full-grid
     // reflect, axis swap) — pure integer CASE arithmetic, so the state
     // stays in lockstep with the Spark projection chain at every step
-    "q98_hilbert" -> hilbertOracle(bits = 10)
+    "q98_hilbert" -> hilbertOracle(bits = 10),
+
+    // same A-ES key as the Spark side: u = (52 md5 bits + 1) / 2^52,
+    // key = round(ln(u)/weight, 6) ranked DESC with the string id as
+    // tiebreak — the rounding is what makes the rank order engine-proof
+    "q99_weighted_sample" ->
+      """SELECT event_type, CAST(event_id AS VARCHAR) AS event_id, rn FROM (
+           SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY
+               round(ln((('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                   || 'graft'), 1, 13))::BIGINT + 1)
+                 / 4503599627370496.0) / value, 6) DESC,
+               CAST(event_id AS VARCHAR)) AS rn
+           FROM events WHERE value > 0 AND event_id IS NOT NULL)
+         WHERE rn <= 10 ORDER BY event_type, rn"""
   )
 
   /** DuckDB replay of [[graft.operators.Locality.withHilbert]] over the

@@ -367,6 +367,39 @@ object Relational {
       .toDF(groupCol, idCol, "rn")
   }
 
+  /** Deterministic per-group WEIGHTED sample without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws priority u^(1/w) for a
+    * hash-derived uniform u, and the k largest priorities per group are
+    * the sample — inclusion probability proportional to weight, exactly
+    * the "sample high-quality documents more often" knob a training-mix
+    * pipeline needs. Computed in log space (ln(u)/w, same ordering) and
+    * rounded to 6 decimals so the rank order is reproducible across
+    * engines; ties (created only by the rounding) break on id. Same
+    * md5 uniform and bounded-heap shape as [[reservoirSamplePerGroup]]:
+    * one scan, ≤2k rows per group per map task into the shuffle, no RNG
+    * state — rerunning on any partitioning draws the identical sample.
+    * Rows with null ids or non-positive weights are excluded (a weight
+    * of 0 can never be sampled; negative weights are undefined).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int = 10, seed: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = conv(
+      substring(md5(concat(col(idCol).cast("string"), lit(seed))), 1, 13),
+      16, 10).cast("double")
+    // u in (0, 1]: 52 md5 bits shifted off zero so ln is finite
+    val u = (h + 1) / lit(4503599627370496.0) // 2^52
+    val key = round(log(u) / col(weightCol), 6)
+    heapTopK[String](
+      df.filter(col(idCol).isNotNull && col(weightCol) > 0)
+        .select(col(groupCol).cast("string"), key.as("_key"),
+          col(idCol).cast("string")),
+      k)
+      .map { case (g, _, id, rn) => (g, id, rn) }
+      .toDF(groupCol, idCol, "rn")
+  }
+
   /** Per-group z-score standardization — the feature-scaling pass of an
     * ML data pipeline: z = (v − μ_g)/σ_g per group g. Computed as
     * grouped stats + a BROADCAST join back, not a per-group window: with

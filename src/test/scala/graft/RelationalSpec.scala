@@ -268,6 +268,29 @@ class RelationalSpec extends SparkSpec {
     reseeded.map(_.toSeq).toSet should not be base.map(_.toSeq).toSet
   }
 
+  test("weightedSamplePerGroup: weight-proportional, deterministic, bounded") {
+    import SparkSpec.spark.implicits._
+    // one heavyweight item among 200 lightweights: with weight 10000x it
+    // must out-draw them (P(excluded from top-10) is astronomically small)
+    val df = ((1 to 200).map(i => ("g", s"id_$i", 1.0)) :+
+      (("g", "heavy", 10000.0))).toDF("grp", "id", "w")
+    val out = Relational.weightedSamplePerGroup(df, "grp", "id", "w", k = 10)
+      .collect()
+    out.length shouldBe 10
+    out.map(_.getString(1)) should contain("heavy")
+    // layout-independence: identical sample on a different partitioning
+    val reshuffled = Relational.weightedSamplePerGroup(
+      df.repartition(7), "grp", "id", "w", k = 10).collect()
+    reshuffled.map(_.toSeq).toSet shouldBe out.map(_.toSeq).toSet
+    // zero/negative weights and null ids are excluded, not crashed on
+    val edge = Seq(("g", Some("a"), 1.0), ("g", Some("b"), 0.0),
+      ("g", Some("c"), -5.0), ("g", None, 2.0))
+      .toDF("grp", "id", "w")
+    val kept = Relational.weightedSamplePerGroup(edge, "grp", "id", "w", k = 5)
+      .collect()
+    kept.map(_.getString(1)).toSeq shouldBe Seq("a")
+  }
+
   test("standardizeByGroup: null values neither count nor deflate the mean") {
     import SparkSpec.spark.implicits._
     val df = Seq(("x", Some(10.0)), ("x", Some(10.0)), ("x", None))
