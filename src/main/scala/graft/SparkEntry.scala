@@ -760,7 +760,14 @@ object SparkEntry {
     "q99_weighted_sample" -> ((s, d) =>
       Relational.weightedSamplePerGroup(Tables(s, d).events,
         "event_type", "event_id", "value", k = 10)
-        .orderBy("event_type", "rn"))
+        .orderBy("event_type", "rn")),
+
+    // ---- EXACT Jaccard similarity join via prefix filtering — the
+    // deterministic-recall counterpart to q31's MinHash/LSH (same output
+    // contract, exhaustive by construction) ----------------------------
+    "q100_exact_jaccard_pairs" -> ((s, d) =>
+      Dedup.exactJaccardPairs(Tables(s, d).documents, threshold = 0.7)
+        .orderBy("doc_a", "doc_b"))
   )
 
   // ---------------------------------------------------------------------
@@ -1932,7 +1939,26 @@ object SparkEntry {
                  / 4503599627370496.0) / value, 6) DESC,
                CAST(event_id AS VARCHAR)) AS rn
            FROM events WHERE value > 0 AND event_id IS NOT NULL)
-         WHERE rn <= 10 ORDER BY event_type, rn"""
+         WHERE rn <= 10 ORDER BY event_type, rn""",
+
+    // the all-pairs ground truth IS the oracle here: prefix filtering
+    // never drops a qualifying pair, so the exact join must reproduce
+    // the brute-force answer verbatim (same SQL family as q31's oracle)
+    "q100_exact_jaccard_pairs" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4)
+                AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, jaccard FROM p
+          WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b"""
   )
 
   /** DuckDB replay of [[graft.operators.Locality.withHilbert]] over the

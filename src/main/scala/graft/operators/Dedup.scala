@@ -304,6 +304,59 @@ object Dedup {
       "doc_a", "doc_b", ngram, threshold)
   }
 
+  /** EXACT Jaccard near-dup pairs via prefix filtering (the SSJoin/
+    * PPJoin family): order each document's shingles rarest-first (global
+    * document frequency, token text as tiebreak) and emit only the first
+    * `n - ceil(t*n) + 1` as join keys — by pigeonhole, two sets with
+    * Jaccard ≥ t MUST share a prefix token (skipping the whole prefix
+    * leaves fewer than ceil(t*n) tokens, below the overlap any
+    * threshold-t pair needs), so the candidate set is a superset of the
+    * answer and the exact verify makes the result exhaustive — unlike
+    * [[minhashDupPairs]] there is no probabilistic recall to tune.
+    * Rarest-first ordering keeps hot shingles out of prefixes — the skew
+    * guard: candidate volume concentrates on discriminative tokens. A
+    * length filter (t·max(n_a,n_b) ≤ min(n_a,n_b), necessary for
+    * Jaccard ≥ t) prunes cross-size candidates before the pair dedup.
+    * Cost shape: one document-frequency aggregation, one windowed prefix
+    * selection, one equi-join on prefix tokens, then the shared
+    * semi-join verify — every shuffle keyed and bounded, nothing
+    * all-pairs.
+    */
+  def exactJaccardPairs(
+      documents: DataFrame,
+      threshold: Double = 0.7,
+      ngram: Int = 3): DataFrame = {
+    val docsSpread = spread(documents)
+    val sh = docsSpread
+      .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(
+      col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("tok"))
+    val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    // prefix length n - ceil(t*n) + 1; the 1e-9 nudge keeps a float
+    // ceil(t*n) from rounding UP past the true integer (which would
+    // shorten the prefix and break exactness — too long is merely slower)
+    val prefixLen =
+      col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+    val prefixes = exploded.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= prefixLen)
+      .select("doc_id", "n", "tok")
+    val candidates = prefixes
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
+      .join(prefixes
+        .select(col("doc_id").as("doc_b"), col("n").as("nb"), col("tok")),
+        "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(greatest(col("na"), col("nb")) * lit(threshold) - lit(1e-9) <=
+        least(col("na"), col("nb")))
+      .select("doc_a", "doc_b").distinct()
+    verifyCandidates(candidates, docsSpread, docsSpread,
+      "doc_a", "doc_b", ngram, threshold)
+  }
+
   /** Connected components over near-dup pairs — the cluster-resolution
     * step that turns [[minhashDupPairs]]' edge list into one canonical
     * document per near-dup GROUP (pairs alone can't dedup transitively:

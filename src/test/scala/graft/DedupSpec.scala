@@ -80,6 +80,22 @@ class DedupSpec extends SparkSpec {
     lsh.size shouldBe 28 // DuckDB golden at sf0.001
   }
 
+  test("exactJaccardPairs: prefix filtering reproduces brute force exactly") {
+    // exhaustiveness is the contract — at several thresholds, including
+    // ones where ceil(t*n) lands on/near integer boundaries
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      rowSet(Dedup.exactJaccardPairs(tables.documents, threshold = t)) shouldBe
+        rowSet(Dedup.bruteForceJaccardPairs(tables.documents, t))
+    }
+  }
+
+  test("exactJaccardPairs: shingle-free docs are ignored, not crashed on") {
+    val docs = Seq((1L, "one two three four"), (2L, "one two three four"),
+      (3L, "hi"), (4L, "")).toDF("doc_id", "text") // 3,4: no 3-gram shingles
+    val got = Dedup.exactJaccardPairs(docs, threshold = 0.7).collect()
+    got.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+  }
+
   // simhash is a bag-of-distinct-tokens sketch: token ORDER must not
   // matter, token IDENTITY (incl. case) must
   private lazy val reordered = Seq(
