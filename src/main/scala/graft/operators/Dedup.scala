@@ -343,15 +343,28 @@ object Dedup {
     val prefixes = exploded.join(dfreq, "tok")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= prefixLen)
-      .select("doc_id", "n", "tok")
+      .select("doc_id", "n", "tok", "pos")
+    // positional filter (the PPJoin refinement): a shared token at
+    // (pos_a, pos_b) caps the possible overlap at 1 + min(remaining
+    // suffix lengths); Jaccard ≥ t needs overlap ≥ ceil(t/(1+t)·(na+nb)).
+    // A pair sharing several prefix tokens passes if ANY of its shared
+    // rows passes (the earliest always carries the loosest cap), so the
+    // OR-over-rows distinct below keeps exactness.
+    val overlapMin =
+      ceil((col("na") + col("nb")) * lit(threshold / (1 + threshold))
+        - lit(1e-9))
     val candidates = prefixes
-      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"),
+        col("pos").as("pa"))
       .join(prefixes
-        .select(col("doc_id").as("doc_b"), col("n").as("nb"), col("tok")),
+        .select(col("doc_id").as("doc_b"), col("n").as("nb"), col("tok"),
+          col("pos").as("pb")),
         "tok")
       .filter(col("doc_a") < col("doc_b"))
       .filter(greatest(col("na"), col("nb")) * lit(threshold) - lit(1e-9) <=
         least(col("na"), col("nb")))
+      .filter(overlapMin <=
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")))
       .select("doc_a", "doc_b").distinct()
     verifyCandidates(candidates, docsSpread, docsSpread,
       "doc_a", "doc_b", ngram, threshold)
