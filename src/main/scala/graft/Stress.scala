@@ -108,6 +108,13 @@ object Stress {
         Dedup.dupComponents(dupPairs,
           checkpointDir = Some(s"$ccDir/rounds")).count()),
       time("simhashDupPairs")(Dedup.simhashDupPairs(docs)),
+      // the exact-recall twin: every doc has ~n near-dup copies here, so
+      // true pairs grow n^2 per cluster — the honest worst case for the
+      // prefix-filter candidate volume
+      time("exactJaccardPairs")(Dedup.exactJaccardPairs(docs,
+        threshold = 0.7)),
+      time("weightedSample")(Relational.weightedSamplePerGroup(evs,
+        "event_type", "event_id", "value", k = 100)),
       time("benchmarkOverlap")(Dedup.benchmarkOverlap(
         docs.filter(col("doc_id") % 29 =!= 0),
         docs.filter(col("doc_id") % 29 === 0))),
