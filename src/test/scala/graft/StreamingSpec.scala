@@ -354,6 +354,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB state store: stateful aggregation runs on the prod backend") {
+    // the default HDFSBackedStateStore holds every key in executor heap —
+    // fine for tests, a memory wall for 100-TB streaming state. RocksDB
+    // (bundled with Spark 4) spills state to local disk; this asserts the
+    // same running counts come back on that backend. providerClass is
+    // read per-query at start, so a temporary conf flip scopes it here.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val q = Streams.runningWordCounts(in.toDF())
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", tmp("rocks-chk"))
+        .format("memory").queryName("rocks").start()
+      try {
+        in.addData("alpha beta alpha")
+        q.processAllAvailable()
+        in.addData("alpha")
+        q.processAllAvailable()
+        spark.table("rocks").filter(col("word") === "alpha")
+          .collect()(0).getAs[Long]("cnt") shouldBe 3L
+        q.lastProgress.stateOperators(0).customMetrics
+          .keySet.toString should include("rocksdb")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("K6: console sink renders each micro-batch to stdout") {
     val in = MemoryStream[String]
     val counts = Streams.batchWordCounts(in.toDF())
