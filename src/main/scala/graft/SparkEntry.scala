@@ -735,7 +735,11 @@ object SparkEntry {
     "q97_zorder" -> ((s, d) => {
       val ev = Tables(s, d).events
       val x = pmod(col("user_id"), lit(1024L))
-      val y = pmod(expr("unix_timestamp(ts) div 3600"), lit(1024L))
+      // floor-div + pmod on BOTH engines: trunc-div (`div`) and sign-
+      // following `%` would diverge from DuckDB on negative ids or
+      // pre-1970 timestamps
+      val y = pmod(floor(unix_timestamp(col("ts")) / lit(3600.0)),
+        lit(1024L))
       ev.select(col("event_id"), x.as("zx"), y.as("zy"),
           Locality.zValue(Seq(x, y), bits = 10).as("zval"))
         .orderBy("event_id")
@@ -747,7 +751,8 @@ object SparkEntry {
     "q98_hilbert" -> ((s, d) => {
       val ev = Tables(s, d).events
       val x = pmod(col("user_id"), lit(1024L))
-      val y = pmod(expr("unix_timestamp(ts) div 3600"), lit(1024L))
+      val y = pmod(floor(unix_timestamp(col("ts")) / lit(3600.0)),
+        lit(1024L))
       Locality.withHilbert(
         ev.select(col("event_id"), x.as("zx"), y.as("zy")),
         col("zx"), col("zy"), bits = 10)
@@ -1089,21 +1094,7 @@ object SparkEntry {
     // oracle for the LSH path is the exact brute-force Jaccard answer; the
     // banding parameters (k=64, b=32, r=2) put detection probability at
     // J=0.7 above 1 - 1e-9, so LSH recall is 1.0 on the oracle data
-    "q31_minhash_dup_pairs" ->
-      s"""WITH sh AS (
-            SELECT doc_id,
-              list_distinct(list_transform(
-                generate_series(1, greatest(len(toks) - 2, 0)),
-                i -> array_to_string(toks[i:i+2], ' '))) AS sh
-            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4)
-                AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, jaccard FROM p
-          WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""",
+    "q31_minhash_dup_pairs" -> bruteForceJaccardOracle(threshold = 0.7),
 
     // full replay of the portable simhash pipeline: md5-60-bit token
     // hashes → ±1 bit-sum sketch → four 15-bit chunks → bounded buckets
@@ -1909,13 +1900,14 @@ object SparkEntry {
     // bit b of zy at 2b+1 — spelled out as shift/mask/add terms DuckDB
     // evaluates with the same exact integer semantics. Hour bucket via
     // epoch_us // 1000000 (floor), matching Spark's unix_timestamp
-    // truncation — CAST(epoch(ts) AS BIGINT) would ROUND fractional
-    // seconds and flip buckets at hh:59:59.5+.
+    // floor-division — CAST(epoch(ts) AS BIGINT) would ROUND fractional
+    // seconds and flip buckets at hh:59:59.5+. Both coordinates are
+    // pmod-wrapped (+1024 twin) so negative ids / pre-1970 timestamps
+    // stay in [0, 1024) on both engines.
     "q97_zorder" ->
       s"""WITH t AS (SELECT event_id,
-            CAST(user_id % 1024 AS BIGINT) AS zx,
-            CAST(((epoch_us(ts) // 1000000) // 3600) % 1024 AS BIGINT)
-              AS zy
+            CAST($ZxSql AS BIGINT) AS zx,
+            CAST($ZySql AS BIGINT) AS zy
           FROM events)
           SELECT event_id, zx, zy,
             CAST(${zInterleaveSql("zx", "zy", 10)} AS BIGINT) AS zval
@@ -1943,23 +1935,31 @@ object SparkEntry {
 
     // the all-pairs ground truth IS the oracle here: prefix filtering
     // never drops a qualifying pair, so the exact join must reproduce
-    // the brute-force answer verbatim (same SQL family as q31's oracle)
-    "q100_exact_jaccard_pairs" ->
-      s"""WITH sh AS (
-            SELECT doc_id,
-              list_distinct(list_transform(
-                generate_series(1, greatest(len(toks) - 2, 0)),
-                i -> array_to_string(toks[i:i+2], ' '))) AS sh
-            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4)
-                AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, jaccard FROM p
-          WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b"""
+    // the brute-force answer verbatim — the SAME oracle gates q31, so a
+    // shared helper keeps the two ground truths in lockstep
+    "q100_exact_jaccard_pairs" -> bruteForceJaccardOracle(threshold = 0.7)
   )
+
+  /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/
+    * LSH path (q31) and the exact prefix-filter join (q100): the two
+    * operators promise the same answer set and must validate against the
+    * same ground truth.
+    */
+  private def bruteForceJaccardOracle(threshold: Double): String =
+    s"""WITH sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4)
+              AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM p
+        WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"""
 
   /** DuckDB replay of [[graft.operators.Locality.withHilbert]] over the
     * q97/q98 (user % 1024, hour-bucket % 1024) plane: CTE `h_i` holds the
@@ -1987,18 +1987,23 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH h_$bits AS (
           SELECT event_id,
-            CAST(user_id % 1024 AS BIGINT) AS zx,
-            CAST(((epoch_us(ts) // 1000000) // 3600) % 1024 AS BIGINT)
-              AS zy,
-            CAST(user_id % 1024 AS BIGINT) AS x,
-            CAST(((epoch_us(ts) // 1000000) // 3600) % 1024 AS BIGINT)
-              AS y,
+            CAST($ZxSql AS BIGINT) AS zx,
+            CAST($ZySql AS BIGINT) AS zy,
+            CAST($ZxSql AS BIGINT) AS x,
+            CAST($ZySql AS BIGINT) AS y,
             CAST(0 AS BIGINT) AS d
           FROM events),
         $steps
         SELECT event_id, zx, zy, CAST(d AS BIGINT) AS hval
         FROM h_0 ORDER BY event_id"""
   }
+
+  /** Shared q97/q98 coordinate fragments: pmod twins of the Spark side
+    * (floor-div hour bucket), exact for negative inputs too.
+    */
+  private val ZxSql = "((user_id % 1024) + 1024) % 1024"
+  private val ZySql =
+    "((((epoch_us(ts) // 1000000) // 3600) % 1024) + 1024) % 1024"
 
   /** SQL spelling of a 2-D Morton interleave over `bits` bits. */
   private def zInterleaveSql(x: String, y: String, bits: Int): String =

@@ -52,8 +52,14 @@ object Locality {
     require(hi > lo, "quantizeLong needs a non-empty domain")
     val buckets = 1L << bits
     val span = hi - lo + 1
-    require(span <= Long.MaxValue / buckets,
-      "span * 2^bits must not overflow; quantize a coarser domain first")
+    // Spark's `/` divides in DOUBLE, so exactness requires the product to
+    // stay within the 2^53 integer-exact double range — past it, boundary
+    // values can round into the adjacent bucket. Domains wider than
+    // 2^52/buckets should be right-shifted first (epoch-millis → seconds,
+    // etc.); the require makes that a loud error instead of silent drift.
+    require(span <= (1L << 52) / buckets,
+      s"span * 2^bits = ${span}*$buckets exceeds the exact double range; " +
+        "coarsen the domain (e.g. shift off low bits) first")
     val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
     ((clamped - lit(lo)) * lit(buckets) / lit(span)).cast("long")
   }
@@ -78,6 +84,11 @@ object Locality {
       out: String = "hval"): DataFrame = {
     require(bits >= 1 && 2 * bits <= 62,
       s"2*bits = ${2 * bits} must stay within a positive long")
+    require(!df.columns.contains(out),
+      s"input already has a '$out' column; pass a different `out`")
+    require(!df.columns.exists(c => Seq("__hx_", "__hy_", "__hd_", "__hrx_",
+      "__hry_").exists(c.startsWith)),
+      "input uses withHilbert's reserved __h* state-column namespace")
     def xc(i: Int) = s"__hx_$i"
     def yc(i: Int) = s"__hy_$i"
     def dc(i: Int) = s"__hd_$i"
