@@ -182,6 +182,18 @@ object Similarity {
       lshIndexFrame(embeddings, bits, tables), table,
       bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
 
+  /** Incrementally extend a persisted LSH index with a new embedding
+    * batch — the per-crawl growth path. Bucket membership is a pure
+    * function of the vector (data-oblivious hyperplanes), so signatures
+    * for the NEW vectors alone are computed and appended; existing rows
+    * are untouched and [[queryLshIndex]] needs no change. An index grown
+    * by appends is row-identical to one rebuilt from the union.
+    */
+  def appendLshIndex(embeddings: DataFrame, table: String, bits: Int = 8,
+      tables: Int = 16): Unit =
+    Sinks.appendTablePartitioned(lshIndexFrame(embeddings, bits, tables),
+      table, bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
+
   /** Probe a persisted LSH index built by [[buildLshIndex]] (same bits/
     * tables). The query batch is small by contract (it is broadcast), so
     * collecting its signature set is bounded; pushed into the index scan
@@ -291,6 +303,21 @@ object Similarity {
       embeddings.sparkSession.table(centroidTable))
     Sinks.saveTablePartitioned(cellAssigned(embeddings, cents), indexTable,
       partitionBy = Seq("cell"))
+  }
+
+  /** Incrementally extend a persisted IVF index: new vectors are
+    * assigned to the EXISTING centroids and appended into their cells'
+    * partitions. The trained coarse quantizer is the index's contract —
+    * re-training centroids would move cell boundaries and is a rebuild,
+    * not an append — so recall for appended vectors matches what the
+    * quantizer gives any vector from the same distribution, and drifting
+    * corpora should schedule periodic rebuilds (standard IVF practice).
+    */
+  def appendIvfIndex(spark: SparkSession, embeddings: DataFrame,
+      indexTable: String, centroidTable: String): Unit = {
+    val cents = collectCentroids(spark.table(centroidTable))
+    Sinks.appendTablePartitioned(cellAssigned(embeddings, cents),
+      indexTable, partitionBy = Seq("cell"))
   }
 
   /** Probe a persisted IVF index built by [[buildIvfIndex]]. The probed

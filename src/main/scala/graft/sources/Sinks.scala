@@ -65,6 +65,28 @@ object Sinks {
     w.saveAsTable(table)
   }
 
+  /** Append into an existing partitioned/bucketed managed table with the
+    * same layout spec — the incremental-growth form of
+    * [[saveTablePartitioned]]: new partitions appear, existing buckets
+    * gain files, nothing is rewritten. Spark validates the bucket spec
+    * against the catalog, so a mismatched append fails loudly instead of
+    * silently corrupting the co-location contract.
+    */
+  def appendTablePartitioned(
+      df: DataFrame,
+      table: String,
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Append).format("parquet")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    bucketBy.foreach { case (n, cols) =>
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+      if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+    }
+    w.saveAsTable(table)
+  }
+
   /** O5: single sorted output file — an explicit, deliberate funnel to one
     * writer task (the reference's coalesce(1) pattern). Only sane for
     * small final results; the sort is global.

@@ -149,6 +149,40 @@ class SimilaritySpec extends SparkSpec {
     indexed shouldBe inline
   }
 
+  test("LSH index grown by appends equals one built from the full corpus") {
+    val first = tables.embeddings.filter(col("vec_id") < 250)
+    val rest = tables.embeddings.filter(col("vec_id") >= 250)
+    Similarity.buildLshIndex(first, "test_lsh_grow", bits = 4, tables = 16)
+    Similarity.appendLshIndex(rest, "test_lsh_grow", bits = 4, tables = 16)
+    Similarity.buildLshIndex(tables.embeddings, "test_lsh_full",
+      bits = 4, tables = 16)
+    // bucket membership is a pure function of the vector, so growth by
+    // append is indistinguishable from a full rebuild — probe included
+    rowSet(spark.table("test_lsh_grow")) shouldBe
+      rowSet(spark.table("test_lsh_full"))
+    rowSet(Similarity.queryLshIndex(spark, "test_lsh_grow", queries,
+      k = 10, bits = 4, tables = 16)) shouldBe
+      rowSet(Similarity.queryLshIndex(spark, "test_lsh_full", queries,
+        k = 10, bits = 4, tables = 16))
+  }
+
+  test("IVF append assigns new vectors to existing centroids; probe finds them") {
+    val first = tables.embeddings.filter(col("vec_id") < 250)
+    val rest = tables.embeddings.filter(col("vec_id") >= 250)
+    Similarity.buildIvfIndex(first, "test_ivf_grow", "test_ivf_grow_cents")
+    Similarity.appendIvfIndex(spark, rest, "test_ivf_grow",
+      "test_ivf_grow_cents")
+    spark.table("test_ivf_grow").count() shouldBe 500L
+    // an appended vector must be retrievable: probing ALL cells makes the
+    // search exhaustive, so its own top-1 is itself at sim 1.0
+    val q = rest.filter(col("vec_id") === 400)
+    val top = Similarity.queryIvfIndex(spark, "test_ivf_grow",
+      "test_ivf_grow_cents", q, k = 1, nprobe = 10).collect()
+    top.length shouldBe 1
+    top(0).getAs[Long]("vec_id") shouldBe 400L
+    top(0).getAs[Double]("sim") shouldBe 1.0
+  }
+
   test("persisted IVF probe scans only the probed cells' partitions") {
     Similarity.buildIvfIndex(tables.embeddings, "test_ivf_prune",
       "test_ivf_prune_cents")
