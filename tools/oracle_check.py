@@ -7,7 +7,10 @@ For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB with
 views over <sfDir>/*.parquet, load the Spark parquet result, sort columns by
 name, and compare rows / schema / values.
 """
-import json, sys, glob, math
+import functools, json, sys, glob, math
+
+# line-flush so progress is visible when piped (sbt/tee/background logs)
+print = functools.partial(print, flush=True)
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
