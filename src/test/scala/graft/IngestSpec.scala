@@ -184,6 +184,20 @@ class IngestSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("append into a bucketed table: spec validated, co-location preserved") {
+    val nat = tables.nation
+    Sinks.saveTablePartitioned(nat.filter(col("n_nationkey") < 10),
+      "nation_grow", bucketBy = Some((4, Seq("n_nationkey"))))
+    Sinks.appendTablePartitioned(nat.filter(col("n_nationkey") >= 10),
+      "nation_grow", bucketBy = Some((4, Seq("n_nationkey"))))
+    spark.table("nation_grow").count() shouldBe nat.count()
+    // the loud-failure contract: a mismatched bucket count must throw,
+    // not silently break the co-location layout
+    an[Exception] should be thrownBy
+      Sinks.appendTablePartitioned(nat, "nation_grow",
+        bucketBy = Some((8, Seq("n_nationkey"))))
+  }
+
   test("ORC roundtrip preserves schema and rows exactly") {
     val src = tables.orders
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
