@@ -772,7 +772,15 @@ object SparkEntry {
     // contract, exhaustive by construction) ----------------------------
     "q100_exact_jaccard_pairs" -> ((s, d) =>
       Dedup.exactJaccardPairs(Tables(s, d).documents, threshold = 0.7)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- temperature-scaled source mixing weights (w ∝ n^0.7): the
+    // multi-corpus reweighting table that feeds the stratified /
+    // weighted samplers ------------------------------------------------
+    "q101_mixing_weights" -> ((s, d) =>
+      Relational.mixingWeights(Tables(s, d).documents, "source",
+        alpha = 0.7, budget = 100000L)
+        .orderBy("source"))
   )
 
   // ---------------------------------------------------------------------
@@ -1937,7 +1945,22 @@ object SparkEntry {
     // never drops a qualifying pair, so the exact join must reproduce
     // the brute-force answer verbatim — the SAME oracle gates q31, so a
     // shared helper keeps the two ground truths in lockstep
-    "q100_exact_jaccard_pairs" -> bruteForceJaccardOracle(threshold = 0.7)
+    "q100_exact_jaccard_pairs" -> bruteForceJaccardOracle(threshold = 0.7),
+
+    // DECIMAL(30,15) normalizer sum matches the Spark side exactly, so
+    // the rounded weights agree bit-for-bit regardless of window
+    // summation order
+    "q101_mixing_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs,
+           round(pow(n_docs, 0.7) /
+             CAST(sum(CAST(pow(n_docs, 0.7) AS DECIMAL(30,15))) OVER ()
+               AS DOUBLE), 6) AS weight
+           FROM c)
+         SELECT source, n_docs, weight,
+           CAST(floor(weight * 100000) AS BIGINT) AS expected_docs
+         FROM w ORDER BY source"""
   )
 
   /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/

@@ -607,6 +607,35 @@ object Relational {
     df.filter(bucket < threshold)
   }
 
+  /** Temperature-scaled source mixing weights — the standard multi-
+    * corpus reweighting (weight ∝ n^alpha): alpha = 1 keeps natural
+    * proportions, alpha = 0 samples sources uniformly, values between
+    * up-weight small high-quality sources without drowning in the big
+    * crawl. Output: one row per stratum with its raw count, normalized
+    * weight and the expected document count at `budget` — the table you
+    * feed [[stratifiedSampleDeterministic]] (rates = expected/n) or
+    * [[weightedSamplePerGroup]]. One aggregation, then a single-
+    * partition window over #sources rows (bounded: sources are a
+    * catalog, not data). Weights are rounded to 6 decimals so the
+    * table is engine-reproducible.
+    */
+  def mixingWeights(df: DataFrame, stratumCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "temperature alpha must be in [0, 1]")
+    val w = Window.partitionBy()
+    df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__raw", pow(col("n_docs").cast("double"), lit(alpha)))
+      // DECIMAL sum for the normalizer: order-independent, so the weight
+      // is identical on any engine/partitioning (the repo-wide
+      // determinism convention for fractional aggregates)
+      .withColumn("weight", round(col("__raw") /
+        sum(col("__raw").cast("decimal(30,15)")).over(w).cast("double"), 6))
+      .withColumn("expected_docs",
+        floor(col("weight") * lit(budget.toDouble)).cast("long"))
+      .drop("__raw")
+  }
+
   /** Parse the events table's JSON `props` column and aggregate the
     * extracted field per event type — the map/semi-structured column
     * surface (events.props carries e.g. {"k": 87}). get_json_object is a

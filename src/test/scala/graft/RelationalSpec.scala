@@ -291,6 +291,30 @@ class RelationalSpec extends SparkSpec {
     kept.map(_.getString(1)).toSeq shouldBe Seq("a")
   }
 
+  test("mixingWeights: alpha endpoints give natural vs uniform mixes") {
+    import SparkSpec.spark.implicits._
+    val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small")).toDF("src")
+    // alpha = 1: natural proportions
+    val nat = Relational.mixingWeights(df, "src", alpha = 1.0, budget = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    nat("big") shouldBe 0.9
+    nat("small") shouldBe 0.1
+    // alpha = 0: uniform regardless of size
+    val uni = Relational.mixingWeights(df, "src", alpha = 0.0, budget = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    uni("big") shouldBe 0.5
+    uni("small") shouldBe 0.5
+    // 0 < alpha < 1 up-weights the small source relative to natural
+    val mid = Relational.mixingWeights(df, "src", alpha = 0.5, budget = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    mid("small") should be > 0.1
+    mid("small") should be < 0.5
+    // expected_docs sums to <= budget (floor never overshoots)
+    val exp = Relational.mixingWeights(df, "src", alpha = 0.5, budget = 1000)
+      .collect().map(_.getLong(3)).sum
+    exp should be <= 1000L
+  }
+
   test("standardizeByGroup: null values neither count nor deflate the mean") {
     import SparkSpec.spark.implicits._
     val df = Seq(("x", Some(10.0)), ("x", Some(10.0)), ("x", None))
