@@ -234,6 +234,38 @@ object Streams {
       }
       .start()
 
+  /** The idempotent write inside [[startIdempotentParquetSink]], exposed
+    * so tests (and manual backfills) can invoke exactly what a replayed
+    * micro-batch would run.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+      path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Exactly-once parquet sink for non-transactional targets: each
+    * micro-batch overwrites ITS OWN batch_id partition (dynamic
+    * partition overwrite — other partitions untouched). foreachBatch's
+    * delivery guarantee is at-least-once: after a failure between the
+    * write and the checkpoint commit, the engine replays the batch with
+    * the SAME batch id — which here rewrites the same partition with the
+    * same rows instead of appending duplicates. Idempotent replay +
+    * at-least-once delivery = effectively exactly-once, the standard
+    * recipe when the sink has no transactions to offer.
+    */
+  def startIdempotentParquetSink(df: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(batch, id, path)
+      }
+      .start()
+
   /** T4/T5: start a running-aggregate query into the in-memory table
     * `name` (complete mode) with a checkpoint — stop + restart with the
     * same checkpoint resumes the state exactly (tested in StreamingSpec).

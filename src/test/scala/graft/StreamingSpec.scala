@@ -354,6 +354,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("idempotent parquet sink: a replayed batch rewrites, never duplicates") {
+    val in = MemoryStream[String]
+    val dir = tmp("idem-sink")
+    val q = Streams.startIdempotentParquetSink(
+      in.toDF().select(col("value")), s"$dir/out", s"$dir/chk")
+    try {
+      in.addData("a", "b")
+      q.processAllAvailable()
+      in.addData("c")
+      q.processAllAvailable()
+      val once = spark.read.parquet(s"$dir/out")
+      once.count() shouldBe 3L
+      // simulate the failure-replay path: re-run batch 0's write verbatim
+      // (same batch id, same rows — exactly what the engine re-delivers
+      // after a crash between write and checkpoint commit)
+      Streams.writeBatchIdempotent(
+        Seq("a", "b").toDF("value"), 0L, s"$dir/out")
+      val replayed = spark.read.parquet(s"$dir/out")
+      replayed.count() shouldBe 3L // batch 0 rewritten in place, no dups
+      replayed.filter(col("batch_id") === 0).count() shouldBe 2L
+    } finally q.stop()
+  }
+
   test("RocksDB state store: stateful aggregation runs on the prod backend") {
     // the default HDFSBackedStateStore holds every key in executor heap —
     // fine for tests, a memory wall for 100-TB streaming state. RocksDB
