@@ -40,6 +40,25 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Parquet sink with per-column bloom filters — the point-lookup
+    * complement to min/max stats and Z-ordering: on a random
+    * high-cardinality key every row group's min/max spans the domain and
+    * dictionaries don't build, so footer stats prune NOTHING for
+    * `key = x`; a bloom filter answers "definitely not here" per row
+    * group and the reader skips it. `ndv` sizes each filter (expected
+    * distinct values per column; over-sizing costs bytes, under-sizing
+    * costs false positives — at 100 TB set it from table stats).
+    */
+  def writeParquetWithBloom(df: DataFrame, path: String,
+      bloomCols: Map[String, Long]): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite)
+    bloomCols.foreach { case (c, ndv) =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** K4: managed-table sink (`303-spark-sql/README.md:61-66`). */
   def saveTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)

@@ -125,6 +125,30 @@ class LocalitySpec extends SparkSpec {
     }.sum
   }
 
+  test("parquet bloom filters prune point lookups where min/max cannot") {
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    // random 64-bit keys: every file's min/max spans the whole domain and
+    // no dictionary builds, so footer stats are useless for equality
+    val df = spark.range(65536).select(
+      col("id"), xxhash64(col("id")).as("key"))
+    df.repartitionByRange(16, col("id"))
+      .write.mode("overwrite").parquet(s"$dir/plain")
+    graft.sources.Sinks.writeParquetWithBloom(
+      df.repartitionByRange(16, col("id")),
+      s"$dir/bloom", Map("key" -> 8192L))
+
+    val needle = df.filter(col("id") === 12345L)
+      .select("key").as[Long].head()
+    def lookup(p: String) =
+      spark.read.parquet(p).where(col("key") === needle)
+    lookup(s"$dir/bloom").count() shouldBe lookup(s"$dir/plain").count()
+    // plain layout: stats can't exclude anything, all 16 files read in
+    // full; bloom layout: only files whose filter (maybe falsely)
+    // matches are read — a small fraction
+    scanRows(lookup(s"$dir/plain")) shouldBe 65536L
+    scanRows(lookup(s"$dir/bloom")) should be < (65536L / 4)
+  }
+
   test("Z-clustered layout prunes a 2-D box query; linear layout reads everything") {
     val dir = Files.createTempDirectory("graft-zorder").toString
     // 65k rows, two independent uniform dimensions in [0, 1024)
