@@ -1907,11 +1907,10 @@ object SparkEntry {
     // same bit-interleave as Locality.zValue: bit b of zx lands at 2b,
     // bit b of zy at 2b+1 — spelled out as shift/mask/add terms DuckDB
     // evaluates with the same exact integer semantics. Hour bucket via
-    // epoch_us // 1000000 (floor), matching Spark's unix_timestamp
-    // floor-division — CAST(epoch(ts) AS BIGINT) would ROUND fractional
-    // seconds and flip buckets at hh:59:59.5+. Both coordinates are
-    // pmod-wrapped (+1024 twin) so negative ids / pre-1970 timestamps
-    // stay in [0, 1024) on both engines.
+    // explicit floor (see ZySql — DuckDB's // truncates, and
+    // CAST(epoch(ts) AS BIGINT) would ROUND fractional seconds). Both
+    // coordinates are pmod-wrapped (+1024 twin) so negative ids /
+    // pre-1970 timestamps stay in [0, 1024) on both engines.
     "q97_zorder" ->
       s"""WITH t AS (SELECT event_id,
             CAST($ZxSql AS BIGINT) AS zx,
@@ -2021,12 +2020,16 @@ object SparkEntry {
         FROM h_0 ORDER BY event_id"""
   }
 
-  /** Shared q97/q98 coordinate fragments: pmod twins of the Spark side
-    * (floor-div hour bucket), exact for negative inputs too.
+  /** Shared q97/q98 coordinate fragments: pmod twins of the Spark side,
+    * exact for negative inputs too. DuckDB's `//` TRUNCATES toward zero
+    * (it is not floor division), so the hour bucket floors explicitly in
+    * double — exact here because a microsecond (1e-6 s) can never sit
+    * within one ulp of an integer boundary at epoch magnitudes.
     */
   private val ZxSql = "((user_id % 1024) + 1024) % 1024"
   private val ZySql =
-    "((((epoch_us(ts) // 1000000) // 3600) % 1024) + 1024) % 1024"
+    "((CAST(floor(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) " +
+      "/ 3600.0) AS BIGINT) % 1024) + 1024) % 1024"
 
   /** SQL spelling of a 2-D Morton interleave over `bits` bits. */
   private def zInterleaveSql(x: String, y: String, bits: Int): String =

@@ -177,10 +177,34 @@ object Similarity {
     * Rebuild when the corpus changes — the table is a snapshot.
     */
   def buildLshIndex(embeddings: DataFrame, table: String, bits: Int = 8,
-      tables: Int = 16): Unit =
+      tables: Int = 16): Unit = {
+    val spark = embeddings.sparkSession
     Sinks.saveTablePartitioned(
       lshIndexFrame(embeddings, bits, tables), table,
       bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
+    // persist the signature spec beside the index (the IVF pattern:
+    // centroids ARE its spec): appends and probes with the wrong
+    // bits/tables would produce signatures that silently never match
+    import spark.implicits._
+    Sinks.saveTable(Seq((bits, tables)).toDF("bits", "tables"),
+      lshSpecTable(table))
+  }
+
+  private def lshSpecTable(indexTable: String) = s"${indexTable}__spec"
+
+  /** Fail loudly when bits/tables differ from what the index was built
+    * with — mismatched signatures join nothing and lose recall silently.
+    * Indexes persisted before the spec table existed pass unchecked.
+    */
+  private def requireLshSpec(spark: SparkSession, indexTable: String,
+      bits: Int, tables: Int): Unit =
+    if (spark.catalog.tableExists(lshSpecTable(indexTable))) {
+      val r = spark.table(lshSpecTable(indexTable)).head()
+      val (b, t) = (r.getInt(0), r.getInt(1))
+      require(b == bits && t == tables,
+        s"$indexTable was built with bits=$b tables=$t; " +
+          s"got bits=$bits tables=$tables — signatures would never match")
+    }
 
   /** Incrementally extend a persisted LSH index with a new embedding
     * batch — the per-crawl growth path. Bucket membership is a pure
@@ -190,9 +214,11 @@ object Similarity {
     * by appends is row-identical to one rebuilt from the union.
     */
   def appendLshIndex(embeddings: DataFrame, table: String, bits: Int = 8,
-      tables: Int = 16): Unit =
+      tables: Int = 16): Unit = {
+    requireLshSpec(embeddings.sparkSession, table, bits, tables)
     Sinks.appendTablePartitioned(lshIndexFrame(embeddings, bits, tables),
       table, bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
+  }
 
   /** Probe a persisted LSH index built by [[buildLshIndex]] (same bits/
     * tables). The query batch is small by contract (it is broadcast), so
@@ -203,6 +229,7 @@ object Similarity {
   def queryLshIndex(spark: SparkSession, indexTable: String,
       queries: DataFrame, k: Int = 10, bits: Int = 8,
       tables: Int = 16): DataFrame = {
+    requireLshSpec(spark, indexTable, bits, tables)
     val qsig = lshQuerySignatures(queries, bits, tables)
     val probedSigs = qsig.select("sig").distinct().collect().map(_.getLong(0))
     rankDedupedCandidates(

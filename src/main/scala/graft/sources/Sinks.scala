@@ -74,8 +74,14 @@ object Sinks {
       table: String,
       partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
-      sortBy: Seq[String] = Nil): Unit = {
-    var w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      sortBy: Seq[String] = Nil): Unit =
+    writeTable(df, table, SaveMode.Overwrite, partitionBy, bucketBy, sortBy)
+
+  /** Shared writer assembly for the overwrite/append table sinks. */
+  private def writeTable(df: DataFrame, table: String, mode: SaveMode,
+      partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
+      sortBy: Seq[String]): Unit = {
+    var w = df.write.mode(mode).format("parquet")
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     bucketBy.foreach { case (n, cols) =>
       w = w.bucketBy(n, cols.head, cols.tail: _*)
@@ -96,15 +102,8 @@ object Sinks {
       table: String,
       partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
-      sortBy: Seq[String] = Nil): Unit = {
-    var w = df.write.mode(SaveMode.Append).format("parquet")
-    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    bucketBy.foreach { case (n, cols) =>
-      w = w.bucketBy(n, cols.head, cols.tail: _*)
-      if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
-    }
-    w.saveAsTable(table)
-  }
+      sortBy: Seq[String] = Nil): Unit =
+    writeTable(df, table, SaveMode.Append, partitionBy, bucketBy, sortBy)
 
   /** O5: single sorted output file — an explicit, deliberate funnel to one
     * writer task (the reference's coalesce(1) pattern). Only sane for

@@ -166,6 +166,19 @@ class SimilaritySpec extends SparkSpec {
         k = 10, bits = 4, tables = 16))
   }
 
+  test("LSH append/probe with mismatched bits/tables fails loudly") {
+    Similarity.buildLshIndex(tables.embeddings, "test_lsh_spec",
+      bits = 4, tables = 16)
+    // wrong bits: appended signatures would never match the index's
+    // buckets — permanent silent recall loss, so it must throw instead
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.appendLshIndex(tables.embeddings, "test_lsh_spec",
+        bits = 8, tables = 16)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.queryLshIndex(spark, "test_lsh_spec", queries,
+        k = 10, bits = 4, tables = 8)
+  }
+
   test("IVF append assigns new vectors to existing centroids; probe finds them") {
     val first = tables.embeddings.filter(col("vec_id") < 250)
     val rest = tables.embeddings.filter(col("vec_id") >= 250)
