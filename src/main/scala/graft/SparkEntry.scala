@@ -780,7 +780,27 @@ object SparkEntry {
     "q101_mixing_weights" -> ((s, d) =>
       Relational.mixingWeights(Tables(s, d).documents, "source",
         alpha = 0.7, budget = 100000L)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- canonical-doc resolution: q74's clusters + per-cluster best
+    // selection (max n_chars, ties to lowest doc_id) — filter(keep=1)
+    // IS the near-dup-deduplicated corpus ------------------------------
+    "q102_canonical_docs" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.resolveCanonical(docs,
+        Dedup.dupComponents(Dedup.minhashDupPairs(docs, threshold = 0.7,
+          k = 64, bands = 32)))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-export sharding: content-addressed global shuffle
+    // (md5 order) + round-robin shard ids — deterministic across runs,
+    // engines, and input layouts ---------------------------------------
+    "q103_shuffle_shard" -> ((s, d) =>
+      Relational.shuffleShard(
+        Tables(s, d).documents.select("doc_id", "source"),
+        "doc_id", nShards = 8)
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -1482,33 +1502,8 @@ object SparkEntry {
     // transitive closure of the exact-Jaccard pair list (small by
     // construction: only true near-dup pairs), then min per node
     "q74_dup_components" ->
-      s"""WITH RECURSIVE sh AS (
-            SELECT doc_id,
-              list_distinct(list_transform(
-                generate_series(1, greatest(len(toks) - 2, 0)),
-                i -> array_to_string(toks[i:i+2], ' '))) AS sh
-            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
-          p AS (
-            -- same rounded-Jaccard predicate as q31, so the edge list is
-            -- identical at the threshold boundary
-            SELECT doc_a, doc_b FROM (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-                    AS DOUBLE), 4) AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.7),
-          e AS (SELECT doc_a AS a, doc_b AS b FROM p
-                UNION SELECT doc_b, doc_a FROM p),
-          reach(a, b) AS (
-            SELECT a, b FROM e
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-          nodes AS (SELECT DISTINCT a FROM e)
-          SELECT a AS doc_id,
-            least(a, min(b)) AS component
-          FROM (SELECT a, b FROM reach UNION SELECT a, a FROM nodes)
-          GROUP BY a ORDER BY a""",
+      s"""$DupComponentsCte
+          SELECT doc_id, component FROM comp ORDER BY doc_id""",
 
     "q73_cohort_retention" ->
       """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
@@ -1959,7 +1954,41 @@ object SparkEntry {
            FROM c)
          SELECT source, n_docs, weight,
            CAST(floor(weight * 100000) AS BIGINT) AS expected_docs
-         FROM w ORDER BY source"""
+         FROM w ORDER BY source""",
+
+    // q74's clusters + per-cluster argmax(score) with min-doc_id
+    // tiebreak, singletons self-canonical — max-then-filter spells the
+    // same choice Spark's lexicographic struct max makes
+    "q102_canonical_docs" ->
+      s"""$DupComponentsCte,
+          wc AS (
+            SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS component,
+              CAST(d.n_chars AS BIGINT) AS score
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          best AS (SELECT component, max(score) AS best_score
+                   FROM wc GROUP BY 1),
+          canon AS (
+            SELECT wc.component, min(wc.doc_id) AS canonical_id
+            FROM wc JOIN best ON wc.component = best.component
+              AND wc.score = best.best_score
+            GROUP BY 1)
+          SELECT wc.doc_id, wc.component, canon.canonical_id,
+            CAST(wc.doc_id = canon.canonical_id AS BIGINT) AS keep
+          FROM wc JOIN canon ON wc.component = canon.component
+          ORDER BY wc.doc_id""",
+
+    // row_number over the md5 total order replays the distributed
+    // zipWithIndex; doc_id breaks (impossible) md5 ties on both engines
+    "q103_shuffle_shard" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS BIGINT) AS shuffle_rank
+           FROM documents)
+         SELECT doc_id, source, shuffle_rank, shuffle_rank % 8 AS shard
+         FROM r ORDER BY doc_id"""
   )
 
   /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/
@@ -2026,6 +2055,38 @@ object SparkEntry {
     * double — exact here because a microsecond (1e-6 s) can never sit
     * within one ulp of an integer boundary at epoch magnitudes.
     */
+  /** Shared q74/q102 prefix: exact-Jaccard dup edges (same rounded
+    * predicate as q31, so the edge list is identical at the threshold
+    * boundary) + recursive transitive closure, ending in a `comp`
+    * relation (doc_id, component = min doc_id of the cluster).
+    */
+  private def DupComponentsCte: String =
+    s"""WITH RECURSIVE sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+        p AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                  AS DOUBLE), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.7),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        nodes AS (SELECT DISTINCT a FROM e),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS component
+          FROM (SELECT a, b FROM reach UNION SELECT a, a FROM nodes)
+          GROUP BY a)"""
+
   private val ZxSql = "((user_id % 1024) + 1024) % 1024"
   private val ZySql =
     "((CAST(floor(CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) " +

@@ -436,6 +436,42 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** Canonical-document selection — the resolution step AFTER clustering:
+    * every document maps to its cluster's best member (highest `scoreCol`,
+    * ties to the lowest doc_id) and `keep = 1` marks the single survivor
+    * per cluster, so `filter(keep = 1)` IS the deduplicated corpus while
+    * the full frame stays a doc→canonical lookup for provenance.
+    * Documents in no cluster (`components` only covers docs touched by a
+    * dup pair) are their own singleton component and trivially survive.
+    *
+    * Scale shape: one join docs⋈components (the component list holds only
+    * dup-pair members — far smaller than the corpus), one groupBy over
+    * components whose output is one row per cluster, one join back.
+    * Nothing all-pairs, no window over the whole corpus, and the argmax
+    * is a single `max(struct(score, -doc_id))` so the per-cluster choice
+    * needs no second aggregation pass.
+    */
+  def resolveCanonical(documents: DataFrame, components: DataFrame,
+      scoreCol: String = "n_chars"): DataFrame = {
+    val withComp = documents
+      .join(components.select("doc_id", "component"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col(scoreCol).cast("long").as("score"))
+    // lexicographic struct max: highest score, then highest -doc_id
+    // (= lowest doc_id) — one shuffle picks the canonical per cluster
+    val canon = withComp
+      .groupBy("component")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("component"), (-col("b.neg_id")).as("canonical_id"))
+    withComp
+      .join(canon, Seq("component"))
+      .select(
+        col("doc_id"), col("component"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("keep"))
+  }
+
   /** Decontamination: per corpus document, how many of its distinct word
     * n-grams appear anywhere in a benchmark/eval set — the standard
     * train/test-overlap check run before training. The benchmark gram set

@@ -463,6 +463,29 @@ object Relational {
       schema)
   }
 
+  /** Training-export sharding: a deterministic global shuffle (order by
+    * md5 of the key — uniform, content-addressed, reproducible across
+    * runs, engines, and input layouts) followed by round-robin shard
+    * assignment, so every shard receives a uniformly-mixed slice of the
+    * corpus and shard sizes differ by at most one row. This is the step
+    * that turns a curated corpus into training shards: downstream readers
+    * stream shard files sequentially and still see i.i.d.-looking data.
+    *
+    * Scale shape: the md5 sort is a range-partitioned exchange (Spark
+    * samples split points — no single reducer), and the rank is the
+    * distributed two-pass [[withRowIndex]], not a global window. The key
+    * must be unique (it breaks md5 ties, making the order total).
+    */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    withRowIndex(
+      df.withColumn("_skey", md5(col(keyCol).cast("string")))
+        .orderBy("_skey", keyCol),
+      "shuffle_rank")
+      .withColumn("shard", pmod(col("shuffle_rank"), lit(nShards.toLong)))
+      .drop("_skey")
+  }
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`, then aggregate per session. The
     * classic two-window pipeline — lag() marks session starts, a running

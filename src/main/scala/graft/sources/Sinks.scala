@@ -59,6 +59,33 @@ object Sinks {
     w.parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) files of roughly uniform size —
+    * the maintenance pass that keeps scan task counts sane after many
+    * small incremental appends (a 100-TB table fed by per-crawl batches
+    * otherwise accretes millions of kilobyte files and every scan pays
+    * one task per file). The repartition is a round-robin exchange, so
+    * skewed input files cannot become skewed output files. Writes to a
+    * separate directory (never in place: the source is the input of the
+    * very job writing the output), returns the file count.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(new org.apache.hadoop.fs.Path(src) !=
+      new org.apache.hadoop.fs.Path(dst),
+      "compaction must write to a different directory than it reads")
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(src).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(dst)
+    n
+  }
+
   /** K4: managed-table sink (`303-spark-sql/README.md:61-66`). */
   def saveTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)

@@ -165,6 +165,75 @@ object Streams {
         col("w.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** State for [[closedSessions]]: the user's currently-open session
+    * (epoch millis — a Timestamp in state would fight the encoder).
+    */
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  final case class ClosedSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Emit-on-close sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state counterpart of [[sessionWindows]] for when the
+    * session TRANSITION itself is custom logic (here: emit one row per
+    * session, only when it closes, never a partial). A session closes
+    * inline when a later event in the same batch arrives more than
+    * `gapSeconds` after its end, or by EVENT-TIME TIMEOUT once the
+    * watermark passes end + gap — so per-user state is exactly one open
+    * session and is reclaimed by the engine, which is what lets this run
+    * forever. Matches the batch twin's boundary rule (events exactly
+    * `gap` apart merge). Events within a batch are time-sorted before
+    * folding (micro-batch arrival order is not event-time order); rows
+    * later than the watermark allows are finalized by the engine's
+    * late-data semantics.
+    */
+  def closedSessions(events: DataFrame, gapSeconds: Long = 1800L,
+      watermarkDelay: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    def close(user: Long, s: OpenSession) = ClosedSession(user,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+      s.n)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val done = close(user, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            val closed = Iterator.newBuilder[ClosedSession]
+            var open = state.getOption
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  open = Some(OpenSession(s.startMs, math.max(s.endMs, t),
+                    s.n + 1))
+                case Some(s) =>
+                  closed += close(user, s)
+                  open = Some(OpenSession(t, t, 1L))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // the engine rejects a timeout at/behind the watermark; a
+              // session already older than it fires on the next batch
+              state.setTimeoutTimestamp(math.max(s.endMs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result()
+          }
+      }
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream hash-
     * joins against the (small) static dimension, broadcast so the stream
     * side never shuffles — the streaming face of J3/J4. The dimension is

@@ -244,4 +244,32 @@ class DedupSpec extends SparkSpec {
     // at most the spread round-robin + the window hash partitioning
     "Exchange".r.findAllIn(p).length should be <= 2
   }
+
+  test("resolveCanonical: max-score canonical, min-id tiebreak, singletons kept") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "a", "en", "s", 10L),
+      (2L, "b", "en", "s", 30L),
+      (3L, "c", "en", "s", 30L), // ties doc 2 on score -> lower id wins
+      (4L, "d", "en", "s", 99L)  // in no component: singleton survivor
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "component")
+    val r = Dedup.resolveCanonical(docs, comps)
+      .select("doc_id", "component", "canonical_id", "keep")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    r shouldBe Seq((1L, 1L, 2L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 2L, 0L), (4L, 4L, 4L, 1L))
+  }
+
+  test("resolveCanonical emits exactly one keeper per component") {
+    val comps = Dedup.dupComponents(
+      Dedup.minhashDupPairs(tables.documents, threshold = 0.7,
+        k = 64, bands = 32))
+    val res = Dedup.resolveCanonical(tables.documents, comps)
+    res.count() shouldBe tables.documents.count()
+    res.groupBy("component")
+      .agg(sum("keep").as("n_keep"))
+      .filter(col("n_keep") =!= 1L).count() shouldBe 0
+  }
 }

@@ -207,4 +207,28 @@ class IngestSpec extends SparkSpec {
     back.schema shouldBe src.schema
     rowSet(back) shouldBe rowSet(src)
   }
+
+  test("compactParquet bin-packs small files to the byte target") {
+    val src = tmpDir("compact-src")
+    val dst = tmpDir("compact-dst")
+    // 64 deliberately-tiny files
+    tables.documents.repartition(64).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(d: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = parquetFiles(src).map(_.getLen).sum
+    val n = Sinks.compactParquet(spark, src, dst,
+      targetBytes = (total + 3) / 4)
+    n shouldBe 4
+    parquetFiles(dst).length shouldBe 4
+    // content survives the rewrite exactly
+    spark.read.parquet(dst).except(tables.documents).count() shouldBe 0
+    tables.documents.except(spark.read.parquet(dst)).count() shouldBe 0
+    // a same-directory compaction must be refused
+    an[IllegalArgumentException] should be thrownBy
+      Sinks.compactParquet(spark, src, src)
+  }
 }

@@ -339,4 +339,21 @@ class RelationalSpec extends SparkSpec {
     out.count(_.getString(0) == "b") shouldBe 1
     out.foreach(r => r.getString(1) should startWith("s3://"))
   }
+
+  test("shuffleShard: permutation rank, balanced shards, layout-independent") {
+    import SparkSpec.spark.implicits._
+    val docs = tables.documents.select("doc_id", "source")
+    val n = docs.count()
+    val a = Relational.shuffleShard(docs, "doc_id", 8)
+    a.agg(min("shuffle_rank"), max("shuffle_rank"),
+      countDistinct("shuffle_rank")).as[(Long, Long, Long)]
+      .head() shouldBe ((0L, n - 1, n))
+    val sizes = a.groupBy("shard").count()
+      .select("count").as[Long].collect()
+    sizes.length shouldBe 8
+    (sizes.max - sizes.min) should be <= 1L
+    // same assignment regardless of the input's physical layout
+    val b = Relational.shuffleShard(docs.repartition(13), "doc_id", 8)
+    a.except(b).count() shouldBe 0
+  }
 }

@@ -120,6 +120,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closedSessions emits each session exactly once, on close") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = Streams.closedSessions(df, gapSeconds = 1800L,
+      watermarkDelay = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("closed").start()
+    try {
+      // u1: two events 10 min apart, then 2h later a third -> the first
+      // session closes INLINE within the batch; the second stays open
+      in.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), 1L),
+        (Timestamp.valueOf("2026-01-01 12:30:00"), 1L))
+      q.processAllAvailable()
+      // a far-future event advances the watermark past 13:00 so u1's
+      // open session fires its event-time TIMEOUT (no u1 data needed)
+      in.addData((Timestamp.valueOf("2026-01-01 18:00:00"), 2L))
+      q.processAllAvailable()
+      val u1 = spark.table("closed").filter(col("user_id") === 1L)
+        .orderBy("session_start").collect()
+      u1.length shouldBe 2
+      u1(0).getAs[Timestamp]("session_start") shouldBe
+        Timestamp.valueOf("2026-01-01 10:00:00")
+      // close = LAST EVENT (not +gap: this is the raw extent form)
+      u1(0).getAs[Timestamp]("session_end") shouldBe
+        Timestamp.valueOf("2026-01-01 10:10:00")
+      u1(0).getAs[Long]("n_events") shouldBe 2L
+      u1(1).getAs[Timestamp]("session_start") shouldBe
+        Timestamp.valueOf("2026-01-01 12:30:00")
+      u1(1).getAs[Long]("n_events") shouldBe 1L
+      // u2's session is still open -> not emitted
+      spark.table("closed").filter(col("user_id") === 2L)
+        .count() shouldBe 0L
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch against the broadcast dim") {
     val in = MemoryStream[(Long, Double)]
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
