@@ -800,6 +800,18 @@ object SparkEntry {
       Relational.shuffleShard(
         Tables(s, d).documents.select("doc_id", "source"),
         "doc_id", nShards = 8)
+        .orderBy("doc_id")),
+
+    // ---- budgeted corpus assembly: best docs first (n_chars as the
+    // score) until the global token budget is spent — distributed
+    // prefix sum, deterministic cut ------------------------------------
+    "q104_budget_select" -> ((s, d) =>
+      Relational.budgetSelect(
+        Tables(s, d).documents.select(
+          col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens")),
+        "n_chars", "n_tokens", budget = 15000L)
         .orderBy("doc_id"))
   )
 
@@ -1988,7 +2000,23 @@ object SparkEntry {
                AS BIGINT) AS shuffle_rank
            FROM documents)
          SELECT doc_id, source, shuffle_rank, shuffle_rank % 8 AS shard
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+
+    // running sum INCLUDING the current row (ROWS UNBOUNDED PRECEDING),
+    // (score desc, doc_id) total order = the same deterministic cut the
+    // distributed prefix sum makes
+    "q104_budget_select" ->
+      s"""WITH t AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+              CAST(len($Toks) AS BIGINT) AS n_tokens
+            FROM documents),
+          s AS (
+            SELECT doc_id, score, n_tokens,
+              CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM t)
+          SELECT doc_id, score, n_tokens, cum_tokens
+          FROM s WHERE cum_tokens <= 15000 ORDER BY doc_id"""
   )
 
   /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/

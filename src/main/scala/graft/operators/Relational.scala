@@ -557,6 +557,54 @@ object Relational {
     spark.createDataFrame(packed).toDF("doc_id", "n_tokens", "bin_id")
   }
 
+  /** Budgeted greedy selection: keep the highest-`scoreCol` documents
+    * until the global `weightCol` budget is spent — the corpus-assembly
+    * gate that turns "score every doc" into "the N-token training set".
+    * A document is kept iff the running weight total INCLUDING it stays
+    * within budget (ties broken by doc_id, so the cut is deterministic).
+    *
+    * Same scale shape as [[packSequences]]: range-partition by
+    * (score desc, doc_id), one bounded pass for per-partition totals,
+    * one numbering pass — never a `sum() over (order by ...)` global
+    * window. Two extra savings at scale: partitions whose starting
+    * offset already exceeds the budget emit NOTHING without being
+    * scanned, and the in-partition walk short-circuits at the budget
+    * boundary (the running sum is monotone, so `takeWhile` is exact).
+    */
+  def budgetSelect(df: DataFrame, scoreCol: String, weightCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val nParts =
+      if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism
+    val sized = df
+      .select(col("doc_id"), col(scoreCol).cast("long").as("score"),
+        col(weightCol).cast("long").as("w"))
+      .repartitionByRange(nParts, col("score").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("score").desc, col("doc_id").asc)
+      .rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val partTotals = sized
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(_._3).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val kept = sized.mapPartitionsWithIndex { case (i, it) =>
+      // strict: at offset == budget a zero-weight doc still fits
+      if (offsets(i) > budget) Iterator.empty
+      else {
+        var cum = offsets(i)
+        it.map { case (id, sc, w) =>
+          cum += w
+          (id, sc, w, cum)
+        }.takeWhile(_._4 <= budget)
+      }
+    }
+    spark.createDataFrame(kept)
+      .toDF("doc_id", "score", "n_tokens", "cum_tokens")
+  }
+
   /** Ordered funnel analysis over the events table: how many users
     * reached step k — where reaching step k means a step-k event STRICTLY
     * AFTER that user's first step-(k-1) arrival. Each stage is one

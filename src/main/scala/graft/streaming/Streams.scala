@@ -73,6 +73,15 @@ object Streams {
   def runningWordCounts(lines: DataFrame): DataFrame =
     batchWordCounts(lines)
 
+  // NOTE: a state-v2 twin of T5 (`transformWithState` + ValueState with
+  // declarative TTL) was built and reverted: Spark 4.1.2's
+  // TransformWithStateExecBase eagerly initializes PythonSQLMetrics at
+  // exec-node construction, which NPEs (null SparkPlan.session) on the
+  // micro-batch planning thread — an upstream bug in the exec node, not
+  // reachable from user code. flatMapGroupsWithState ([[closedSessions]])
+  // and mapGroupsWithState ([[runningAvgWithState]]) cover the
+  // arbitrary-state surface on this Spark build.
+
   /** T9: hashtag extraction + running counts
     * (`ExerciseNetcat.scala:136-149`): tokens starting with '#',
     * lowercased, counted across batches.
@@ -253,21 +262,30 @@ object Streams {
     * a stream-stream join's state grows forever. `delayThreshold` is
     * how much lateness is tolerated before a row is dropped; state held
     * ≈ watermark + horizon per side.
+    *
+    * `joinType = "left_outer"` preserves the PURCHASE side: a purchase
+    * with no view in its horizon is emitted once, with null view
+    * columns, as soon as the watermark proves no matching view can
+    * still arrive — the "unattributed conversions" feed. (Outer results
+    * are inherently watermark-delayed; inner matches still emit
+    * immediately.)
     */
   def streamingAttribution(views: DataFrame, purchases: DataFrame,
       horizonSeconds: Long = 3600L,
-      delayThreshold: String = "2 hours"): DataFrame = {
-    val v = views.select(col("user_id"), col("ts").as("v_ts"),
-      col("event_id").as("view_id"))
+      delayThreshold: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user_id"),
+      col("ts").as("v_ts"), col("event_id").as("view_id"))
       .withWatermark("v_ts", delayThreshold)
     val p = purchases.select(col("user_id"), col("ts").as("p_ts"),
       col("event_id").as("purchase_id"))
       .withWatermark("p_ts", delayThreshold)
-    v.join(p,
+    p.join(v,
       expr(s"""v_ts >= p_ts AND
                v_ts < p_ts + INTERVAL $horizonSeconds SECONDS""") &&
-        v("user_id") === p("user_id"))
-      .select(v("user_id"), col("purchase_id"), col("view_id"),
+        p("user_id") === v("v_user_id"),
+      joinType)
+      .select(p("user_id"), col("purchase_id"), col("view_id"),
         col("p_ts"), col("v_ts"))
   }
 

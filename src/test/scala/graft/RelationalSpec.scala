@@ -356,4 +356,34 @@ class RelationalSpec extends SparkSpec {
     val b = Relational.shuffleShard(docs.repartition(13), "doc_id", 8)
     a.except(b).count() shouldBe 0
   }
+
+  test("budgetSelect keeps the exact score-ranked prefix within budget") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, 10L, 30L), // ties doc 4 on score; lower id ranks first
+      (2L, 30L, 50L), // best -> cum 50
+      (3L, 20L, 40L), // second -> cum 90
+      (4L, 10L, 40L), // cum 160 > 125: the cut
+      (5L, 5L, 10L)   // would fit (10 tokens) but is past the cut
+    ).toDF("doc_id", "n_chars", "n_tokens")
+    val out = Relational.budgetSelect(docs, "n_chars", "n_tokens",
+      budget = 125L, partitions = 3)
+      .select("doc_id", "cum_tokens").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // rank order: 2 (50), 3 (90), 1 (120), 4 (160 > 125 cut), 5 never
+    out shouldBe Seq((1L, 120L), (2L, 50L), (3L, 90L))
+  }
+
+  test("budgetSelect cut is independent of partitioning") {
+    val docs = tables.documents.select(col("doc_id"), col("n_chars"),
+      org.apache.spark.sql.functions.length(col("text")).cast("long")
+        .as("n_tokens"))
+    val a = Relational.budgetSelect(docs, "n_chars", "n_tokens",
+      budget = 50000L, partitions = 2).collect().sortBy(_.getLong(0)).toSeq
+    val b = Relational.budgetSelect(docs.repartition(17), "n_chars",
+      "n_tokens", budget = 50000L, partitions = 11)
+      .collect().sortBy(_.getLong(0)).toSeq
+    a shouldBe b
+    a.nonEmpty shouldBe true
+  }
 }

@@ -198,6 +198,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits unattributed purchases after the watermark") {
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    def ev(s: MemoryStream[(Timestamp, Long, Long)]) =
+      s.toDF().toDF("ts", "user_id", "event_id")
+    val q = Streams.streamingAttribution(ev(views), ev(purchases),
+      horizonSeconds = 3600L, delayThreshold = "10 minutes",
+      joinType = "left_outer")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("louter").start()
+    try {
+      purchases.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 100L), // no view
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 2L, 200L)) // has one
+      views.addData((Timestamp.valueOf("2026-01-01 10:30:00"), 2L, 10L))
+      q.processAllAvailable()
+      // advance BOTH watermarks past purchase + horizon + delay so the
+      // engine can prove u1's purchase stays unmatched
+      views.addData((Timestamp.valueOf("2026-01-01 15:00:00"), 9L, 99L))
+      purchases.addData(
+        (Timestamp.valueOf("2026-01-01 15:00:00"), 9L, 999L))
+      q.processAllAvailable()
+      val rows = spark.table("louter").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      u1.length shouldBe 1
+      u1(0).isNullAt(u1(0).fieldIndex("view_id")) shouldBe true
+      val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+      u2.length shouldBe 1
+      u2(0).getAs[Long]("view_id") shouldBe 10L
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: dedup state is bounded by event time") {
     // the documented upgrade path of Streams.streamingExactDedup for
     // unbounded key spaces: duplicates within the watermark are dropped,
