@@ -812,7 +812,24 @@ object SparkEntry {
           size(TextAnalysis.tokens(col("text"))).cast("long")
             .as("n_tokens")),
         "n_chars", "n_tokens", budget = 15000L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- per-dimension embedding stats: the per-channel quantization
+    // calibration scan (order-independent aggregates — deterministic) --
+    "q105_dimension_stats" -> ((s, d) =>
+      Similarity.dimensionStats(Tables(s, d).embeddings)
+        .select(col("dim").cast("long").as("dim"), col("min_val"),
+          col("max_val"), col("abs_max"))
+        .orderBy("dim")),
+
+    // ---- per-channel int8 quantization (absmax/127 per dimension) ----
+    "q106_quantize_per_dim" -> ((s, d) =>
+      Similarity.quantizePerDim(Tables(s, d).embeddings)
+        .select(
+          col("vec_id"),
+          concat_ws(",", transform(col("qvec"), _.cast("string")))
+            .as("qvec_csv"))
+        .orderBy("vec_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -2016,7 +2033,35 @@ object SparkEntry {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM t)
           SELECT doc_id, score, n_tokens, cum_tokens
-          FROM s WHERE cum_tokens <= 15000 ORDER BY doc_id"""
+          FROM s WHERE cum_tokens <= 15000 ORDER BY doc_id""",
+
+    // 0-based dim to match posexplode; min/max are order-independent so
+    // raw doubles hash-match (no summation-order hazard to round away)
+    "q105_dimension_stats" ->
+      """SELECT CAST(i - 1 AS BIGINT) AS dim,
+           min(v) AS min_val, max(v) AS max_val,
+           greatest(abs(min(v)), abs(max(v))) AS abs_max
+         FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings)
+         GROUP BY i ORDER BY dim""",
+
+    // same absmax/127 per-channel scale, same round(x/scale) as q82
+    "q106_quantize_per_dim" ->
+      """WITH x AS (
+           SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+         s AS (SELECT i, greatest(abs(min(v)), abs(max(v))) / 127.0
+                 AS scale
+               FROM x GROUP BY i),
+         q AS (SELECT x.vec_id, x.i,
+                 CASE WHEN s.scale = 0 THEN CAST(0 AS TINYINT)
+                      ELSE CAST(round(x.v / s.scale) AS TINYINT) END AS qv
+               FROM x JOIN s USING (i))
+         SELECT vec_id,
+           string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i) AS qvec_csv
+         FROM q GROUP BY vec_id ORDER BY vec_id"""
   )
 
   /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/

@@ -452,6 +452,42 @@ object Similarity {
       transform(col("qvec"), q => (q.cast("double") * col("scale"))
         .cast("float")).as("embedding"))
 
+  /** Per-dimension corpus statistics over the embedding column — the
+    * calibration scan for per-CHANNEL quantization ([[quantizePerDim]])
+    * and feature-range monitoring. min/max are order-independent, so the
+    * result is bit-deterministic across partitionings (no float-summation
+    * order hazard). One scan + one `dims`-key groupBy with map-side
+    * partial aggregation: each partition contributes at most `dims` rows
+    * to the shuffle regardless of corpus size.
+    */
+  def dimensionStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(
+        min("v").as("min_val"),
+        max("v").as("max_val"),
+        greatest(abs(min("v")), abs(max("v"))).as("abs_max"))
+
+  /** Int8 quantization with PER-DIMENSION scales (absmax/127 per channel)
+    * — tighter than [[quantizeEmbeddings]]'s per-vector scale whenever
+    * channels have unequal ranges, which real embedding models do. The
+    * `dims`-row scale vector is bounded driver state (the IVF-centroid
+    * pattern), inlined as a literal so the quantization itself is a pure
+    * projection — one calibration scan, one quantization scan, no join.
+    */
+  def quantizePerDim(embeddings: DataFrame): DataFrame = {
+    val scales = dimensionStats(embeddings)
+      .select(col("dim"), (col("abs_max") / 127.0).as("scale"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val sArr = array(scales.toIndexedSeq.map(s => lit(s)): _*)
+    embeddings.select(
+      col("vec_id"),
+      zip_with(toDouble(col("embedding")), sArr,
+        (x, s) => when(s === 0.0, lit(0).cast("byte"))
+          .otherwise(round(x / s, 0).cast("byte"))).as("qvec"))
+  }
+
   /** Corpus with squared-Euclidean argmin cluster over literal centroids
     * — a pure projection (no shuffle). The distance array is materialized
     * as ONE attribute before the argmin reads two fields out of it, and

@@ -324,4 +324,37 @@ class SimilaritySpec extends SparkSpec {
       seeding = "farthest")
     oF.last should be <= oL.last * 1.01
   }
+
+  test("dimensionStats: order-independent per-dim extrema over the corpus") {
+    val st = Similarity.dimensionStats(tables.embeddings)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    st.size shouldBe 64
+    // spot-check dim 0 against a driver-side brute force
+    val d0 = tables.embeddings
+      .select(element_at(col("embedding"), 1).cast("double"))
+      .as[Double].collect()
+    st(0)._1 shouldBe d0.min
+    st(0)._2 shouldBe d0.max
+    st(0)._3 shouldBe math.max(math.abs(d0.min), math.abs(d0.max))
+    // partitioning independence (extrema are order-free)
+    val st2 = Similarity.dimensionStats(tables.embeddings.repartition(7))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    st2 shouldBe st
+  }
+
+  test("quantizePerDim: per-channel absmax scales hit full int8 range") {
+    val vecs = Seq(
+      (1L, Array(1.27f, 0.0f)),
+      (2L, Array(-1.27f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizePerDim(vecs)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Byte](1).toSeq).toMap
+    // dim 0 scale = 1.27/127, dim 1 scale = 0.5/127: extremes map to
+    // +-127 per CHANNEL (a per-vector scale would squash dim 1)
+    q(1L) shouldBe Seq[Byte](127, 0)
+    q(2L) shouldBe Seq[Byte](-127, 127)
+  }
 }
