@@ -453,23 +453,30 @@ object Dedup {
     */
   def resolveCanonical(documents: DataFrame, components: DataFrame,
       scoreCol: String = "n_chars"): DataFrame = {
-    val withComp = documents
-      .join(components.select("doc_id", "component"), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("component"),
-        col(scoreCol).cast("long").as("score"))
-    // lexicographic struct max: highest score, then highest -doc_id
-    // (= lowest doc_id) — one shuffle picks the canonical per cluster
-    val canon = withComp
+    val comps = components.select("doc_id", "component")
+    // the argmax runs over CLUSTER MEMBERS ONLY (docs touched by a dup
+    // pair) — never the whole corpus; singletons are their own canonical
+    // by definition and need no aggregation at all. Lexicographic struct
+    // max: highest score, then highest -doc_id (= lowest doc_id).
+    val memberScores = documents
+      .select(col("doc_id"), col(scoreCol).cast("long").as("score"))
+      .join(comps, "doc_id")
+    val canon = memberScores
       .groupBy("component")
       .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("b"))
       .select(col("component"), (-col("b.neg_id")).as("canonical_id"))
-    withComp
-      .join(canon, Seq("component"))
+    // member → canonical lookup is component-list-sized; the corpus is
+    // touched by exactly one final join (broadcast-eligible whenever the
+    // dup set is small relative to the corpus, AQE decides)
+    val resolved = comps.join(canon, "component")
+    documents.select(col("doc_id"))
+      .join(resolved, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("component"), col("canonical_id"),
-        (col("doc_id") === col("canonical_id")).cast("long").as("keep"))
+        col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("keep",
+        (col("doc_id") === col("canonical_id")).cast("long"))
   }
 
   /** Decontamination: per corpus document, how many of its distinct word

@@ -86,6 +86,21 @@ object Sinks {
     n
   }
 
+  /** Shard-partitioned training export: materialize
+    * [[graft.operators.Relational.shuffleShard]]'s deterministic
+    * assignment as one directory per shard. The pre-write repartition
+    * hashes on the shard id, so every shard's rows land in exactly one
+    * task and each shard directory holds exactly one file — the layout
+    * a sequential training reader wants. File count = shard count by
+    * construction; pick `nShards` so each file lands near your target
+    * size (total bytes / ~512 MB at 100 TB).
+    */
+  def writeShards(df: DataFrame, keyCol: String, nShards: Int,
+      path: String): Unit =
+    graft.operators.Relational.shuffleShard(df, keyCol, nShards)
+      .repartition(nShards, org.apache.spark.sql.functions.col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+
   /** K4: managed-table sink (`303-spark-sql/README.md:61-66`). */
   def saveTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)

@@ -231,4 +231,24 @@ class IngestSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sinks.compactParquet(spark, src, src)
   }
+
+  test("writeShards: one file per shard directory, lossless roundtrip") {
+    val dir = tmpDir("shards")
+    Sinks.writeShards(tables.documents.select("doc_id", "source"),
+      "doc_id", nShards = 4, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    shardDirs.toSeq shouldBe Seq("shard=0", "shard=1", "shard=2", "shard=3")
+    // the shard-hash repartition funnels each shard into ONE task
+    shardDirs.foreach { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$d"))
+        .count(_.getPath.getName.endsWith(".parquet")) shouldBe 1
+    }
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe tables.documents.count()
+    back.select("doc_id").except(tables.documents.select("doc_id"))
+      .count() shouldBe 0
+  }
 }
