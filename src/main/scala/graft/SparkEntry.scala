@@ -829,7 +829,26 @@ object SparkEntry {
           col("vec_id"),
           concat_ws(",", transform(col("qvec"), _.cast("string")))
             .as("qvec_csv"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- incremental corpus stats: two disjoint batches aggregated
+    // separately then MERGED (monoid algebra) — the oracle computes the
+    // same stats in one direct scan, proving the merge path exact ------
+    "q107_incremental_stats" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val even = Relational.groupStats(
+        docs.filter(col("doc_id") % 2 === 0), Seq("source", "lang"),
+        "n_chars")
+      val odd = Relational.groupStats(
+        docs.filter(col("doc_id") % 2 =!= 0), Seq("source", "lang"),
+        "n_chars")
+      Relational.mergeStats(even, odd, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"),
+          round(col("sum_v").cast("double") / col("n"), 4).as("avg_v"))
+        .orderBy("source", "lang")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -2061,7 +2080,17 @@ object SparkEntry {
                FROM x JOIN s USING (i))
          SELECT vec_id,
            string_agg(CAST(qv AS VARCHAR), ',' ORDER BY i) AS qvec_csv
-         FROM q GROUP BY vec_id ORDER BY vec_id"""
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
+
+    // direct single-scan stats — the merge-path twin must agree exactly
+    // (DECIMAL sums make the monoid merge bit-deterministic)
+    "q107_incremental_stats" ->
+      """SELECT source, lang, count(n_chars) AS n,
+           CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+           min(n_chars) AS min_v, max(n_chars) AS max_v,
+           round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+             / count(n_chars), 4) AS avg_v
+         FROM documents GROUP BY source, lang ORDER BY source, lang"""
   )
 
   /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/

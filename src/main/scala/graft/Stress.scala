@@ -134,6 +134,18 @@ object Stress {
       time("asofJoin")(Temporal.viewsWithLastPurchase(evs)),
       time("intervalJoin")(Temporal.purchaseWindowViews(evs)),
       time("quantize")(Similarity.quantizeEmbeddings(embs)),
+      time("quantizePerDim")(Similarity.quantizePerDim(embs)),
+      // components precomputed (eager) so this times RESOLUTION alone:
+      // the members-only argmax + the single corpus-labeling join
+      time("resolveCanonical")(Dedup.resolveCanonical(docs,
+        Dedup.dupComponents(dupPairs))),
+      time("budgetSelect")(Relational.budgetSelect(
+        docs.select(col("doc_id"), col("n_chars"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens")),
+        "n_chars", "n_tokens", budget = 300000L)),
+      time("shuffleShard")(Relational.shuffleShard(
+        docs.select("doc_id", "source"), "doc_id", 64)),
       time("redactPii")(TextAnalysis.redactPii(docs)))
     val qs = results.map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")

@@ -557,6 +557,35 @@ object Relational {
     spark.createDataFrame(packed).toDF("doc_id", "n_tokens", "bin_id")
   }
 
+  /** Mergeable per-group statistics over a LONG-valued column — the
+    * building block of INCREMENTAL corpus analytics: every statistic
+    * carried (count, exact DECIMAL sum, min, max) is a commutative
+    * monoid, so stats(corpus + crawl) = [[mergeStats]](stats(corpus),
+    * stats(crawl)) without ever rescanning the corpus. Derived metrics
+    * (avg) are computed at read time from the carried sums. One
+    * groupBy with map-side partials; output is group-count-sized.
+    */
+  def groupStats(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      sum(col(valueCol).cast("decimal(28,6)")).as("sum_v"),
+      min(col(valueCol).cast("long")).as("min_v"),
+      max(col(valueCol).cast("long")).as("max_v"))
+
+  /** Merge two [[groupStats]] frames: union + monoid re-aggregation.
+    * Associative and commutative, so any merge tree over any batch
+    * split yields identical statistics (EdgeCase/RelationalSpec assert
+    * this against a direct single-scan computation).
+    */
+  def mergeStats(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
+
   /** Budgeted greedy selection: keep the highest-`scoreCol` documents
     * until the global `weightCol` budget is spent — the corpus-assembly
     * gate that turns "score every doc" into "the N-token training set".

@@ -96,4 +96,34 @@ class EdgeCaseSpec extends SparkSpec {
     out(0).getLong(1) shouldBe 0L
     out(0).getLong(2) shouldBe 1L
   }
+
+  test("resolveCanonical with no dup pairs: every doc is its own keeper") {
+    val docs = Seq((1L, "a", 5L), (2L, "b", 9L))
+      .toDF("doc_id", "text", "n_chars")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "component")
+    val r = Dedup.resolveCanonical(docs, empty)
+      .select("doc_id", "component", "canonical_id", "keep")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    r shouldBe Seq((1L, 1L, 1L, 1L), (2L, 2L, 2L, 1L))
+  }
+
+  test("budgetSelect edges: budget covers all / starves all; bad budget") {
+    val docs = Seq((1L, 2L, 10L), (2L, 1L, 10L))
+      .toDF("doc_id", "n_chars", "n_tokens")
+    Relational.budgetSelect(docs, "n_chars", "n_tokens", budget = 100L)
+      .count() shouldBe 2
+    Relational.budgetSelect(docs, "n_chars", "n_tokens", budget = 5L)
+      .count() shouldBe 0
+    an[IllegalArgumentException] should be thrownBy
+      Relational.budgetSelect(docs, "n_chars", "n_tokens", budget = 0L)
+  }
+
+  test("shuffleShard edges: one shard takes everything; bad shard count") {
+    val docs = Seq((1L, "s"), (2L, "s")).toDF("doc_id", "source")
+    val one = Relational.shuffleShard(docs, "doc_id", 1)
+    one.filter(col("shard") =!= 0L).count() shouldBe 0
+    one.count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      Relational.shuffleShard(docs, "doc_id", 0)
+  }
 }

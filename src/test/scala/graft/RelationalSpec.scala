@@ -386,4 +386,26 @@ class RelationalSpec extends SparkSpec {
     a shouldBe b
     a.nonEmpty shouldBe true
   }
+
+  test("groupStats/mergeStats: any merge tree equals the direct scan") {
+    val docs = tables.documents
+    val direct = Relational.groupStats(docs, Seq("source"), "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getLong(3), r.getLong(4))).toMap
+    // three-way split, merged left-deep AND right-deep
+    val parts = (0 to 2).map(i =>
+      Relational.groupStats(docs.filter(col("doc_id") % 3 === i),
+        Seq("source"), "n_chars"))
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getLong(3), r.getLong(4))).toMap
+    val leftDeep = toMapOf(Relational.mergeStats(
+      Relational.mergeStats(parts(0), parts(1), Seq("source")),
+      parts(2), Seq("source")))
+    val rightDeep = toMapOf(Relational.mergeStats(parts(0),
+      Relational.mergeStats(parts(1), parts(2), Seq("source")),
+      Seq("source")))
+    leftDeep shouldBe direct
+    rightDeep shouldBe direct
+  }
 }
