@@ -848,6 +848,23 @@ object SparkEntry {
           col("min_v"), col("max_v"),
           round(col("sum_v").cast("double") / col("n"), 4).as("avg_v"))
         .orderBy("source", "lang")
+    }),
+
+    // ---- snapshot diff: crawl v2 derived deterministically from v1
+    // (drop %17, edit %13, add %19 under shifted ids) and classified by
+    // content fingerprint ----------------------------------------------
+    "q108_snapshot_diff" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text")))
+        .unionByName(
+          docs.filter(col("doc_id") % 19 === 0).select(
+            (col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Dedup.snapshotDiff(docs, v2).orderBy("doc_id")
     })
   )
 
@@ -2090,7 +2107,28 @@ object SparkEntry {
            min(n_chars) AS min_v, max(n_chars) AS max_v,
            round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
              / count(n_chars), 4) AS avg_v
-         FROM documents GROUP BY source, lang ORDER BY source, lang"""
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+
+    // same v2 derivation, same normalized fingerprint ($Fp), classified
+    // through a full-outer join keyed on doc_id
+    "q108_snapshot_diff" ->
+      s"""WITH newd AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0 THEN text || ' edited v2'
+                   ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+            WHERE doc_id % 19 = 0),
+          o AS (SELECT doc_id, $Fp AS fp FROM documents),
+          n AS (SELECT doc_id, $Fp AS fp FROM newd)
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.fp IS NULL THEN 'added'
+                 WHEN n.fp IS NULL THEN 'removed'
+                 WHEN o.fp <> n.fp THEN 'changed'
+                 ELSE 'unchanged' END AS status
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          ORDER BY doc_id"""
   )
 
   /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/

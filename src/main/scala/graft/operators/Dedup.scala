@@ -479,6 +479,30 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).cast("long"))
   }
 
+  /** Corpus snapshot diff — the versioning report between two crawls:
+    * classify every doc_id as added / removed / changed / unchanged by
+    * comparing the same normalized content fingerprint the exact-dedup
+    * tier uses (md5 of whitespace-collapsed lowercased text), so "changed"
+    * means semantically-relevant change, not formatting drift. One
+    * full-outer join on doc_id: each side is fingerprinted in its own
+    * scan (a projection) and hash-partitioned once — the diff of two
+    * 100-TB snapshots costs two scans and one co-partitioned join,
+    * shuffling 16-byte fingerprints rather than documents.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(d: DataFrame, tag: String) = d.select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as(s"${tag}_fp"))
+    fp(oldDocs, "old")
+      .join(fp(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Decontamination: per corpus document, how many of its distinct word
     * n-grams appear anywhere in a benchmark/eval set — the standard
     * train/test-overlap check run before training. The benchmark gram set

@@ -188,4 +188,25 @@ class LocalitySpec extends SparkSpec {
     zRead should be < (linearRead / 4)
     hRead should be < (linearRead / 4)
   }
+
+  test("z-clustered layout prunes 2-D range scans via min/max stats") {
+    val dir = Files.createTempDirectory("graft-zclust").toString
+    val n = 1 << 16
+    // x/y decorrelated from row order: every plain row group spans the
+    // whole domain, so min/max stats alone can prune NOTHING
+    val df = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(1024L)).as("x"),
+      pmod(col("id") * 40503L, lit(1024L)).as("y"))
+    df.write.mode("overwrite").parquet(s"$dir/plain")
+    Locality.clusterByZ(df,
+      Locality.zValue(Seq(col("x"), col("y")), 10), files = 16)
+      .write.mode("overwrite").parquet(s"$dir/clustered")
+    def rect(p: String) = spark.read.parquet(p)
+      .filter(col("x") < 64 && col("y") < 64)
+    rect(s"$dir/plain").count() shouldBe rect(s"$dir/clustered").count()
+    scanRows(rect(s"$dir/plain")) shouldBe n.toLong // nothing pruned
+    // the z-curve makes both columns locally narrow per file, so the
+    // same rectangle touches a handful of files/row groups
+    scanRows(rect(s"$dir/clustered")) should be < (n.toLong / 4)
+  }
 }
