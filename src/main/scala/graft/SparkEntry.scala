@@ -855,18 +855,102 @@ object SparkEntry {
     // content fingerprint ----------------------------------------------
     "q108_snapshot_diff" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val v2 = docs.filter(col("doc_id") % 17 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 13 === 0,
-            concat(col("text"), lit(" edited v2")))
-            .otherwise(col("text")))
-        .unionByName(
-          docs.filter(col("doc_id") % 19 === 0).select(
-            (col("doc_id") + 100000L).as("doc_id"), col("text"),
-            col("lang"), col("source"), col("n_chars")))
-      Dedup.snapshotDiff(docs, v2).orderBy("doc_id")
+      Dedup.snapshotDiff(docs, crawlV2(docs)).orderBy("doc_id")
+    }),
+
+    // ---- SCD2 history over three deterministic crawl snapshots:
+    // validity runs of the content fingerprint per doc_id --------------
+    "q109_scd2_history" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val v2 = crawlV2(docs)
+      val v3 = crawlV3(v2, docs)
+      def snap(df: DataFrame, v: Int) = df.select(
+        col("doc_id"), lit(v.toLong).as("version"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      Temporal.scd2History(
+        snap(docs, 1).unionByName(snap(v2, 2)).unionByName(snap(v3, 3)),
+        "doc_id", "version", "fp", latestVersion = 3)
+        .orderBy("doc_id", "valid_from")
+    }),
+
+    // ---- MERGE: apply the v1→v2 changeset (deletes %17, edits %13,
+    // adds %19) to the base corpus; oracle derives v2 independently ----
+    "q110_merge_changeset" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val payload = Seq("text", "lang", "source", "n_chars")
+      val deletes = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id") +: payload.map(p =>
+          lit(null).cast(docs.schema(p).dataType).as(p)): _*)
+        .withColumn("op", lit("delete"))
+      val edits = docs
+        .filter(col("doc_id") % 13 === 0 && col("doc_id") % 17 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" edited v2")))
+        .withColumn("op", lit("upsert"))
+      val adds = docs.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("op", lit("upsert"))
+      Relational.mergeChangeset(
+        docs, deletes.unionByName(edits).unionByName(adds), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- single-pass column profile (contract audit) over portable
+    // types; nullable derived column exercises the null counters -------
+    "q111_column_profile" -> ((s, d) => {
+      val audited = Tables(s, d).orders
+        .withColumn("cust_bucket", nullif(col("o_custkey") % 5, lit(0)))
+      Quality.profileColumns(audited,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "cust_bucket"))
+        .orderBy("column_name")
+    }),
+
+    // ---- referential-integrity audit with deterministically crippled
+    // parents (orphans where custkey%97=0 / orderkey%113=0) plus one
+    // clean constraint as the zero-violation case -----------------------
+    "q112_fk_violations" -> ((s, d) => {
+      val t = Tables(s, d)
+      Quality.fkViolations(Seq(
+        ("lineitem_orderkey", t.lineitem, "l_orderkey",
+          t.orders.filter(col("o_orderkey") % 113 =!= 0), "o_orderkey"),
+        ("lineitem_partkey", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("orders_custkey", t.orders, "o_custkey",
+          t.customer.filter(col("c_custkey") % 97 =!= 0), "c_custkey")))
+        .orderBy("constraint_name")
     })
   )
+
+  /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
+    * drop ids %17, append an edit marker to ids %13, re-add ids %19
+    * under shifted ids — every mutation class the snapshot/merge
+    * operators must classify.
+    */
+  private def crawlV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" edited v2")))
+          .otherwise(col("text")))
+      .unionByName(
+        docs.filter(col("doc_id") % 19 === 0).select(
+          (col("doc_id") + 100000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+
+  /** Third crawl for the SCD2 history: mutates [[crawlV2]] (drop %23,
+    * edit %11) and re-adds ids %29 from v1 under a second id shift.
+    */
+  private def crawlV3(v2: DataFrame, docs: DataFrame): DataFrame =
+    v2.filter(col("doc_id") % 23 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" edited v3")))
+          .otherwise(col("text")))
+      .unionByName(
+        docs.filter(col("doc_id") % 29 === 0).select(
+          (col("doc_id") + 200000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
 
   // ---------------------------------------------------------------------
   // DuckDB oracle twins. Table names refer to the driver's parquet views.
@@ -2128,8 +2212,104 @@ object SparkEntry {
                  WHEN o.fp <> n.fp THEN 'changed'
                  ELSE 'unchanged' END AS status
           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // three snapshot CTEs ($CrawlV2Sql/$CrawlV3Sql mirror crawlV2/V3),
+    // then the same lag + running-sum run detection over (doc_id, version)
+    "q109_scd2_history" ->
+      s"""WITH $CrawlV2Sql, $CrawlV3Sql,
+          snap AS (
+            SELECT doc_id, CAST(1 AS BIGINT) AS version, $Fp AS fp
+            FROM documents
+            UNION ALL SELECT doc_id, 2, $Fp FROM v2
+            UNION ALL SELECT doc_id, 3, $Fp FROM v3),
+          marked AS (
+            SELECT doc_id, version, fp,
+              CASE WHEN lag(fp) OVER w IS NULL
+                     OR lag(fp) OVER w <> fp
+                     OR lag(version) OVER w <> version - 1
+                   THEN 1 ELSE 0 END AS new_run
+            FROM snap
+            WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+          runs AS (
+            SELECT doc_id, version, fp,
+              sum(new_run) OVER (PARTITION BY doc_id ORDER BY version
+                ROWS UNBOUNDED PRECEDING) AS run
+            FROM marked)
+          SELECT doc_id,
+            min(version) AS valid_from, max(version) AS valid_to,
+            min(fp) AS state,
+            CAST(CASE WHEN max(version) = 3 THEN 1 ELSE 0 END AS BIGINT)
+              AS is_current
+          FROM runs GROUP BY doc_id, run ORDER BY doc_id, valid_from""",
+
+    // independent path to the merged snapshot: derive v2 directly
+    // (the Spark side folds a delete/edit/add changeset into v1)
+    "q110_merge_changeset" ->
+      s"""WITH $CrawlV2Sql
+          SELECT doc_id, lang, source, n_chars, $Fp AS fp
+          FROM v2 ORDER BY doc_id""",
+
+    "q111_column_profile" ->
+      s"""WITH audited AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+              nullif(o_custkey % 5, 0) AS cust_bucket
+            FROM orders),
+          cells AS (
+            SELECT 'o_orderkey' AS column_name,
+              CAST(o_orderkey AS VARCHAR) AS v FROM audited
+            UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+              FROM audited
+            UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM audited
+            UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM audited
+            UNION ALL SELECT 'cust_bucket', CAST(cust_bucket AS VARCHAR)
+              FROM audited)
+          SELECT column_name, count(*) AS n_rows,
+            count(*) - count(v) AS n_null,
+            count(DISTINCT v) AS n_distinct,
+            min(v) AS min_str, max(v) AS max_str
+          FROM cells GROUP BY column_name ORDER BY column_name""",
+
+    "q112_fk_violations" ->
+      """SELECT * FROM (
+           SELECT 'lineitem_orderkey' AS constraint_name,
+             count(*) AS n_violations, min(CAST(k AS BIGINT)) AS sample_key
+           FROM (SELECT l_orderkey AS k FROM lineitem
+             WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+               (SELECT o_orderkey FROM orders WHERE o_orderkey % 113 <> 0))
+           UNION ALL
+           SELECT 'lineitem_partkey', count(*), min(CAST(k AS BIGINT))
+           FROM (SELECT l_partkey AS k FROM lineitem
+             WHERE l_partkey IS NOT NULL AND l_partkey NOT IN
+               (SELECT p_partkey FROM part))
+           UNION ALL
+           SELECT 'orders_custkey', count(*), min(CAST(k AS BIGINT))
+           FROM (SELECT o_custkey AS k FROM orders
+             WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+               (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)))
+         ORDER BY constraint_name"""
   )
+
+  /** DuckDB twins of [[crawlV2]]/[[crawlV3]] as named CTE fragments. */
+  private val CrawlV2Sql =
+    """v2 AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' edited v2'
+                ELSE text END AS text,
+           lang, source, n_chars
+         FROM documents WHERE doc_id % 17 <> 0
+         UNION ALL
+         SELECT doc_id + 100000, text, lang, source, n_chars
+         FROM documents WHERE doc_id % 19 = 0)"""
+  private val CrawlV3Sql =
+    """v3 AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN text || ' edited v3'
+                ELSE text END AS text
+         FROM v2 WHERE doc_id % 23 <> 0
+         UNION ALL
+         SELECT doc_id + 200000, text FROM documents
+         WHERE doc_id % 29 = 0)"""
 
   /** Brute-force trigram-Jaccard pair oracle — gates both the MinHash/
     * LSH path (q31) and the exact prefix-filter join (q100): the two

@@ -486,6 +486,38 @@ object Relational {
       .drop("_skey")
   }
 
+  /** MERGE/upsert: apply a changeset to a base table and return the new
+    * snapshot. `changes` carries the base's schema plus `opCol` with
+    * `'upsert'` (insert new key or replace existing row's payload) or
+    * `'delete'` (payload columns ignored); any other op value raises at
+    * runtime rather than silently passing rows through. This is the
+    * incremental-maintenance half of the snapshot lifecycle — a crawl
+    * delta folds into the 100-TB corpus as ONE co-partitioned full-outer
+    * join on the key (both sides hash-partition once; the changeset side
+    * is delta-sized), instead of rewriting the corpus from scratch.
+    * Writing the result partitioned the same way keeps the next merge's
+    * base side shuffle-free.
+    */
+  def mergeChangeset(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol).toSeq
+    val renamed = payload.foldLeft(changes.withColumnRenamed(opCol, "_op"))(
+      (d, p) => d.withColumnRenamed(p, s"_c_$p"))
+    base.join(renamed, Seq(keyCol), "full_outer")
+      .withColumn("_op",
+        when(col("_op").isNull || col("_op").isin("upsert", "delete"),
+          col("_op"))
+          .otherwise(raise_error(concat(
+            lit(s"mergeChangeset: unknown op in '$opCol': "), col("_op")))))
+      .filter(col("_op").isNull || col("_op") === "upsert")
+      .select(col(keyCol) +: payload.map(p =>
+        when(col("_op") === "upsert", col(s"_c_$p"))
+          .otherwise(col(p)).as(p)): _*)
+  }
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`, then aggregate per session. The
     * classic two-window pipeline — lag() marks session starts, a running

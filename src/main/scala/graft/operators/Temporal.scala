@@ -277,4 +277,49 @@ object Temporal {
         coalesce(col("n_views"), lit(0L)).as("n_views"),
         coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
   }
+
+  /** SCD type-2 history build: collapse a stack of corpus snapshots —
+    * one row per (key, version) present in that snapshot, with `stateCol`
+    * the content state to compare (typically the normalized fingerprint)
+    * — into validity runs `[valid_from, valid_to]` (version numbers,
+    * inclusive) during which the state was unchanged. A key absent from
+    * an intermediate version closes its run and a later reappearance
+    * opens a new one (delete + re-add, not one long run), detected by a
+    * version-number gap; version numbers must therefore be consecutive
+    * integers across snapshots. `is_current` marks runs alive at
+    * `latestVersion`.
+    *
+    * Plan: one hash shuffle on `keyCol` for the lag/running-sum window;
+    * the run groupBy keys on (key, run) which the key-partitioning
+    * already clusters, so Catalyst plans no second exchange. State per
+    * run is constant by construction (a change starts a new run), so
+    * `min(state)` reads the run's state without another comparison.
+    * Nothing here depends on snapshot count: S snapshots of a 100-TB
+    * corpus shuffle S×|keys| fingerprint rows once.
+    */
+  def scd2History(
+      snapshots: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      stateCol: String,
+      latestVersion: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(versionCol)
+    val run = Window.partitionBy(keyCol).orderBy(versionCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    snapshots
+      .withColumn("_new_run",
+        (lag(col(stateCol), 1).over(w).isNull ||
+          lag(col(stateCol), 1).over(w) =!= col(stateCol) ||
+          lag(col(versionCol), 1).over(w) =!= col(versionCol) - 1)
+          .cast("long"))
+      .withColumn("_run", sum(col("_new_run")).over(run))
+      .groupBy(col(keyCol), col("_run"))
+      .agg(
+        min(col(versionCol)).as("valid_from"),
+        max(col(versionCol)).as("valid_to"),
+        min(col(stateCol)).as("state"))
+      .withColumn("is_current",
+        (col("valid_to") === latestVersion).cast("long"))
+      .drop("_run")
+  }
 }

@@ -408,4 +408,29 @@ class RelationalSpec extends SparkSpec {
     leftDeep shouldBe direct
     rightDeep shouldBe direct
   }
+
+  test("mergeChangeset applies upserts and deletes, passes the rest") {
+    import SparkSpec.spark.implicits._
+    val base = Seq((1L, "one", 10L), (2L, "two", 20L), (3L, "three", 30L))
+      .toDF("id", "name", "v")
+    val changes = Seq(
+      (2L, Some("TWO"), Some(22L), "upsert"),  // replace existing
+      (3L, None, None, "delete"),              // remove
+      (4L, Some("four"), Some(40L), "upsert")  // insert new key
+    ).toDF("id", "name", "v", "op")
+    val out = Relational.mergeChangeset(base, changes, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    out shouldBe Set((1L, "one", 10L), (2L, "TWO", 22L), (4L, "four", 40L))
+  }
+
+  test("mergeChangeset raises loudly on an unknown op") {
+    import SparkSpec.spark.implicits._
+    val base = Seq((1L, "one")).toDF("id", "name")
+    val changes = Seq((1L, "uno", "replace")).toDF("id", "name", "op")
+    val ex = intercept[Exception] {
+      Relational.mergeChangeset(base, changes, "id").collect()
+    }
+    ex.getMessage should include("unknown op")
+  }
 }

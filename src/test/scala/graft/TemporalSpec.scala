@@ -248,6 +248,37 @@ class TemporalSpec extends SparkSpec {
       2L -> ((1L, 5.0)))
   }
 
+  // ------------------------------------------------------------- scd2
+
+  test("scd2History: runs split on state change AND on version gaps") {
+    // key "a": unchanged 1-2, changed at 3       → runs [1,2] and [3,3]
+    // key "b": present 1, absent 2, re-added 3
+    //          with the SAME state               → gap still splits runs
+    // key "c": only the latest version           → one current run
+    val snaps = Seq(
+      ("a", 1L, "s1"), ("a", 2L, "s1"), ("a", 3L, "s2"),
+      ("b", 1L, "x"), ("b", 3L, "x"),
+      ("c", 3L, "y")
+    ).toDF("k", "version", "state")
+    val out = Temporal.scd2History(snaps, "k", "version", "state", 3L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    out shouldBe Set(
+      ("a", 1L, 2L, "s1", 0L), ("a", 3L, 3L, "s2", 1L),
+      ("b", 1L, 1L, "x", 0L), ("b", 3L, 3L, "x", 1L),
+      ("c", 3L, 3L, "y", 1L))
+  }
+
+  test("scd2History plans a single exchange for window plus run groupBy") {
+    val snaps = Seq(("a", 1L, "s1"), ("a", 2L, "s2"))
+      .toDF("k", "version", "state")
+    val plan = Temporal.scd2History(snaps, "k", "version", "state", 2L)
+      .queryExecution.executedPlan.toString
+    // the groupBy on (k, run) reuses the window's hash-partitioning on k
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("ewma with alpha=1 is just the latest observation per key") {
     val latest = Temporal.ewma(tables.events, Seq("user_id"), "ts",
       "event_id", "value", alpha = 1.0)
