@@ -919,7 +919,25 @@ object SparkEntry {
         ("orders_custkey", t.orders, "o_custkey",
           t.customer.filter(col("c_custkey") % 97 =!= 0), "c_custkey")))
         .orderBy("constraint_name")
-    })
+    }),
+
+    // ---- leakage-safe split: whole sources assigned to train/val/test
+    // by hashed group key — a pure projection, zero shuffle ------------
+    "q113_group_split" -> ((s, d) =>
+      Curation.groupSplit(
+        Tables(s, d).documents.select("doc_id", "source"), "source")
+        .orderBy("doc_id")),
+
+    // ---- vocabulary fit: top-20 token vocab, per-source OOV rates ----
+    "q114_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(Tables(s, d).documents, vocabSize = 20)
+        .orderBy("source")),
+
+    // ---- conjunctive term search (AND of postings) -------------------
+    "q115_search_conjunctive" -> ((s, d) =>
+      TextOps.searchDocuments(
+        Tables(s, d).documents, Seq("join", "hash", "row"))
+        .orderBy("doc_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2287,7 +2305,37 @@ object SparkEntry {
            FROM (SELECT o_custkey AS k FROM orders
              WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
                (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)))
-         ORDER BY constraint_name"""
+         ORDER BY constraint_name""",
+
+    // hex md5 prefixes compare like the 32-bit ints they spell; cuts are
+    // floor(cum_fraction * 2^32) in hex (0.8 → cccccccc, 0.9 → e6666666)
+    "q113_group_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN substr(md5(source), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "q114_vocab_coverage" ->
+      s"""WITH toks AS (
+            SELECT source, unnest($Toks) AS word FROM documents),
+          vocab AS (
+            SELECT word FROM (
+              SELECT word, count(*) AS cnt FROM toks GROUP BY word)
+            ORDER BY cnt DESC, word LIMIT 20)
+          SELECT t.source, count(*) AS n_tokens,
+            count(*) - count(v.word) AS n_oov,
+            round(CAST(count(*) - count(v.word) AS DOUBLE) / count(*), 6)
+              AS oov_rate
+          FROM toks t LEFT JOIN vocab v ON t.word = v.word
+          GROUP BY t.source ORDER BY t.source""",
+
+    "q115_search_conjunctive" ->
+      s"""SELECT doc_id FROM documents
+          WHERE list_contains($Toks, 'join')
+            AND list_contains($Toks, 'hash')
+            AND list_contains($Toks, 'row')
+          ORDER BY doc_id"""
   )
 
   /** DuckDB twins of [[crawlV2]]/[[crawlV3]] as named CTE fragments. */

@@ -15,6 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Leakage-safe train/val/test split: every row whose `groupCol` value
+    * hashes alike lands in the SAME split, so correlated documents (one
+    * domain's pages, one source's crawl) can never straddle the
+    * train/test boundary — the group-aware split that keeps eval sets
+    * honest. `splits` is (name, fraction) with fractions summing to 1.
+    *
+    * Assignment is a pure projection — no shuffle, no group table, no
+    * join: the first 8 hex chars of `md5(groupCol)` are compared against
+    * cumulative-fraction thresholds (hex strings compare exactly like
+    * the 32-bit integers they spell, and md5 is engine-portable, so the
+    * same row lands in the same split on any engine, any partitioning,
+    * any run). Granularity is 1/2³² of the hash space — fractions are
+    * honored to ~0.2 ppb in expectation over groups; realized shares
+    * track fractions only as group count grows (20 sources will be
+    * lumpy; a million domains will not). Null group keys hash as the
+    * empty string — one deterministic split, not a null split.
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      splitName: String = "split"): DataFrame = {
+    require(splits.size >= 2, "groupSplit: need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"groupSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0), "groupSplit: fractions must be > 0")
+    val h = substring(md5(coalesce(col(groupCol).cast("string"), lit(""))),
+      1, 8)
+    val cuts = splits.init
+      .scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => f"${math.floor(f * 4294967296.0).toLong}%08x")
+    val assigned = splits.init.map(_._1).zip(cuts)
+      .foldRight(lit(splits.last._1)) { case ((name, cut), rest) =>
+        when(h < lit(cut), lit(name)).otherwise(rest)
+      }
+    df.withColumn(splitName, assigned)
+  }
+
   /** Percentile-based length pruning (the distribution-relative form of
     * Gopher's length rules): drop each language's shortest `dropBelow`
     * quantile instead of using one absolute token floor, so a threshold

@@ -188,6 +188,65 @@ object TextOps {
         count(lit(1)).as("n_docs"))
   }
 
+  /** Vocabulary coverage / OOV audit: build the top-`vocabSize` token
+    * vocabulary by corpus frequency (ties broken by word asc — a total
+    * order, so the vocab is identical on every engine and every run),
+    * then report per-source token totals, out-of-vocabulary counts, and
+    * the OOV rate. This is the tokenizer-fit check a pipeline runs per
+    * source before training: a source whose OOV rate spikes is drawing
+    * from a different distribution than the vocabulary was fit on.
+    *
+    * Plan: one token-count aggregation (map-side partials; the shuffle
+    * carries (word, count) pairs, not tokens), a distributed top-k
+    * (`TakeOrdered` — no global sort), then a BROADCAST left join of the
+    * second token scan against the vocab — the vocab is bounded driver
+    * state by construction (vocabSize rows), so the coverage pass adds
+    * no shuffle beyond the final per-source rollup.
+    */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabCoverage: vocabSize must be positive")
+    val counts = wordCount(documents)
+    val vocab = counts
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabSize)
+      .select(col("word"), lit(1L).as("_in_vocab"))
+    Dedup.spread(documents)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("_in_vocab"))).as("n_oov"),
+        round((count(lit(1)) - count(col("_in_vocab"))).cast("double") /
+          count(lit(1)), 6).as("oov_rate"))
+  }
+
+  /** Conjunctive term search over a posting-pair relation `pairs`
+    * (word, doc_id): doc ids containing ALL of `terms`. The pair source
+    * decides the cost profile — freshly exploded tokens make this a
+    * one-shot scan query (the `IN` filter prunes to query-term rows
+    * BEFORE the shuffle, so the aggregation sees |terms|·|matching docs|
+    * rows, not the corpus); at 100 TB you pass the persisted,
+    * word-bucketed posting table instead and the same probe reads only
+    * the buckets holding the query terms — build-once/probe-many, the
+    * textual twin of the ANN index split (q34/q51).
+    */
+  def searchIndex(pairs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchIndex: no query terms")
+    val t = terms.distinct
+    pairs
+      .filter(col("word").isin(t: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("word")).as("_hits"))
+      .filter(col("_hits") === t.length)
+      .select("doc_id")
+  }
+
+  /** [[searchIndex]] over freshly exploded tokens — the scan-side form. */
+  def searchDocuments(documents: DataFrame, terms: Seq[String]): DataFrame =
+    searchIndex(words(documents).select("word", "doc_id"), terms)
+
   /** Sliding-window document chunking: token windows of `chunkTokens`
     * every `stride` tokens (overlap = chunkTokens − stride), the chunker
     * every RAG/pretraining pipeline runs before embedding or packing.

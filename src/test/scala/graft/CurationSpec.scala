@@ -67,4 +67,40 @@ class CurationSpec extends SparkSpec {
     p should not include "Window"
     p should include("BroadcastHashJoin")
   }
+
+  test("groupSplit: groups never straddle splits; zero shuffle") {
+    import SparkSpec.spark.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong, s"domain_${i % 400}"))
+    val df = rows.toDF("id", "domain")
+    val out = Curation.groupSplit(df, "domain")
+    // leakage-safety: each domain maps to exactly one split
+    out.groupBy("domain")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count() shouldBe 0
+    // with 400 groups the realized shares track 0.8/0.1/0.1 loosely
+    val shares = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / rows.size).toMap
+    shares("train") shouldBe 0.8 +- 0.1
+    (shares.getOrElse("val", 0.0) + shares.getOrElse("test", 0.0)) shouldBe
+      0.2 +- 0.1
+    // pure projection: no Exchange anywhere in the plan
+    plan(Curation.groupSplit(df, "domain")) should not include "Exchange"
+  }
+
+  test("groupSplit: deterministic, null-safe, validates fractions") {
+    import SparkSpec.spark.implicits._
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, None))
+      .toDF("id", "g")
+    val a = Curation.groupSplit(df, "g").collect().map(r =>
+      r.getLong(0) -> r.getString(2)).toMap
+    val b = Curation.groupSplit(df, "g").collect().map(r =>
+      r.getLong(0) -> r.getString(2)).toMap
+    a shouldBe b // same assignment on every run
+    a(1L) shouldBe a(2L) // same group, same split
+    Set("train", "val", "test") should contain(a(3L)) // null key assigned
+    an[IllegalArgumentException] should be thrownBy
+      Curation.groupSplit(df, "g", Seq("train" -> 0.5, "val" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.groupSplit(df, "g", Seq("all" -> 1.0))
+  }
 }

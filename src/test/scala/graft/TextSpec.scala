@@ -190,4 +190,37 @@ class TextSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextOps.chunkDocuments(docs, chunkTokens = 3, stride = 4)
   }
+
+  test("vocabCoverage: deterministic top-k vocab, exact OOV accounting") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c", "s1"), // a:3 b:2 c:1
+      (2L, "a b x y", "s2")      // corpus: a:4 b:3 c:1 x:1 y:1
+    ).toDF("doc_id", "text", "source")
+    // k=3 vocab is {a, b, c}: c beats x/y on the word-asc tiebreak
+    val out = TextOps.vocabCoverage(docs, vocabSize = 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    out("s1") shouldBe ((6L, 0L, 0.0))
+    out("s2") shouldBe ((4L, 2L, 0.5)) // x, y are OOV
+    // the vocab side broadcasts; no shuffle join for the coverage pass
+    plan(TextOps.vocabCoverage(docs, 3)) should include("BroadcastHashJoin")
+  }
+
+  test("searchIndex: conjunctive AND; repeated words count once") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "join hash row"),       // all three
+      (2L, "join join hash hash"), // missing row; repeats must not help
+      (3L, "row hash join extra"), // all three with noise
+      (4L, "join")                 // one term only
+    ).toDF("doc_id", "text")
+    TextOps.searchDocuments(docs, Seq("join", "hash", "row"))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    // duplicate query terms are deduped, not double-counted
+    TextOps.searchDocuments(docs, Seq("join", "join"))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L, 4L)
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.searchDocuments(docs, Seq.empty)
+  }
 }
