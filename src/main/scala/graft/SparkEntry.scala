@@ -937,7 +937,11 @@ object SparkEntry {
     "q115_search_conjunctive" -> ((s, d) =>
       TextOps.searchDocuments(
         Tables(s, d).documents, Seq("join", "hash", "row"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- per-source distribution shift: entropy + KL vs corpus -------
+    "q116_source_shift" -> ((s, d) =>
+      TextAnalysis.sourceShift(Tables(s, d).documents).orderBy("source"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2335,7 +2339,38 @@ object SparkEntry {
           WHERE list_contains($Toks, 'join')
             AND list_contains($Toks, 'hash')
             AND list_contains($Toks, 'row')
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // per-word log terms quantized to DECIMAL(30,12) then summed exactly
+    // (order-independent), mirroring the Spark side; see sourceShift
+    "q116_source_shift" ->
+      s"""WITH sw AS (
+            SELECT source, word, count(*) AS c
+            FROM (SELECT source, unnest($Toks) AS word FROM documents)
+            GROUP BY source, word),
+          ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+                   count(*) AS d_s FROM sw GROUP BY source),
+          pw AS (SELECT word, CAST(sum(c) AS BIGINT) AS c_w
+                 FROM sw GROUP BY word),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM sw),
+          agg AS (
+            SELECT sw.source,
+              sum(CAST(CAST(sw.c AS DOUBLE) * ln(
+                    (CAST(sw.c AS DOUBLE) * CAST(n_tot AS DOUBLE)) /
+                    (CAST(pw.c_w AS DOUBLE) * CAST(ps.n_s AS DOUBLE)))
+                  AS DECIMAL(30,12))) AS kl_sum,
+              sum(CAST(CAST(sw.c AS DOUBLE) * ln(CAST(sw.c AS DOUBLE))
+                  AS DECIMAL(30,12))) AS h_sum
+            FROM sw JOIN pw USING (word) JOIN ps USING (source)
+              CROSS JOIN tot
+            GROUP BY sw.source)
+          SELECT ps.source, ps.n_s AS n_tokens, ps.d_s AS n_distinct,
+            round(ln(CAST(ps.n_s AS DOUBLE)) -
+              CAST(h_sum AS DOUBLE) / CAST(ps.n_s AS DOUBLE), 6)
+              AS entropy,
+            round(CAST(kl_sum AS DOUBLE) / CAST(ps.n_s AS DOUBLE), 6)
+              AS kl_vs_corpus
+          FROM agg JOIN ps USING (source) ORDER BY ps.source"""
   )
 
   /** DuckDB twins of [[crawlV2]]/[[crawlV3]] as named CTE fragments. */

@@ -161,6 +161,57 @@ object TextAnalysis {
           .as("avg_chars"),
         sum("n_chars").as("total_chars"))
 
+  /** Distribution-shift audit per source: token-distribution entropy and
+    * KL divergence against the whole-corpus token distribution. The
+    * drift detector a curation pipeline runs per ingest source — a
+    * source whose KL spikes is drawing from a different distribution
+    * than the corpus (new domain, new language, spam injection), and a
+    * source whose entropy collapses is template/boilerplate-heavy.
+    * KL(pₛ‖q) is finite by construction: every source token is a corpus
+    * token, so q's support covers pₛ's.
+    *
+    * Plan: one tokenize+explode scan into a (source, word) count — the
+    * only full-width shuffle; the corpus-marginal word counts and the
+    * per-source totals are both re-aggregations OF that table (the
+    * shared Exchange is reused, not recomputed), joined back on their
+    * own keys. Per-word log terms are quantized to DECIMAL(30,12) and
+    * summed exactly, so the result is independent of partitioning and
+    * engine summation order (double sums are order-sensitive; decimal
+    * sums are not) — same convention as the k-means centroid oracle.
+    */
+  def sourceShift(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sw = Dedup.spread(documents)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val perSource = sw.groupBy("source")
+      .agg(sum("c").as("n_s"), count(lit(1)).as("d_s"))
+    val perWord = sw.groupBy("word").agg(sum("c").as("c_w"))
+    val total = perSource.agg(sum("n_s").as("n_tot"))
+    val cD = col("c").cast("double")
+    val klTerm = cD * log(
+      (cD * col("n_tot").cast("double")) /
+        (col("c_w").cast("double") * col("n_s").cast("double")))
+    val hTerm = cD * log(cD)
+    sw.join(perWord, "word")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(
+        sum(klTerm.cast(DecimalType(30, 12))).as("kl_sum"),
+        sum(hTerm.cast(DecimalType(30, 12))).as("h_sum"))
+      .join(broadcast(perSource), "source")
+      .select(
+        col("source"),
+        col("n_s").as("n_tokens"),
+        col("d_s").as("n_distinct"),
+        round(log(col("n_s").cast("double")) -
+          col("h_sum").cast("double") / col("n_s").cast("double"), 6)
+          .as("entropy"),
+        round(col("kl_sum").cast("double") / col("n_s").cast("double"), 6)
+          .as("kl_vs_corpus"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercased text.
     * The canonical exact-dedup key — identical content with incidental
     * whitespace/case differences collapses to one fingerprint.

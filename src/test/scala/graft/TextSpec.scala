@@ -207,6 +207,32 @@ class TextSpec extends SparkSpec {
     plan(TextOps.vocabCoverage(docs, 3)) should include("BroadcastHashJoin")
   }
 
+  test("sourceShift: hand-computed entropy and KL vs corpus") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "s1"), // p = (a:2/3, b:1/3)
+      (2L, "a c", "s2")    // p = (a:1/2, c:1/2); corpus q = (3/5, 1/5, 1/5)
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceShift(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, d1, h1, kl1) = out("s1")
+    n1 shouldBe 3L; d1 shouldBe 2L
+    // H = -(2/3 ln 2/3 + 1/3 ln 1/3); KL = 2/3 ln(10/9) + 1/3 ln(5/3)
+    h1 shouldBe 0.636514 +- 1e-6
+    kl1 shouldBe 0.240516 +- 1e-6
+    val (n2, d2, h2, kl2) = out("s2")
+    n2 shouldBe 2L; d2 shouldBe 2L
+    h2 shouldBe math.log(2) +- 1e-6 // uniform over 2 words
+    kl2 shouldBe (0.5 * math.log(0.5 / 0.6) +
+      0.5 * math.log(0.5 / 0.2)) +- 1e-6
+    // a source identical to the corpus has KL 0
+    val one = TextAnalysis.sourceShift(docs.withColumn("source", lit("all")))
+      .collect()
+    one.length shouldBe 1
+    one.head.getDouble(4) shouldBe 0.0 +- 1e-9
+  }
+
   test("searchIndex: conjunctive AND; repeated words count once") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
