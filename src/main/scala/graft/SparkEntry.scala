@@ -941,7 +941,12 @@ object SparkEntry {
 
     // ---- per-source distribution shift: entropy + KL vs corpus -------
     "q116_source_shift" -> ((s, d) =>
-      TextAnalysis.sourceShift(Tables(s, d).documents).orderBy("source"))
+      TextAnalysis.sourceShift(Tables(s, d).documents).orderBy("source")),
+
+    // ---- asymmetric containment: short doc quoted inside a long one --
+    "q117_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables(s, d).documents, threshold = 0.8)
+        .orderBy("doc_a", "doc_b"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2370,7 +2375,26 @@ object SparkEntry {
               AS entropy,
             round(CAST(kl_sum AS DOUBLE) / CAST(ps.n_s AS DOUBLE), 6)
               AS kl_vs_corpus
-          FROM agg JOIN ps USING (source) ORDER BY ps.source"""
+          FROM agg JOIN ps USING (source) ORDER BY ps.source""",
+
+    // brute-force directed-containment ground truth (all ordered pairs);
+    // the Spark side's prefix filter is a complete candidate generator,
+    // so the two must agree exactly
+    "q117_containment_pairs" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) AS DOUBLE), 4) AS containment
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            WHERE len(a.sh) > 0)
+          SELECT doc_a, doc_b, containment FROM p
+          WHERE containment >= 0.8 ORDER BY doc_a, doc_b"""
   )
 
   /** DuckDB twins of [[crawlV2]]/[[crawlV3]] as named CTE fragments. */

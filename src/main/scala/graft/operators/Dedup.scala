@@ -253,7 +253,9 @@ object Dedup {
     */
   private def verifyCandidates(candidates: DataFrame, aDocs: DataFrame,
       bDocs: DataFrame, aCol: String, bCol: String, ngram: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      metric: (Column, Column) => Column = jaccard,
+      metricName: String = "jaccard"): DataFrame = {
     val aSh = aDocs
       .join(candidates.select(col(aCol).as("doc_id")).distinct(), "doc_id")
       .select(col("doc_id").as(aCol), shingles(col("text"), ngram).as("__sh_a"))
@@ -263,9 +265,9 @@ object Dedup {
     candidates
       .join(aSh, aCol)
       .join(bSh, bCol)
-      .withColumn("jaccard", round(jaccard(col("__sh_a"), col("__sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(aCol, bCol, "jaccard")
+      .withColumn(metricName, round(metric(col("__sh_a"), col("__sh_b")), 4))
+      .filter(col(metricName) >= threshold)
+      .select(aCol, bCol, metricName)
   }
 
   /** Near-duplicate pairs via MinHash/LSH: shingle → sign → band → bucket
@@ -368,6 +370,63 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     verifyCandidates(candidates, docsSpread, docsSpread,
       "doc_a", "doc_b", ngram, threshold)
+  }
+
+  /** Exact shingle containment of one set in another: |A∩B| / |A|. The
+    * asymmetric twin of [[jaccard]] — a short document quoted whole
+    * inside a long one scores containment ≈ 1 while its Jaccard stays
+    * tiny (the union is dominated by the long side).
+    */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    when(size(a) > 0, inter / size(a).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** EXACT directed containment pairs (doc_a ⊆-ish doc_b): every ordered
+    * pair with shingle containment |Sₐ∩S_b|/|Sₐ| ≥ `threshold`. Catches
+    * the duplication mode symmetric Jaccard misses — wrapper pages,
+    * quote-expansions, boilerplate-padded reposts — where the contained
+    * side should be dropped even though the pair's Jaccard is far below
+    * any dedup threshold.
+    *
+    * Asymmetric prefix filtering: only the PROBE side (a) is cut to its
+    * rarest-first prefix of n − ⌈t·n⌉ + 1 shingles (pigeonhole: skipping
+    * all of them leaves < ⌈t·n⌉ shared, below what containment t needs),
+    * joined against the FULL posting list of the index side (b) — the
+    * container must merely hold the shingle, anywhere. A size filter
+    * (n_b ≥ ⌈t·nₐ⌉ — b must hold at least the required overlap) prunes
+    * before the pair dedup, then the shared semi-join verify computes
+    * exact containment on candidate pairs only. Candidate volume is
+    * Σ_tok df_full·df_prefix — rarest-first prefixes keep df_prefix off
+    * hot shingles, the same skew guard as [[exactJaccardPairs]].
+    */
+  def containmentPairs(
+      documents: DataFrame,
+      threshold: Double = 0.8,
+      ngram: Int = 3): DataFrame = {
+    val docsSpread = spread(documents)
+    val sh = docsSpread
+      .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(
+      col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("tok"))
+    val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefixLen =
+      col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)) + lit(1)
+    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+    val probe = exploded.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= prefixLen)
+      .select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
+    val index = exploded.select(
+      col("doc_id").as("doc_b"), col("n").as("nb"), col("tok"))
+    val candidates = probe.join(index, "tok")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(ceil(col("na") * lit(threshold) - lit(1e-9)) <= col("nb"))
+      .select("doc_a", "doc_b").distinct()
+    verifyCandidates(candidates, docsSpread, docsSpread,
+      "doc_a", "doc_b", ngram, threshold, containment, "containment")
   }
 
   /** Connected components over near-dup pairs — the cluster-resolution
@@ -545,6 +604,27 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** All-ordered-pairs containment ground truth — TEST ORACLE ONLY (the
+    * deliberate cross join documented alongside [[bruteForceJaccardPairs]]);
+    * [[containmentPairs]] is the scalable form.
+    */
+  def bruteForceContainmentPairs(
+      documents: DataFrame,
+      threshold: Double,
+      ngram: Int = 3): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("containment",
+        round(containment(col("sh_a"), col("sh_b")), 4))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
   }
 
   // -------------------------------------------------------------- SimHash

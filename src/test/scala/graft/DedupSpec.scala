@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: asymmetric prefix filter reproduces brute force") {
+    Seq(0.6, 0.8, 0.95).foreach { t =>
+      rowSet(Dedup.containmentPairs(tables.documents, threshold = t)) shouldBe
+        rowSet(Dedup.bruteForceContainmentPairs(tables.documents, t))
+    }
+  }
+
+  test("containmentPairs: catches a quoted doc that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = s"intro words here $short plus a very long tail of many " +
+      "other unrelated tokens stretching the union far beyond the quote " +
+      "so the symmetric score collapses while containment stays perfect"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.9).collect()
+    got.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    got.head.getDouble(2) shouldBe 1.0 // every shingle of 1 appears in 2
+    // the same pair is invisible to symmetric Jaccard at any dedup threshold
+    Dedup.bruteForceJaccardPairs(docs, 0.5).count() shouldBe 0
+  }
+
   test("exactJaccardPairs: shingle-free docs are ignored, not crashed on") {
     val docs = Seq((1L, "one two three four"), (2L, "one two three four"),
       (3L, "hi"), (4L, "")).toDF("doc_id", "text") // 3,4: no 3-gram shingles
