@@ -946,7 +946,20 @@ object SparkEntry {
     // ---- asymmetric containment: short doc quoted inside a long one --
     "q117_containment_pairs" -> ((s, d) =>
       Dedup.containmentPairs(Tables(s, d).documents, threshold = 0.8)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- PageRank over the symmetrized customer–supplier graph ------
+    "q118_pagerank" -> ((s, d) => {
+      val t = Tables(s, d)
+      val e0 = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, iters = 5, damping = 0.85).orderBy("node")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2394,8 +2407,53 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
             WHERE len(a.sh) > 0)
           SELECT doc_a, doc_b, containment FROM p
-          WHERE containment >= 0.8 ORDER BY doc_a, doc_b"""
+          WHERE containment >= 0.8 ORDER BY doc_a, doc_b""",
+
+    "q118_pagerank" -> pageRankOracle(iters = 5)
   )
+
+  /** DuckDB replay of [[graft.operators.Graph.pageRank]] on the
+    * symmetrized customer–supplier graph: one CTE per power-iteration
+    * round (fixed rounds, like the k-means oracle), per-edge
+    * contributions quantized to DECIMAL(30,12) and summed exactly so
+    * both engines walk the identical trajectory. The damping constants
+    * mirror the Scala arithmetic op-for-op ((1 − 0.85) computed in
+    * DOUBLE, not a decimal literal — the two differ in the last ulp).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+            SELECT n.node,
+              base.b + CAST(0.85 AS DOUBLE) *
+                coalesce(CAST(s.m AS DOUBLE), CAST(0 AS DOUBLE)) AS rank
+            FROM nodes n CROSS JOIN base
+            LEFT JOIN (
+              SELECT wd.dst AS node,
+                sum(CAST(r.rank / CAST(wd.od AS DOUBLE)
+                    AS DECIMAL(30,12))) AS m
+              FROM wd JOIN r${i - 1} r ON wd.src = r.node
+              GROUP BY wd.dst) s USING (node))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+          SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+            's:' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        wd AS (SELECT e.src, e.dst, deg.od FROM e JOIN deg USING (src)),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nv_t AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM nodes),
+        base AS (
+          SELECT (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) /
+            CAST(nv AS DOUBLE) AS b FROM nv_t),
+        r0 AS (
+          SELECT node, CAST(1 AS DOUBLE) / CAST(nv AS DOUBLE) AS rank
+          FROM nodes CROSS JOIN nv_t),
+        $rounds
+        SELECT node, round(rank, 8) AS rank
+        FROM r$iters ORDER BY node"""
+  }
 
   /** DuckDB twins of [[crawlV2]]/[[crawlV3]] as named CTE fragments. */
   private val CrawlV2Sql =

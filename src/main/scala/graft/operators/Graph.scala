@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph operators over plain edge-list DataFrames (src, dst) — no graph
+  * library, no driver-side adjacency: every step is a keyed join or
+  * aggregate, so the shapes are the ones that survive a billion-edge
+  * graph (link graphs for crawl ranking, citation graphs for source
+  * weighting).
+  */
+object Graph {
+
+  /** PageRank over a directed edge list: iterative power method,
+    * r'(v) = (1−d)/|V| + d·Σ_{u→v} r(u)/outdeg(u), run for a FIXED
+    * `iters` rounds (fixed rounds keep the result deterministic and
+    * oracle-replayable; convergence-epsilon stopping would tie the
+    * output to float noise). Multi-edges act as weights; callers wanting
+    * set semantics pass a distinct edge list. Dangling nodes (no
+    * out-edges) simply evaporate their mass — symmetrized edge lists
+    * (the usual analytics derivation) have none, and then total rank
+    * stays exactly 1.
+    *
+    * Scale shape, mirroring [[Dedup.dupComponents]]: the edge list and
+    * its out-degrees are materialized ONCE (they are re-joined every
+    * round; upstream they are typically a join over the fact tables),
+    * and each round is one edges⋈ranks join + one aggregate, re-keyed by
+    * destination, materialized to truncate lineage — localCheckpoint by
+    * default, parquet rounds under `checkpointDir` for the
+    * executor-loss-safe 100-TB form. Per-edge contributions are
+    * quantized to DECIMAL(30,12) and summed exactly, so every round —
+    * and therefore the fixpoint trajectory — is independent of
+    * partitioning and summation order (the k-means/sourceShift
+    * determinism convention; double sums are order-sensitive inside an
+    * iteration and the error would compound across rounds).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters > 0, "pageRank: iters must be positive")
+    require(damping > 0 && damping < 1,
+      s"pageRank: damping must be in (0,1), got $damping")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame, name: String): DataFrame =
+      checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/$name"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => df.localCheckpoint(eager = true)
+      }
+    val e = materialize(edges.select("src", "dst"), "pr_edges")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val withDeg = materialize(e.join(deg, "src"), "pr_edges_deg")
+    val nodes = materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(), "pr_nodes")
+    val nV = nodes.count() // bounded driver state: one long
+    require(nV > 0, "pageRank: empty edge list")
+    val base = (1 - damping) / nV
+    var ranks = nodes.withColumn("rank", lit(1.0 / nV))
+    (1 to iters).foreach { i =>
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("od").cast("double"))
+            .cast(DecimalType(30, 12)).as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      ranks = materialize(
+        nodes.join(contribs, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(base) + lit(damping) *
+              coalesce(col("m").cast("double"), lit(0.0))).as("rank")),
+        s"pr_round_$i")
+    }
+    ranks.select(col("node"), round(col("rank"), 8).as("rank"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("pageRank: hand-computed star graph, mass conserved") {
+    // symmetric star: c—l1, c—l2. |V|=3, init 1/3; after one round
+    // r(c) = 0.15/3 + 0.85*(1/3 + 1/3), r(l) = 0.15/3 + 0.85*(1/3)/2
+    val edges = Seq(
+      ("c", "l1"), ("l1", "c"), ("c", "l2"), ("l2", "c")
+    ).toDF("src", "dst")
+    val r1 = Graph.pageRank(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    r1("c") shouldBe (0.05 + 0.85 * 2.0 / 3.0) +- 1e-8
+    r1("l1") shouldBe (0.05 + 0.85 / 6.0) +- 1e-8
+    r1("l1") shouldBe r1("l2")
+    // symmetric graph: no dangling mass, total rank stays exactly 1
+    val r5 = Graph.pageRank(edges, iters = 5).collect()
+      .map(_.getDouble(1))
+    r5.sum shouldBe 1.0 +- 1e-6
+    // the hub keeps outranking the leaves at the fixpoint
+    val m5 = Graph.pageRank(edges, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m5("c") should be > m5("l1")
+  }
+
+  test("pageRank: dangling mass evaporates on a one-way edge") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r("a") shouldBe 0.075 +- 1e-9 // base only: (1-0.85)/2
+    r("b") shouldBe (0.075 + 0.85 * 0.5) +- 1e-9
+  }
+
+  test("pageRank: partitioning-independent (decimal contribution sums)") {
+    val edges = (1L to 200L).flatMap { i =>
+      val hub = s"h${i % 3}"
+      Seq((s"n$i", hub), (hub, s"n$i"))
+    }.toDF("src", "dst")
+    val one = Graph.pageRank(edges.coalesce(1), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val many = Graph.pageRank(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    one shouldBe many // exact equality, not tolerance
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRank(edges, iters = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRank(edges, damping = 1.0)
+  }
+}
