@@ -959,7 +959,12 @@ object SparkEntry {
       val edges = e0.union(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRank(edges, iters = 5, damping = 0.85).orderBy("node")
-    })
+    }),
+
+    // ---- fuzzy catalog linkage: part names within edit distance 3 ----
+    "q119_fuzzy_name_pairs" -> ((s, d) =>
+      TextOps.fuzzyPairs(Tables(s, d).part, "p_name", threshold = 3)
+        .orderBy("left", "right"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2409,7 +2414,17 @@ object SparkEntry {
           SELECT doc_a, doc_b, containment FROM p
           WHERE containment >= 0.8 ORDER BY doc_a, doc_b""",
 
-    "q118_pagerank" -> pageRankOracle(iters = 5)
+    "q118_pagerank" -> pageRankOracle(iters = 5),
+
+    // all-pairs ground truth over the (tiny) distinct-name set; the
+    // Spark side's q-gram count filter is complete, so exact agreement
+    "q119_fuzzy_name_pairs" ->
+      """WITH p AS (SELECT DISTINCT p_name AS s FROM part)
+         SELECT a.s AS "left", b.s AS "right",
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.s < b.s
+         WHERE levenshtein(a.s, b.s) <= 3
+         ORDER BY "left", "right""""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.pageRank]] on the

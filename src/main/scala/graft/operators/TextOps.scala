@@ -247,6 +247,81 @@ object TextOps {
   def searchDocuments(documents: DataFrame, terms: Seq[String]): DataFrame =
     searchIndex(words(documents).select("word", "doc_id"), terms)
 
+  /** Fuzzy self-join (record linkage): every unordered pair of DISTINCT
+    * `strCol` values within Levenshtein distance `threshold` — the
+    * catalog/entity-matching primitive ("smal ring" ⇄ "small ring")
+    * that exact joins can't express. Output: (left, right, dist) with
+    * left < right; callers re-join ids on the matched values.
+    *
+    * Never all-pairs: candidates come from a positional q-gram count
+    * filter (Gravano et al.) — one edit destroys at most `q` q-grams,
+    * so a pair within distance t shares ≥ max(len)−(q−1)−t·q of them.
+    * Each gram is tagged with its occurrence index, which turns the
+    * BAG-intersection count the bound needs into a plain equi-join on
+    * (gram, occ) — Σ_g min(cntₐ, cnt_b) matches, exactly. Pairs where
+    * the bound is vacuous (both sides ≤ t·q+q−1 chars) can share zero
+    * grams, so short strings get a dedicated length-banded block — a
+    * bounded nested-loop over the (tiny, alphabet-bounded) short-value
+    * set, not the corpus. A length-band prune (|lenₐ−len_b| ≤ t,
+    * necessary for distance ≤ t) cuts both paths before the exact
+    * `levenshtein` verify on candidates only — the same
+    * generate-prune-verify shape as [[Dedup.exactJaccardPairs]].
+    */
+  def fuzzyPairs(strings: DataFrame, strCol: String, threshold: Int,
+      q: Int = 2): DataFrame = {
+    require(threshold >= 1, "fuzzyPairs: threshold must be >= 1")
+    require(q >= 1, "fuzzyPairs: q must be >= 1")
+    val withLen = Dedup.spread(strings)
+      .select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
+      .select(col("s"), length(col("s")).cast("long").as("len"))
+    val shortMax = threshold * q + q - 1
+    val grams = withLen.filter(col("len") >= q)
+      .select(col("s"), col("len"), posexplode(expr(
+        s"transform(sequence(1, length(s) - $q + 1)," +
+          s" i -> substring(s, i, $q))")).as(Seq("pos", "g")))
+      .withColumn("occ",
+        row_number().over(Window.partitionBy("s", "g").orderBy("pos")))
+      .select("s", "len", "g", "occ")
+    val gramCands = grams
+      .select(col("s").as("left"), col("len").as("la"),
+        col("g"), col("occ"))
+      .join(grams.select(col("s").as("right"), col("len").as("lb"),
+        col("g"), col("occ")), Seq("g", "occ"))
+      .filter(col("left") < col("right"))
+      .filter(abs(col("la") - col("lb")) <= threshold)
+      .groupBy("left", "right", "la", "lb")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("la"), col("lb")) - lit(q - 1) - lit(threshold * q))
+      .select("left", "right")
+    val shorts = withLen.filter(col("len") <= shortMax)
+    val shortCands = shorts.select(col("s").as("left"), col("len").as("la"))
+      .join(shorts.select(col("s").as("right"), col("len").as("lb")),
+        col("left") < col("right") &&
+          abs(col("la") - col("lb")) <= threshold)
+      .select("left", "right")
+    gramCands.union(shortCands).distinct()
+      .withColumn("dist",
+        levenshtein(col("left"), col("right")).cast("long"))
+      .filter(col("dist") <= threshold)
+  }
+
+  /** All-pairs Levenshtein ground truth — TEST ORACLE ONLY; the
+    * deliberate cross join documented alongside
+    * [[Dedup.bruteForceJaccardPairs]]. [[fuzzyPairs]] is the scalable
+    * form.
+    */
+  def bruteForceFuzzyPairs(strings: DataFrame, strCol: String,
+      threshold: Int): DataFrame = {
+    val s = strings.select(col(strCol).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    s.select(col("s").as("left")).crossJoin(s.select(col("s").as("right")))
+      .filter(col("left") < col("right"))
+      .withColumn("dist",
+        levenshtein(col("left"), col("right")).cast("long"))
+      .filter(col("dist") <= threshold)
+  }
+
   /** Sliding-window document chunking: token windows of `chunkTokens`
     * every `stride` tokens (overlap = chunkTokens − stride), the chunker
     * every RAG/pretraining pipeline runs before embedding or packing.

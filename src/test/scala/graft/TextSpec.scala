@@ -207,6 +207,31 @@ class TextSpec extends SparkSpec {
     plan(TextOps.vocabCoverage(docs, 3)) should include("BroadcastHashJoin")
   }
 
+  test("fuzzyPairs: q-gram filter reproduces brute force on part names") {
+    Seq(1, 2, 3).foreach { t =>
+      rowSet(TextOps.fuzzyPairs(tables.part, "p_name", t)) shouldBe
+        rowSet(TextOps.bruteForceFuzzyPairs(tables.part, "p_name", t))
+    }
+  }
+
+  test("fuzzyPairs: short strings, cross-length pairs, dedup, nulls") {
+    import SparkSpec.spark.implicits._
+    // "cat"/"cart" (both short of the gram bound), "a"/"ab" (below gram
+    // length), short-vs-long "ring"/"rings!", and a null to screen out
+    val df = Seq(Some("cat"), Some("cart"), Some("cat"), Some("a"),
+      Some("ab"), Some("ring"), Some("rings!"), None).toDF("name")
+    Seq(1, 2, 3).foreach { t =>
+      rowSet(TextOps.fuzzyPairs(df, "name", t)) shouldBe
+        rowSet(TextOps.bruteForceFuzzyPairs(df, "name", t))
+    }
+    val got = TextOps.fuzzyPairs(df, "name", 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    got should contain(("cart", "cat", 1L)) // left < right lexicographically
+    got should contain(("a", "ab", 1L))
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.fuzzyPairs(df, "name", 0)
+  }
+
   test("sourceShift: hand-computed entropy and KL vs corpus") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
