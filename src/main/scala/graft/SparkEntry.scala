@@ -964,7 +964,15 @@ object SparkEntry {
     // ---- fuzzy catalog linkage: part names within edit distance 3 ----
     "q119_fuzzy_name_pairs" -> ((s, d) =>
       TextOps.fuzzyPairs(Tables(s, d).part, "p_name", threshold = 3)
-        .orderBy("left", "right"))
+        .orderBy("left", "right")),
+
+    // ---- shingle novelty: share of a doc's phrases seen nowhere else -
+    "q120_novelty_scores" -> ((s, d) =>
+      Dedup.noveltyScores(Tables(s, d).documents).orderBy("doc_id")),
+
+    // ---- categorical association: chi-square + Cramér's V -----------
+    "q121_lang_source_assoc" -> ((s, d) =>
+      Quality.association(Tables(s, d).documents, "lang", "source"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2424,7 +2432,57 @@ object SparkEntry {
            CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          FROM p a JOIN p b ON a.s < b.s
          WHERE levenshtein(a.s, b.s) <= 3
-         ORDER BY "left", "right""""
+         ORDER BY "left", "right"""",
+
+    "q120_novelty_scores" ->
+      s"""WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> array_to_string(toks[i:i+2], ' ')))) AS tok
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          dfreq AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
+          per_doc AS (
+            SELECT sh.doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+            FROM sh JOIN dfreq USING (tok) GROUP BY sh.doc_id)
+          SELECT d.doc_id,
+            coalesce(p.n_shingles, 0) AS n_shingles,
+            coalesce(p.n_novel, 0) AS n_novel,
+            CASE WHEN p.n_shingles > 0 THEN
+              round(CAST(p.n_novel AS DOUBLE) /
+                CAST(p.n_shingles AS DOUBLE), 6) END AS novelty_rate
+          FROM documents d LEFT JOIN per_doc p USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // zero-cell-free chi-square: N·Σ_obs O²/(R·C) − N, per-cell terms
+    // quantized to DECIMAL(30,12); greatest(...,0) clamps float noise
+    // before sqrt exactly like the Spark side
+    "q121_lang_source_assoc" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS o
+           FROM documents GROUP BY lang, source),
+         rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY lang),
+         ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+                FROM cells GROUP BY source),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   count(DISTINCT lang) AS r,
+                   count(DISTINCT source) AS c FROM cells),
+         s AS (SELECT sum(CAST(
+                 (CAST(o AS DOUBLE) * CAST(o AS DOUBLE)) /
+                 (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+               AS DECIMAL(30,12))) AS s
+               FROM cells JOIN rt USING (lang) JOIN ct USING (source))
+         SELECT n, r AS n_rows, c AS n_cols, (r-1)*(c-1) AS dof,
+           round(greatest(CAST(n AS DOUBLE)*CAST(s AS DOUBLE)
+             - CAST(n AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS chi2,
+           CASE WHEN least(r-1, c-1) > 0 THEN
+             round(sqrt(greatest(CAST(n AS DOUBLE)*CAST(s AS DOUBLE)
+                 - CAST(n AS DOUBLE), CAST(0 AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(least(r-1, c-1) AS DOUBLE))), 6)
+           END AS cramers_v
+         FROM s CROSS JOIN tot"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.pageRank]] on the

@@ -606,6 +606,40 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Per-document novelty score: the share of a document's distinct
+    * shingles that appear in NO other document (corpus document
+    * frequency 1). High novelty marks genuinely unique content worth
+    * keeping; near-zero novelty marks template/boilerplate documents
+    * whose every phrase recurs elsewhere — the complement of the
+    * pairwise dup detectors, usable as a curation score without ever
+    * forming pairs. Shingle-free docs surface with zero counts and a
+    * null rate rather than dropping out.
+    *
+    * Cost shape: one shingle explode, one document-frequency aggregate,
+    * one join back on shingle, one per-doc rollup — all keyed, nothing
+    * pairwise, the cheapest signal in the dedup family.
+    */
+  def noveltyScores(documents: DataFrame, ngram: Int = 3): DataFrame = {
+    val docsSpread = spread(documents)
+    val sh = docsSpread.select(
+      col("doc_id"), explode(shingles(col("text"), ngram)).as("tok"))
+    // shingle sets are distinct per doc, so count(*) counts DOCUMENTS
+    val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+    docsSpread.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") /
+            col("n_shingles").cast("double"), 6)).as("novelty_rate"))
+  }
+
   /** All-ordered-pairs containment ground truth — TEST ORACLE ONLY (the
     * deliberate cross join documented alongside [[bruteForceJaccardPairs]]);
     * [[containmentPairs]] is the scalable form.

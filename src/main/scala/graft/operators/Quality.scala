@@ -72,4 +72,52 @@ object Quality {
           col("sample_key"))
     }.reduce(_ unionByName _)
   }
+
+  /** Categorical-association audit: Pearson chi-square independence test
+    * plus Cramér's V between two categorical columns (lang × source,
+    * label × shard, …). The drift check behind "is this attribute
+    * independent of that one?" — V near 0 says the split/label is
+    * balanced across the other axis; V near 1 says one determines the
+    * other (a leakage or collection-bias smell).
+    *
+    * Zero-cell-free formulation: χ² = N·Σ_observed O²/(R·C) − N, which
+    * sums only the OBSERVED contingency cells (the algebraic collapse of
+    * the all-cells Σ(O−E)²/E, including its zero cells) — so sparse
+    * high-cardinality tables never materialize r×c. Per-cell terms are
+    * quantized to DECIMAL(30,12) and summed exactly (the engine- and
+    * partitioning-independence convention); the final sqrt is IEEE
+    * correctly-rounded, so V is deterministic too. One groupBy over the
+    * pair, two marginal re-aggregations of that (already tiny) cell
+    * table, one scalar output row.
+    */
+  def association(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.groupBy(rowCol, colCol).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(rowCol).agg(sum("o").as("rt"))
+    val ct = cells.groupBy(colCol).agg(sum("o").as("ct"))
+    val totals = cells.agg(
+      sum("o").as("n"),
+      countDistinct(col(rowCol)).as("r"),
+      countDistinct(col(colCol)).as("c"))
+    val terms = cells
+      .join(broadcast(rt), rowCol).join(broadcast(ct), colCol)
+      .select(((col("o").cast("double") * col("o").cast("double")) /
+        (col("rt").cast("double") * col("ct").cast("double")))
+        .cast(DecimalType(30, 12)).as("t"))
+      .agg(sum("t").as("s"))
+    val nD = col("n").cast("double")
+    // exact independence makes N·S − N a tiny negative float; clamp so
+    // sqrt never sees it (both engines, identically)
+    val chi2 = greatest(nD * col("s").cast("double") - nD, lit(0.0))
+    val minDim = least(col("r") - 1, col("c") - 1)
+    terms.crossJoin(totals).select(
+      col("n"),
+      col("r").as("n_rows"),
+      col("c").as("n_cols"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"),
+      round(chi2, 6).as("chi2"),
+      when(minDim > 0,
+        round(sqrt(chi2 / (nD * minDim.cast("double"))), 6))
+        .as("cramers_v"))
+  }
 }

@@ -109,6 +109,23 @@ class DedupSpec extends SparkSpec {
     Dedup.bruteForceJaccardPairs(docs, 0.5).count() shouldBe 0
   }
 
+  test("noveltyScores: df=1 shingle share, null rate for shingle-free docs") {
+    val docs = Seq(
+      (1L, "a b c d"), // "a b c" (shared with 2), "b c d" (unique)
+      (2L, "a b c e"),
+      (3L, "x y z w"), // fully novel
+      (4L, "hi")       // no 3-gram shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    out(1L) shouldBe ((2L, 1L, Some(0.5)))
+    out(2L) shouldBe ((2L, 1L, Some(0.5)))
+    out(3L) shouldBe ((2L, 2L, Some(1.0)))
+    out(4L) shouldBe ((0L, 0L, None))
+  }
+
   test("exactJaccardPairs: shingle-free docs are ignored, not crashed on") {
     val docs = Seq((1L, "one two three four"), (2L, "one two three four"),
       (3L, "hi"), (4L, "")).toDF("doc_id", "text") // 3,4: no 3-gram shingles

@@ -10,6 +10,36 @@ import graft.operators.Quality
 class QualitySpec extends SparkSpec {
   import SparkSpec.spark.implicits._
 
+  test("association: hand-computed 2x2 chi-square and Cramér's V") {
+    // O = [[30,10],[10,30]], all marginals 40, N=80, E=20 per cell:
+    // chi2 = 4 * (10^2/20) = 20, dof = 1, V = sqrt(20/80) = 0.5
+    val rows =
+      Seq.fill(30)(("A", "x")) ++ Seq.fill(10)(("A", "y")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(30)(("B", "y"))
+    val out = Quality.association(rows.toDF("r", "c"), "r", "c").collect()
+    out.length shouldBe 1
+    val h = out.head
+    h.getLong(0) shouldBe 80L  // n
+    h.getLong(1) shouldBe 2L   // n_rows
+    h.getLong(2) shouldBe 2L   // n_cols
+    h.getLong(3) shouldBe 1L   // dof
+    h.getDouble(4) shouldBe 20.0 +- 1e-6
+    h.getDouble(5) shouldBe 0.5 +- 1e-6
+  }
+
+  test("association: independent columns score zero, 1-level column null V") {
+    val indep =
+      Seq.fill(20)(("A", "x")) ++ Seq.fill(20)(("A", "y")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(10)(("B", "y"))
+    val h = Quality.association(indep.toDF("r", "c"), "r", "c").head()
+    h.getDouble(4) shouldBe 0.0 +- 1e-9 // clamped, never a tiny negative
+    h.getDouble(5) shouldBe 0.0 +- 1e-9
+    val one = Seq(("A", "x"), ("A", "y")).toDF("r", "c")
+    val h1 = Quality.association(one, "r", "c").head()
+    h1.getLong(3) shouldBe 0L // dof (1-1)*(2-1)
+    h1.isNullAt(5) shouldBe true // Cramér's V undefined
+  }
+
   test("profileColumns counts rows/nulls/distincts per column in one pass") {
     val df = Seq(
       (Some(1L), Some("a")), (Some(1L), None),
