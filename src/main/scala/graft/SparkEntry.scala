@@ -972,7 +972,18 @@ object SparkEntry {
 
     // ---- categorical association: chi-square + Cramér's V -----------
     "q121_lang_source_assoc" -> ((s, d) =>
-      Quality.association(Tables(s, d).documents, "lang", "source"))
+      Quality.association(Tables(s, d).documents, "lang", "source")),
+
+    // ---- HITS: buyer hubs / vendor authorities on the directed graph -
+    "q122_hits" -> ((s, d) => {
+      val t = Tables(s, d)
+      val edges = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.hits(edges, iters = 5).orderBy("kind", "node")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2482,8 +2493,50 @@ object SparkEntry {
                  - CAST(n AS DOUBLE), CAST(0 AS DOUBLE)) /
                (CAST(n AS DOUBLE) * CAST(least(r-1, c-1) AS DOUBLE))), 6)
            END AS cramers_v
-         FROM s CROSS JOIN tot"""
+         FROM s CROSS JOIN tot""",
+
+    "q122_hits" -> hitsOracle(iters = 5)
   )
+
+  /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs
+    * per round (authority update then hub update), per-edge
+    * contributions quantized to DECIMAL(30,12), exact-decimal L1
+    * normalizers, one IEEE division per node — the same
+    * deterministic-trajectory scheme as [[pageRankOracle]].
+    */
+  private def hitsOracle(iters: Int): String = {
+    // each CTE is referenced once (the L1 normalizer is a window total,
+    // not a scalar subquery) and MATERIALIZED besides — a doubly-
+    // referenced inlined CTE would re-expand the whole prior chain per
+    // use, 4^iters plans deep
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+            SELECT node, CAST(raw AS DOUBLE) /
+              CAST(sum(raw) OVER () AS DOUBLE) AS score
+            FROM (
+              SELECT e.dst AS node,
+                sum(CAST(h.score AS DECIMAL(30,12))) AS raw
+              FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst)),
+          h$i AS MATERIALIZED (
+            SELECT node, CAST(raw AS DOUBLE) /
+              CAST(sum(raw) OVER () AS DOUBLE) AS score
+            FROM (
+              SELECT e.src AS node,
+                sum(CAST(a.score AS DECIMAL(30,12))) AS raw
+              FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src))"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+          SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+            's:' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS (
+          SELECT DISTINCT src AS node, CAST(1 AS DOUBLE) AS score FROM e),
+        $rounds
+        SELECT node, 'hub' AS kind, round(score, 8) AS score FROM h$iters
+        UNION ALL
+        SELECT node, 'auth' AS kind, round(score, 8) AS score FROM a$iters
+        ORDER BY kind, node"""
+  }
 
   /** DuckDB replay of [[graft.operators.Graph.pageRank]] on the
     * symmetrized customer–supplier graph: one CTE per power-iteration

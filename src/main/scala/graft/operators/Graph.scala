@@ -75,4 +75,64 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 8).as("rank"))
   }
+
+  /** HITS hubs-and-authorities over a directed edge list, `iters` full
+    * mutual-reinforcement rounds with L1 normalization: authority(v) =
+    * Σ_{u→v} hub(u), hub(u) = Σ_{u→v} authority(v), each vector rescaled
+    * to sum 1 after its update. On a bipartite graph (buyer→vendor,
+    * page→cited-source) this separates the two roles PageRank blends:
+    * hubs are prolific pointers, authorities are heavily-pointed-at
+    * sinks. Output is one row per scored node: (node, kind∈{hub,auth},
+    * score) — nodes with no out-edges get no hub row (they reinforce
+    * nothing), mirroring no-in-edge nodes and auth rows.
+    *
+    * L1 (not the textbook L2) normalization keeps every operation
+    * rational: per-edge contributions are quantized to DECIMAL(30,12)
+    * and summed exactly, the normalizer is an exact decimal total, and
+    * the one division per node is IEEE — so the whole trajectory is
+    * partitioning- and engine-independent, same convention as
+    * [[pageRank]]. Same materialization scheme too: edges once, each
+    * half-round truncated (localCheckpoint, or parquet rounds under
+    * `checkpointDir`).
+    */
+  def hits(edges: DataFrame, iters: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters > 0, "hits: iters must be positive")
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame, name: String): DataFrame =
+      checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/$name"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => df.localCheckpoint(eager = true)
+      }
+    val e = materialize(edges.select("src", "dst"), "hits_edges")
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum("raw").as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("raw").cast("double") / col("tot").cast("double"))
+            .as("score"))
+    }
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1.0))
+    var auths: DataFrame = null
+    (1 to iters).foreach { i =>
+      auths = materialize(normalize(
+        e.join(hubs.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("score").cast(DecimalType(30, 12))).as("raw"))),
+        s"hits_a_$i")
+      hubs = materialize(normalize(
+        e.join(auths.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("score").cast(DecimalType(30, 12))).as("raw"))),
+        s"hits_h_$i")
+    }
+    hubs.select(col("node"), lit("hub").as("kind"),
+        round(col("score"), 8).as("score"))
+      .union(auths.select(col("node"), lit("auth").as("kind"),
+        round(col("score"), 8).as("score")))
+  }
 }

@@ -36,6 +36,37 @@ class GraphSpec extends SparkSpec {
     r("b") shouldBe (0.075 + 0.85 * 0.5) +- 1e-9
   }
 
+  test("hits: hand-computed bipartite round, L1-normalized") {
+    // u1→{v1,v2}, u2→{v1}; after 1 round: a = (2/3, 1/3), h = (0.6, 0.4)
+    val edges = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1"))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, iters = 1).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    r(("v1", "auth")) shouldBe 2.0 / 3 +- 1e-6
+    r(("v2", "auth")) shouldBe 1.0 / 3 +- 1e-6
+    r(("u1", "hub")) shouldBe 0.6 +- 1e-6
+    r(("u2", "hub")) shouldBe 0.4 +- 1e-6
+    // both vectors stay L1-normalized after more rounds
+    val r5 = Graph.hits(edges, iters = 5).collect()
+    r5.filter(_.getString(1) == "hub").map(_.getDouble(2)).sum shouldBe
+      1.0 +- 1e-6
+    r5.filter(_.getString(1) == "auth").map(_.getDouble(2)).sum shouldBe
+      1.0 +- 1e-6
+  }
+
+  test("hits: partitioning-independent, exact equality") {
+    val edges = (1L to 300L).map { i =>
+      (s"u${i % 40}", s"v${i % 23}")
+    }.distinct.toDF("src", "dst")
+    val one = Graph.hits(edges.coalesce(1), iters = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val many = Graph.hits(edges.repartition(7), iters = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    one shouldBe many
+    an[IllegalArgumentException] should be thrownBy
+      Graph.hits(edges, iters = 0)
+  }
+
   test("pageRank: partitioning-independent (decimal contribution sums)") {
     val edges = (1L to 200L).flatMap { i =>
       val hub = s"h${i % 3}"
