@@ -983,7 +983,12 @@ object SparkEntry {
           concat(lit("s:"), col("l_suppkey")).as("dst"))
         .distinct()
       Graph.hits(edges, iters = 5).orderBy("kind", "node")
-    })
+    }),
+
+    // ---- eval contamination: near-dup pairs straddling the split ----
+    "q123_leakage_audit" -> ((s, d) =>
+      Curation.leakageAudit(Tables(s, d).documents, threshold = 0.7)
+        .orderBy("split_lo", "split_hi"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2495,7 +2500,42 @@ object SparkEntry {
            END AS cramers_v
          FROM s CROSS JOIN tot""",
 
-    "q122_hits" -> hitsOracle(iters = 5)
+    "q122_hits" -> hitsOracle(iters = 5),
+
+    // brute-force Jaccard pairs (q100's ground truth) joined against the
+    // md5-threshold split assignment (q113's CASE), rolled up per
+    // unordered split pair
+    "q123_leakage_audit" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          pairs AS (
+            SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                    AS DOUBLE), 4) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.7),
+          sp AS (
+            SELECT doc_id,
+              CASE WHEN substr(md5(source), 1, 8) < 'cccccccc' THEN 'train'
+                   WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents)
+          SELECT least(sa.split, sb.split) AS split_lo,
+            greatest(sa.split, sb.split) AS split_hi,
+            count(*) AS n_pairs,
+            least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+              AS crosses_boundary
+          FROM pairs
+          JOIN sp sa ON pairs.doc_a = sa.doc_id
+          JOIN sp sb ON pairs.doc_b = sb.doc_id
+          GROUP BY split_lo, split_hi
+          ORDER BY split_lo, split_hi"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

@@ -52,6 +52,40 @@ object Curation {
     df.withColumn(splitName, assigned)
   }
 
+  /** Cross-split leakage audit: near-duplicate pairs that STRADDLE the
+    * [[groupSplit]] train/val/test boundary — the contamination a
+    * group-aware split is supposed to prevent but can't when near-dup
+    * content recurs under DIFFERENT group keys (the same article
+    * syndicated on two domains lands in two splits). One row per
+    * unordered split pair with its near-dup pair count; rows with
+    * `crosses_boundary` are eval-set contamination, and a clean corpus
+    * reports only same-split rows. Built on the EXACT Jaccard join
+    * ([[Dedup.exactJaccardPairs]]), so a zero is a guarantee, not a
+    * recall-limited estimate.
+    *
+    * Cost shape: the pair join dominates (see exactJaccardPairs); the
+    * audit adds two joins of the (small) pair list against the pure-
+    * projection split assignment and a six-row rollup.
+    */
+  def leakageAudit(documents: DataFrame, groupCol: String = "source",
+      splits: Seq[(String, Double)] = Seq(
+        "train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      threshold: Double = 0.7, ngram: Int = 3): DataFrame = {
+    val split = groupSplit(
+      documents.select(col("doc_id"), col(groupCol)), groupCol, splits)
+      .select(col("doc_id"), col("split"))
+    Dedup.exactJaccardPairs(documents, threshold, ngram)
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .groupBy(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crosses_boundary", col("split_lo") =!= col("split_hi"))
+  }
+
   /** Percentile-based length pruning (the distribution-relative form of
     * Gopher's length rules): drop each language's shortest `dropBelow`
     * quantile instead of using one absolute token floor, so a threshold

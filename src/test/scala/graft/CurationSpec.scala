@@ -68,6 +68,34 @@ class CurationSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("leakageAudit: flags cross-split near-dups, keeps same-split ones") {
+    import SparkSpec.spark.implicits._
+    // replicate groupSplit's assignment to PICK sources in known splits
+    def splitOf(src: String): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      if (h < "cccccccc") "train" else if (h < "e6666666") "val" else "test"
+    }
+    val srcs = (1 to 1000).map(i => s"src_$i")
+    val trainSrc = srcs.find(splitOf(_) == "train").get
+    val testSrc = srcs.find(splitOf(_) == "test").get
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup, trainSrc),                 // identical pair across the
+      (2L, dup, testSrc),                  //   train/test boundary
+      (3L, "one two three four five six", trainSrc), // dup pair inside
+      (4L, "one two three four five six", trainSrc), //   train only
+      (5L, "totally different words here now", testSrc)
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.leakageAudit(docs, threshold = 0.7).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    out(("test", "train")) shouldBe ((1L, true)) // the contamination row
+    out(("train", "train")) shouldBe ((1L, false))
+    out.size shouldBe 2
+  }
+
   test("groupSplit: groups never straddle splits; zero shuffle") {
     import SparkSpec.spark.implicits._
     val rows = (1 to 2000).map(i => (i.toLong, s"domain_${i % 400}"))
