@@ -988,7 +988,29 @@ object SparkEntry {
     // ---- eval contamination: near-dup pairs straddling the split ----
     "q123_leakage_audit" -> ((s, d) =>
       Curation.leakageAudit(Tables(s, d).documents, threshold = 0.7)
-        .orderBy("split_lo", "split_hi"))
+        .orderBy("split_lo", "split_hi")),
+
+    // ---- degree histogram of the customer–supplier graph ------------
+    "q124_degree_histogram" -> ((s, d) => {
+      val t = Tables(s, d)
+      val edges = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .distinct()
+      Graph.degreeHistogram(edges).orderBy("direction", "degree")
+    }),
+
+    // ---- per-source score calibration via percent-rank ---------------
+    "q125_calibrated_scores" -> ((s, d) =>
+      Curation.calibrateScores(
+        Tables(s, d).documents.select("doc_id", "source", "n_chars"),
+        "source", "n_chars").orderBy("doc_id")),
+
+    // ---- containment prune: quoted docs collapse into wrappers -------
+    "q126_containment_prune" -> ((s, d) =>
+      Curation.containmentPrune(Tables(s, d).documents, threshold = 0.8)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2535,7 +2557,53 @@ object SparkEntry {
           JOIN sp sa ON pairs.doc_a = sa.doc_id
           JOIN sp sb ON pairs.doc_b = sb.doc_id
           GROUP BY split_lo, split_hi
-          ORDER BY split_lo, split_hi"""
+          ORDER BY split_lo, split_hi""",
+
+    "q124_degree_histogram" ->
+      """WITH e AS (
+           SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+             's:' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         o AS (SELECT src, count(*) AS degree FROM e GROUP BY src),
+         i AS (SELECT dst, count(*) AS degree FROM e GROUP BY dst)
+         SELECT 'out' AS direction, degree, count(*) AS n_nodes
+         FROM o GROUP BY degree
+         UNION ALL
+         SELECT 'in' AS direction, degree, count(*) AS n_nodes
+         FROM i GROUP BY degree
+         ORDER BY direction, degree""",
+
+    "q125_calibrated_scores" ->
+      """SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY n_chars), 6) AS calibrated
+         FROM documents ORDER BY doc_id""",
+
+    // directed-containment ground truth + the larger-wins / equal-size-
+    // lowest-id-wins drop rule, replayed over every document
+    "q126_containment_prune" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(a.sh) AS na, len(b.sh) AS nb,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(a.sh) AS DOUBLE), 4) AS containment
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            WHERE len(a.sh) > 0),
+          dropped AS (
+            SELECT DISTINCT doc_a AS doc_id FROM p
+            WHERE containment >= 0.8 AND
+              (nb > na OR (nb = na AND doc_b < doc_a)))
+          SELECT d.doc_id,
+            CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+              AS keep
+          FROM documents d LEFT JOIN dropped dr USING (doc_id)
+          ORDER BY d.doc_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

@@ -86,6 +86,59 @@ object Curation {
       .withColumn("crosses_boundary", col("split_lo") =!= col("split_hi"))
   }
 
+  /** Per-group score calibration: replace a raw score with its
+    * percent-rank WITHIN its group, so scores become comparable ACROSS
+    * groups — the fix for "source A's quality model scores run hot":
+    * after calibration, "top 10% of each source" is the same filter
+    * everywhere, immune to each scorer's scale and offset. percent_rank
+    * (= (rank−1)/(n−1), ties sharing the min rank) depends only on rank,
+    * so the output is deterministic under any tie order and any
+    * partitioning.
+    *
+    * Scale shape: one window per group — a shuffle keyed by `groupCol`;
+    * when one group dominates the corpus this has the same skew profile
+    * as [[lengthPrune]]'s exact path, and the same remedy applies (the
+    * approx-quantile broadcast variant).
+    */
+  def calibrateScores(df: DataFrame, groupCol: String, scoreCol: String,
+      outCol: String = "calibrated"): DataFrame =
+    df.withColumn(outCol,
+      round(percent_rank().over(
+        Window.partitionBy(groupCol).orderBy(scoreCol)), 6))
+
+  /** Containment-based pruning — the RESOLUTION step for
+    * [[Dedup.containmentPairs]]: a document is dropped when it is
+    * contained (containment ≥ `threshold`) in a STRICTLY larger document
+    * (more distinct shingles), or in an equal-sized one with a smaller
+    * doc_id (equal-size mutual containment means identical shingle
+    * sets — keep the lowest id, matching exact-dedup's convention). The
+    * rule reads each doc's verdict off its own pair rows only — no
+    * transitive chains, no iteration: quoted posts collapse into their
+    * wrappers, wrappers survive unless themselves quoted whole. Output
+    * is every document with a keep flag (1 = survivor), so
+    * `filter(keep = 1)` IS the pruned corpus and the full frame stays a
+    * provenance lookup.
+    */
+  def containmentPrune(documents: DataFrame, threshold: Double = 0.8,
+      ngram: Int = 3): DataFrame = {
+    val sizes = documents.select(col("doc_id"),
+      size(Dedup.shingles(col("text"), ngram)).cast("long").as("n_sh"))
+    val dropped = Dedup.containmentPairs(documents, threshold, ngram)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        "doc_b")
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("doc_b") < col("doc_a")))
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("_dropped", lit(1))
+    documents.select("doc_id")
+      .join(dropped, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("_dropped").isNull, lit(1L)).otherwise(lit(0L))
+          .as("keep"))
+  }
+
   /** Percentile-based length pruning (the distribution-relative form of
     * Gopher's length rules): drop each language's shortest `dropBelow`
     * quantile instead of using one absolute token floor, so a threshold

@@ -135,4 +135,21 @@ object Graph {
       .union(auths.select(col("node"), lit("auth").as("kind"),
         round(col("score"), 8).as("score")))
   }
+
+  /** Degree histogram of a directed edge list: for each direction, how
+    * many nodes have each degree — the first diagnostic run on any new
+    * graph (a heavy right tail here is the skew that later dictates
+    * salting/broadcast choices in the joins over this graph; a spike at
+    * degree 1 flags a near-tree). One row per (direction ∈ {out,in},
+    * degree). Two aggregations per direction — per-node degree, then the
+    * histogram rollup whose output is at most the distinct-degree count.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    def side(c: String, name: String) =
+      edges.groupBy(col(c).as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .select(lit(name).as("direction"), col("degree"), col("n_nodes"))
+    side("src", "out").union(side("dst", "in"))
+  }
 }

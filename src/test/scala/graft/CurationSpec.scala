@@ -96,6 +96,37 @@ class CurationSpec extends SparkSpec {
     out.size shouldBe 2
   }
 
+  test("calibrateScores: per-group percent-rank, ties share rank") {
+    import SparkSpec.spark.implicits._
+    val df = Seq(
+      ("g1", 10), ("g1", 20), ("g1", 20), ("g1", 30), // pr: 0, 1/3, 1/3, 1
+      ("g2", 99)                                      // singleton: 0
+    ).toDF("g", "score")
+    val got = Curation.calibrateScores(df, "g", "score").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    got.filter(_._1 == "g1").map(_._3).sorted shouldBe
+      Seq(0.0, 0.333333, 0.333333, 1.0)
+    got.filter(_._1 == "g2").map(_._3) shouldBe Seq(0.0)
+  }
+
+  test("containmentPrune: quoted doc dropped, identical pair keeps low id") {
+    import SparkSpec.spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = s"intro words here $short plus a long tail of many other " +
+      "unrelated tokens stretching far beyond the quoted run"
+    val docs = Seq(
+      (1L, short), (2L, long),             // 1 contained in larger 2
+      (3L, "one two three four five six"), // identical pair: low id wins
+      (4L, "one two three four five six"),
+      (5L, "nothing in common with any of those documents here"),
+      (6L, "hi") // shingle-free: trivially kept
+    ).toDF("doc_id", "text")
+    val keep = Curation.containmentPrune(docs, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keep shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 1L, 6L -> 1L)
+  }
+
   test("groupSplit: groups never straddle splits; zero shuffle") {
     import SparkSpec.spark.implicits._
     val rows = (1 to 2000).map(i => (i.toLong, s"domain_${i % 400}"))

@@ -67,6 +67,16 @@ class GraphSpec extends SparkSpec {
       Graph.hits(edges, iters = 0)
   }
 
+  test("degreeHistogram: out and in sides, hand-computed") {
+    val edges = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1"))
+      .toDF("src", "dst")
+    val out = Graph.degreeHistogram(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map(
+      ("out", 1L) -> 1L, ("out", 2L) -> 1L, // u2 has 1 edge, u1 has 2
+      ("in", 1L) -> 1L, ("in", 2L) -> 1L)   // v2 has 1 edge, v1 has 2
+  }
+
   test("pageRank: partitioning-independent (decimal contribution sums)") {
     val edges = (1L to 200L).flatMap { i =>
       val hub = s"h${i % 3}"
