@@ -1010,7 +1010,11 @@ object SparkEntry {
     // ---- containment prune: quoted docs collapse into wrappers -------
     "q126_containment_prune" -> ((s, d) =>
       Curation.containmentPrune(Tables(s, d).documents, threshold = 0.8)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- corpus-fluency: mean bigram log-prob under the corpus model -
+    "q127_fluency_scores" -> ((s, d) =>
+      TextAnalysis.fluencyScores(Tables(s, d).documents).orderBy("doc_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2603,6 +2607,33 @@ object SparkEntry {
             CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
               AS keep
           FROM documents d LEFT JOIN dropped dr USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // bag-semantics bigram explode, MLE conditional c(w1w2)/c(w1·),
+    // per-occurrence log terms quantized to DECIMAL(30,12)
+    "q127_fluency_scores" ->
+      s"""WITH base AS (SELECT doc_id, $Toks AS toks FROM documents),
+          bg0 AS (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> {'w1': toks[i], 'w2': toks[i+1]})) AS s
+            FROM base),
+          bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg0),
+          cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+          pref AS (SELECT w1, CAST(sum(c) AS BIGINT) AS p
+                   FROM cnt GROUP BY w1),
+          per_doc AS (
+            SELECT bg.doc_id, count(*) AS n_bigrams,
+              sum(CAST(ln(CAST(cnt.c AS DOUBLE) / CAST(pref.p AS DOUBLE))
+                AS DECIMAL(30,12))) AS s
+            FROM bg JOIN cnt USING (w1, w2) JOIN pref USING (w1)
+            GROUP BY bg.doc_id)
+          SELECT d.doc_id,
+            coalesce(p.n_bigrams, 0) AS n_bigrams,
+            CASE WHEN p.n_bigrams > 0 THEN
+              round(CAST(p.s AS DOUBLE) /
+                CAST(p.n_bigrams AS DOUBLE), 6) END AS fluency
+          FROM documents d LEFT JOIN per_doc p USING (doc_id)
           ORDER BY d.doc_id"""
   )
 

@@ -146,7 +146,34 @@ object Stress {
         "n_chars", "n_tokens", budget = 300000L)),
       time("shuffleShard")(Relational.shuffleShard(
         docs.select("doc_id", "source"), "doc_id", 64)),
-      time("redactPii")(TextAnalysis.redactPii(docs)))
+      time("redactPii")(TextAnalysis.redactPii(docs)),
+      // every doc has ~n high-containment copies (same base, different
+      // tail), so candidate volume is n^2 per cluster — the same honest
+      // worst case exactJaccardPairs faces, through the asymmetric path
+      time("containmentPairs")(Dedup.containmentPairs(docs,
+        threshold = 0.8)),
+      // fuzzy linkage is a NAME/TITLE operator — stress it on name-length
+      // keys, not full documents (levenshtein is O(len²) per pair). The
+      // 60-char tail slice keeps the adversarial structure: every copy
+      // pair differs only in tail digits, so each base doc contributes
+      // ~n²/2 candidate pairs that all reach the verify step
+      time("fuzzyPairs")(TextOps.fuzzyPairs(
+        docs.select(expr(
+          "substring(text, greatest(length(text) - 59, 1), 60)")
+          .as("name")),
+        "name", threshold = 3)),
+      // five event types = five ultra-hot authorities: the skewed-degree
+      // regime for the per-round contribution aggregation
+      timeAction("pageRank") {
+        val e0 = evs.select(
+          concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("e:"), col("event_type")).as("dst")).distinct()
+        Graph.pageRank(
+          e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+          iters = 3).count()
+      },
+      time("sourceShift")(TextAnalysis.sourceShift(docs)),
+      time("noveltyScores")(Dedup.noveltyScores(docs)))
     val qs = results.map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")

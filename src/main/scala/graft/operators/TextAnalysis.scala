@@ -212,6 +212,51 @@ object TextAnalysis {
           .as("kl_vs_corpus"))
   }
 
+  /** Corpus-fluency score per document: the mean log-probability of the
+    * document's token bigrams under the corpus's own MLE bigram model,
+    * P(w₂|w₁) = c(w₁w₂)/c(w₁·). The self-scored fluency filter — word
+    * salad, shuffled scrapes, and token-soup spam score far below prose
+    * because their transitions are rare IN THIS corpus, with no external
+    * language model needed. Scores are ≤ 0 (0 = every transition fully
+    * predictable); docs with fewer than two tokens get a null score.
+    * MLE needs no smoothing here: every scored bigram occurs in the
+    * corpus at least once (it contributes to its own counts).
+    *
+    * Plan: one bigram explode (bag semantics — every occurrence scores),
+    * one bigram-count aggregate, a prefix-marginal re-aggregation OF
+    * that count table, two keyed joins back, one per-doc rollup.
+    * Per-occurrence log terms quantized to DECIMAL(30,12), summed
+    * exactly — the usual determinism convention.
+    */
+  def fluencyScores(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = Dedup.spread(documents)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS w1, " +
+          "element_at(toks, i + 1) AS w2))")).as("s"))
+      .select(col("doc_id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val pref = cnt.groupBy("w1").agg(sum("c").as("p"))
+    val perDoc = bg
+      .join(cnt, Seq("w1", "w2"))
+      .join(pref, "w1")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(log(col("c").cast("double") / col("p").cast("double"))
+          .cast(DecimalType(30, 12))).as("s"))
+    documents.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(col("s").cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("fluency"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercased text.
     * The canonical exact-dedup key — identical content with incidental
     * whitespace/case differences collapses to one fingerprint.

@@ -253,19 +253,25 @@ object TextOps {
     * that exact joins can't express. Output: (left, right, dist) with
     * left < right; callers re-join ids on the matched values.
     *
-    * Never all-pairs: candidates come from a positional q-gram count
-    * filter (Gravano et al.) — one edit destroys at most `q` q-grams,
-    * so a pair within distance t shares ≥ max(len)−(q−1)−t·q of them.
-    * Each gram is tagged with its occurrence index, which turns the
-    * BAG-intersection count the bound needs into a plain equi-join on
-    * (gram, occ) — Σ_g min(cntₐ, cnt_b) matches, exactly. Pairs where
-    * the bound is vacuous (both sides ≤ t·q+q−1 chars) can share zero
-    * grams, so short strings get a dedicated length-banded block — a
-    * bounded nested-loop over the (tiny, alphabet-bounded) short-value
-    * set, not the corpus. A length-band prune (|lenₐ−len_b| ≤ t,
-    * necessary for distance ≤ t) cuts both paths before the exact
-    * `levenshtein` verify on candidates only — the same
-    * generate-prune-verify shape as [[Dedup.exactJaccardPairs]].
+    * Never all-pairs: candidates come from Ed-Join-style prefix
+    * filtering over positional q-gram BAGS. One edit destroys at most
+    * `q` of a string's q-grams, so two strings within distance t share
+    * a bag intersection ≥ max(|bags|) − t·q; by the PPJoin prefix lemma
+    * (under one global key order), any such pair must collide on one of
+    * each side's first t·q+1 keys. Each gram is tagged with its
+    * occurrence index — (gram, occ) keys make bag semantics a plain
+    * equi-join — and keys are ordered rarest-first (global key
+    * frequency, gram/occ as tiebreak), so join keys concentrate on
+    * discriminative grams and hot bigrams ("e ", "th") never become
+    * join keys: candidate volume is Σ df_prefix², not Σ df². Pairs
+    * where the prefix lemma is vacuous (both sides ≤ t·q+q−1 chars, so
+    * the guaranteed overlap can hit zero) go to a dedicated
+    * length-banded short-string block — a bounded nested-loop over the
+    * (tiny, alphabet-bounded) short-value set, not the corpus. A
+    * length-band prune (|lenₐ−len_b| ≤ t, necessary for distance ≤ t)
+    * cuts both paths before the exact `levenshtein` verify on
+    * candidates only — the same generate-prune-verify shape as
+    * [[Dedup.exactJaccardPairs]].
     */
   def fuzzyPairs(strings: DataFrame, strCol: String, threshold: Int,
       q: Int = 2): DataFrame = {
@@ -282,17 +288,19 @@ object TextOps {
       .withColumn("occ",
         row_number().over(Window.partitionBy("s", "g").orderBy("pos")))
       .select("s", "len", "g", "occ")
-    val gramCands = grams
+    val keyFreq = grams.groupBy("g", "occ").agg(count(lit(1)).as("kf"))
+    val prefixes = grams.join(keyFreq, Seq("g", "occ"))
+      .withColumn("rk", row_number().over(Window.partitionBy("s")
+        .orderBy(col("kf").asc, col("g").asc, col("occ").asc)))
+      .filter(col("rk") <= threshold * q + 1)
+      .select("s", "len", "g", "occ")
+    val gramCands = prefixes
       .select(col("s").as("left"), col("len").as("la"),
         col("g"), col("occ"))
-      .join(grams.select(col("s").as("right"), col("len").as("lb"),
+      .join(prefixes.select(col("s").as("right"), col("len").as("lb"),
         col("g"), col("occ")), Seq("g", "occ"))
       .filter(col("left") < col("right"))
       .filter(abs(col("la") - col("lb")) <= threshold)
-      .groupBy("left", "right", "la", "lb")
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >=
-        greatest(col("la"), col("lb")) - lit(q - 1) - lit(threshold * q))
       .select("left", "right")
     val shorts = withLen.filter(col("len") <= shortMax)
     val shortCands = shorts.select(col("s").as("left"), col("len").as("la"))

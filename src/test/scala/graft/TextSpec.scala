@@ -207,6 +207,25 @@ class TextSpec extends SparkSpec {
     plan(TextOps.vocabCoverage(docs, 3)) should include("BroadcastHashJoin")
   }
 
+  test("fluencyScores: hand-computed bigram log-probs, bag semantics") {
+    import SparkSpec.spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b),(b,a),(a,b) — repeats score twice
+      (2L, "a b c"),   // (a,b),(b,c)
+      (3L, "x")        // one token: no bigrams, null score
+    ).toDF("doc_id", "text")
+    // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; prefixes a·=3, b·=2
+    // terms: ln(1)=0 for (a,b); ln(1/2) for (b,a) and (b,c)
+    val out = TextAnalysis.fluencyScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    out(1L)._1 shouldBe 3L
+    out(1L)._2.get shouldBe math.log(0.5) / 3 +- 1e-6
+    out(2L)._1 shouldBe 2L
+    out(2L)._2.get shouldBe math.log(0.5) / 2 +- 1e-6
+    out(3L) shouldBe ((0L, None))
+  }
+
   test("fuzzyPairs: q-gram filter reproduces brute force on part names") {
     Seq(1, 2, 3).foreach { t =>
       rowSet(TextOps.fuzzyPairs(tables.part, "p_name", t)) shouldBe
