@@ -62,9 +62,19 @@ object Stress {
         (col("user_id") * n + col("copy")).as("user_id"),
         col("event_type"), col("value"))
 
+    // SPARK_GRAFT_STRESS_ONLY=tag1,tag2 narrows the run for iteration
+    // (same contract as the Verify/Bench ONLY filters); skipped ops are
+    // dropped from the JSON line entirely
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def want(tag: String): Boolean = only.isEmpty || only(tag)
+
     // rows = -1 marks a timed action with no row count (index builds) —
-    // distinguishable in the JSON from a genuinely empty result
+    // distinguishable in the JSON from a genuinely empty result;
+    // sec = -1 marks a filtered-out op (removed before the JSON line)
     def timeAction(tag: String)(action: => Long): (String, Double, Long) = {
+      if (!want(tag)) return (tag, -1.0, -1L)
       val t0 = System.nanoTime()
       val rows = action
       val sec = (System.nanoTime() - t0) / 1e9
@@ -72,7 +82,7 @@ object Stress {
       println(f"[stress] $tag%-24s $sec%8.2f s$suffix")
       (tag, sec, rows)
     }
-    def time(tag: String)(df: DataFrame): (String, Double, Long) =
+    def time(tag: String)(df: => DataFrame): (String, Double, Long) =
       timeAction(tag)(df.count())
 
     val nDocs = docs.count()
@@ -90,9 +100,13 @@ object Stress {
     // parquet rounds) time ONLY their round-buffer strategy, not a
     // re-run of the minhash pipeline
     val ccDir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-cc-${System.nanoTime()}"
-    Dedup.minhashDupPairs(docs, threshold = 0.7, k = 64, bands = 32)
-      .write.mode("overwrite").parquet(s"$ccDir/pairs")
-    val dupPairs = spark.read.parquet(s"$ccDir/pairs")
+    // lazy + by-name time() args: a SPARK_GRAFT_STRESS_ONLY run that
+    // skips the dup-components ops never pays for the pair build
+    lazy val dupPairs = {
+      Dedup.minhashDupPairs(docs, threshold = 0.7, k = 64, bands = 32)
+        .write.mode("overwrite").parquet(s"$ccDir/pairs")
+      spark.read.parquet(s"$ccDir/pairs")
+    }
 
     val results = Seq(
       time("curate")(Curation.curate(docs)),
@@ -153,15 +167,22 @@ object Stress {
       time("containmentPairs")(Dedup.containmentPairs(docs,
         threshold = 0.8)),
       // fuzzy linkage is a NAME/TITLE operator — stress it on name-length
-      // keys, not full documents (levenshtein is O(len²) per pair). The
-      // 60-char tail slice keeps the adversarial structure: every copy
-      // pair differs only in tail digits, so each base doc contributes
-      // ~n²/2 candidate pairs that all reach the verify step
+      // keys, not full documents (levenshtein is O(len²) per pair).
+      // Catalog shape: every base doc yields n variant names sharing an
+      // md5-hex body with a short version suffix, so each base
+      // contributes ~n²/2 true pairs that all reach the verify step,
+      // while cross-base candidates die on the rare-prefix keys. (Text
+      // slices of the synthetic corpus are the WRONG stress input here:
+      // uniform length plus a tiny shared vocabulary makes even "rare"
+      // bigrams hundreds-of-names common, and candidates balloon far
+      // past the true-pair count — measured, not guessed.)
+      // q=4, per the operator's own sizing guidance: 100k hex-body names
+      // leave q=2's 256-value gram space with no rare keys at all
       time("fuzzyPairs")(TextOps.fuzzyPairs(
-        docs.select(expr(
-          "substring(text, greatest(length(text) - 59, 1), 60)")
-          .as("name")),
-        "name", threshold = 3)),
+        docs.select(concat(
+          md5(floor(col("doc_id") / n).cast("string")),
+          lit(" v"), pmod(col("doc_id"), lit(n.toLong))).as("name")),
+        "name", threshold = 3, q = 4)),
       // five event types = five ultra-hot authorities: the skewed-degree
       // regime for the per-round contribution aggregation
       timeAction("pageRank") {
@@ -174,7 +195,7 @@ object Stress {
       },
       time("sourceShift")(TextAnalysis.sourceShift(docs)),
       time("noveltyScores")(Dedup.noveltyScores(docs)))
-    val qs = results.map { case (k, v, r) =>
+    val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")
     spark.stop()

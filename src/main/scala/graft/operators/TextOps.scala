@@ -272,6 +272,14 @@ object TextOps {
     * cuts both paths before the exact `levenshtein` verify on
     * candidates only — the same generate-prune-verify shape as
     * [[Dedup.exactJaccardPairs]].
+    *
+    * Choose `q` for the corpus, not by habit: prefix selectivity needs
+    * the gram space (alphabet^q) to dwarf the value count, or every key
+    * is hot and the prefix join degenerates toward all-pairs. q=2 is
+    * right for a dim table of thousands of names; at 10⁵+ values — or a
+    * narrow alphabet like hex ids — use q=3..5 (the Ed-Join guidance).
+    * Larger q also widens the short-string block (t·q+q−1), which is
+    * the right trade: short strings belong in the banded block anyway.
     */
   def fuzzyPairs(strings: DataFrame, strCol: String, threshold: Int,
       q: Int = 2): DataFrame = {

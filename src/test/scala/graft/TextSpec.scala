@@ -231,6 +231,11 @@ class TextSpec extends SparkSpec {
       rowSet(TextOps.fuzzyPairs(tables.part, "p_name", t)) shouldBe
         rowSet(TextOps.bruteForceFuzzyPairs(tables.part, "p_name", t))
     }
+    // completeness is q-independent (larger q = larger-corpus tuning)
+    Seq(3, 4).foreach { qq =>
+      rowSet(TextOps.fuzzyPairs(tables.part, "p_name", 2, q = qq)) shouldBe
+        rowSet(TextOps.bruteForceFuzzyPairs(tables.part, "p_name", 2))
+    }
   }
 
   test("fuzzyPairs: short strings, cross-length pairs, dedup, nulls") {
