@@ -1014,7 +1014,11 @@ object SparkEntry {
 
     // ---- corpus-fluency: mean bigram log-prob under the corpus model -
     "q127_fluency_scores" -> ((s, d) =>
-      TextAnalysis.fluencyScores(Tables(s, d).documents).orderBy("doc_id"))
+      TextAnalysis.fluencyScores(Tables(s, d).documents).orderBy("doc_id")),
+
+    // ---- trailing-24h rolling stats per user (time-RANGE frame) ------
+    "q128_rolling_stats" -> ((s, d) =>
+      Temporal.rollingStats(Tables(s, d).events).orderBy("event_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2634,7 +2638,24 @@ object SparkEntry {
               round(CAST(p.s AS DOUBLE) /
                 CAST(p.n_bigrams AS DOUBLE), 6) END AS fluency
           FROM documents d LEFT JOIN per_doc p USING (doc_id)
-          ORDER BY d.doc_id"""
+          ORDER BY d.doc_id""",
+
+    // epoch_us//1000000 floors like Spark's timestamp->long cast
+    // (DuckDB's epoch() ROUNDS — the recorded cross-engine pitfall);
+    // in-frame values quantized to DECIMAL(20,6), summed exactly; the
+    // avg is the RAW division (exact decimal in → one IEEE division
+    // out is bit-deterministic; round() would not be — see rollingStats)
+    "q128_rolling_stats" ->
+      """SELECT event_id, user_id,
+           epoch_us(ts) // 1000000 AS sec,
+           count(*) OVER w AS n_win,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS avg_win
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY (epoch_us(ts) // 1000000)
+           RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal join operators.
   *
@@ -297,6 +298,42 @@ object Temporal {
     * Nothing here depends on snapshot count: S snapshots of a 100-TB
     * corpus shuffle S×|keys| fingerprint rows once.
     */
+  /** Trailing time-RANGE rolling stats per key: for every event, the
+    * count and average of `valueCol` over that key's events in the
+    * PRECEDING `windowSeconds` (inclusive of the current instant) — the
+    * "activity in the last 24 h as of each event" feature every
+    * behavioral model wants. A RANGE frame over event-time seconds, NOT
+    * a ROWS frame: gaps and bursts change the member set, and same-
+    * second ties are all included, so the frame is a deterministic
+    * function of the data (a ROWS frame over ties is not). Values are
+    * quantized to DECIMAL(20,6) and summed exactly inside the frame;
+    * the one division per row is IEEE and the average is emitted RAW
+    * (un-rounded): exact decimal in, one correctly-rounded division
+    * out is already bit-deterministic, whereas a final round(…, n)
+    * would re-introduce the engines' divergent double-rounding at
+    * boundary values (DuckDB scales by 10ⁿ in floating point; Spark
+    * rounds the exact binary expansion — they disagree on x.xxxx5).
+    *
+    * Scale shape: one shuffle keyed by `keyCol`, then a per-key sort
+    * with an O(1)-per-row sliding frame. Skew lives with the hottest
+    * single key; beyond that, salt upstream or pre-aggregate to
+    * per-(key, second) rows first.
+    */
+  def rollingStats(events: DataFrame, keyCol: String = "user_id",
+      valueCol: String = "value", windowSeconds: Long = 86400): DataFrame = {
+    require(windowSeconds >= 1, "rollingStats: windowSeconds must be >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(col("sec"))
+      .rangeBetween(-(windowSeconds - 1), 0)
+    events
+      .select(col("event_id"), col(keyCol),
+        col("ts").cast("long").as("sec"),
+        col(valueCol).cast(DecimalType(20, 6)).as("v"))
+      .select(col("event_id"), col(keyCol), col("sec"),
+        count(lit(1)).over(w).as("n_win"),
+        (sum(col("v")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("avg_win"))
+  }
+
   def scd2History(
       snapshots: DataFrame,
       keyCol: String,

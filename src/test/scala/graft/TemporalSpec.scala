@@ -27,6 +27,28 @@ class TemporalSpec extends SparkSpec {
     ("c", 1L, 99.0)
   ).toDF("k", "ts", "price")
 
+  test("rollingStats: trailing RANGE frame slides by time, includes ties") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, "u1", ts(0L), 10.0),
+      (2L, "u1", ts(10L), 20.0),
+      (3L, "u1", ts(86400L), 30.0), // sec 0 falls OUT of [1, 86400]
+      (4L, "u1", ts(86410L), 40.0),
+      (5L, "u2", ts(100L), 1.0),    // same-second tie: both in both
+      (6L, "u2", ts(100L), 3.0)     //   frames (RANGE, not ROWS)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.rollingStats(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    out(1L) shouldBe ((1L, 10.0))
+    out(2L) shouldBe ((2L, 15.0))
+    out(3L) shouldBe ((2L, 25.0)) // {10s, 86400s} — the 0s event aged out
+    out(4L) shouldBe ((2L, 35.0))
+    out(5L) shouldBe ((2L, 2.0))
+    out(6L) shouldBe ((2L, 2.0))
+    an[IllegalArgumentException] should be thrownBy
+      Temporal.rollingStats(events, windowSeconds = 0)
+  }
+
   test("asofJoin: latest right at-or-before each left row, per key") {
     val out = Temporal
       .asofJoin(asofLeft, asofRight, Seq("k"), "ts", "ts", Seq("price"))
