@@ -110,8 +110,10 @@ object Curation {
     * [[Dedup.containmentPairs]]: a document is dropped when it is
     * contained (containment ≥ `threshold`) in a STRICTLY larger document
     * (more distinct shingles), or in an equal-sized one with a smaller
-    * doc_id (equal-size mutual containment means identical shingle
-    * sets — keep the lowest id, matching exact-dedup's convention). The
+    * doc_id (equal-size pairs are mutually contained at the same score —
+    * identical sets only at threshold 1.0 — so keep-lowest-id is a
+    * deterministic symmetric tiebreak, matching exact-dedup's
+    * convention). The
     * rule reads each doc's verdict off its own pair rows only — no
     * transitive chains, no iteration: quoted posts collapse into their
     * wrappers, wrappers survive unless themselves quoted whole. Output

@@ -746,26 +746,29 @@ object Relational {
     * crawl. Output: one row per stratum with its raw count, normalized
     * weight and the expected document count at `budget` — the table you
     * feed [[stratifiedSampleDeterministic]] (rates = expected/n) or
-    * [[weightedSamplePerGroup]]. One aggregation, then a single-
-    * partition window over #sources rows (bounded: sources are a
-    * catalog, not data). Weights are rounded to 6 decimals so the
-    * table is engine-reproducible.
+    * [[weightedSamplePerGroup]]. One aggregation, then the normalizer is
+    * a one-row total cross-joined back as a broadcast (the [[Graph.hits]]
+    * idiom) — never an unpartitioned window, which would funnel the rows
+    * through a single partition and trip every plan audit even though
+    * the input here is a bounded catalog. Weights are rounded to 6
+    * decimals so the table is engine-reproducible.
     */
   def mixingWeights(df: DataFrame, stratumCol: String, alpha: Double,
       budget: Long): DataFrame = {
     require(alpha >= 0 && alpha <= 1, "temperature alpha must be in [0, 1]")
-    val w = Window.partitionBy()
-    df.groupBy(stratumCol)
+    val raw = df.groupBy(stratumCol)
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("__raw", pow(col("n_docs").cast("double"), lit(alpha)))
-      // DECIMAL sum for the normalizer: order-independent, so the weight
-      // is identical on any engine/partitioning (the repo-wide
-      // determinism convention for fractional aggregates)
-      .withColumn("weight", round(col("__raw") /
-        sum(col("__raw").cast("decimal(30,15)")).over(w).cast("double"), 6))
+    // DECIMAL sum for the normalizer: order-independent, so the weight
+    // is identical on any engine/partitioning (the repo-wide
+    // determinism convention for fractional aggregates)
+    val tot = raw.agg(sum(col("__raw").cast("decimal(30,15)")).as("__tot"))
+    raw.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(col("__raw") / col("__tot").cast("double"), 6))
       .withColumn("expected_docs",
         floor(col("weight") * lit(budget.toDouble)).cast("long"))
-      .drop("__raw")
+      .drop("__raw", "__tot")
   }
 
   /** Parse the events table's JSON `props` column and aggregate the

@@ -279,25 +279,6 @@ object Temporal {
         coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
   }
 
-  /** SCD type-2 history build: collapse a stack of corpus snapshots —
-    * one row per (key, version) present in that snapshot, with `stateCol`
-    * the content state to compare (typically the normalized fingerprint)
-    * — into validity runs `[valid_from, valid_to]` (version numbers,
-    * inclusive) during which the state was unchanged. A key absent from
-    * an intermediate version closes its run and a later reappearance
-    * opens a new one (delete + re-add, not one long run), detected by a
-    * version-number gap; version numbers must therefore be consecutive
-    * integers across snapshots. `is_current` marks runs alive at
-    * `latestVersion`.
-    *
-    * Plan: one hash shuffle on `keyCol` for the lag/running-sum window;
-    * the run groupBy keys on (key, run) which the key-partitioning
-    * already clusters, so Catalyst plans no second exchange. State per
-    * run is constant by construction (a change starts a new run), so
-    * `min(state)` reads the run's state without another comparison.
-    * Nothing here depends on snapshot count: S snapshots of a 100-TB
-    * corpus shuffle S×|keys| fingerprint rows once.
-    */
   /** Trailing time-RANGE rolling stats per key: for every event, the
     * count and average of `valueCol` over that key's events in the
     * PRECEDING `windowSeconds` (inclusive of the current instant) — the
@@ -334,6 +315,25 @@ object Temporal {
           count(lit(1)).over(w).cast("double")).as("avg_win"))
   }
 
+  /** SCD type-2 history build: collapse a stack of corpus snapshots —
+    * one row per (key, version) present in that snapshot, with `stateCol`
+    * the content state to compare (typically the normalized fingerprint)
+    * — into validity runs `[valid_from, valid_to]` (version numbers,
+    * inclusive) during which the state was unchanged. A key absent from
+    * an intermediate version closes its run and a later reappearance
+    * opens a new one (delete + re-add, not one long run), detected by a
+    * version-number gap; version numbers must therefore be consecutive
+    * integers across snapshots. `is_current` marks runs alive at
+    * `latestVersion`.
+    *
+    * Plan: one hash shuffle on `keyCol` for the lag/running-sum window;
+    * the run groupBy keys on (key, run) which the key-partitioning
+    * already clusters, so Catalyst plans no second exchange. State per
+    * run is constant by construction (a change starts a new run), so
+    * `min(state)` reads the run's state without another comparison.
+    * Nothing here depends on snapshot count: S snapshots of a 100-TB
+    * corpus shuffle S×|keys| fingerprint rows once.
+    */
   def scd2History(
       snapshots: DataFrame,
       keyCol: String,

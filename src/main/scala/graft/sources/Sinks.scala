@@ -68,6 +68,13 @@ object Sinks {
     * skewed input files cannot become skewed output files. Writes to a
     * separate directory (never in place: the source is the input of the
     * very job writing the output), returns the file count.
+    *
+    * The size probe lists RECURSIVELY, so a Hive-partitioned source
+    * (data files under key=value subdirectories) is sized correctly —
+    * but note the OUTPUT is a flat directory: partition discovery folds
+    * the partition values into ordinary data columns (no rows or values
+    * lost), so re-partition the output explicitly if the layout must
+    * survive compaction.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, src: String,
       dst: String, targetBytes: Long = 128L << 20): Int = {
@@ -77,9 +84,12 @@ object Sinks {
       "compaction must write to a different directory than it reads")
     val p = new org.apache.hadoop.fs.Path(src)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(src).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(dst)

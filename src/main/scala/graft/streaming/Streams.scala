@@ -218,20 +218,45 @@ object Streams {
           } else {
             val times = rows.map(_._2.getTime).toArray.sorted
             val closed = Iterator.newBuilder[ClosedSession]
-            var open = state.getOption
+            // Open intervals, sorted by start. Batch times are ascending,
+            // but the carried state session may START AFTER a late (yet
+            // within-watermark) event of this batch — an event more than
+            // gapSeconds BEFORE the open start must form its own earlier
+            // session, and one within the gap of the start must extend
+            // the start backward, not be silently absorbed (the batch
+            // twin's gap rule). Hence a tiny interval list, not a single
+            // slot: at most a handful alive at once, merged on contact.
+            val ivs = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+            state.getOption.foreach(ivs += _)
             times.foreach { t =>
-              open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(OpenSession(s.startMs, math.max(s.endMs, t),
-                    s.n + 1))
-                case Some(s) =>
-                  closed += close(user, s)
-                  open = Some(OpenSession(t, t, 1L))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L))
+              val i = ivs.indexWhere(s =>
+                t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+              if (i < 0) {
+                val j = ivs.indexWhere(_.startMs > t)
+                ivs.insert(if (j < 0) ivs.length else j,
+                  OpenSession(t, t, 1L))
+              } else {
+                val s = ivs(i)
+                ivs(i) = OpenSession(math.min(s.startMs, t),
+                  math.max(s.endMs, t), s.n + 1)
+                // the extension may bridge the gap to the NEXT interval
+                // (t landed between two sessions and glued them): merge.
+                // No backward bridge exists — t matched the FIRST
+                // interval within reach, so it is > gap past i-1's end.
+                if (i + 1 < ivs.length &&
+                    ivs(i + 1).startMs - ivs(i).endMs <= gapMs) {
+                  val (a, b) = (ivs(i), ivs(i + 1))
+                  ivs(i) = OpenSession(a.startMs,
+                    math.max(a.endMs, b.endMs), a.n + b.n)
+                  ivs.remove(i + 1)
+                }
               }
             }
-            open.foreach { s =>
+            // every interval but the latest is sealed by a same-batch
+            // successor — append-mode emission, as before; the watermark
+            // bounds how late a reopening event could still arrive
+            ivs.dropRight(1).foreach(closed += close(user, _))
+            ivs.lastOption.foreach { s =>
               state.update(s)
               // the engine rejects a timeout at/behind the watermark; a
               // session already older than it fires on the next batch

@@ -232,6 +232,33 @@ class IngestSpec extends SparkSpec {
       Sinks.compactParquet(spark, src, src)
   }
 
+  test("compactParquet sizes a Hive-partitioned source recursively") {
+    val src = tmpDir("compact-part-src")
+    val dst = tmpDir("compact-part-dst")
+    tables.documents.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang").parquet(src)
+    // recursive sizing sees the data files under lang=*/ subdirs: a
+    // byte target of 1/4 the real total must yield >1 output file (the
+    // flat listing bug sized this at 0 bytes -> always 1 file)
+    var total = 0L
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(src), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total should be > 0L
+    val n = Sinks.compactParquet(spark, src, dst,
+      targetBytes = (total + 3) / 4)
+    n shouldBe 4
+    // partition values fold back into data columns: nothing lost
+    val back = spark.read.parquet(dst)
+    rowSet(back.select("doc_id", "lang")) shouldBe
+      rowSet(tables.documents.select("doc_id", "lang"))
+  }
+
   test("writeShards: one file per shard directory, lossless roundtrip") {
     val dir = tmpDir("shards")
     Sinks.writeShards(tables.documents.select("doc_id", "source"),

@@ -157,6 +157,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closedSessions: late events before the open session follow the gap rule") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    // generous watermark so a 2h-late event is still admitted
+    val q = Streams.closedSessions(df, gapSeconds = 1800L,
+      watermarkDelay = "6 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("lateclosed").start()
+    try {
+      // batch 1: the open session starts at 12:00
+      in.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      // batch 2, both late but within the watermark:
+      //  - 10:00 is > gap before the open start -> its own earlier
+      //    session (sealed by the 12:00 successor, emitted now)
+      //  - 11:45 is within the gap of 12:00 -> extends the start BACK
+      in.addData(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2026-01-01 11:45:00"), 1L))
+      q.processAllAvailable()
+      // advance the watermark far past 12:00+gap so the open session
+      // times out
+      in.addData((Timestamp.valueOf("2026-01-02 12:00:00"), 2L))
+      q.processAllAvailable()
+      val u1 = spark.table("lateclosed").filter(col("user_id") === 1L)
+        .orderBy("session_start").collect()
+      u1.length shouldBe 2
+      u1(0).getAs[Timestamp]("session_start") shouldBe
+        Timestamp.valueOf("2026-01-01 10:00:00")
+      u1(0).getAs[Timestamp]("session_end") shouldBe
+        Timestamp.valueOf("2026-01-01 10:00:00")
+      u1(0).getAs[Long]("n_events") shouldBe 1L
+      u1(1).getAs[Timestamp]("session_start") shouldBe
+        Timestamp.valueOf("2026-01-01 11:45:00") // extended backward
+      u1(1).getAs[Timestamp]("session_end") shouldBe
+        Timestamp.valueOf("2026-01-01 12:00:00")
+      u1(1).getAs[Long]("n_events") shouldBe 2L
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each batch against the broadcast dim") {
     val in = MemoryStream[(Long, Double)]
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
@@ -282,15 +322,25 @@ class StreamingSpec extends SparkSpec {
     Files.copy(java.nio.file.Paths.get(s"${SparkSpec.sfDir}/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     val raw = spark.read.parquet(dir)
-    val stream = spark.readStream.schema(raw.schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // mirror Tables.events (legacy int64-nanos testdata needs the µs
+    // conversion), then force session-local TIMESTAMP: the watermark
+    // clock rejects TIMESTAMP_NTZ, and under the repo's fixed UTC
+    // session the cast is value-identical
+    def toEventTime(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      (if (df.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df).withColumn("ts", col("ts").cast("timestamp"))
+    val stream = toEventTime(
+      spark.readStream.schema(raw.schema).parquet(dir))
     val q = Streams.slidingEventCounts(stream)
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("evt").start()
     try {
       q.processAllAvailable()
       val streamed = rowSet(spark.table("evt"))
-      val batch = rowSet(tables.events
+      val batch = rowSet(toEventTime(tables.events)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"))
