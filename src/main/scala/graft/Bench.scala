@@ -34,6 +34,16 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // 1-minute system load average, recorded at start and end so a
+    // load-polluted artifact self-identifies (the documented box-noise
+    // policy: quiet means load < 2.2; a 3.8x excursion on a 3-row ORC
+    // round-trip is load, not plans — round-5 postmortem)
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+
+    val loadStart = loadAvg
+
     // warm the session (parquet footer reads, codegen, shuffle machinery)
     // so the first timed query isn't charged for JVM startup
     try {
@@ -77,8 +87,10 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
+    val loadEnd = loadAvg
+    val loads = s""""load_start":${sec(loadStart)},"load_end":${sec(loadEnd)}"""
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,$loads,"sf":${jstr(sfDir)}}"""
     // The driver reads only the stdout TAIL, and the full per-query map
     // (~4 KB) overflows that window — its head truncates mid-key and the
     // line never parses (BENCH_r02/r03 "parsed": null). So: full JSON goes
@@ -91,7 +103,7 @@ object Bench {
     val slow5 = timings.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"slowest":$slow5,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"slowest":$slow5,$loads,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
     // The summary must be the LAST line of the merged stdout+stderr
     // stream (the driver's tail parser reads the final line): silence
     // remaining log output, stop Spark (its shutdown messages land on

@@ -1018,7 +1018,25 @@ object SparkEntry {
 
     // ---- trailing-24h rolling stats per user (time-RANGE frame) ------
     "q128_rolling_stats" -> ((s, d) =>
-      Temporal.rollingStats(Tables(s, d).events).orderBy("event_id"))
+      Temporal.rollingStats(Tables(s, d).events).orderBy("event_id")),
+
+    // ---- persisted near-dup index probe: the per-crawl dedup shape
+    // with the corpus band-bucket table built ONCE (the q34/q51
+    // build-once/probe-many pattern) — a batch pays only for its own
+    // signatures plus the bucketed probe. b=32 (r=2) puts detection at
+    // J=0.7 above 1-1e-9, so the probe is exhaustive vs the all-pairs
+    // oracle, like q31.
+    "q129_neardup_probe" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val idx = s"graft_neardup_index_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildNearDupIndex(corpus, idx, ngram = 3, k = 64, bands = 32)
+      Dedup.probeNearDupIndex(batch, corpus, idx, threshold = 0.7,
+        ngram = 3, k = 64, bands = 32)
+        .orderBy("new_id", "corpus_id")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2655,7 +2673,27 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id
            ORDER BY (epoch_us(ts) // 1000000)
            RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    // all-pairs batch x corpus trigram-Jaccard ground truth — the
+    // directed twin of q31's oracle; the persisted-index probe promises
+    // the same answer set as an inline incremental near-dup pass
+    "q129_neardup_probe" ->
+      s"""WITH sh AS (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+          p AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                  AS DOUBLE), 4) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+          SELECT new_id, corpus_id, jaccard FROM p
+          WHERE jaccard >= 0.7 ORDER BY new_id, corpus_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

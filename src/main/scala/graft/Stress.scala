@@ -122,6 +122,22 @@ object Stress {
         Dedup.dupComponents(dupPairs,
           checkpointDir = Some(s"$ccDir/rounds")).count()),
       time("simhashDupPairs")(Dedup.simhashDupPairs(docs)),
+      // persisted near-dup index: the build pays the full-corpus
+      // shingle/sign/bucket pass ONCE; each crawl batch then pays only
+      // its own signatures + the bucketed probe. The inline twin
+      // (incrementalNearDup) re-pays the corpus pass on every call —
+      // probe ≪ inline is the point of the index.
+      timed("nearDupIndexBuild")(Dedup.buildNearDupIndex(
+        docs.filter(col("doc_id") % 100 =!= 0), "stress_neardup",
+        k = 64, bands = 32)),
+      time("nearDupIndexProbe")(Dedup.probeNearDupIndex(
+        docs.filter(col("doc_id") % 100 === 0),
+        docs.filter(col("doc_id") % 100 =!= 0), "stress_neardup",
+        threshold = 0.7, k = 64, bands = 32)),
+      time("incrementalNearDup")(Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 100 === 0),
+        docs.filter(col("doc_id") % 100 =!= 0),
+        threshold = 0.7, k = 64, bands = 32)),
       // the exact-recall twin: every doc has ~n near-dup copies here, so
       // true pairs grow n^2 per cluster — the honest worst case for the
       // prefix-filter candidate volume

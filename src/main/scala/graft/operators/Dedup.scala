@@ -242,6 +242,100 @@ object Dedup {
       "new_id", "corpus_id", ngram, threshold)
   }
 
+  // ------------------------------------- persisted near-dup (band-bucket) index
+
+  private def nearDupSpecTable(indexTable: String) = s"${indexTable}__spec"
+
+  /** Build the PERSISTED near-dup index: the corpus's (doc_id, band_idx,
+    * band_hash) relation saved as a managed parquet table bucketed and
+    * sorted by band_hash — the build-once/probe-many form of
+    * [[incrementalNearDup]]'s corpus side. Per-crawl near-dedup is THE
+    * recurring production job, and without this every batch re-shingles,
+    * re-signs and re-buckets the full corpus (at 100 TB that is the whole
+    * cost); with it, a batch pays only for ITS OWN signatures plus a
+    * bucketed join against the probed slice of this table. The signature
+    * spec (ngram/k/bands) persists beside the index (the
+    * [[Similarity.buildLshIndex]] pattern): a probe or append with
+    * different parameters would produce band hashes that silently never
+    * match, so it must fail loudly instead.
+    */
+  def buildNearDupIndex(documents: DataFrame, table: String, ngram: Int = 3,
+      k: Int = 64, bands: Int = 16): Unit = {
+    val spark = documents.sparkSession
+    graft.sources.Sinks.saveTablePartitioned(
+      bandBuckets(spread(documents), ngram, k, bands), table,
+      bucketBy = Some((8, Seq("band_hash"))), sortBy = Seq("band_hash"))
+    import spark.implicits._
+    graft.sources.Sinks.saveTable(
+      Seq((ngram, k, bands)).toDF("ngram", "k", "bands"),
+      nearDupSpecTable(table))
+  }
+
+  /** Fail loudly when ngram/k/bands differ from what the index was built
+    * with — mismatched band hashes join nothing and lose recall silently.
+    */
+  private def requireNearDupSpec(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, ngram: Int, k: Int, bands: Int): Unit =
+    if (spark.catalog.tableExists(nearDupSpecTable(indexTable))) {
+      val r = spark.table(nearDupSpecTable(indexTable)).head()
+      val (g, kk, b) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require(g == ngram && kk == k && b == bands,
+        s"$indexTable was built with ngram=$g k=$kk bands=$b; " +
+          s"got ngram=$ngram k=$k bands=$bands — band hashes would never match")
+    }
+
+  /** Incrementally extend a persisted near-dup index with a new document
+    * batch — the per-crawl growth path. Band membership is a pure
+    * function of the document text, so buckets for the NEW docs alone are
+    * computed and appended; existing rows are untouched. An index grown
+    * by appends is row-identical to one rebuilt from the union (asserted
+    * in tests).
+    */
+  def appendNearDupIndex(newDocs: DataFrame, table: String, ngram: Int = 3,
+      k: Int = 64, bands: Int = 16): Unit = {
+    requireNearDupSpec(newDocs.sparkSession, table, ngram, k, bands)
+    graft.sources.Sinks.appendTablePartitioned(
+      bandBuckets(spread(newDocs), ngram, k, bands), table,
+      bucketBy = Some((8, Seq("band_hash"))), sortBy = Seq("band_hash"))
+  }
+
+  /** Probe a persisted near-dup index built by [[buildNearDupIndex]] over
+    * `corpus`: (new_id, corpus_id, jaccard) pairs where a new-batch doc is
+    * a near-duplicate of an existing corpus doc — result-identical to
+    * [[incrementalNearDup]](newDocs, corpus, …) but paying corpus-side
+    * cost only on the PROBED buckets. `corpus` itself is still needed for
+    * the exact-Jaccard verify, which re-shingles matched docs only (a
+    * semi-join slice — candidates ≪ corpus); the index is what removes
+    * the full-corpus shingle/sign/bucket pass.
+    *
+    * The `maxBucket` bound is exactly incrementalNearDup's: the key-join
+    * keeps EVERY index row of a probed bucket, so the per-bucket count
+    * over the probed slice equals the full-corpus bucket size and the
+    * same degenerate buckets are dropped. The count window partitions by
+    * the bucket key — no global funnel.
+    */
+  def probeNearDupIndex(newDocs: DataFrame, corpus: DataFrame,
+      indexTable: String, threshold: Double = 0.7, ngram: Int = 3,
+      k: Int = 64, bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val spark = newDocs.sparkSession
+    requireNearDupSpec(spark, indexTable, ngram, k, bands)
+    val newSpread = spread(newDocs)
+    val nb = bandBuckets(newSpread, ngram, k, bands)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+    val probed = spark.table(indexTable)
+      .join(nb.select("band_idx", "band_hash").distinct(),
+        Seq("band_idx", "band_hash"))
+    val bounded = probed
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
+    val candidates = nb.join(bounded, Seq("band_idx", "band_hash"))
+      .select("new_id", "corpus_id").distinct()
+    verifyCandidates(candidates, newSpread, spread(corpus),
+      "new_id", "corpus_id", ngram, threshold)
+  }
+
   /** Exact-Jaccard verification of an LSH candidate pair list: docs
     * appearing in candidates are re-shingled via a semi-join (candidates
     * << corpus at scale, so the expensive shingle expression runs on a
@@ -399,11 +493,23 @@ object Dedup {
     * exact containment on candidate pairs only. Candidate volume is
     * Σ_tok df_full·df_prefix — rarest-first prefixes keep df_prefix off
     * hot shingles, the same skew guard as [[exactJaccardPairs]].
+    *
+    * `maxPairsPerDoc` (default off) is the emission guard for
+    * boilerplate storms: a template contained in millions of pages is a
+    * TRUE answer whose unbounded row set would still swamp the sink (the
+    * 20x stress measured 2.1M honest pairs). When set, each doc_a keeps
+    * only its top-`m` containers (highest containment, lowest doc_b as
+    * the deterministic tiebreak) plus a loud `n_pairs_total` column
+    * carrying the doc's TRUE pair count — overflow is visible
+    * (n_pairs_total > m) and reconciles exactly against an uncapped run.
+    * The cap is a keyed per-doc window over verified pairs — no global
+    * funnel.
     */
   def containmentPairs(
       documents: DataFrame,
       threshold: Double = 0.8,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3,
+      maxPairsPerDoc: Option[Int] = None): DataFrame = {
     val docsSpread = spread(documents)
     val sh = docsSpread
       .select(col("doc_id"), shingles(col("text"), ngram).as("sh"))
@@ -425,8 +531,29 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_b"))
       .filter(ceil(col("na") * lit(threshold) - lit(1e-9)) <= col("nb"))
       .select("doc_a", "doc_b").distinct()
-    verifyCandidates(candidates, docsSpread, docsSpread,
+    val pairs = verifyCandidates(candidates, docsSpread, docsSpread,
       "doc_a", "doc_b", ngram, threshold, containment, "containment")
+    capPairs(pairs, maxPairsPerDoc, "doc_a",
+      Seq(col("containment").desc, col("doc_b").asc))
+  }
+
+  /** Shared emission cap for output-bound pair joins: keep each key's
+    * top-`m` rows by `order` and expose the key's TRUE row count as
+    * `n_pairs_total`, so sum(min(n_pairs_total, m)) = emitted rows and
+    * sum(n_pairs_total) over distinct keys = the uncapped total — the
+    * overflow accounting a capped production run reconciles against.
+    */
+  private[operators] def capPairs(pairs: DataFrame, cap: Option[Int],
+      keyCol: String, order: Seq[Column]): DataFrame = cap match {
+    case None => pairs
+    case Some(m) =>
+      require(m > 0, s"maxPairsPerDoc must be positive, got $m")
+      val byKey = Window.partitionBy(keyCol)
+      pairs
+        .withColumn("__rn", row_number().over(byKey.orderBy(order: _*)))
+        .withColumn("n_pairs_total", count(lit(1)).over(byKey))
+        .filter(col("__rn") <= m)
+        .drop("__rn")
   }
 
   /** Connected components over near-dup pairs — the cluster-resolution
@@ -441,24 +568,9 @@ object Dedup {
     */
   def dupComponents(pairs: DataFrame, maxIter: Int = 10,
       checkpointDir: Option[String] = None): DataFrame = {
-    val spark = pairs.sparkSession
-    // Round materializer. Default: localCheckpoint — fastest, but pins
-    // the round buffer in executor block-manager memory (lost on executor
-    // failure). For long jobs on a real cluster pass `checkpointDir`
-    // (HDFS/S3/local path): each round is written as parquet and read
-    // back, so lineage is truncated AND the buffer survives executor
-    // loss — the reliable form a 100-TB run wants. Rounds are tiny
-    // relative to the corpus (one (node,label) row per node touched by a
-    // dup pair), so the extra I/O per round is small; `graft.Stress`
-    // measures both paths on the 20x corpus.
-    def materialize(df: DataFrame, name: String): DataFrame =
-      checkpointDir match {
-        case Some(dir) =>
-          val path = s"$dir/$name"
-          df.write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
-        case None => df.localCheckpoint(eager = true)
-      }
+    // round materializer — localCheckpoint vs executor-loss-safe parquet
+    // rounds; contract documented once at [[graft.core.Rounds]]
+    val materialize = graft.core.Rounds.materializer(checkpointDir)
     // materialize the edge list ONCE: it is re-joined every round, and
     // upstream it is typically the whole minhash pipeline — without this
     // each round re-runs shingling + banding (measured 4x slower)

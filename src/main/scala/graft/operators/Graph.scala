@@ -40,15 +40,7 @@ object Graph {
     require(iters > 0, "pageRank: iters must be positive")
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0,1), got $damping")
-    val spark = edges.sparkSession
-    def materialize(df: DataFrame, name: String): DataFrame =
-      checkpointDir match {
-        case Some(dir) =>
-          val path = s"$dir/$name"
-          df.write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
-        case None => df.localCheckpoint(eager = true)
-      }
+    val materialize = graft.core.Rounds.materializer(checkpointDir)
     val e = materialize(edges.select("src", "dst"), "pr_edges")
     val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
     val withDeg = materialize(e.join(deg, "src"), "pr_edges_deg")
@@ -57,6 +49,14 @@ object Graph {
         .union(e.select(col("dst").as("node"))).distinct(), "pr_nodes")
     val nV = nodes.count() // bounded driver state: one long
     require(nV > 0, "pageRank: empty edge list")
+    // Detected ONCE upfront: when every node receives an in-edge (true
+    // for any symmetrized edge list — the usual analytics derivation),
+    // the per-round contribution aggregate already covers the full node
+    // set and the per-round nodes left-outer join is a no-op — skip it,
+    // saving one join per round. Nodes without in-edges only exist
+    // otherwise, and only then is the left-outer needed to hand them
+    // their base mass.
+    val allReceive = e.select("dst").distinct().count() == nV
     val base = (1 - damping) / nV
     var ranks = nodes.withColumn("rank", lit(1.0 / nV))
     (1 to iters).foreach { i =>
@@ -66,12 +66,16 @@ object Graph {
           (col("rank") / col("od").cast("double"))
             .cast(DecimalType(30, 12)).as("c"))
         .groupBy("node").agg(sum("c").as("m"))
-      ranks = materialize(
-        nodes.join(contribs, Seq("node"), "left_outer")
-          .select(col("node"),
-            (lit(base) + lit(damping) *
-              coalesce(col("m").cast("double"), lit(0.0))).as("rank")),
-        s"pr_round_$i")
+      val next =
+        if (allReceive)
+          contribs.select(col("node"),
+            (lit(base) + lit(damping) * col("m").cast("double")).as("rank"))
+        else
+          nodes.join(contribs, Seq("node"), "left_outer")
+            .select(col("node"),
+              (lit(base) + lit(damping) *
+                coalesce(col("m").cast("double"), lit(0.0))).as("rank"))
+      ranks = materialize(next, s"pr_round_$i")
     }
     ranks.select(col("node"), round(col("rank"), 8).as("rank"))
   }
@@ -98,36 +102,36 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 5,
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters > 0, "hits: iters must be positive")
-    val spark = edges.sparkSession
-    def materialize(df: DataFrame, name: String): DataFrame =
-      checkpointDir match {
-        case Some(dir) =>
-          val path = s"$dir/$name"
-          df.write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
-        case None => df.localCheckpoint(eager = true)
-      }
+    val materialize = graft.core.Rounds.materializer(checkpointDir)
     val e = materialize(edges.select("src", "dst"), "hits_edges")
-    def normalize(raw: DataFrame): DataFrame = {
-      val tot = raw.agg(sum("raw").as("tot"))
-      raw.crossJoin(broadcast(tot))
-        .select(col("node"),
-          (col("raw").cast("double") / col("tot").cast("double"))
-            .as("score"))
+    // Materialize the RAW aggregate, then normalize over the buffer: the
+    // previous form (crossJoin(broadcast(total)) over the un-materialized
+    // aggregate) executed the edges⋈scores join + aggregate TWICE per
+    // half-round — once to compute the broadcast total, once for the main
+    // side. The L1 total is one scalar (bounded driver state), read off
+    // the materialized per-node raws in a cheap local scan; the division
+    // is a pure projection over the same buffer, so downstream re-reads
+    // cost nothing. Exact-decimal total → identical trajectory.
+    def normalized(raw0: DataFrame, name: String): DataFrame = {
+      val raw = materialize(raw0, name)
+      val tot = Option(raw.agg(sum("raw")).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      raw.select(col("node"),
+        (col("raw").cast("double") / lit(tot).cast("double")).as("score"))
     }
     var hubs = e.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1.0))
     var auths: DataFrame = null
     (1 to iters).foreach { i =>
-      auths = materialize(normalize(
+      auths = normalized(
         e.join(hubs.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
-          .agg(sum(col("score").cast(DecimalType(30, 12))).as("raw"))),
+          .agg(sum(col("score").cast(DecimalType(30, 12))).as("raw")),
         s"hits_a_$i")
-      hubs = materialize(normalize(
+      hubs = normalized(
         e.join(auths.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
-          .agg(sum(col("score").cast(DecimalType(30, 12))).as("raw"))),
+          .agg(sum(col("score").cast(DecimalType(30, 12))).as("raw")),
         s"hits_h_$i")
     }
     hubs.select(col("node"), lit("hub").as("kind"),

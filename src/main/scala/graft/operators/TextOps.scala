@@ -280,9 +280,13 @@ object TextOps {
     * narrow alphabet like hex ids — use q=3..5 (the Ed-Join guidance).
     * Larger q also widens the short-string block (t·q+q−1), which is
     * the right trade: short strings belong in the banded block anyway.
+    *
+    * `maxPairsPerDoc` (default off): per-key emission cap with loud
+    * `n_pairs_total` overflow accounting — see
+    * [[graft.operators.Dedup.containmentPairs]] for the rationale.
     */
   def fuzzyPairs(strings: DataFrame, strCol: String, threshold: Int,
-      q: Int = 2): DataFrame = {
+      q: Int = 2, maxPairsPerDoc: Option[Int] = None): DataFrame = {
     require(threshold >= 1, "fuzzyPairs: threshold must be >= 1")
     require(q >= 1, "fuzzyPairs: q must be >= 1")
     val withLen = Dedup.spread(strings)
@@ -316,10 +320,15 @@ object TextOps {
         col("left") < col("right") &&
           abs(col("la") - col("lb")) <= threshold)
       .select("left", "right")
-    gramCands.union(shortCands).distinct()
+    val pairs = gramCands.union(shortCands).distinct()
       .withColumn("dist",
         levenshtein(col("left"), col("right")).cast("long"))
       .filter(col("dist") <= threshold)
+    // emission guard for catalog storms (a name matching everything):
+    // top-m closest per left key, loud n_pairs_total accounting — the
+    // [[Dedup.capPairs]] contract
+    Dedup.capPairs(pairs, maxPairsPerDoc, "left",
+      Seq(col("dist").asc, col("right").asc))
   }
 
   /** All-pairs Levenshtein ground truth — TEST ORACLE ONLY; the

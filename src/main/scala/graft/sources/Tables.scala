@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.LongType
 
 /** Typed access to the driver's TPC-H-ish testdata directory
@@ -23,18 +23,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** The events table carries a nanosecond parquet timestamp, which Spark
-    * has no native type for. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so the scan succeeds (ts
-    * arrives as LONG nanos) and the accessor converts to a microsecond
-    * TIMESTAMP — lossless for this data (values are µs-grained) and
-    * matching engines (DuckDB) that read TIMESTAMP_NS natively.
+  /** The events table's `ts` has shipped in two parquet shapes:
+    * nanosecond timestamps (no native Spark type — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so the scan yields LONG
+    * nanos, converted here to a µs timestamp, lossless for this
+    * µs-grained data) and, in newer driver data, plain `timestamp[us]`
+    * without a zone (read as TIMESTAMP_NTZ). Either way the accessor
+    * lands on session-local TIMESTAMP: `unix_micros`, long casts and
+    * streaming watermarks all reject NTZ, and under the repo's fixed UTC
+    * session the NTZ→TIMESTAMP cast is value-identical (the wall clock
+    * IS the UTC instant, matching DuckDB's naive read).
     */
   def events: DataFrame = {
     val df = t("events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val asTimestamp =
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    asTimestamp.withColumn("ts", col("ts").cast("timestamp"))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

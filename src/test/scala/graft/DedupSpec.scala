@@ -109,6 +109,35 @@ class DedupSpec extends SparkSpec {
     Dedup.bruteForceJaccardPairs(docs, 0.5).count() shouldBe 0
   }
 
+  test("containmentPairs: maxPairsPerDoc caps emissions, accounting reconciles") {
+    val uncapped = Dedup.containmentPairs(tables.documents, threshold = 0.6)
+    val capped = Dedup.containmentPairs(tables.documents, threshold = 0.6,
+      maxPairsPerDoc = Some(1)).collect()
+    val uncappedByDoc = uncapped.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    uncappedByDoc.values.max should be > 1L // the cap actually bites
+    // per-doc: at most m rows kept, each carrying the TRUE total
+    val cappedByDoc = capped.groupBy(_.getLong(0))
+    cappedByDoc.foreach { case (docA, rows) =>
+      rows.length shouldBe 1
+      rows.foreach(
+        _.getAs[Long]("n_pairs_total") shouldBe uncappedByDoc(docA))
+    }
+    cappedByDoc.keySet shouldBe uncappedByDoc.keySet
+    // kept row is the argmax (highest containment, lowest doc_b tiebreak)
+    val bestByDoc = uncapped.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.maxBy(r =>
+        (r.getDouble(2), -r.getLong(1)))).toMap
+    capped.foreach { r =>
+      val best = bestByDoc(r.getLong(0))
+      (r.getLong(1), r.getDouble(2)) shouldBe
+        (best.getLong(1), best.getDouble(2))
+    }
+    // overflow accounting: Σ n_pairs_total over docs = uncapped total
+    cappedByDoc.values.map(_.head.getAs[Long]("n_pairs_total")).sum shouldBe
+      uncappedByDoc.values.sum
+  }
+
   test("noveltyScores: df=1 shingle share, null rate for shingle-free docs") {
     val docs = Seq(
       (1L, "a b c d"), // "a b c" (shared with 2), "b c d" (unique)
@@ -256,6 +285,66 @@ class DedupSpec extends SparkSpec {
       nearDup.union(fresh), corpus, threshold = 0.7).collect()
     out.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((9001L, 7L))
     out.head.getDouble(2) should be >= 0.7
+  }
+
+  test("near-dup index: probe equals inline incrementalNearDup") {
+    val corpus = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
+    val nearDup = corpus.filter(col("doc_id") === 8L)
+      .select(lit(9101L).as("doc_id"),
+        concat(col("text"), lit(" zzztail")).as("text"))
+    val fresh = Seq((9102L,
+      "entirely novel sequence of improbable tokens nobody wrote before"))
+      .toDF("doc_id", "text")
+    val batch = nearDup.union(fresh)
+    Dedup.buildNearDupIndex(corpus, "neardup_idx_spec")
+    // probe and inline compute the SAME candidates (identical banding,
+    // identical maxBucket pruning over the probed slice), so the result
+    // is row-identical, not merely recall-equivalent
+    val probed = Dedup.probeNearDupIndex(batch, corpus, "neardup_idx_spec")
+    val inline = Dedup.incrementalNearDup(batch, corpus)
+    rowSet(probed) shouldBe rowSet(inline)
+    // doc 8 sits in a real near-dup family of the synthetic corpus, so
+    // its tailed copy matches every family member; the fresh doc matches
+    // nothing
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got should contain((9101L, 8L))
+    got.map(_._1) shouldBe Set(9101L)
+  }
+
+  test("near-dup index grown by append equals one rebuilt from the union") {
+    val base = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
+    val growth = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
+    Dedup.buildNearDupIndex(base, "neardup_idx_grown")
+    Dedup.appendNearDupIndex(growth, "neardup_idx_grown")
+    Dedup.buildNearDupIndex(base.union(growth), "neardup_idx_rebuilt")
+    rowSet(SparkSpec.spark.table("neardup_idx_grown")) shouldBe
+      rowSet(SparkSpec.spark.table("neardup_idx_rebuilt"))
+    // a probe against the grown index sees the appended docs
+    val nearDup = growth.limit(1)
+      .select(lit(9201L).as("doc_id"),
+        concat(col("text"), lit(" zzztail")).as("text"))
+    val out = Dedup.probeNearDupIndex(
+      nearDup, base.union(growth), "neardup_idx_grown").collect()
+    out.map(_.getLong(0)).toSet shouldBe Set(9201L)
+  }
+
+  test("near-dup index append/probe with mismatched spec fails loudly") {
+    val corpus = tables.documents.filter(col("doc_id") < 100)
+    Dedup.buildNearDupIndex(corpus, "neardup_idx_guard",
+      ngram = 3, k = 64, bands = 16)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.appendNearDupIndex(corpus, "neardup_idx_guard",
+        ngram = 3, k = 64, bands = 32)
+    }
+    e1.getMessage should include("band hashes would never match")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.probeNearDupIndex(corpus, corpus, "neardup_idx_guard",
+        ngram = 2, k = 64, bands = 16)
+    }
+    e2.getMessage should include("built with ngram=3")
   }
 
   test("dedupChunks keeps one canonical copy of a cross-doc repeated chunk") {

@@ -256,6 +256,23 @@ class TextSpec extends SparkSpec {
       TextOps.fuzzyPairs(df, "name", 0)
   }
 
+  test("fuzzyPairs: maxPairsPerDoc keeps the closest m with true totals") {
+    import SparkSpec.spark.implicits._
+    // "aaaa" is within distance 2 of three neighbors -> cap bites
+    val df = Seq("aaaa", "aaab", "aabb", "aaac", "zzzz").toDF("name")
+    val uncapped = TextOps.fuzzyPairs(df, "name", threshold = 2)
+      .filter(col("left") === "aaaa").count()
+    uncapped shouldBe 3L
+    val capped = TextOps.fuzzyPairs(df, "name", threshold = 2,
+      maxPairsPerDoc = Some(2))
+      .filter(col("left") === "aaaa").collect()
+    capped.length shouldBe 2
+    capped.foreach(_.getAs[Long]("n_pairs_total") shouldBe 3L)
+    // the two CLOSEST survive (dist asc, right asc): the dist-2 "aabb"
+    // is the overflow that was shed
+    capped.map(_.getString(1)).toSeq shouldBe Seq("aaab", "aaac")
+  }
+
   test("sourceShift: hand-computed entropy and KL vs corpus") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
