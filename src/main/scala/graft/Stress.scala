@@ -102,6 +102,8 @@ object Stress {
     val ccDir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-cc-${System.nanoTime()}"
     // lazy + by-name time() args: a SPARK_GRAFT_STRESS_ONLY run that
     // skips the dup-components ops never pays for the pair build
+    lazy val bigDocs = docs.select(col("doc_id"),
+      repeat(col("text"), 8).as("text"))
     lazy val dupPairs = {
       Dedup.minhashDupPairs(docs, threshold = 0.7, k = 64, bands = 32)
         .write.mode("overwrite").parquet(s"$ccDir/pairs")
@@ -137,6 +139,26 @@ object Stress {
       time("incrementalNearDup")(Dedup.incrementalNearDup(
         docs.filter(col("doc_id") % 100 === 0),
         docs.filter(col("doc_id") % 100 =!= 0),
+        threshold = 0.7, k = 64, bands = 32)),
+      // the same trio at REALISTIC doc sizes: the synthetic corpus
+      // averages ~300 chars/doc, so the corpus shingle pass the index
+      // removes is atypically cheap and the small trio above measures
+      // mostly overhead floor. repeat(text, 8) inflates the
+      // text-proportional work (tokenize/gram) 8x while keeping the
+      // distinct shingle set — and thus pair structure — identical;
+      // the index's probe cost is CONSTANT in text size, which is the
+      // whole trade (at 2-10 KB web docs the inline pass re-reads and
+      // re-tokenizes the corpus text every crawl, the probe never does)
+      timed("nearDupIndexBuildBig")(Dedup.buildNearDupIndex(
+        bigDocs.filter(col("doc_id") % 100 =!= 0), "stress_neardup_big",
+        k = 64, bands = 32)),
+      time("nearDupIndexProbeBig")(Dedup.probeNearDupIndex(
+        bigDocs.filter(col("doc_id") % 100 === 0),
+        bigDocs.filter(col("doc_id") % 100 =!= 0), "stress_neardup_big",
+        threshold = 0.7, k = 64, bands = 32)),
+      time("incrementalNearDupBig")(Dedup.incrementalNearDup(
+        bigDocs.filter(col("doc_id") % 100 === 0),
+        bigDocs.filter(col("doc_id") % 100 =!= 0),
         threshold = 0.7, k = 64, bands = 32)),
       // the exact-recall twin: every doc has ~n near-dup copies here, so
       // true pairs grow n^2 per cluster — the honest worst case for the

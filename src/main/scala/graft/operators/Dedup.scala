@@ -254,35 +254,49 @@ object Dedup {
     * re-signs and re-buckets the full corpus (at 100 TB that is the whole
     * cost); with it, a batch pays only for ITS OWN signatures plus a
     * bucketed join against the probed slice of this table. The signature
-    * spec (ngram/k/bands) persists beside the index (the
-    * [[Similarity.buildLshIndex]] pattern): a probe or append with
-    * different parameters would produce band hashes that silently never
-    * match, so it must fail loudly instead.
+    * spec (ngram/k/bands) AND the storage bucket count persist beside
+    * the index (the [[Similarity.buildLshIndex]] pattern): a probe or
+    * append with different signature parameters would produce band
+    * hashes that silently never match, so it must fail loudly instead —
+    * and appends must reuse the build's bucket count or the table's
+    * bucketed layout degrades silently.
+    *
+    * `buckets` is SCAN PARALLELISM, not recall: a bucketed-table scan
+    * plans one task per storage bucket, so size it to the cluster
+    * (default 32 matches the local harness; a 1000-executor corpus
+    * index wants thousands).
     */
   def buildNearDupIndex(documents: DataFrame, table: String, ngram: Int = 3,
-      k: Int = 64, bands: Int = 16): Unit = {
+      k: Int = 64, bands: Int = 16, buckets: Int = 32): Unit = {
     val spark = documents.sparkSession
+    // bucketed by EXACTLY the probe's join/window keys: the scan then
+    // reports hash(band_idx, band_hash) partitioning and the probe's
+    // bucket-set join, bucket_n window, and candidate join all reuse it
+    // with ZERO index-side exchange — only the batch side shuffles
     graft.sources.Sinks.saveTablePartitioned(
       bandBuckets(spread(documents), ngram, k, bands), table,
-      bucketBy = Some((8, Seq("band_hash"))), sortBy = Seq("band_hash"))
+      bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
+      sortBy = Seq("band_idx", "band_hash"))
     import spark.implicits._
     graft.sources.Sinks.saveTable(
-      Seq((ngram, k, bands)).toDF("ngram", "k", "bands"),
+      Seq((ngram, k, bands, buckets)).toDF("ngram", "k", "bands", "buckets"),
       nearDupSpecTable(table))
   }
 
   /** Fail loudly when ngram/k/bands differ from what the index was built
     * with — mismatched band hashes join nothing and lose recall silently.
+    * Returns the index's storage bucket count for append to reuse.
     */
   private def requireNearDupSpec(spark: org.apache.spark.sql.SparkSession,
-      indexTable: String, ngram: Int, k: Int, bands: Int): Unit =
+      indexTable: String, ngram: Int, k: Int, bands: Int): Int =
     if (spark.catalog.tableExists(nearDupSpecTable(indexTable))) {
       val r = spark.table(nearDupSpecTable(indexTable)).head()
       val (g, kk, b) = (r.getInt(0), r.getInt(1), r.getInt(2))
       require(g == ngram && kk == k && b == bands,
         s"$indexTable was built with ngram=$g k=$kk bands=$b; " +
           s"got ngram=$ngram k=$k bands=$bands — band hashes would never match")
-    }
+      r.getInt(3)
+    } else 32
 
   /** Incrementally extend a persisted near-dup index with a new document
     * batch — the per-crawl growth path. Band membership is a pure
@@ -293,10 +307,12 @@ object Dedup {
     */
   def appendNearDupIndex(newDocs: DataFrame, table: String, ngram: Int = 3,
       k: Int = 64, bands: Int = 16): Unit = {
-    requireNearDupSpec(newDocs.sparkSession, table, ngram, k, bands)
+    val buckets =
+      requireNearDupSpec(newDocs.sparkSession, table, ngram, k, bands)
     graft.sources.Sinks.appendTablePartitioned(
       bandBuckets(spread(newDocs), ngram, k, bands), table,
-      bucketBy = Some((8, Seq("band_hash"))), sortBy = Seq("band_hash"))
+      bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
+      sortBy = Seq("band_idx", "band_hash"))
   }
 
   /** Probe a persisted near-dup index built by [[buildNearDupIndex]] over
@@ -320,6 +336,11 @@ object Dedup {
     val spark = newDocs.sparkSession
     requireNearDupSpec(spark, indexTable, ngram, k, bands)
     val newSpread = spread(newDocs)
+    // NOT materialized: the batch bucket table is consumed twice (bucket
+    // set, candidate join), but re-deriving it costs only the batch's own
+    // tokenize pass — while a localCheckpoint here would turn it into an
+    // ExistingRDD scan with no stats, un-broadcastable (measured: forces
+    // every downstream join to sort-merge)
     val nb = bandBuckets(newSpread, ngram, k, bands)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
     val probed = spark.table(indexTable)
