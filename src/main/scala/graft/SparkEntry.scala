@@ -1036,6 +1036,20 @@ object SparkEntry {
       Dedup.probeNearDupIndex(batch, corpus, idx, threshold = 0.7,
         ngram = 3, k = 64, bands = 32)
         .orderBy("new_id", "corpus_id")
+    }),
+
+    // ---- persisted fingerprint index probe: q89's per-crawl exact
+    // dedup with the corpus side replaced by the stored 16-byte
+    // fingerprint set (built once, anti-joined per batch) — same
+    // oracle, the probe must answer identically
+    "q130_exact_probe" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val idx = s"graft_fp_index_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildFingerprintIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
+      Dedup.probeFingerprintIndex(docs.filter(col("doc_id") % 5 === 0), idx)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -2693,7 +2707,17 @@ object SparkEntry {
             FROM sh a JOIN sh b
               ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
           SELECT new_id, corpus_id, jaccard FROM p
-          WHERE jaccard >= 0.7 ORDER BY new_id, corpus_id"""
+          WHERE jaccard >= 0.7 ORDER BY new_id, corpus_id""",
+
+    // q89's oracle verbatim: the persisted-index probe promises the
+    // same answer as the inline corpus anti-join
+    "q130_exact_probe" ->
+      s"""WITH newb AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+          corp AS (SELECT DISTINCT $Fp AS fp FROM documents
+            WHERE doc_id % 5 <> 0)
+          SELECT doc_id, n_chars FROM newb
+          WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.fp = $Fp)
+          ORDER BY doc_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

@@ -160,6 +160,15 @@ object Stress {
         bigDocs.filter(col("doc_id") % 100 === 0),
         bigDocs.filter(col("doc_id") % 100 =!= 0),
         threshold = 0.7, k = 64, bands = 32)),
+      // exact-dedup twin of the index split, same realistic doc sizes:
+      // the stored set is 16 bytes/doc vs re-hashing the corpus text
+      timed("fpIndexBuildBig")(Dedup.buildFingerprintIndex(
+        bigDocs.filter(col("doc_id") % 100 =!= 0), "stress_fp_big")),
+      time("fpIndexProbeBig")(Dedup.probeFingerprintIndex(
+        bigDocs.filter(col("doc_id") % 100 === 0), "stress_fp_big")),
+      time("incrementalExactBig")(Dedup.incrementalExactDedup(
+        bigDocs.filter(col("doc_id") % 100 === 0),
+        bigDocs.filter(col("doc_id") % 100 =!= 0))),
       // the exact-recall twin: every doc has ~n near-dup copies here, so
       // true pairs grow n^2 per cluster — the honest worst case for the
       // prefix-filter candidate volume

@@ -242,6 +242,61 @@ object Dedup {
       "new_id", "corpus_id", ngram, threshold)
   }
 
+  // ---------------------------------- persisted exact-dedup (fingerprint) index
+
+  /** Build the persisted EXACT-dedup index: the corpus's distinct
+    * normalized fingerprints as a managed table bucketed and sorted by
+    * fp — the stored form [[incrementalExactDedup]]'s doc promises ("in
+    * production you persist that set once"). A 16-byte key per unique
+    * document, ~nothing next to the corpus; each crawl batch then
+    * anti-joins against it without re-reading or re-hashing a byte of
+    * corpus text.
+    */
+  def buildFingerprintIndex(documents: DataFrame, table: String,
+      buckets: Int = 32): Unit =
+    graft.sources.Sinks.saveTablePartitioned(
+      spread(documents)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct(),
+      table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
+
+  /** Grow a fingerprint index with a new batch: only fingerprints NOT
+    * already present are appended (anti-join before the write), so the
+    * table stays a distinct set and a grown index is row-identical to
+    * one rebuilt from the union. The bucket layout is read off the
+    * table's own metadata — no second spec to keep in sync.
+    */
+  def appendFingerprintIndex(newDocs: DataFrame, table: String): Unit = {
+    val spark = newDocs.sparkSession
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not bucketed — was it built by buildFingerprintIndex?"))
+    val fresh = spread(newDocs)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      .join(spark.table(table), Seq("fp"), "left_anti")
+    graft.sources.Sinks.appendTablePartitioned(fresh, table,
+      bucketBy = Some((spec.numBuckets, spec.bucketColumnNames)),
+      sortBy = spec.sortColumnNames)
+  }
+
+  /** Screen a batch against a persisted fingerprint index: rows of
+    * `newDocs` whose normalized fingerprint is unseen — result-identical
+    * to [[incrementalExactDedup]](newDocs, corpus) with the corpus side
+    * replaced by the 16-byte-per-doc stored set. The anti-join keys on
+    * the table's bucket column, so the index side never re-shuffles.
+    */
+  def probeFingerprintIndex(newDocs: DataFrame, table: String): DataFrame = {
+    val fpCol = "__fp_incr"
+    require(!newDocs.columns.contains(fpCol),
+      s"probeFingerprintIndex: newDocs must not already have a $fpCol column")
+    newDocs
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+      .join(newDocs.sparkSession.table(table)
+        .withColumnRenamed("fp", fpCol), Seq(fpCol), "left_anti")
+      .drop(fpCol)
+  }
+
   // ------------------------------------- persisted near-dup (band-bucket) index
 
   private def nearDupSpecTable(indexTable: String) = s"${indexTable}__spec"

@@ -287,6 +287,35 @@ class DedupSpec extends SparkSpec {
     out.head.getDouble(2) should be >= 0.7
   }
 
+  test("fingerprint index: probe equals inline incrementalExactDedup") {
+    val corpus = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
+    val growth = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
+    // batch: one exact dup of a corpus doc (normalization-invariant
+    // case/whitespace noise), one fresh doc
+    val dup = corpus.filter(col("doc_id") === 8L)
+      .select(lit(9301L).as("doc_id"),
+        upper(concat(lit("  "), col("text"))).as("text"))
+    val fresh = Seq((9302L,
+      "genuinely unseen content for the fingerprint probe"))
+      .toDF("doc_id", "text")
+    val batch = dup.union(fresh)
+    Dedup.buildFingerprintIndex(corpus, "fp_idx_spec")
+    rowSet(Dedup.probeFingerprintIndex(batch, "fp_idx_spec")) shouldBe
+      rowSet(Dedup.incrementalExactDedup(batch, corpus))
+    Dedup.probeFingerprintIndex(batch, "fp_idx_spec")
+      .select("doc_id").as[Long].collect().toSeq shouldBe Seq(9302L)
+    // append keeps the table a distinct set, identical to a rebuild —
+    // including when the growth batch repeats corpus-known fingerprints
+    Dedup.appendFingerprintIndex(growth.union(corpus.limit(5)), "fp_idx_spec")
+    Dedup.buildFingerprintIndex(corpus.union(growth), "fp_idx_rebuilt")
+    rowSet(SparkSpec.spark.table("fp_idx_spec")) shouldBe
+      rowSet(SparkSpec.spark.table("fp_idx_rebuilt"))
+    SparkSpec.spark.table("fp_idx_spec").groupBy("fp").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+
   test("near-dup index: probe equals inline incrementalNearDup") {
     val corpus = tables.documents
       .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
