@@ -378,6 +378,88 @@ object Streams {
       }
       .start()
 
+  /** One micro-batch of [[startDedupedIngest]], exposed so tests and
+    * manual backfills invoke exactly what a replayed batch runs. Four
+    * steps, each idempotent for a fixed `batchId`:
+    *
+    *   1. in-batch self-dedup (lowest doc_id per normalized fingerprint
+    *      — the [[graft.operators.Dedup.exactDedup]] convention, inlined
+    *      schema-agnostically so any doc_id+text frame streams in);
+    *   2. screen against the fingerprint STORE, ignoring rows this batch
+    *      itself wrote — a replayed batch must see the store as it was
+    *      before its first attempt, or a crash between the fp write and
+    *      the checkpoint commit would make the replay drop its own docs
+    *      and overwrite the output partition with nothing (data loss);
+    *   3. survivors → dynamic-partition-overwrite of
+    *      `outDir/batch_id=N` (the [[writeBatchIdempotent]] recipe);
+    *   4. survivors' fingerprints → dynamic-partition-overwrite of
+    *      `fpDir/batch_id=N`.
+    *
+    * Any crash point replays to the identical end state: the store
+    * filter makes step 2 deterministic across attempts, and steps 3–4
+    * rewrite rather than append. At-least-once delivery + idempotent
+    * replay = effectively exactly-once, end to end INCLUDING the dedup
+    * state — the piece [[startIdempotentParquetSink]] alone doesn't give.
+    *
+    * Scale note: the batch_id-partitioned fp store trades probe cost for
+    * replay safety — each batch anti-joins the whole store (16 bytes per
+    * unique doc; broadcast while small, shuffle join beyond). A long-run
+    * pipeline periodically folds it into the bucketed
+    * [[graft.operators.Dedup.buildFingerprintIndex]] form and restarts
+    * the store empty, probing BOTH until the next fold.
+    */
+  def dedupIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
+      fpDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fpCol = "__fp_ingest"
+    require(!batch.columns.contains(fpCol),
+      s"dedupIngestBatch: input must not already have a $fpCol column")
+    // in-batch self-dedup, schema-agnostic (any frame with doc_id+text):
+    // lowest doc_id per normalized fingerprint, the exactDedup convention
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(fpCol).orderBy("doc_id")
+    val self = batch
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(byFp))
+      .filter(col("__rn") === 1).drop("__rn")
+    val store =
+      try spark.read.parquet(fpDir)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("fp").as(fpCol))
+      catch {
+        // first batch: no store yet
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          Seq.empty[String].toDF(fpCol)
+      }
+    val survivors = self.join(store, Seq(fpCol), "left_anti")
+    writeBatchIdempotent(survivors.drop(fpCol), batchId, outDir)
+    survivors.select(col(fpCol).as("fp"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(fpDir)
+  }
+
+  /** The production ingest loop: per micro-batch self-dedup, screen
+    * against everything previously ingested, land survivors exactly-once
+    * in `outDir`, grow the fingerprint store — the streaming composition
+    * of the exact-dedup operators over a document stream with `doc_id`
+    * and `text` columns. See [[dedupIngestBatch]] for the replay-safety
+    * argument.
+    */
+  def startDedupedIngest(docs: DataFrame, outDir: String, fpDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dedupIngestBatch(b, id, outDir, fpDir)
+      }
+      .start()
+
   /** T4/T5: start a running-aggregate query into the in-memory table
     * `name` (complete mode) with a checkpoint — stop + restart with the
     * same checkpoint resumes the state exactly (tested in StreamingSpec).

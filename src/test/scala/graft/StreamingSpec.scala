@@ -473,6 +473,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("deduped ingest: cross-batch dups dropped once, replay idempotent") {
+    val (out, fp, ckpt) = (tmp("ingest-out"), tmp("ingest-fp"),
+      tmp("ingest-ckpt"))
+    // createTempDirectory pre-creates the dirs; the sinks must own them
+    Seq(out, fp).foreach(d => new java.io.File(d).delete())
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streams.startDedupedIngest(docs, out, fp, ckpt)
+    try {
+      // batch 0: doc 2 is a normalization-dup of doc 1 -> self-dedup
+      in.addData((1L, "alpha beta gamma"), (2L, "ALPHA  beta gamma"),
+        (3L, "delta epsilon"))
+      q.processAllAvailable()
+      // batch 1: doc 4 duplicates batch 0's doc 1 -> store screen;
+      // doc 5 is fresh
+      in.addData((4L, "alpha beta gamma"), (5L, "zeta eta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed(): Seq[Long] = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    landed() shouldBe Seq(1L, 3L, 5L)
+    // the store holds exactly one fingerprint per landed doc
+    spark.read.parquet(fp).select("fp").distinct().count() shouldBe 3L
+    // replay batch 0 verbatim (what the engine does after a crash
+    // before the checkpoint commit): every write is a same-partition
+    // rewrite — the end state must be the same answer, no duplicates
+    val batch0 = Seq((1L, "alpha beta gamma"), (2L, "ALPHA  beta gamma"),
+      (3L, "delta epsilon")).toDF("doc_id", "text")
+    Streams.dedupIngestBatch(batch0, 0L, out, fp)
+    landed() shouldBe Seq(1L, 3L, 5L)
+    spark.read.parquet(fp).count() shouldBe 3L
+  }
+
   test("idempotent parquet sink: a replayed batch rewrites, never duplicates") {
     val in = MemoryStream[String]
     val dir = tmp("idem-sink")
