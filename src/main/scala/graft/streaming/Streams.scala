@@ -178,6 +178,7 @@ object Streams {
     * (epoch millis — a Timestamp in state would fight the encoder).
     */
   final case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  final case class SessionState(sessions: Seq[OpenSession])
   final case class ClosedSession(user_id: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       n_events: Long)
@@ -185,16 +186,23 @@ object Streams {
   /** Emit-on-close sessionization via `flatMapGroupsWithState` — the
     * arbitrary-state counterpart of [[sessionWindows]] for when the
     * session TRANSITION itself is custom logic (here: emit one row per
-    * session, only when it closes, never a partial). A session closes
-    * inline when a later event in the same batch arrives more than
-    * `gapSeconds` after its end, or by EVENT-TIME TIMEOUT once the
-    * watermark passes end + gap — so per-user state is exactly one open
-    * session and is reclaimed by the engine, which is what lets this run
-    * forever. Matches the batch twin's boundary rule (events exactly
-    * `gap` apart merge). Events within a batch are time-sorted before
-    * folding (micro-batch arrival order is not event-time order); rows
-    * later than the watermark allows are finalized by the engine's
-    * late-data semantics.
+    * session, only when it closes, never a partial).
+    *
+    * State per user is a short SORTED LIST of open intervals, and a
+    * session is emitted ONLY once the watermark proves it immutable
+    * (end + gap < watermark — every event the engine still admits has
+    * t ≥ watermark and so cannot touch it). Both halves are load-
+    * bearing, and the randomized-order spec is what forced them: a
+    * single open slot silently absorbs a within-watermark event that
+    * belongs BEFORE the open session, and emitting an interval merely
+    * because a same-batch successor exists is unsound — a later batch
+    * may still deliver an admissible event that extends the interval
+    * backward (or bridges it to a neighbor), which would need a
+    * retraction append mode cannot express. The list stays tiny: it is
+    * bounded by watermark-window / gap intervals, and the engine's
+    * EVENT-TIME TIMEOUT (armed at the earliest live deadline) flushes
+    * without new data. Matches the batch twin's gap rule (events exactly
+    * `gap` apart merge) for every event the watermark admits.
     */
   def closedSessions(events: DataFrame, gapSeconds: Long = 1800L,
       watermarkDelay: String = "1 hour"): Dataset[ClosedSession] = {
@@ -208,26 +216,15 @@ object Streams {
       .select(col("user_id").cast("long"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user, rows, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val done = close(user, state.get)
-            state.remove()
-            Iterator.single(done)
-          } else {
+        (user, rows, state: GroupState[SessionState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // open intervals, sorted by start, pairwise > gap apart
+          val ivs = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+          state.getOption.foreach(ivs ++= _.sessions)
+          if (!state.hasTimedOut) {
             val times = rows.map(_._2.getTime).toArray.sorted
-            val closed = Iterator.newBuilder[ClosedSession]
-            // Open intervals, sorted by start. Batch times are ascending,
-            // but the carried state session may START AFTER a late (yet
-            // within-watermark) event of this batch — an event more than
-            // gapSeconds BEFORE the open start must form its own earlier
-            // session, and one within the gap of the start must extend
-            // the start backward, not be silently absorbed (the batch
-            // twin's gap rule). Hence a tiny interval list, not a single
-            // slot: at most a handful alive at once, merged on contact.
-            val ivs = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
-            state.getOption.foreach(ivs += _)
             times.foreach { t =>
               val i = ivs.indexWhere(s =>
                 t >= s.startMs - gapMs && t <= s.endMs + gapMs)
@@ -252,19 +249,17 @@ object Streams {
                 }
               }
             }
-            // every interval but the latest is sealed by a same-batch
-            // successor — append-mode emission, as before; the watermark
-            // bounds how late a reopening event could still arrive
-            ivs.dropRight(1).foreach(closed += close(user, _))
-            ivs.lastOption.foreach { s =>
-              state.update(s)
-              // the engine rejects a timeout at/behind the watermark; a
-              // session already older than it fires on the next batch
-              state.setTimeoutTimestamp(math.max(s.endMs + gapMs,
-                state.getCurrentWatermarkMs() + 1))
-            }
-            closed.result()
           }
+          val (safe, live) = ivs.partition(_.endMs + gapMs < wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionState(live.toVector))
+            // fire when the earliest live deadline passes; the engine
+            // rejects a timeout at/behind the current watermark
+            state.setTimeoutTimestamp(
+              math.max(live.map(_.endMs).min + gapMs, wm + 1))
+          }
+          safe.iterator.map(close(user, _))
       }
   }
 

@@ -171,7 +171,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // batch 2, both late but within the watermark:
       //  - 10:00 is > gap before the open start -> its own earlier
-      //    session (sealed by the 12:00 successor, emitted now)
+      //    session (emitted once the watermark passes 10:30)
       //  - 11:45 is within the gap of 12:00 -> extends the start BACK
       in.addData(
         (Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
@@ -194,6 +194,63 @@ class StreamingSpec extends SparkSpec {
       u1(1).getAs[Timestamp]("session_end") shouldBe
         Timestamp.valueOf("2026-01-01 12:00:00")
       u1(1).getAs[Long]("n_events") shouldBe 2L
+    } finally q.stop()
+  }
+
+  test("closedSessions: randomized event order across batches equals the batch fold") {
+    // seeded property check: any within-watermark arrival order must
+    // yield exactly the sessions of the time-sorted batch gap rule —
+    // the class of bug the round-5 advice found (pre-start late events)
+    val rnd = new scala.util.Random(20260813L)
+    val gapMs = 1800L * 1000L
+    val base = java.sql.Timestamp.valueOf("2026-02-01 00:00:00").getTime
+    val events = (1L to 40L).flatMap { user =>
+      (0 until (5 + rnd.nextInt(25))).map { _ =>
+        // 6h span, second-granular: clusters + stragglers both occur
+        (user, base + rnd.nextInt(6 * 3600) * 1000L)
+      }
+    }
+    def reference(times: Seq[Long]): Seq[(Long, Long, Long)] =
+      times.sorted.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc, t) => acc.lastOption match {
+          case Some((s, e, n)) if t - e <= gapMs =>
+            acc.init :+ ((s, math.max(e, t), n + 1L))
+          case _ => acc :+ ((t, t, 1L))
+        }
+      }
+    val expected = events.groupBy(_._1).view
+      .mapValues(evs => reference(evs.map(_._2))).toMap
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = Streams.closedSessions(df, gapSeconds = 1800L,
+      watermarkDelay = "24 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("propsessions").start()
+    try {
+      // globally shuffled, split into 5 random batches: heavy cross-
+      // batch disorder, every event still within the 24h watermark
+      val shuffled = rnd.shuffle(events)
+      shuffled.grouped((shuffled.size + 4) / 5).foreach { chunk =>
+        in.addData(chunk.map { case (u, t) => (new Timestamp(t), u) })
+        q.processAllAvailable()
+      }
+      // sentinel 3 days out: watermark passes every end + gap -> all
+      // open sessions time out and flush
+      in.addData((new Timestamp(base + 72L * 3600 * 1000), 9999L))
+      q.processAllAvailable()
+      val got = spark.table("propsessions")
+        .filter(col("user_id") =!= 9999L).collect()
+        .groupBy(_.getAs[Long]("user_id")).view.mapValues(_.map(r => (
+          r.getAs[Timestamp]("session_start").getTime,
+          r.getAs[Timestamp]("session_end").getTime,
+          r.getAs[Long]("n_events"))).sortBy(x => (x._1, x._2)).toSeq)
+        .toMap
+      got.keySet shouldBe expected.keySet
+      got.foreach { case (user, sessions) =>
+        withClue(s"user $user:") {
+          sessions shouldBe expected(user).sortBy(x => (x._1, x._2))
+        }
+      }
     } finally q.stop()
   }
 
