@@ -1050,6 +1050,17 @@ object SparkEntry {
       Dedup.probeFingerprintIndex(docs.filter(col("doc_id") % 5 === 0), idx)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // ---- deterministic heavy hitters over the token stream: Misra-
+    // Gries candidates (bounded buffers, no distinct-key shuffle) +
+    // exact recount at threshold ceil(N/128). minShare = 1/128 is
+    // binary-exact, so the threshold integer matches DuckDB's.
+    "q131_heavy_hitters" -> ((s, d) => {
+      val toks = Tables(s, d).documents
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      Sketches.heavyHitters(toks, "tok", minShare = 1.0 / 128)
+        .orderBy("value")
     })
   )
 
@@ -2717,7 +2728,19 @@ object SparkEntry {
             WHERE doc_id % 5 <> 0)
           SELECT doc_id, n_chars FROM newb
           WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.fp = $Fp)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // exact heavy-hitter ground truth: the sketch pass only proposes
+    // candidates; the answer is defined by this exact count + threshold
+    "q131_heavy_hitters" ->
+      s"""WITH toks AS (
+            SELECT unnest($Toks) AS value FROM documents),
+          tot AS (SELECT count(*) AS n FROM toks)
+          SELECT value, count(*) AS n_occurrences
+          FROM toks, tot
+          GROUP BY value, tot.n
+          HAVING count(*) >= ceil(tot.n / 128.0)
+          ORDER BY value"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

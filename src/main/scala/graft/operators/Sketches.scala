@@ -77,4 +77,48 @@ object Sketches {
     df.filter(col(colName).isin(keys: _*))
       .groupBy(col(colName).as("key"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** DETERMINISTIC heavy hitters: every value of `colName` with
+    * frequency ≥ `minShare`·N, with its EXACT count — without ever
+    * shuffling the full distinct-value set. Two passes:
+    *
+    *   1. one [[graft.functions.FrequentItemsAgg]] aggregate (buffer
+    *      ≤ 2k entries, k = ⌈1/minShare⌉, so every qualifying value is
+    *      guaranteed in the candidate set and only k-sized buffers
+    *      shuffle) — also yields N from the same pass;
+    *   2. exact recount of the ≤ 2k candidates (filter pushes the IN
+    *      down to the scan; the groupBy shuffles candidate rows only),
+    *      thresholded at ⌈minShare·N⌉.
+    *
+    * The candidate SET is partition-order dependent (Misra–Gries); the
+    * OUTPUT is not: recall is guaranteed by the summary bound and
+    * precision by the exact recount — false candidates die at the
+    * threshold. At 100 TB this replaces a billions-of-keys groupBy with
+    * a constant-size sketch plus a recount of ≤ 2k keys.
+    *
+    * Exactness note for cross-engine gates: pick `minShare` with an
+    * exact binary representation (1/128, 1/512) so ⌈minShare·N⌉ is the
+    * same integer in every engine.
+    */
+  def heavyHitters(df: DataFrame, colName: String,
+      minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare <= 1,
+      s"heavyHitters: minShare must be in (0, 1], got $minShare")
+    val k = math.ceil(1.0 / minShare).toInt
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.FrequentItemsAgg(k))
+    // bounded driver state: ≤ 2k candidate strings + one long
+    val row = df.select(col(colName).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .agg(agg(col("v")).as("s"))
+      .selectExpr("s._1 AS candidates", "s._2 AS n").head()
+    val candidates = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val threshold = math.ceil(minShare * n).toLong
+    df.select(col(colName).cast("string").as("value"))
+      .filter(col("value").isin(candidates: _*))
+      .groupBy("value")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= threshold)
+  }
 }

@@ -40,4 +40,41 @@ class SketchesSpec extends SparkSpec {
       e should be <= exact(k) + (0.01 * 6000).toLong + 1
     }
   }
+
+  test("heavyHitters equals the exact groupBy-threshold answer") {
+    val toks = tables.documents.select(
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+    Seq(1.0 / 64, 1.0 / 128).foreach { share =>
+      val n = toks.count()
+      val threshold = math.ceil(share * n).toLong
+      val exact = rowSet(toks.groupBy(col("tok").as("value"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= threshold))
+      exact.size should be > 0 // the gate must actually gate something
+      rowSet(Sketches.heavyHitters(toks, "tok", share)) shouldBe exact
+    }
+  }
+
+  test("heavyHitters is partitioning-independent despite sketch candidates") {
+    val toks = tables.documents.select(
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+    // adversarial layouts: one partition (pure reduce path) vs many
+    // tiny ones (merge-heavy path) — the Misra-Gries candidate sets
+    // differ, the recounted answer must not
+    val one = rowSet(Sketches.heavyHitters(toks.coalesce(1), "tok", 1.0 / 64))
+    val many = rowSet(Sketches.heavyHitters(
+      toks.repartition(32), "tok", 1.0 / 64))
+    one shouldBe many
+  }
+
+  test("heavyHitters: tiny stream edge cases") {
+    import SparkSpec.spark.implicits._
+    val df = Seq("a", "a", "a", "b", "c").toDF("v")
+    // share 1/2: only 'a' (3 of 5 >= ceil(2.5))
+    rowSet(Sketches.heavyHitters(df, "v", 0.5)) shouldBe
+      Set(Seq("a", 3L))
+    // share 1: only a value equal to the whole stream qualifies
+    Sketches.heavyHitters(df, "v", 1.0).count() shouldBe 0L
+    Sketches.heavyHitters(df.limit(0), "v", 0.5).count() shouldBe 0L
+  }
 }

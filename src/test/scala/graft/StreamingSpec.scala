@@ -563,6 +563,26 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(fp).count() shouldBe 3L
   }
 
+  test("deduped ingest: random batch splits land exactly one doc per fingerprint") {
+    val (out, fp) = (tmp("ingest-rnd-out"), tmp("ingest-rnd-fp"))
+    Seq(out, fp).foreach(d => new java.io.File(d).delete())
+    val rnd = new scala.util.Random(42L)
+    // 60 docs over 20 distinct texts -> every text duplicated ~3x,
+    // spread arbitrarily across 4 batches
+    val docs = (1L to 60L).map(i => (i, s"text body number ${rnd.nextInt(20)}"))
+    val batches = rnd.shuffle(docs).grouped(15).toSeq
+    batches.zipWithIndex.foreach { case (b, id) =>
+      Streams.dedupIngestBatch(b.toDF("doc_id", "text"), id.toLong, out, fp)
+    }
+    val n = docs.map(_._2).distinct.size.toLong
+    val landed = spark.read.parquet(out)
+    landed.count() shouldBe n
+    // one survivor per distinct fingerprint, store in lockstep
+    landed.select("text").distinct().count() shouldBe n
+    spark.read.parquet(fp).select("fp").distinct().count() shouldBe n
+    spark.read.parquet(fp).count() shouldBe n
+  }
+
   test("idempotent parquet sink: a replayed batch rewrites, never duplicates") {
     val in = MemoryStream[String]
     val dir = tmp("idem-sink")
