@@ -1061,6 +1061,21 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       Sketches.heavyHitters(toks, "tok", minShare = 1.0 / 128)
         .orderBy("value")
+    }),
+
+    // ---- persisted simhash index probe: the third persisted-dedup
+    // family (exact q130, MinHash q129) — signatures ride in the index,
+    // so the probe reads zero corpus text. Portable sketch so the
+    // oracle replays the identical pipeline.
+    "q132_simhash_probe" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val idx = s"graft_simhash_index_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildSimhashIndex(docs.filter(col("doc_id") % 5 =!= 0), idx,
+          portable = true)
+      Dedup.probeSimhashIndex(docs.filter(col("doc_id") % 5 === 0), idx,
+        portable = true)
+        .orderBy("new_id", "corpus_id")
     })
   )
 
@@ -2740,7 +2755,48 @@ object SparkEntry {
           FROM toks, tot
           GROUP BY value, tot.n
           HAVING count(*) >= ceil(tot.n / 128.0)
-          ORDER BY value"""
+          ORDER BY value""",
+
+    // q32's portable-simhash replay, directed: batch chunks (unbounded)
+    // probe corpus chunks (maxBucket-bounded) — the persisted-index
+    // probe's exact semantics
+    "q132_simhash_probe" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(list_distinct($Toks)) AS tok
+            FROM documents),
+          th AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+            FROM toks),
+          bs AS (
+            SELECT doc_id, i, sum((h >> i) & 1) AS c, count(*) AS n
+            FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+            GROUP BY doc_id, i),
+          sig0 AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN 2 * c > n THEN (1::BIGINT << i)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bs GROUP BY doc_id),
+          sig AS (
+            SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sig0 s USING (doc_id)),
+          ch AS (
+            SELECT doc_id, simhash, i AS chunk_idx,
+              (simhash >> (i * 15)) & 32767 AS chunk
+            FROM sig CROSS JOIN (SELECT unnest(range(4)) AS i) t),
+          corp AS (
+            SELECT doc_id, simhash, chunk_idx, chunk FROM (
+              SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk) AS bn
+              FROM ch WHERE doc_id % 5 <> 0) WHERE bn <= 1000),
+          newb AS (
+            SELECT doc_id, simhash, chunk_idx, chunk FROM ch
+            WHERE doc_id % 5 = 0),
+          pr AS (
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+              CAST(bit_count(xor(n.simhash, c.simhash)) AS INT) AS hamming
+            FROM newb n JOIN corp c USING (chunk_idx, chunk))
+          SELECT new_id, corpus_id, hamming FROM pr
+          WHERE hamming <= 3 ORDER BY new_id, corpus_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

@@ -160,6 +160,17 @@ object Stress {
         bigDocs.filter(col("doc_id") % 100 === 0),
         bigDocs.filter(col("doc_id") % 100 =!= 0),
         threshold = 0.7, k = 64, bands = 32)),
+      // simhash index: signatures ride in the index, so the probe reads
+      // ZERO corpus text — build once, then per-crawl probes are pure
+      // chunk-join + xor arithmetic
+      timed("simhashIndexBuildBig")(Dedup.buildSimhashIndex(
+        bigDocs.filter(col("doc_id") % 100 =!= 0), "stress_simhash_big")),
+      time("simhashIndexProbeBig")(Dedup.probeSimhashIndex(
+        bigDocs.filter(col("doc_id") % 100 === 0), "stress_simhash_big")),
+      // bounded-buffer heavy hitters over the full 20x token stream
+      time("heavyHitters")(Sketches.heavyHitters(
+        docs.select(explode(
+          TextAnalysis.tokens(col("text"))).as("tok")), "tok", 1.0 / 128)),
       // exact-dedup twin of the index split, same realistic doc sizes:
       // the stored set is 16 bytes/doc vs re-hashing the corpus text
       timed("fpIndexBuildBig")(Dedup.buildFingerprintIndex(

@@ -904,19 +904,29 @@ object Dedup {
     * [[simhashPortable]] (60-bit, 15-bit chunks) so a DuckDB oracle can
     * replay the identical pipeline.
     */
+  /** (doc_id, simhash, chunk_idx, chunk): the signature split into four
+    * chunks — two signatures within Hamming distance 3 must agree on at
+    * least one chunk (pigeonhole), so equal chunks are the bucket keys.
+    */
+  private def simhashChunks(sh: DataFrame, chunkBits: Int): DataFrame = {
+    val chunkMask = (1L << chunkBits) - 1
+    sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { j =>
+        shiftright(col("simhash"), j * chunkBits).bitwiseAND(chunkMask)
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+  }
+
+  private def simhashSig(documents: DataFrame, portable: Boolean) =
+    if (portable) simhashPortable(documents) else simhash(documents)
+
   def simhashDupPairs(
       documents: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 1000,
       portable: Boolean = false): DataFrame = {
-    val sh = if (portable) simhashPortable(documents) else simhash(documents)
-    val chunkBits = if (portable) 15 else 16
-    val chunkMask = (1L << chunkBits) - 1
-    val chunks = sh.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map { j =>
-        shiftright(col("simhash"), j * chunkBits).bitwiseAND(chunkMask)
-      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val chunks = simhashChunks(simhashSig(documents, portable),
+      if (portable) 15 else 16)
     val bounded = chunks.withColumn(
       "bucket_n",
       count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
@@ -940,5 +950,97 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  // -------------------------------- persisted simhash (chunk-bucket) index
+
+  private def simhashSpecTable(indexTable: String) = s"${indexTable}__spec"
+
+  /** Completes the persisted-index family (exact: [[buildFingerprintIndex]],
+    * MinHash: [[buildNearDupIndex]]): the corpus's simhash chunk table
+    * (doc_id, simhash, chunk_idx, chunk) as a managed table bucketed by
+    * the probe's exact join keys. Because the 8-byte SIGNATURE rides in
+    * the index, a probe never touches corpus text at all — candidate
+    * verification is pure xor/bit_count arithmetic on rows already in
+    * hand (no re-shingle step, unlike the MinHash path). The sketch
+    * family (`portable`) persists in the spec: native-XXH64 and portable-
+    * md5 signatures never match each other, so a mismatched probe must
+    * fail loudly instead of silently finding nothing.
+    */
+  def buildSimhashIndex(documents: DataFrame, table: String,
+      portable: Boolean = false, buckets: Int = 32): Unit = {
+    val spark = documents.sparkSession
+    graft.sources.Sinks.saveTablePartitioned(
+      simhashChunks(simhashSig(documents, portable),
+        if (portable) 15 else 16),
+      table, bucketBy = Some((buckets, Seq("chunk_idx", "chunk"))),
+      sortBy = Seq("chunk_idx", "chunk"))
+    import spark.implicits._
+    graft.sources.Sinks.saveTable(
+      Seq((portable, buckets)).toDF("portable", "buckets"),
+      simhashSpecTable(table))
+  }
+
+  /** Fail loudly on a sketch-family mismatch; returns the index's bucket
+    * count for append to reuse.
+    */
+  private def requireSimhashSpec(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, portable: Boolean): Int =
+    if (spark.catalog.tableExists(simhashSpecTable(indexTable))) {
+      val r = spark.table(simhashSpecTable(indexTable)).head()
+      require(r.getBoolean(0) == portable,
+        s"$indexTable was built with portable=${r.getBoolean(0)}; " +
+          s"got portable=$portable — signatures would never match")
+      r.getInt(1)
+    } else 32
+
+  /** Grow a simhash index with a new batch — signatures are a pure
+    * function of the text, so only the new docs' chunks are computed and
+    * appended; grown ≡ rebuilt (asserted in tests).
+    */
+  def appendSimhashIndex(newDocs: DataFrame, table: String,
+      portable: Boolean = false): Unit = {
+    val buckets =
+      requireSimhashSpec(newDocs.sparkSession, table, portable)
+    graft.sources.Sinks.appendTablePartitioned(
+      simhashChunks(simhashSig(newDocs, portable),
+        if (portable) 15 else 16),
+      table, bucketBy = Some((buckets, Seq("chunk_idx", "chunk"))),
+      sortBy = Seq("chunk_idx", "chunk"))
+  }
+
+  /** Probe a persisted simhash index: (new_id, corpus_id, hamming) pairs
+    * where a new-batch doc is within `maxHamming` of an existing corpus
+    * doc. The batch pays only its own signatures; corpus-side cost is
+    * the probed buckets of the chunk table, and the verify is signature
+    * arithmetic — zero corpus text reads. `maxBucket` bounds the CORPUS
+    * bucket size exactly as in [[simhashDupPairs]] (the key join keeps
+    * every index row of a probed bucket, so the probed-slice count is
+    * the full bucket size).
+    */
+  def probeSimhashIndex(newDocs: DataFrame, table: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    requireSimhashSpec(spark, table, portable)
+    val nb = simhashChunks(simhashSig(newDocs, portable),
+      if (portable) 15 else 16)
+      .select(col("chunk_idx"), col("chunk"),
+        col("doc_id").as("new_id"), col("simhash").as("sig_new"))
+    val probed = spark.table(table)
+      .join(nb.select("chunk_idx", "chunk").distinct(),
+        Seq("chunk_idx", "chunk"))
+    val bounded = probed
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("chunk_idx"), col("chunk"),
+        col("doc_id").as("corpus_id"), col("simhash").as("sig_corpus"))
+    nb.join(bounded, Seq("chunk_idx", "chunk"))
+      .withColumn("hamming",
+        bit_count(col("sig_new").bitwiseXOR(col("sig_corpus"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("new_id", "corpus_id")
+      .select("new_id", "corpus_id", "hamming")
   }
 }

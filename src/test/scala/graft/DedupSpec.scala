@@ -376,6 +376,42 @@ class DedupSpec extends SparkSpec {
     e2.getMessage should include("built with ngram=3")
   }
 
+  test("simhash index: probe equals the cross-restricted self-join answer") {
+    val docs = tables.documents.filter(col("doc_id") < 400)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    Dedup.buildSimhashIndex(corpus, "simhash_idx_spec")
+    val probed = Dedup.probeSimhashIndex(batch, "simhash_idx_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ground truth: undirected self-join over the union, restricted to
+    // (batch, corpus) pairs and re-directed (no bucket hits the default
+    // maxBucket bound at this size, so the sets must match exactly)
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val expected = Dedup.simhashDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect {
+        case (a, b, h) if batchIds(a) && !batchIds(b) => (a, b, h)
+        case (a, b, h) if batchIds(b) && !batchIds(a) => (b, a, h)
+      }.toSet
+    probed shouldBe expected
+    probed.size should be > 0 // the corpus has real near-dup structure
+  }
+
+  test("simhash index grown by append equals a rebuild; spec guard fires") {
+    val base = tables.documents.filter(col("doc_id") < 300)
+    val growth = tables.documents
+      .filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    Dedup.buildSimhashIndex(base, "simhash_idx_grown")
+    Dedup.appendSimhashIndex(growth, "simhash_idx_grown")
+    Dedup.buildSimhashIndex(base.union(growth), "simhash_idx_rebuilt")
+    rowSet(SparkSpec.spark.table("simhash_idx_grown")) shouldBe
+      rowSet(SparkSpec.spark.table("simhash_idx_rebuilt"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.probeSimhashIndex(base, "simhash_idx_grown", portable = true)
+    }
+    e.getMessage should include("signatures would never match")
+  }
+
   test("dedupChunks keeps one canonical copy of a cross-doc repeated chunk") {
     import SparkSpec.spark.implicits._
     val docs = Seq(
