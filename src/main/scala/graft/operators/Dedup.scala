@@ -239,7 +239,7 @@ object Dedup {
     val candidates = nb.join(cb, Seq("band_idx", "band_hash"))
       .select("new_id", "corpus_id").distinct()
     verifyCandidates(candidates, newSpread, corpusSpread,
-      "new_id", "corpus_id", ngram, threshold)
+      "new_id", "corpus_id", ngram, threshold, pruneA = false)
   }
 
   // ---------------------------------- persisted exact-dedup (fingerprint) index
@@ -409,7 +409,7 @@ object Dedup {
     val candidates = nb.join(bounded, Seq("band_idx", "band_hash"))
       .select("new_id", "corpus_id").distinct()
     verifyCandidates(candidates, newSpread, spread(corpus),
-      "new_id", "corpus_id", ngram, threshold)
+      "new_id", "corpus_id", ngram, threshold, pruneA = false)
   }
 
   /** Exact-Jaccard verification of an LSH candidate pair list: docs
@@ -425,9 +425,16 @@ object Dedup {
       bDocs: DataFrame, aCol: String, bCol: String, ngram: Int,
       threshold: Double,
       metric: (Column, Column) => Column = jaccard,
-      metricName: String = "jaccard"): DataFrame = {
-    val aSh = aDocs
-      .join(candidates.select(col(aCol).as("doc_id")).distinct(), "doc_id")
+      metricName: String = "jaccard",
+      pruneA: Boolean = true): DataFrame = {
+    // pruneA = false for incremental callers whose a-side is the CRAWL
+    // BATCH: it is already candidate-scale, the semi-join prunes nothing,
+    // and skipping it drops one of the three instantiations of the
+    // candidate pipeline from the plan (the main join prunes anyway)
+    val aSh = (if (pruneA)
+      aDocs.join(
+        candidates.select(col(aCol).as("doc_id")).distinct(), "doc_id")
+    else aDocs)
       .select(col("doc_id").as(aCol), shingles(col("text"), ngram).as("__sh_a"))
     val bSh = bDocs
       .join(candidates.select(col(bCol).as("doc_id")).distinct(), "doc_id")
