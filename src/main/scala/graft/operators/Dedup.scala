@@ -961,6 +961,15 @@ object Dedup {
 
   // -------------------------------- persisted simhash (chunk-bucket) index
 
+  /** Public chunk-table form of the simhash pipeline: (doc_id, simhash,
+    * chunk_idx, chunk) — the rows a signature STORE holds ([[
+    * buildSimhashIndex]] persists exactly this as a bucketed table; the
+    * streaming near-dup ingest keeps it as a batch-partitioned dir).
+    */
+  def simhashChunkTable(documents: DataFrame,
+      portable: Boolean = false): DataFrame =
+    simhashChunks(simhashSig(documents, portable), if (portable) 15 else 16)
+
   private def simhashSpecTable(indexTable: String) = s"${indexTable}__spec"
 
   /** Completes the persisted-index family (exact: [[buildFingerprintIndex]],

@@ -455,6 +455,78 @@ object Streams {
       }
       .start()
 
+  /** [[dedupIngestBatch]]'s NEAR-dup sibling: the screen is a simhash
+    * chunk join (Hamming ≤ `maxHamming`) against the batch_id-
+    * partitioned SIGNATURE store instead of a fingerprint equality — a
+    * reworded repost is dropped, not just a byte-identical one. Same
+    * idempotent-per-batch recipe, same ordering argument: the store
+    * read excludes the batch's own prior attempt, survivors land via
+    * dynamic partition overwrite, then ONLY survivors' chunk rows
+    * overwrite the store's batch partition (a screened-out doc's
+    * signature must not enter the store, or a replay would screen
+    * against it and drop everything).
+    *
+    * Scope: exact self-dups inside the batch collapse (fingerprint
+    * window); two DISTINCT near-dup docs arriving in the SAME batch
+    * both survive — in-batch near-dedup is [[graft.operators.Dedup
+    * .simhashDupPairs]]'s job upstream, while this operator's contract
+    * is the cross-batch screen. The store holds 4 chunk rows per landed
+    * doc (~50 bytes each); fold it into the bucketed
+    * [[graft.operators.Dedup.buildSimhashIndex]] form periodically,
+    * exactly like the fingerprint store.
+    */
+  def nearDupIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
+      sigDir: String, maxHamming: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val fpCol = "__fp_ingest"
+    require(!batch.columns.contains(fpCol),
+      s"nearDupIngestBatch: input must not already have a $fpCol column")
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(fpCol).orderBy("doc_id")
+    val self = batch
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(byFp))
+      .filter(col("__rn") === 1).drop("__rn", fpCol)
+    val chunks = graft.operators.Dedup.simhashChunkTable(self)
+    val store =
+      try spark.read.parquet(sigDir)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("chunk_idx"), col("chunk"),
+          col("simhash").as("__sig_store"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          import spark.implicits._
+          Seq.empty[(Int, Long, Long)]
+            .toDF("chunk_idx", "chunk", "__sig_store")
+      }
+    val hit = chunks.join(store, Seq("chunk_idx", "chunk"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("__sig_store")))
+        .cast("int") <= maxHamming)
+      .select("doc_id").distinct()
+    val survivors = self.join(hit, Seq("doc_id"), "left_anti")
+    writeBatchIdempotent(survivors, batchId, outDir)
+    chunks.join(survivors.select("doc_id"), Seq("doc_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(sigDir)
+  }
+
+  /** Streaming near-dup ingest — [[startDedupedIngest]] with the simhash
+    * screen of [[nearDupIngestBatch]].
+    */
+  def startNearDupIngest(docs: DataFrame, outDir: String, sigDir: String,
+      checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        nearDupIngestBatch(b, id, outDir, sigDir, maxHamming)
+      }
+      .start()
+
   /** T4/T5: start a running-aggregate query into the in-memory table
     * `name` (complete mode) with a checkpoint — stop + restart with the
     * same checkpoint resumes the state exactly (tested in StreamingSpec).

@@ -583,6 +583,38 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(fp).count() shouldBe n
   }
 
+  test("near-dup ingest: reworded repost screened across batches, replay idempotent") {
+    val (out, sig, ckpt) = (tmp("nd-ingest-out"), tmp("nd-ingest-sig"),
+      tmp("nd-ingest-ckpt"))
+    Seq(out, sig).foreach(d => new java.io.File(d).delete())
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streams.startNearDupIngest(docs, out, sig, ckpt)
+    try {
+      in.addData((1L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      // batch 1: doc 3 is a REWORDED repost of doc 1 (same token set,
+      // different order and whitespace -> different fingerprint, equal
+      // simhash) -> near-dup screen drops it; doc 4 is fresh
+      in.addData((3L, "delta  gamma beta alpha"),
+        (4L, "entirely different content with novel tokens"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def landed(): Seq[Long] = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    landed() shouldBe Seq(1L, 4L)
+    // the store holds 4 chunk rows per LANDED doc only — the screened
+    // doc's signature must never enter it
+    spark.read.parquet(sig).count() shouldBe 8L
+    // verbatim replay of batch 1 (post-crash re-delivery): identical
+    val batch1 = Seq((3L, "delta  gamma beta alpha"),
+      (4L, "entirely different content with novel tokens"))
+      .toDF("doc_id", "text")
+    Streams.nearDupIngestBatch(batch1, 1L, out, sig)
+    landed() shouldBe Seq(1L, 4L)
+    spark.read.parquet(sig).count() shouldBe 8L
+  }
+
   test("idempotent parquet sink: a replayed batch rewrites, never duplicates") {
     val in = MemoryStream[String]
     val dir = tmp("idem-sink")
