@@ -583,6 +583,29 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(fp).count() shouldBe n
   }
 
+  test("deduped ingest: replay from the crash-window partial state converges") {
+    // the one reachable partial state is output-written-store-not (the
+    // write order's whole point): simulate the crash by deleting the
+    // store partition after a clean run, then replay the batch
+    val (out, fp) = (tmp("ingest-crash-out"), tmp("ingest-crash-fp"))
+    Seq(out, fp).foreach(d => new java.io.File(d).delete())
+    val b0 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha beta"), (4L, "epsilon zeta")).toDF("doc_id", "text")
+    Streams.dedupIngestBatch(b0, 0L, out, fp)
+    Streams.dedupIngestBatch(b1, 1L, out, fp)
+    def state() = (
+      spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq,
+      spark.read.parquet(fp).select("fp").as[String].collect().sorted.toSeq)
+    val clean = state()
+    clean._1 shouldBe Seq(1L, 2L, 4L) // doc 3 screened against batch 0
+    // crash window: batch 1's store partition vanishes, output remains
+    val part = new java.io.File(s"$fp/batch_id=1")
+    part.exists() shouldBe true
+    part.listFiles().foreach(_.delete()); part.delete() shouldBe true
+    Streams.dedupIngestBatch(b1, 1L, out, fp) // engine re-delivery
+    state() shouldBe clean
+  }
+
   test("near-dup ingest: reworded repost screened across batches, replay idempotent") {
     val (out, sig, ckpt) = (tmp("nd-ingest-out"), tmp("nd-ingest-sig"),
       tmp("nd-ingest-ckpt"))
