@@ -8,9 +8,25 @@ import org.apache.spark.sql.SparkSession
   * expressions being measured. Failures are reported per query in an
   * `errors` map (never silently recorded as a timing) and make the run
   * exit nonzero.
+  *
+  * `SPARK_GRAFT_BENCH_ISOLATE=1` switches to per-query JVM isolation:
+  * the parent forks one fresh JVM per query (same classpath and JVM
+  * flags as itself — `run / fork := true` makes both real) and stitches
+  * the children's timings into one artifact with `"isolated":1`. The
+  * point is drift hygiene: an in-process run executes ~400 query plans
+  * in one JVM, and accumulated JIT/GC state has moved untouched queries
+  * ±3x between rounds (BASELINE.md round-6 notes) — isolation makes
+  * "JVM accumulation vs real regression" measurable instead of argued.
+  * Per-child timings still exclude JVM/session startup (each child
+  * warms, then reports its own min-of-runs).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")
+        && !sys.env.contains("SPARK_GRAFT_BENCH_CHILD")) {
+      isolatedMain()
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -26,22 +42,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-
-    // 1-minute system load average, recorded at start and end so a
-    // load-polluted artifact self-identifies (the documented box-noise
-    // policy: quiet means load < 2.2; a 3.8x excursion on a 3-row ORC
-    // round-trip is load, not plans — round-5 postmortem)
-    def loadAvg: Double =
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-
     val loadStart = loadAvg
 
     // warm the session (parquet footer reads, codegen, shuffle machinery)
@@ -52,11 +52,15 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // SPARK_GRAFT_BENCH_ONLY=q36,q48 narrows the run for local iteration
-    // (prefix match on query names); unset = the full suite.
+    // (prefix match on query names); unset = the full suite. Isolation
+    // children match EXACTLY — a parent dispatching "q10_top" must not
+    // fan out to every q10-prefixed sibling in the child.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val exact = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(n => only.forall(_.exists(o =>
+        if (exact) n == o else n.startsWith(o))))
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // two passes per query, report the min: this box shows ~2x run-to-run
@@ -78,17 +82,18 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
       }
     }
-    // Locale.ROOT: the f-interpolator is locale-sensitive and a
-    // comma-decimal default locale would emit invalid JSON.
-    def sec(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val loadEnd = loadAvg
-    val loads = s""""load_start":${sec(loadStart)},"load_end":${sec(loadEnd)}"""
+    // getSystemLoadAverage returns -1.0 when the platform has no load
+    // average; record null rather than -1.000, which a "quiet means
+    // load < 2.2" check would misread as a quiet run
+    def loadJson(v: Double): String = if (v < 0) "null" else sec(v)
+    val loads =
+      s""""load_start":${loadJson(loadStart)},"load_end":${loadJson(loadEnd)}"""
     val full =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,$loads,"sf":${jstr(sfDir)}}"""
     // The driver reads only the stdout TAIL, and the full per-query map
@@ -112,5 +117,129 @@ object Bench {
     spark.stop()
     println(summary)
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  // Locale.ROOT: the f-interpolator is locale-sensitive and a
+  // comma-decimal default locale would emit invalid JSON.
+  private def sec(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  // 1-minute system load average, recorded at start and end so a
+  // load-polluted artifact self-identifies (the documented box-noise
+  // policy: quiet means load < 2.2; a 3.8x excursion on a 3-row ORC
+  // round-trip is load, not plans — round-5 postmortem)
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** The inner text of the `"key":{...}` object in a one-line JSON
+    * string (braces inside quoted strings skipped), or "" when absent —
+    * just enough parsing to stitch child artifacts without a JSON lib.
+    */
+  private def jsonObj(s: String, key: String): String = {
+    val tag = "\"" + key + "\":{"
+    val i = s.indexOf(tag)
+    if (i < 0) return ""
+    val start = i + tag.length
+    var depth = 1; var j = start; var inStr = false; var esc = false
+    while (j < s.length && depth > 0) {
+      val c = s.charAt(j)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    if (depth == 0) s.substring(start, j - 1) else ""
+  }
+
+  /** Parent side of SPARK_GRAFT_BENCH_ISOLATE=1: fork one child JVM per
+    * query (the child is this very main with SPARK_GRAFT_BENCH_CHILD=1
+    * and an exact-match ONLY), collect each child's own min-of-runs
+    * timing from its artifact file, and emit one stitched artifact
+    * marked `"isolated":1`. Classpath and JVM flags are inherited from
+    * this process — `run / fork := true` makes both real values, not
+    * sbt-classloader fictions.
+    */
+  private def isolatedMain(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val workDir = java.nio.file.Files.createTempDirectory("graft-bench-iso")
+    val loadStart = loadAvg
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errEntries = scala.collection.mutable.ArrayBuffer[String]()
+    names.zipWithIndex.foreach { case (name, i) =>
+      val outFile = workDir.resolve(s"$name.json")
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(workDir.resolve(s"$name.log").toFile)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_BENCH_CHILD", "1")
+      env.put("SPARK_GRAFT_BENCH_ONLY", name)
+      env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      env.remove("SPARK_GRAFT_BENCH_ISOLATE")
+      val code = pb.start().waitFor()
+      val line =
+        if (java.nio.file.Files.exists(outFile))
+          new String(java.nio.file.Files.readAllBytes(outFile),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else ""
+      val q = jsonObj(line, "queries")
+      val num = ("\"" + java.util.regex.Pattern.quote(name) +
+        "\":([-0-9.eE+]+)").r
+      num.findFirstMatchIn(q).map(_.group(1).toDouble) match {
+        case Some(v) => timings(name) = v
+        case None =>
+          val e = jsonObj(line, "errors")
+          errEntries += (if (e.nonEmpty) e
+            else s"${jstr(name)}:${jstr(s"child exited $code, no artifact")}")
+      }
+      // progress to stderr (stdout stays clean for the final summary)
+      System.err.println(s"[bench-iso] ${i + 1}/${names.size} $name " +
+        timings.get(name).map(sec).getOrElse("ERR"))
+    }
+    val loadEnd = loadAvg
+    def loadJson(v: Double): String = if (v < 0) "null" else sec(v)
+    val loads =
+      s""""load_start":${loadJson(loadStart)},"load_end":${loadJson(loadEnd)}"""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
+    val errs = errEntries.mkString("{", ",", "}")
+    val total = timings.values.sum
+    val full =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"queries":$qs,"errors":$errs,$loads,"sf":${jstr(sfDir)}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val slow5 = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"n_queries":${timings.size},"n_errors":${errEntries.size},"slowest":$slow5,$loads,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
+    println(summary)
+    if (errEntries.nonEmpty) sys.exit(1)
   }
 }

@@ -109,6 +109,16 @@ object Stress {
         .write.mode("overwrite").parquet(s"$ccDir/pairs")
       spark.read.parquet(s"$ccDir/pairs")
     }
+    // the ingest-fold A/B's shared input: the mutated corpus split into
+    // 24 "crawl batches", materialized once so each per-batch filter is
+    // a parquet scan, not a re-run of the crossJoin mutation plan
+    val ingDir = s"${System.getProperty("java.io.tmpdir")}/graft-stress-ingest-${System.nanoTime()}"
+    lazy val ingestIn = {
+      docs.withColumn("__b", pmod(col("doc_id"), lit(24L)).cast("int"))
+        .write.mode("overwrite").parquet(s"$ingDir/in")
+      Dedup.ensureFingerprintIndex(spark, "stress_ingest_fp")
+      spark.read.parquet(s"$ingDir/in")
+    }
 
     val results = Seq(
       time("curate")(Curation.curate(docs)),
@@ -180,6 +190,35 @@ object Stress {
       time("incrementalExactBig")(Dedup.incrementalExactDedup(
         bigDocs.filter(col("doc_id") % 100 === 0),
         bigDocs.filter(col("doc_id") % 100 =!= 0))),
+      // streaming-ingest store→index fold: the same 24 crawl batches
+      // land twice — once accumulating one store partition per batch
+      // (the unfolded worst case), once folding into the bucketed index
+      // every 6 batches. The final batch's ingest IS the probe timing:
+      // flat after folds vs the unfolded store's per-partition creep is
+      // the fold's whole point (VERDICT r6 #1).
+      timed("ingestUnfolded23")((0 until 23).foreach(i =>
+        graft.streaming.Streams.dedupIngestBatch(
+          ingestIn.filter(col("__b") === i).drop("__b"), i.toLong,
+          s"$ingDir/a-out", s"$ingDir/a-fp"))),
+      timeAction("ingestProbeUnfolded") {
+        graft.streaming.Streams.dedupIngestBatch(
+          ingestIn.filter(col("__b") === 23).drop("__b"), 23L,
+          s"$ingDir/a-out", s"$ingDir/a-fp")
+        spark.read.parquet(s"$ingDir/a-fp").count()
+      },
+      timed("ingestFolded23")((0 until 23).foreach { i =>
+        graft.streaming.Streams.dedupIngestBatch(
+          ingestIn.filter(col("__b") === i).drop("__b"), i.toLong,
+          s"$ingDir/b-out", s"$ingDir/b-fp", Some("stress_ingest_fp"))
+        if (i % 6 == 5) graft.streaming.Streams.foldFingerprintStore(
+          spark, s"$ingDir/b-fp", "stress_ingest_fp")
+      }),
+      timeAction("ingestProbeFolded") {
+        graft.streaming.Streams.dedupIngestBatch(
+          ingestIn.filter(col("__b") === 23).drop("__b"), 23L,
+          s"$ingDir/b-out", s"$ingDir/b-fp", Some("stress_ingest_fp"))
+        spark.table("stress_ingest_fp").count()
+      },
       // the exact-recall twin: every doc has ~n near-dup copies here, so
       // true pairs grow n^2 per cluster — the honest worst case for the
       // prefix-filter candidate volume

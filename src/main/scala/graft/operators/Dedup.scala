@@ -259,21 +259,48 @@ object Dedup {
         .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct(),
       table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
 
+  /** Create an EMPTY fingerprint index table if absent — the bootstrap
+    * for pipelines that probe the index from day one (the streaming
+    * deduped ingest's probe-both window requires the table to exist so
+    * a mistyped name fails loudly instead of silently skipping the
+    * screen). No-op when the table already exists.
+    */
+  def ensureFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import spark.implicits._
+      graft.sources.Sinks.saveTablePartitioned(
+        Seq.empty[String].toDF("fp"), table,
+        bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
+    }
+
   /** Grow a fingerprint index with a new batch: only fingerprints NOT
     * already present are appended (anti-join before the write), so the
     * table stays a distinct set and a grown index is row-identical to
     * one rebuilt from the union. The bucket layout is read off the
     * table's own metadata — no second spec to keep in sync.
     */
-  def appendFingerprintIndex(newDocs: DataFrame, table: String): Unit = {
-    val spark = newDocs.sparkSession
+  def appendFingerprintIndex(newDocs: DataFrame, table: String): Unit =
+    appendFingerprints(
+      spread(newDocs)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct(),
+      table)
+
+  /** [[appendFingerprintIndex]] for rows that are ALREADY fingerprints
+    * (a single `fp` column) — the store→index fold path, where the
+    * streaming ingest's fp store holds the hashes and re-reading the
+    * document text would defeat the store's purpose. Same anti-join-
+    * before-append contract: appending rows already present is a no-op,
+    * which is what makes a crashed-and-rerun fold idempotent.
+    */
+  def appendFingerprints(fps: DataFrame, table: String): Unit = {
+    val spark = fps.sparkSession
     val spec = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
       .getOrElse(throw new IllegalStateException(
         s"$table is not bucketed — was it built by buildFingerprintIndex?"))
-    val fresh = spread(newDocs)
-      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val fresh = fps.select("fp").distinct()
       .join(spark.table(table), Seq("fp"), "left_anti")
     graft.sources.Sinks.appendTablePartitioned(fresh, table,
       bucketBy = Some((spec.numBuckets, spec.bucketColumnNames)),
@@ -299,8 +326,6 @@ object Dedup {
 
   // ------------------------------------- persisted near-dup (band-bucket) index
 
-  private def nearDupSpecTable(indexTable: String) = s"${indexTable}__spec"
-
   /** Build the PERSISTED near-dup index: the corpus's (doc_id, band_idx,
     * band_hash) relation saved as a managed parquet table bucketed and
     * sorted by band_hash — the build-once/probe-many form of
@@ -324,6 +349,12 @@ object Dedup {
   def buildNearDupIndex(documents: DataFrame, table: String, ngram: Int = 3,
       k: Int = 64, bands: Int = 16, buckets: Int = 32): Unit = {
     val spark = documents.sparkSession
+    // spec FIRST (the IndexSpec ordering contract): a crash between the
+    // two writes must leave spec-without-index, never index-without-spec
+    import spark.implicits._
+    graft.sources.IndexSpec.write(
+      Seq((ngram, k, bands, buckets)).toDF("ngram", "k", "bands", "buckets"),
+      table)
     // bucketed by EXACTLY the probe's join/window keys: the scan then
     // reports hash(band_idx, band_hash) partitioning and the probe's
     // bucket-set join, bucket_n window, and candidate join all reuse it
@@ -332,26 +363,22 @@ object Dedup {
       bandBuckets(spread(documents), ngram, k, bands), table,
       bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
       sortBy = Seq("band_idx", "band_hash"))
-    import spark.implicits._
-    graft.sources.Sinks.saveTable(
-      Seq((ngram, k, bands, buckets)).toDF("ngram", "k", "bands", "buckets"),
-      nearDupSpecTable(table))
   }
 
   /** Fail loudly when ngram/k/bands differ from what the index was built
-    * with — mismatched band hashes join nothing and lose recall silently.
+    * with — mismatched band hashes join nothing and lose recall silently
+    * — or when the spec table is missing entirely (a half-built index).
     * Returns the index's storage bucket count for append to reuse.
     */
   private def requireNearDupSpec(spark: org.apache.spark.sql.SparkSession,
-      indexTable: String, ngram: Int, k: Int, bands: Int): Int =
-    if (spark.catalog.tableExists(nearDupSpecTable(indexTable))) {
-      val r = spark.table(nearDupSpecTable(indexTable)).head()
-      val (g, kk, b) = (r.getInt(0), r.getInt(1), r.getInt(2))
-      require(g == ngram && kk == k && b == bands,
-        s"$indexTable was built with ngram=$g k=$kk bands=$b; " +
-          s"got ngram=$ngram k=$k bands=$bands — band hashes would never match")
-      r.getInt(3)
-    } else 32
+      indexTable: String, ngram: Int, k: Int, bands: Int): Int = {
+    val r = graft.sources.IndexSpec.readRequired(spark, indexTable)
+    val (g, kk, b) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    require(g == ngram && kk == k && b == bands,
+      s"$indexTable was built with ngram=$g k=$kk bands=$b; " +
+        s"got ngram=$ngram k=$k bands=$bands — band hashes would never match")
+    r.getInt(3)
+  }
 
   /** Incrementally extend a persisted near-dup index with a new document
     * batch — the per-crawl growth path. Band membership is a pure
@@ -970,8 +997,6 @@ object Dedup {
       portable: Boolean = false): DataFrame =
     simhashChunks(simhashSig(documents, portable), if (portable) 15 else 16)
 
-  private def simhashSpecTable(indexTable: String) = s"${indexTable}__spec"
-
   /** Completes the persisted-index family (exact: [[buildFingerprintIndex]],
     * MinHash: [[buildNearDupIndex]]): the corpus's simhash chunk table
     * (doc_id, simhash, chunk_idx, chunk) as a managed table bucketed by
@@ -986,42 +1011,77 @@ object Dedup {
   def buildSimhashIndex(documents: DataFrame, table: String,
       portable: Boolean = false, buckets: Int = 32): Unit = {
     val spark = documents.sparkSession
+    // spec first — the IndexSpec ordering contract
+    import spark.implicits._
+    graft.sources.IndexSpec.write(
+      Seq((portable, buckets)).toDF("portable", "buckets"), table)
     graft.sources.Sinks.saveTablePartitioned(
       simhashChunks(simhashSig(documents, portable),
         if (portable) 15 else 16),
       table, bucketBy = Some((buckets, Seq("chunk_idx", "chunk"))),
       sortBy = Seq("chunk_idx", "chunk"))
-    import spark.implicits._
-    graft.sources.Sinks.saveTable(
-      Seq((portable, buckets)).toDF("portable", "buckets"),
-      simhashSpecTable(table))
   }
 
-  /** Fail loudly on a sketch-family mismatch; returns the index's bucket
-    * count for append to reuse.
+  /** Fail loudly on a sketch-family mismatch or a missing spec table;
+    * returns the index's bucket count for append to reuse.
     */
   private def requireSimhashSpec(spark: org.apache.spark.sql.SparkSession,
-      indexTable: String, portable: Boolean): Int =
-    if (spark.catalog.tableExists(simhashSpecTable(indexTable))) {
-      val r = spark.table(simhashSpecTable(indexTable)).head()
-      require(r.getBoolean(0) == portable,
-        s"$indexTable was built with portable=${r.getBoolean(0)}; " +
-          s"got portable=$portable — signatures would never match")
-      r.getInt(1)
-    } else 32
+      indexTable: String, portable: Boolean): Int = {
+    val r = graft.sources.IndexSpec.readRequired(spark, indexTable)
+    require(r.getBoolean(0) == portable,
+      s"$indexTable was built with portable=${r.getBoolean(0)}; " +
+        s"got portable=$portable — signatures would never match")
+    r.getInt(1)
+  }
+
+  /** Create an EMPTY simhash index table (spec first, per the IndexSpec
+    * ordering contract) if absent — the bootstrap twin of
+    * [[ensureFingerprintIndex]] for pipelines probing from day one.
+    * The empty table fixes `doc_id` to LONG (the engine's document-id
+    * convention); a corpus with string ids should build from data via
+    * [[buildSimhashIndex]] instead. No-op when the table exists.
+    */
+  def ensureSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, portable: Boolean = false, buckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import spark.implicits._
+      graft.sources.IndexSpec.write(
+        Seq((portable, buckets)).toDF("portable", "buckets"), table)
+      graft.sources.Sinks.saveTablePartitioned(
+        Seq.empty[(Long, Long, Int, Long)]
+          .toDF("doc_id", "simhash", "chunk_idx", "chunk"),
+        table, bucketBy = Some((buckets, Seq("chunk_idx", "chunk"))),
+        sortBy = Seq("chunk_idx", "chunk"))
+    }
 
   /** Grow a simhash index with a new batch — signatures are a pure
     * function of the text, so only the new docs' chunks are computed and
     * appended; grown ≡ rebuilt (asserted in tests).
     */
   def appendSimhashIndex(newDocs: DataFrame, table: String,
-      portable: Boolean = false): Unit = {
-    val buckets =
-      requireSimhashSpec(newDocs.sparkSession, table, portable)
-    graft.sources.Sinks.appendTablePartitioned(
+      portable: Boolean = false): Unit =
+    appendSimhashChunks(
       simhashChunks(simhashSig(newDocs, portable),
         if (portable) 15 else 16),
-      table, bucketBy = Some((buckets, Seq("chunk_idx", "chunk"))),
+      table, portable)
+
+  /** [[appendSimhashIndex]] for rows that are ALREADY chunk rows
+    * (doc_id, simhash, chunk_idx, chunk) — the store→index fold path:
+    * the streaming ingest's signature store holds exactly this shape,
+    * and re-signing the text would defeat the store's purpose. Unlike
+    * the docs form, this anti-joins on doc_id against the index first,
+    * so a crashed-and-rerun fold (append committed, store cleanup not)
+    * appends nothing the second time — fold idempotence.
+    */
+  def appendSimhashChunks(chunks: DataFrame, table: String,
+      portable: Boolean = false): Unit = {
+    val spark = chunks.sparkSession
+    val buckets = requireSimhashSpec(spark, table, portable)
+    val fresh = chunks.select("doc_id", "simhash", "chunk_idx", "chunk")
+      .join(spark.table(table).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    graft.sources.Sinks.appendTablePartitioned(fresh, table,
+      bucketBy = Some((buckets, Seq("chunk_idx", "chunk"))),
       sortBy = Seq("chunk_idx", "chunk"))
   }
 

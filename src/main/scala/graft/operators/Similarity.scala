@@ -179,32 +179,30 @@ object Similarity {
   def buildLshIndex(embeddings: DataFrame, table: String, bits: Int = 8,
       tables: Int = 16): Unit = {
     val spark = embeddings.sparkSession
+    // persist the signature spec beside the index (the IVF pattern:
+    // centroids ARE its spec): appends and probes with the wrong
+    // bits/tables would produce signatures that silently never match.
+    // Spec first — the IndexSpec ordering contract.
+    import spark.implicits._
+    graft.sources.IndexSpec.write(
+      Seq((bits, tables)).toDF("bits", "tables"), table)
     Sinks.saveTablePartitioned(
       lshIndexFrame(embeddings, bits, tables), table,
       bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
-    // persist the signature spec beside the index (the IVF pattern:
-    // centroids ARE its spec): appends and probes with the wrong
-    // bits/tables would produce signatures that silently never match
-    import spark.implicits._
-    Sinks.saveTable(Seq((bits, tables)).toDF("bits", "tables"),
-      lshSpecTable(table))
   }
 
-  private def lshSpecTable(indexTable: String) = s"${indexTable}__spec"
-
   /** Fail loudly when bits/tables differ from what the index was built
-    * with — mismatched signatures join nothing and lose recall silently.
-    * Indexes persisted before the spec table existed pass unchecked.
+    * with — mismatched signatures join nothing and lose recall silently
+    * — or when the spec table is missing (a half-built index).
     */
   private def requireLshSpec(spark: SparkSession, indexTable: String,
-      bits: Int, tables: Int): Unit =
-    if (spark.catalog.tableExists(lshSpecTable(indexTable))) {
-      val r = spark.table(lshSpecTable(indexTable)).head()
-      val (b, t) = (r.getInt(0), r.getInt(1))
-      require(b == bits && t == tables,
-        s"$indexTable was built with bits=$b tables=$t; " +
-          s"got bits=$bits tables=$tables — signatures would never match")
-    }
+      bits: Int, tables: Int): Unit = {
+    val r = graft.sources.IndexSpec.readRequired(spark, indexTable)
+    val (b, t) = (r.getInt(0), r.getInt(1))
+    require(b == bits && t == tables,
+      s"$indexTable was built with bits=$b tables=$t; " +
+        s"got bits=$bits tables=$tables — signatures would never match")
+  }
 
   /** Incrementally extend a persisted LSH index with a new embedding
     * batch — the per-crawl growth path. Bucket membership is a pure

@@ -82,13 +82,29 @@ object Sinks {
     require(new org.apache.hadoop.fs.Path(src) !=
       new org.apache.hadoop.fs.Path(dst),
       "compaction must write to a different directory than it reads")
-    val p = new org.apache.hadoop.fs.Path(src)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(src))
+    // Spark's hidden-file convention: any path segment below the root
+    // starting with '_' or '.' is invisible to the read (think a
+    // leftover _temporary/ from a failed write attempt full of orphaned
+    // .parquet files) — the size probe must skip exactly what the
+    // spark.read.parquet scan will skip, or the file count inflates.
+    def hidden(path: org.apache.hadoop.fs.Path): Boolean = {
+      var q = path
+      while (q != null && q != root) {
+        val n = q.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        q = q.getParent
+      }
+      false
+    }
     var total = 0L
-    val it = fs.listFiles(p, true)
+    val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+      if (f.getPath.getName.endsWith(".parquet") && !hidden(f.getPath))
+        total += f.getLen
     }
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(src).repartition(n)

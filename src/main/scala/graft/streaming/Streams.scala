@@ -399,21 +399,35 @@ object Streams {
     * Scale note: the batch_id-partitioned fp store trades probe cost for
     * replay safety — each batch anti-joins the whole store (16 bytes per
     * unique doc; broadcast while small, shuffle join beyond). A long-run
-    * pipeline periodically folds it into the bucketed
+    * pipeline periodically [[foldFingerprintStore]]s it into the bucketed
     * [[graft.operators.Dedup.buildFingerprintIndex]] form and restarts
-    * the store empty, probing BOTH until the next fold.
+    * the store (near-)empty, probing BOTH until the next fold: pass the
+    * index table as `indexTable` and the screen becomes store ∪ index —
+    * correct before the first fold (empty index), during a fold (a fp
+    * may transiently be in both; the anti-join doesn't care), and after
+    * (store holds only unfolded batches). The table must EXIST when
+    * `indexTable` is set (bootstrap via
+    * [[graft.operators.Dedup.ensureFingerprintIndex]]) so a mistyped
+    * name fails loudly instead of silently skipping the index screen.
     */
   def dedupIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
-      fpDir: String): Unit = {
+      fpDir: String, indexTable: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val fpCol = "__fp_ingest"
     require(!batch.columns.contains(fpCol),
       s"dedupIngestBatch: input must not already have a $fpCol column")
     // in-batch self-dedup, schema-agnostic (any frame with doc_id+text):
-    // lowest doc_id per normalized fingerprint, the exactDedup convention
+    // lowest doc_id per normalized fingerprint, the exactDedup convention.
+    // The xxhash64 over the full row breaks doc_id ties DETERMINISTICALLY:
+    // the survivors plan is executed twice (outDir write, fp-store write)
+    // and again on replay, and a tie resolved differently across those
+    // jobs would land a payload that doesn't correspond to the one whose
+    // attempt crashed. (Residual: two rows with equal doc_id AND a 64-bit
+    // hash collision on different payloads could still flip — accepted.)
     val byFp = org.apache.spark.sql.expressions.Window
-      .partitionBy(fpCol).orderBy("doc_id")
+      .partitionBy(fpCol)
+      .orderBy(col("doc_id"), xxhash64(batch.columns.map(col): _*))
     val self = batch
       .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
       .withColumn("__rn", row_number().over(byFp))
@@ -428,7 +442,15 @@ object Streams {
             if e.getCondition == "PATH_NOT_FOUND" =>
           Seq.empty[String].toDF(fpCol)
       }
-    val survivors = self.join(store, Seq(fpCol), "left_anti")
+    // probe-both window: folded history lives in the index table, the
+    // store holds only batches since the last fold
+    val screen = indexTable.map { t =>
+      require(spark.catalog.tableExists(t),
+        s"dedupIngestBatch: index table $t does not exist — bootstrap " +
+          "it with Dedup.ensureFingerprintIndex at pipeline setup")
+      store.union(spark.table(t).select(col("fp").as(fpCol)))
+    }.getOrElse(store)
+    val survivors = self.join(screen, Seq(fpCol), "left_anti")
     writeBatchIdempotent(survivors.drop(fpCol), batchId, outDir)
     survivors.select(col(fpCol).as("fp"))
       .withColumn("batch_id", lit(batchId))
@@ -446,12 +468,12 @@ object Streams {
     * argument.
     */
   def startDedupedIngest(docs: DataFrame, outDir: String, fpDir: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String, indexTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        dedupIngestBatch(b, id, outDir, fpDir)
+        dedupIngestBatch(b, id, outDir, fpDir, indexTable)
       }
       .start()
 
@@ -471,18 +493,23 @@ object Streams {
     * both survive — in-batch near-dedup is [[graft.operators.Dedup
     * .simhashDupPairs]]'s job upstream, while this operator's contract
     * is the cross-batch screen. The store holds 4 chunk rows per landed
-    * doc (~50 bytes each); fold it into the bucketed
-    * [[graft.operators.Dedup.buildSimhashIndex]] form periodically,
-    * exactly like the fingerprint store.
+    * doc (~50 bytes each); [[foldSimhashStore]] folds it into the
+    * bucketed [[graft.operators.Dedup.buildSimhashIndex]] form
+    * periodically, exactly like the fingerprint store — pass that table
+    * as `indexTable` for the probe-both screen (must exist; bootstrap
+    * via [[graft.operators.Dedup.ensureSimhashIndex]]).
     */
   def nearDupIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
-      sigDir: String, maxHamming: Int = 3): Unit = {
+      sigDir: String, maxHamming: Int = 3,
+      indexTable: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val fpCol = "__fp_ingest"
     require(!batch.columns.contains(fpCol),
       s"nearDupIngestBatch: input must not already have a $fpCol column")
+    // same deterministic tie-break as [[dedupIngestBatch]]'s window
     val byFp = org.apache.spark.sql.expressions.Window
-      .partitionBy(fpCol).orderBy("doc_id")
+      .partitionBy(fpCol)
+      .orderBy(col("doc_id"), xxhash64(batch.columns.map(col): _*))
     val self = batch
       .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
       .withColumn("__rn", row_number().over(byFp))
@@ -500,7 +527,15 @@ object Streams {
           Seq.empty[(Int, Long, Long)]
             .toDF("chunk_idx", "chunk", "__sig_store")
       }
-    val hit = chunks.join(store, Seq("chunk_idx", "chunk"))
+    // probe-both window: folded signatures live in the index table
+    val screen = indexTable.map { t =>
+      require(spark.catalog.tableExists(t),
+        s"nearDupIngestBatch: index table $t does not exist — bootstrap " +
+          "it with Dedup.ensureSimhashIndex at pipeline setup")
+      store.union(spark.table(t).select(col("chunk_idx"), col("chunk"),
+        col("simhash").as("__sig_store")))
+    }.getOrElse(store)
+    val hit = chunks.join(screen, Seq("chunk_idx", "chunk"))
       .filter(bit_count(col("simhash").bitwiseXOR(col("__sig_store")))
         .cast("int") <= maxHamming)
       .select("doc_id").distinct()
@@ -518,14 +553,104 @@ object Streams {
     * screen of [[nearDupIngestBatch]].
     */
   def startNearDupIngest(docs: DataFrame, outDir: String, sigDir: String,
-      checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+      checkpoint: String, maxHamming: Int = 3,
+      indexTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        nearDupIngestBatch(b, id, outDir, sigDir, maxHamming)
+        nearDupIngestBatch(b, id, outDir, sigDir, maxHamming, indexTable)
       }
       .start()
+
+  /** The batch_id partitions currently in a store directory, ascending. */
+  private def storeBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong).sorted
+
+  /** Fold the deduped ingest's batch_id-partitioned fingerprint store
+    * into the bucketed [[graft.operators.Dedup.buildFingerprintIndex]]
+    * table form — the maintenance pass that keeps a long-running ingest
+    * from accumulating one tiny store partition per micro-batch (probe
+    * cost otherwise creeps linearly with stream lifetime). Returns the
+    * batch ids folded; the store is left holding ONLY the newest batch
+    * partition, and the ingest keeps probing store ∪ index
+    * ([[dedupIngestBatch]]'s `indexTable`) so the screen set is
+    * unchanged by a fold, at any point of a fold.
+    *
+    * Replay-window safety — why the NEWEST store partition never folds:
+    * Structured Streaming runs batches serially, so at most the latest
+    * batch can be uncommitted (and hence re-delivered after a crash).
+    * [[dedupIngestBatch]] makes a replay ignore the store rows its own
+    * first attempt wrote (`batch_id =!= batchId`) — but it cannot know
+    * which INDEX rows came from itself, so folding a replayable batch's
+    * fingerprints would make its replay screen out its own documents
+    * and overwrite the output partition with nothing (data loss). Every
+    * batch below the store's max is committed, therefore foldable; the
+    * max itself is kept. (The probe-both screen makes keeping it free.)
+    *
+    * Crash-mid-fold idempotence: the append happens before the store
+    * cleanup, and [[graft.operators.Dedup.appendFingerprints]]
+    * anti-joins the index before appending — so a fold that crashed
+    * between the two steps re-runs to the identical end state (the
+    * re-append is a no-op, the cleanup deletes what remains), and the
+    * probe-both screen is correct in the interim (fingerprints
+    * transiently in both store and index screen identically).
+    *
+    * Run it from the ingest's own operational loop (between batches, or
+    * while the stream is paused): the fold deletes store partitions,
+    * and a concurrently-planned ingest screen that already listed those
+    * files would fail that attempt loudly (and recover by replay) — the
+    * single-writer discipline every compaction job shares.
+    */
+  def foldFingerprintStore(spark: SparkSession, fpDir: String,
+      table: String, buckets: Int = 32): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = storeBatchIds(fs, dir)
+    if (parts.size <= 1) return Nil // nothing safely foldable
+    val keep = parts.max
+    val foldable = parts.filter(_ != keep)
+    graft.operators.Dedup.ensureFingerprintIndex(spark, table, buckets)
+    // batch_id < keep partition-prunes the read to exactly the snapshot
+    // taken above: batch ids only grow, so a concurrent stream write
+    // can never land below `keep`
+    graft.operators.Dedup.appendFingerprints(
+      spark.read.parquet(fpDir).filter(col("batch_id") < keep)
+        .select("fp"),
+      table)
+    foldable.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    foldable
+  }
+
+  /** [[foldFingerprintStore]]'s near-dup twin: fold the signature
+    * store's batch partitions into the bucketed
+    * [[graft.operators.Dedup.buildSimhashIndex]] chunk-table form.
+    * Identical newest-partition-kept replay argument and identical
+    * crash-mid-fold idempotence ([[graft.operators.Dedup
+    * .appendSimhashChunks]] anti-joins on doc_id before appending).
+    */
+  def foldSimhashStore(spark: SparkSession, sigDir: String, table: String,
+      portable: Boolean = false, buckets: Int = 32): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = storeBatchIds(fs, dir)
+    if (parts.size <= 1) return Nil
+    val keep = parts.max
+    val foldable = parts.filter(_ != keep)
+    graft.operators.Dedup.ensureSimhashIndex(spark, table, portable, buckets)
+    graft.operators.Dedup.appendSimhashChunks(
+      spark.read.parquet(sigDir).filter(col("batch_id") < keep)
+        .select("doc_id", "simhash", "chunk_idx", "chunk"),
+      table, portable)
+    foldable.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    foldable
+  }
 
   /** T4/T5: start a running-aggregate query into the in-memory table
     * `name` (complete mode) with a checkpoint — stop + restart with the

@@ -638,6 +638,128 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(sig).count() shouldBe 8L
   }
 
+  test("store→index fold: screen unchanged across folds, newest batch kept") {
+    // control run (no index, store accumulates forever) vs a run that
+    // folds after EVERY batch: landed sets must be identical — the
+    // probe-both window means a fold never changes what a batch screens
+    // against, before/during/after any number of folds
+    val (outA, fpA) = (tmp("fold-ctl-out"), tmp("fold-ctl-fp"))
+    val (outB, fpB) = (tmp("fold-out"), tmp("fold-fp"))
+    Seq(outA, fpA, outB, fpB).foreach(d => new java.io.File(d).delete())
+    val idx = "fold_fp_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    graft.operators.Dedup.ensureFingerprintIndex(spark, idx)
+    val rnd = new scala.util.Random(7L)
+    val docs = (1L to 40L).map(i => (i, s"fold corpus text ${rnd.nextInt(12)}"))
+    val batches = rnd.shuffle(docs).grouped(8).toSeq
+    batches.zipWithIndex.foreach { case (b, id) =>
+      Streams.dedupIngestBatch(b.toDF("doc_id", "text"), id.toLong, outA, fpA)
+      Streams.dedupIngestBatch(b.toDF("doc_id", "text"), id.toLong, outB, fpB,
+        Some(idx))
+      Streams.foldFingerprintStore(spark, fpB, idx)
+    }
+    def landed(out: String): Seq[Long] = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    landed(outB) shouldBe landed(outA)
+    // the folded store holds at most ONE batch partition (the newest
+    // that landed survivors — an all-dups batch writes none) — probe
+    // cost is flat in stream lifetime, not linear
+    val parts = new java.io.File(fpB).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted
+    parts.length should be <= 1
+    // screen set preserved exactly: index ∪ store = every landed fp
+    val n = docs.map(_._2).distinct.size.toLong
+    spark.table(idx).union(
+      spark.read.parquet(fpB).select("fp")).distinct().count() shouldBe n
+    // replay of the newest batch (the only replayable one — fold keeps
+    // it unfolded precisely so this converges) changes nothing
+    val last = batches.size - 1
+    Streams.dedupIngestBatch(batches(last).toDF("doc_id", "text"),
+      last.toLong, outB, fpB, Some(idx))
+    landed(outB) shouldBe landed(outA)
+  }
+
+  test("store→index fold: crash between append and cleanup re-runs to the same state") {
+    val (out, fp) = (tmp("fold-crash-out"), tmp("fold-crash-fp"))
+    Seq(out, fp).foreach(d => new java.io.File(d).delete())
+    val idx = "fold_fp_crash_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    graft.operators.Dedup.ensureFingerprintIndex(spark, idx)
+    Seq(
+      Seq((1L, "crash alpha"), (2L, "crash beta")),
+      Seq((3L, "crash gamma"), (4L, "crash alpha")), // 4 dups batch 0's 1
+      Seq((5L, "crash delta"))
+    ).zipWithIndex.foreach { case (b, id) =>
+      Streams.dedupIngestBatch(b.toDF("doc_id", "text"), id.toLong, out, fp,
+        Some(idx))
+    }
+    // the fold's one crash window: append committed, store cleanup not —
+    // reproduce it by running the append step alone (exactly fold step 1)
+    graft.operators.Dedup.appendFingerprints(
+      spark.read.parquet(fp).filter(col("batch_id") < 2).select("fp"), idx)
+    val fpsInIndex = spark.table(idx).count()
+    fpsInIndex shouldBe 3L // alpha, beta, gamma — batch 2's delta unfolded
+    // mid-crash-window the screen still works: a dup of a FOLDED doc is
+    // dropped (its fp is now in both store and index — anti-join agrees)
+    Streams.dedupIngestBatch(
+      Seq((6L, "crash  ALPHA"), (7L, "crash epsilon")).toDF("doc_id", "text"),
+      3L, out, fp, Some(idx))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(1L, 2L, 3L, 5L, 7L)
+    // re-run the fold (the recovery): the re-append is a no-op anti-join,
+    // cleanup completes, and the screen set is unchanged
+    Streams.foldFingerprintStore(spark, fp, idx) should not be empty
+    spark.table(idx).count() shouldBe 4L // + epsilon; alpha/beta/gamma once
+    spark.table(idx).distinct().count() shouldBe 4L
+    val parts = new java.io.File(fp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted
+    parts shouldBe Array("batch_id=3")
+    // and the folded pipeline still screens: replay + a fresh dup batch
+    Streams.dedupIngestBatch(
+      Seq((8L, "crash gamma"), (9L, "crash zeta")).toDF("doc_id", "text"),
+      4L, out, fp, Some(idx))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(1L, 2L, 3L, 5L, 7L, 9L)
+  }
+
+  test("simhash store→index fold: folded signatures keep screening reposts") {
+    val (out, sig) = (tmp("nd-fold-out"), tmp("nd-fold-sig"))
+    Seq(out, sig).foreach(d => new java.io.File(d).delete())
+    val idx = "fold_sig_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    spark.sql(s"DROP TABLE IF EXISTS ${idx}__spec")
+    graft.operators.Dedup.ensureSimhashIndex(spark, idx)
+    Streams.nearDupIngestBatch(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      0L, out, sig, indexTable = Some(idx))
+    Streams.nearDupIngestBatch(
+      Seq((2L, "totally unrelated novel content here")).toDF("doc_id", "text"),
+      1L, out, sig, indexTable = Some(idx))
+    // fold batch 0's signatures into the index; batch 1 (newest) kept
+    Streams.foldSimhashStore(spark, sig, idx) shouldBe Seq(0L)
+    spark.table(idx).select("doc_id").distinct().count() shouldBe 1L
+    val parts = new java.io.File(sig).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted
+    parts shouldBe Array("batch_id=1")
+    // a reworded repost of the FOLDED doc is still screened — the
+    // probe-both window reads its signature from the index now
+    Streams.nearDupIngestBatch(
+      Seq((3L, "delta  gamma beta alpha"), (4L, "fresh distinct material"))
+        .toDF("doc_id", "text"),
+      2L, out, sig, indexTable = Some(idx))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(1L, 2L, 4L)
+    // fold again (idempotence across folds): batch 1 folds, batch 2 kept;
+    // re-folding appends each doc's chunks exactly once
+    Streams.foldSimhashStore(spark, sig, idx) shouldBe Seq(1L)
+    spark.table(idx).groupBy("doc_id").count()
+      .filter(col("count") =!= 4).count() shouldBe 0L
+    Streams.foldSimhashStore(spark, sig, idx) shouldBe Seq.empty
+  }
+
   test("idempotent parquet sink: a replayed batch rewrites, never duplicates") {
     val in = MemoryStream[String]
     val dir = tmp("idem-sink")
