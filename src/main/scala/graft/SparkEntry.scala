@@ -1076,6 +1076,37 @@ object SparkEntry {
       Dedup.probeSimhashIndex(docs.filter(col("doc_id") % 5 === 0), idx,
         portable = true)
         .orderBy("new_id", "corpus_id")
+    }),
+
+    // ---- BPE tokenizer training: 8 byte-pair merges learned on the
+    // corpus word-frequency vocabulary, (count DESC, lhs, rhs) argmax
+    // per round — partition-order independent by the total-order
+    // tie-break. The oracle replays every round as chained CTEs.
+    "q133_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      Bpe.trainMerges(Tables(s, d).documents, numMerges = 8)
+        .map(m => (m.rank, m.lhs, m.rhs)).toDF("rank", "lhs", "rhs")
+        .orderBy("rank")
+    }),
+
+    // ---- token accounting under the trained merges: per-language doc
+    // and token totals — the production replacement for the whitespace
+    // token counts the budget operators (q64/q66/q104) approximate with
+    "q134_bpe_token_stats" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Bpe.tokenStatsByLang(docs, Bpe.trainMerges(docs, numMerges = 8))
+        .orderBy("lang")
+    }),
+
+    // ---- persisted-merges path: train once into a spec-guarded table
+    // (the index-family build/load contract), load, and publish the
+    // learned vocabulary report — top tokens by corpus occurrence count
+    "q135_bpe_vocab" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(tbl))
+        Bpe.buildMergesTable(docs, tbl, numMerges = 8)
+      Bpe.vocabReport(docs, Bpe.loadMerges(s, tbl), topN = 50)
     })
   )
 
@@ -2796,7 +2827,45 @@ object SparkEntry {
               CAST(bit_count(xor(n.simhash, c.simhash)) AS INT) AS hamming
             FROM newb n JOIN corp c USING (chunk_idx, chunk))
           SELECT new_id, corpus_id, hamming FROM pr
-          WHERE hamming <= 3 ORDER BY new_id, corpus_id"""
+          WHERE hamming <= 3 ORDER BY new_id, corpus_id""",
+
+    // full replay of the BPE training loop: one CTE stage per merge
+    // round (pair-count aggregate, total-order argmax, one padded-
+    // string replace), same chained-round pattern as the k-means and
+    // PageRank oracles
+    "q133_bpe_train" ->
+      s"""${bpeTrainCtes(8)}
+          ${(1 to 8).map(k =>
+            s"SELECT $k AS rank, lhs, rhs FROM merge_$k")
+            .mkString(" UNION ALL ")}
+          ORDER BY rank""",
+
+    "q134_bpe_token_stats" ->
+      s"""${bpeTrainCtes(8)},
+          wtc AS (
+            SELECT word, len(string_split(trim(rep), '  ')) AS tc
+            FROM vocab_8),
+          docwords AS (
+            SELECT lang,
+              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents),
+          tok AS (
+            SELECT d.lang, CAST(sum(w.tc) AS BIGINT) AS sum_tokens
+            FROM docwords d JOIN wtc w USING (word) GROUP BY d.lang),
+          nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY lang)
+          SELECT lang, n_docs, sum_tokens,
+            round(CAST(sum_tokens AS DOUBLE) / n_docs, 4) AS avg_tokens
+          FROM tok JOIN nd USING (lang) ORDER BY lang""",
+
+    // the persisted-table path promises the same answer as retraining:
+    // replay training, apply to the vocabulary, weight by word freq
+    "q135_bpe_vocab" ->
+      s"""${bpeTrainCtes(8)}
+          SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS total_count
+          FROM (SELECT unnest(string_split(trim(rep), '  ')) AS tok, freq
+                FROM vocab_8)
+          GROUP BY tok ORDER BY total_count DESC, token LIMIT 50"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs
@@ -3023,6 +3092,44 @@ object SparkEntry {
     * so all `iters` rounds stay in lockstep and the final (cluster,
     * dist2) assignment hash-matches.
     */
+  /** DuckDB replay of [[graft.operators.Bpe.trainMerges]]: `vocab_0` is
+    * the `[a-z]+` word-frequency vocabulary with each word in the padded
+    * representation `" h  e  l  l  o "`; each round k aggregates
+    * adjacent-pair counts, takes the (count DESC, lhs, rhs) argmax into
+    * one-row `merge_k`, and rewrites `vocab_k` with the single plain
+    * `replace` that — thanks to every token owning its own padding —
+    * equals BPE's leftmost-greedy merge-all pass (see Bpe.scala's
+    * determinism contract). Produces CTEs `vocab_0..vocab_n` and
+    * `merge_1..merge_n` for the caller's SELECT.
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s"""pairs_$k AS (
+            SELECT t[i] AS lhs, t[i + 1] AS rhs, sum(freq) AS cnt
+            FROM (SELECT unnest(generate_series(1, len(t) - 1)) AS i,
+                    t, freq
+                  FROM (SELECT string_split(trim(rep), '  ') AS t, freq
+                        FROM vocab_${k - 1}))
+            GROUP BY lhs, rhs),
+          merge_$k AS (
+            SELECT lhs, rhs FROM pairs_$k
+            ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+          vocab_$k AS (
+            SELECT word, freq,
+              replace(rep, ' ' || lhs || '  ' || rhs || ' ',
+                      ' ' || lhs || rhs || ' ') AS rep
+            FROM vocab_${k - 1} CROSS JOIN merge_$k)"""
+    }.mkString(",\n")
+    s"""WITH vocab_0 AS (
+          SELECT word, count(*) AS freq,
+            regexp_replace(word, '(.)', ' \\1 ', 'g') AS rep
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS word
+                FROM documents)
+          GROUP BY word),
+        $rounds"""
+  }
+
   private def kMeansOracle(k: Int, iters: Int): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (

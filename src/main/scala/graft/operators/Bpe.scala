@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-merge (BPE) tokenizer: train a merge list on
+  * the corpus's word-frequency vocabulary, persist it like the other
+  * index artifacts, and apply it as a pure column-expression chain — the
+  * production token-accounting path the budget operators (token packing,
+  * budget select, token quantiles) approximate with whitespace counts.
+  * Classic BPE (Sennrich et al., ACL 2016; public knowledge): start from
+  * characters, repeatedly merge the most frequent adjacent symbol pair.
+  *
+  * Determinism contract (what makes this oracle-able cross-engine):
+  *   - the vocabulary is lowercase `[a-z]+` words, so symbols are ASCII
+  *     and binary string comparison orders identically everywhere;
+  *   - each round's winning pair is argmax by (count DESC, lhs ASC,
+  *     rhs ASC) — a total order, so ties never depend on partitioning;
+  *   - a word's token sequence is carried as a padded string: every
+  *     token wrapped in single spaces and concatenated, e.g. "hello" →
+  *     `" h  e  l  l  o "` (adjacent wraps meet as DOUBLE spaces).
+  *     Merging pair (x, y) is then the plain string replacement
+  *     `" x  y "` → `" xy "`. Because each token owns its padding on
+  *     both sides, one left-to-right non-overlapping replacement pass
+  *     (the semantics of `replace` in Spark, DuckDB, and Java alike)
+  *     consumes exactly wrap(x)+wrap(y) and leaves the neighbours'
+  *     padding intact — so a single pass equals BPE's merge-all-
+  *     occurrences-leftmost rule even on runs like "aaaa" (verified
+  *     against a token-list reference in BpeSpec). A merge list then
+  *     applies as a left fold of plain `replace` calls: no loop, no
+  *     UDF, whole-stage-codegen friendly, and replayable verbatim in
+  *     the DuckDB oracle.
+  *
+  * Order-of-application soundness: applying merges rank-by-rank, each
+  * exhaustively, equals priority-queue BPE application because merging
+  * never creates a NEW adjacency of two previously-existing tokens — a
+  * merge only introduces pairs involving its freshly created symbol, so
+  * once rank k is exhausted it can never reapply.
+  *
+  * 100-TB shape: training is one word-count shuffle over the corpus
+  * (the same pass every word-level operator pays) followed by
+  * `numMerges` rounds of a pair-count aggregate over the VOCABULARY —
+  * distinct words only, orders of magnitude smaller than the corpus and
+  * shrinking as merges collapse it. The merge list itself is bounded
+  * driver state (`numMerges` rows, like k-means centroids). Application
+  * is a per-distinct-word expression chain followed by a word-keyed
+  * join, never a per-occurrence recompute.
+  */
+object Bpe {
+
+  /** One trained merge: at `rank`, symbol pair (`lhs`,`rhs`) → lhs+rhs. */
+  final case class Merge(rank: Int, lhs: String, rhs: String)
+
+  /** Lowercase `[a-z]+` word-frequency vocabulary of `textCol` — the
+    * training corpus summary (one shuffle over the documents).
+    */
+  def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** The padded character representation `" h  e  l  l  o "` (each
+    * symbol wrapped in single spaces; see the class doc for why).
+    */
+  def padded(word: Column): Column =
+    regexp_replace(word, "(.)", " $1 ")
+
+  /** Apply one merge to a padded representation: a single plain
+    * replacement pass — exactly BPE's leftmost-greedy merge-all.
+    */
+  private def applyOne(rep: Column, m: Merge): Column =
+    replace(rep, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
+
+  /** The padded representation of `word` after the whole merge list —
+    * a left fold of plain `replace` calls (codegen'd, no UDF).
+    */
+  def appliedRep(word: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(padded(word))(applyOne)
+
+  /** The token array of `word` under `merges`. */
+  def tokens(word: Column, merges: Seq[Merge]): Column =
+    split(trim(appliedRep(word, merges)), "  ")
+
+  /** The token COUNT of `word` under `merges`. */
+  def tokenCount(word: Column, merges: Seq[Merge]): Column =
+    size(tokens(word, merges))
+
+  /** Train `numMerges` merges on the corpus. Each round aggregates
+    * adjacent-pair counts over the current vocabulary, picks the
+    * (count DESC, lhs, rhs) argmax — one row of driver state — and
+    * rewrites the vocabulary representations with one `replace`.
+    * Rounds persist their vocabulary and drop the previous one, so the
+    * lineage stays one round deep. Stops early if the vocabulary is
+    * fully merged (no adjacent pairs left).
+    */
+  def trainMerges(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): Seq[Merge] = {
+    require(numMerges >= 1, s"trainMerges: numMerges must be >= 1, got $numMerges")
+    val out = scala.collection.mutable.ArrayBuffer[Merge]()
+    var vocab = wordVocab(docs, textCol)
+      .withColumn("rep", padded(col("word"))).persist()
+    try {
+      var k = 1
+      var exhausted = false
+      while (k <= numMerges && !exhausted) {
+        // rep → token list → adjacent pairs, weighted by word frequency;
+        // argmax with a total-order tie-break = one bounded driver row
+        val top = vocab
+          .selectExpr("freq", "split(trim(rep), '  ') AS t")
+          .where(size(col("t")) >= 2)
+          .selectExpr("freq",
+            "explode(transform(slice(t, 1, size(t) - 1), " +
+              "(x, i) -> struct(x AS lhs, t[i + 1] AS rhs))) AS p")
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val m = Merge(k, top(0).getString(0), top(0).getString(1))
+          out += m
+          val next = vocab.withColumn("rep", applyOne(col("rep"), m)).persist()
+          next.count() // materialize before releasing the parent round
+          vocab.unpersist()
+          vocab = next
+          k += 1
+        }
+      }
+    } finally vocab.unpersist()
+    out.toSeq
+  }
+
+  /** Persist a trained merge list as a managed table (rank, lhs, rhs)
+    * with the shared [[graft.sources.IndexSpec]] parameter guard (spec
+    * written FIRST — the family-wide ordering contract). Like the other
+    * index families: build once, [[loadMerges]] many.
+    */
+  def buildMergesTable(docs: DataFrame, table: String, numMerges: Int,
+      textCol: String = "text"): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = trainMerges(docs, numMerges, textCol)
+    graft.sources.IndexSpec.write(
+      Seq((numMerges, merges.size)).toDF("num_merges", "trained_merges"),
+      table)
+    graft.sources.Sinks.saveTable(
+      merges.map(m => (m.rank, m.lhs, m.rhs)).toDF("rank", "lhs", "rhs"),
+      table)
+    merges
+  }
+
+  /** Load a persisted merge list, spec-guarded: a table whose spec is
+    * missing (half-built) or whose row count disagrees with the spec
+    * throws instead of silently tokenizing with a truncated merge list
+    * — the same loud-failure contract as the dedup index probes.
+    */
+  def loadMerges(spark: SparkSession, table: String): Seq[Merge] = {
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val expected = spec.getAs[Int]("trained_merges")
+    // bounded driver state: numMerges rows, centroid-sized
+    val rows = spark.table(table)
+      .orderBy("rank")
+      .collect()
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs")))
+    require(rows.length == expected,
+      s"loadMerges: $table holds ${rows.length} merges but its spec " +
+        s"says $expected — partial write; rebuild with buildMergesTable")
+    rows.toSeq
+  }
+
+  /** Per-language token accounting under a merge list: (lang, n_docs,
+    * sum_tokens, avg_tokens). Token counts are computed once per
+    * DISTINCT word and joined back to the exploded word stream — the
+    * expression chain runs |vocab| times, not |corpus| times.
+    */
+  def tokenStatsByLang(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val wtc = wordVocab(docs).select(col("word"),
+      tokenCount(col("word"), merges).as("tc"))
+    val docWords = docs.select(col("lang"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+    val sums = docWords.join(wtc, Seq("word"))
+      .groupBy("lang").agg(sum("tc").as("sum_tokens"))
+    val nDocs = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    sums.join(nDocs, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens"))
+  }
+
+  /** The learned vocabulary report: every surviving token with its
+    * total corpus occurrence count, heaviest first — what a tokenizer
+    * card publishes. Weighted by word frequency so the sum over tokens
+    * equals the corpus token count.
+    */
+  def vocabReport(docs: DataFrame, merges: Seq[Merge], topN: Int): DataFrame =
+    wordVocab(docs)
+      .select(explode(tokens(col("word"), merges)).as("token"), col("freq"))
+      .groupBy("token").agg(sum("freq").as("total_count"))
+      .orderBy(col("total_count").desc, col("token"))
+      .limit(topN)
+}

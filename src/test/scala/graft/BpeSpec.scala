@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE apply over explicit token lists: rank order, each
+    * merge exhaustively, all-occurrences leftmost-greedy — the textbook
+    * semantics the padded-string replace chain must reproduce.
+    */
+  private def refApply(word: String, merges: Seq[Merge]): Seq[String] = {
+    var toks: List[String] = word.map(_.toString).toList
+    merges.sortBy(_.rank).foreach { m =>
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == m.lhs && toks(i + 1) == m.rhs) {
+          out += m.lhs + m.rhs; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      toks = out.toList
+    }
+    toks
+  }
+
+  test("padded-replace apply equals reference BPE on pathological runs") {
+    val merges = Seq(Merge(1, "a", "a"), Merge(2, "aa", "aa"),
+      Merge(3, "aa", "b"), Merge(4, "b", "a"))
+    val words = (1 to 8).map("a" * _) ++
+      Seq("aab", "abab", "baaa", "aabaa", "bbbaab", "ababab", "aaabaaab")
+    val got = words.toDF("word")
+      .select(col("word"), Bpe.tokens(col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      got(w) shouldBe refApply(w, merges)
+    }
+  }
+
+  test("training matches the textbook example, any partitioning") {
+    // Sennrich's worked example: low x5, lower x2, newest x6, widest x3
+    // round 1: (e,s) and (s,t) tie at 9 -> lex tie-break picks (e,s)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val expected = Seq(Merge(1, "e", "s"), Merge(2, "es", "t"),
+      Merge(3, "l", "o"), Merge(4, "lo", "w"))
+    Seq(1, 7).foreach { parts =>
+      val docs = words.toDF("text").repartition(parts)
+      Bpe.trainMerges(docs, numMerges = 4) shouldBe expected
+    }
+  }
+
+  test("tokens concatenate back to the word (merges never lose chars)") {
+    val docs = tables.documents
+    val merges = Bpe.trainMerges(docs, numMerges = 6)
+    merges should have size 6
+    val bad = Bpe.wordVocab(docs)
+      .select(col("word"), Bpe.tokens(col("word"), merges).as("toks"))
+      .where(concat_ws("", col("toks")) =!= col("word"))
+      .count()
+    bad shouldBe 0L
+  }
+
+  test("early stop when the vocabulary is fully merged") {
+    val docs = Seq("ab ab ab").toDF("text")
+    // "ab" fully merges in one round; further rounds find no pairs
+    Bpe.trainMerges(docs, numMerges = 5) shouldBe Seq(Merge(1, "a", "b"))
+  }
+
+  test("persisted merges round-trip; missing spec fails loudly") {
+    val tbl = s"bpe_spec_test_${System.nanoTime()}"
+    val docs = tables.documents
+    val trained = Bpe.buildMergesTable(docs, tbl, numMerges = 5)
+    Bpe.loadMerges(spark, tbl) shouldBe trained
+    // half-built index (spec lost): probe must throw, never default
+    spark.sql(s"DROP TABLE ${graft.sources.IndexSpec.specTable(tbl)}")
+    an[IllegalStateException] should be thrownBy Bpe.loadMerges(spark, tbl)
+  }
+
+  test("token accounting: bounded by chars, at least one per word") {
+    val docs = tables.documents
+    val merges = Bpe.trainMerges(docs, numMerges = 8)
+    val stats = Bpe.tokenStatsByLang(docs, merges).collect()
+    stats.length should be > 0
+    val words = Bpe.wordVocab(docs)
+      .agg(sum(col("freq")).as("n"),
+        sum(expr("freq * length(word)")).as("chars"))
+      .head()
+    val totalTokens = stats.map(_.getAs[Long]("sum_tokens")).sum
+    totalTokens should be >= words.getAs[Long]("n") // >= one per word
+    totalTokens should be < words.getAs[Long]("chars") // merges bite
+  }
+
+  test("vocab report conserves corpus token mass") {
+    val docs = tables.documents
+    val merges = Bpe.trainMerges(docs, numMerges = 4)
+    // over the FULL vocabulary (no topN cut), token mass == corpus tokens
+    val full = Bpe.wordVocab(docs)
+      .select(explode(Bpe.tokens(col("word"), merges)).as("token"),
+        col("freq"))
+      .agg(sum("freq")).head().getLong(0)
+    val direct = Bpe.wordVocab(docs)
+      .agg(sum(Bpe.tokenCount(col("word"), merges).cast("long") *
+        col("freq"))).head().getLong(0)
+    full shouldBe direct
+  }
+}
