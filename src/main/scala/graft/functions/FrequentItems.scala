@@ -26,18 +26,11 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class FrequentItemsAgg(k: Int)
     extends Aggregator[String, (Map[String, Long], Long),
-      (Seq[String], Long)] {
+      (Seq[(String, Long)], Long)] {
   require(k >= 1, s"FrequentItemsAgg: k must be >= 1, got $k")
 
-  /** Subtract the (k+1)-th largest count from every entry, keep the
-    * strictly positive — at most k survive.
-    */
   private def compress(m: Map[String, Long]): Map[String, Long] =
-    if (m.size <= k) m
-    else {
-      val cut = m.values.toSeq.sortBy(-_).apply(k)
-      m.collect { case (v, c) if c > cut => v -> (c - cut) }
-    }
+    FrequentItemsAgg.compress(m, k)
 
   override def zero: (Map[String, Long], Long) = (Map.empty, 0L)
 
@@ -55,11 +48,34 @@ class FrequentItemsAgg(k: Int)
     (compress(combined), x._2 + y._2)
   }
 
-  override def finish(r: (Map[String, Long], Long)): (Seq[String], Long) =
-    (r._1.keys.toSeq.sorted, r._2)
+  /** Entries WITH their residual counts (value-sorted for determinism
+    * of the encoding — the counts themselves are partition-order
+    * dependent; see the class doc): callers wanting only candidates
+    * take `_1.map(_._1)`, callers merging summaries across batches
+    * (the streaming heavy-hitter state) need the counts to keep the
+    * merged under-count bounded.
+    */
+  override def finish(r: (Map[String, Long], Long)): (Seq[(String, Long)], Long) =
+    (r._1.toSeq.sortBy(_._1), r._2)
 
   override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
     ExpressionEncoder[(Map[String, Long], Long)]()
-  override def outputEncoder: Encoder[(Seq[String], Long)] =
-    ExpressionEncoder[(Seq[String], Long)]()
+  override def outputEncoder: Encoder[(Seq[(String, Long)], Long)] =
+    ExpressionEncoder[(Seq[(String, Long)], Long)]()
+}
+
+object FrequentItemsAgg {
+  /** The Misra–Gries compress: subtract the (k+1)-th largest count from
+    * every entry, keep the strictly positive — at most k survive, and
+    * total destroyed mass is ≥ cut·(k+1), which is what bounds the
+    * per-value under-count by N/(k+1). Shared by the per-partition
+    * aggregate above and the cross-batch streaming merge
+    * ([[graft.streaming.Streams.mergedHeavyHitters]]).
+    */
+  def compress(m: Map[String, Long], k: Int): Map[String, Long] =
+    if (m.size <= k) m
+    else {
+      val cut = m.values.toSeq.sortBy(-_).apply(k)
+      m.collect { case (v, c) if c > cut => v -> (c - cut) }
+    }
 }

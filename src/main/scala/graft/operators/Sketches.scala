@@ -111,14 +111,23 @@ object Sketches {
     val row = df.select(col(colName).cast("string").as("v"))
       .filter(col("v").isNotNull)
       .agg(agg(col("v")).as("s"))
-      .selectExpr("s._1 AS candidates", "s._2 AS n").head()
+      .selectExpr("s._1._1 AS candidates", "s._2 AS n").head()
     val candidates = row.getSeq[String](0)
     val n = row.getLong(1)
-    val threshold = math.ceil(minShare * n).toLong
+    exactRecount(df, colName, candidates, math.ceil(minShare * n).toLong)
+  }
+
+  /** The exact second pass shared by the batch and streaming heavy
+    * hitters: recount ONLY the proposed candidates (a broadcastable
+    * `isin`, never a distinct-key shuffle) and keep those at or above
+    * `threshold`. With candidates from a Misra–Gries pass at
+    * k ≥ 1/minShare the recall guarantee makes this the exact answer.
+    */
+  def exactRecount(df: DataFrame, colName: String,
+      candidates: Seq[String], threshold: Long): DataFrame =
     df.select(col(colName).cast("string").as("value"))
       .filter(col("value").isin(candidates: _*))
       .groupBy("value")
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= threshold)
-  }
 }

@@ -652,6 +652,83 @@ object Streams {
     foldable
   }
 
+  /** One micro-batch of the streaming heavy-hitter summary: compute the
+    * batch's Misra–Gries summary (bounded 2k buffers, no distinct-key
+    * shuffle — [[graft.functions.FrequentItemsAgg]]) and land its ≤ 2k
+    * (value, cnt) rows plus one (NULL, n) total row in the batch's own
+    * `batch_id=N` partition of `storeDir` — the same dynamic-partition-
+    * overwrite recipe as the ingest stores, so an at-least-once replay
+    * rewrites its own partition instead of double counting, and the
+    * store is a per-batch summary log that merges associatively
+    * ([[mergedHeavyHitters]]). Growth is ≤ 2k+1 tiny rows per batch;
+    * the store→fold discipline of [[foldFingerprintStore]] applies
+    * unchanged when batch count warrants it.
+    */
+  def heavyHitterBatch(batch: DataFrame, batchId: Long, colName: String,
+      k: Int, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val agg = udaf(new graft.functions.FrequentItemsAgg(k))
+    val s = batch.select(col(colName).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .agg(agg(col("v")).as("s"))
+      .selectExpr("s._1 AS entries", "s._2 AS n").head()
+    val entries = s.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = s.getLong(1)
+    val rows = entries.map { case (v, c) => (Option(v), c) } :+
+      (Option.empty[String], n) // NULL value row carries the batch total
+    writeBatchIdempotent(rows.toDF("value", "cnt"), batchId, storeDir)
+  }
+
+  /** Streaming heavy hitters: per micro-batch Misra–Gries summaries into
+    * a compact state store — the per-crawl "what's trending" companion
+    * to the deduped ingest. Candidates come out of
+    * [[mergedHeavyHitters]] whenever asked; nothing rescans history.
+    */
+  def startHeavyHitterStream(df: DataFrame, colName: String, k: Int,
+      storeDir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        heavyHitterBatch(b, id, colName, k, storeDir)
+      }
+      .start()
+
+  /** Merge the per-batch summary store into the stream-lifetime heavy
+    * hitters: entrywise count sums (one tiny aggregate over ≤ 2k+1 rows
+    * per batch), a final Misra–Gries compress to k, then the exact
+    * recount of the ≤ k candidates over `recountOver` at threshold
+    * ⌈minShare·N⌉ — identical in shape to the batch
+    * [[graft.operators.Sketches.heavyHitters]], and identical in ANSWER
+    * for k = ⌈1/minShare⌉ under ANY batch split: each batch's summary
+    * under-counts a value by ≤ n_b/(k+1), the sums under-count by
+    * ≤ N/(k+1) < ⌈minShare·N⌉, and the final compress preserves the
+    * bound (the mergeable-summaries argument, Agarwal et al. 2013), so
+    * every true heavy hitter survives into the recount and the recount
+    * discards everything else. Tested against the batch operator under
+    * an adversarial split in StreamingSpec.
+    */
+  def mergedHeavyHitters(spark: SparkSession, storeDir: String, k: Int,
+      recountOver: DataFrame, colName: String,
+      minShare: Double): DataFrame = {
+    // bounded driver state: ≤ 2k distinct values per batch partition,
+    // summed down to one row per distinct surviving value
+    val summed = spark.read.parquet(storeDir)
+      .groupBy("value").agg(sum("cnt").as("cnt"))
+      .collect()
+    val n = summed.collectFirst {
+      case r if r.isNullAt(0) => r.getLong(1)
+    }.getOrElse(0L)
+    val merged = graft.functions.FrequentItemsAgg.compress(
+      summed.collect { case r if !r.isNullAt(0) =>
+        r.getString(0) -> r.getLong(1)
+      }.toMap, k)
+    graft.operators.Sketches.exactRecount(recountOver, colName,
+      merged.keys.toSeq, math.ceil(minShare * n).toLong)
+  }
+
   /** T4/T5: start a running-aggregate query into the in-memory table
     * `name` (complete mode) with a checkpoint — stop + restart with the
     * same checkpoint resumes the state exactly (tested in StreamingSpec).

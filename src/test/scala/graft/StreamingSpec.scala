@@ -760,6 +760,74 @@ class StreamingSpec extends SparkSpec {
     Streams.foldSimhashStore(spark, sig, idx) shouldBe Seq.empty
   }
 
+  test("streaming heavy hitters ≡ batch operator under adversarial splits") {
+    import graft.operators.{Sketches, TextAnalysis}
+    val toks = tables.documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val expected = rowSet(Sketches.heavyHitters(toks, "tok", 1.0 / 128))
+    expected should not be empty
+    val all = toks.as[String].collect().toSeq
+    val width = math.max(1, all.length / 7)
+    val splits = Map(
+      // sorted: each value's whole mass hits ONE batch (maximally
+      // skewed per-batch summaries), random: a seeded shuffle
+      "sorted" -> all.sorted.grouped(width).toSeq,
+      "random" -> new scala.util.Random(42).shuffle(all).grouped(width).toSeq)
+    splits.foreach { case (name, batches) =>
+      val store = tmp(s"hh-$name"); new java.io.File(store).delete()
+      batches.zipWithIndex.foreach { case (b, id) =>
+        Streams.heavyHitterBatch(b.toDF("tok"), id.toLong, "tok", 128, store)
+      }
+      def merged() = rowSet(Streams.mergedHeavyHitters(
+        spark, store, 128, toks, "tok", 1.0 / 128))
+      withClue(s"$name split: ") { merged() shouldBe expected }
+      // engine re-delivery of a committed batch: its partition rewrites,
+      // counts must not double
+      Streams.heavyHitterBatch(batches(1).toDF("tok"), 1L, "tok", 128, store)
+      withClue(s"$name split replayed: ") { merged() shouldBe expected }
+    }
+  }
+
+  test("streaming heavy hitters: compress-heavy small-k merge stays exact") {
+    import graft.operators.Sketches
+    // skewed synthetic stream where k=8 summaries compress constantly:
+    // 500 a's + 300 b's + 120 c's + 200 distinct noise singletons;
+    // threshold ceil(1120/8)=140 -> exactly {a, b} qualify, c misses
+    val heavy = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(120)("c")
+    val noise = (0 until 200).map(i => f"noise$i%03d")
+    val all = new scala.util.Random(7).shuffle(heavy ++ noise)
+    val full = all.toDF("v")
+    val expected = rowSet(Sketches.heavyHitters(full, "v", 1.0 / 8))
+    expected.map(_.head) shouldBe Set("a", "b")
+    // adversarial: all noise up front, the heavy mass arriving last
+    val ordered = noise ++ heavy
+    val store = tmp("hh-smallk"); new java.io.File(store).delete()
+    ordered.grouped(160).zipWithIndex.foreach { case (b, id) =>
+      Streams.heavyHitterBatch(b.toDF("v"), id.toLong, "v", 8, store)
+    }
+    rowSet(Streams.mergedHeavyHitters(spark, store, 8, full, "v", 1.0 / 8)
+      ) shouldBe expected
+  }
+
+  test("streaming heavy hitters: live stream end to end") {
+    import graft.operators.Sketches
+    val (store, ckpt) = (tmp("hh-live"), tmp("hh-live-ckpt"))
+    new java.io.File(store).delete()
+    val in = MemoryStream[String]
+    val q = Streams.startHeavyHitterStream(in.toDF().toDF("v"), "v", 4,
+      store, ckpt)
+    try {
+      in.addData(Seq.fill(30)("x") ++ Seq.fill(5)("y"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(20)("z") ++ Seq.fill(15)("x"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = (Seq.fill(45)("x") ++ Seq.fill(5)("y") ++ Seq.fill(20)("z"))
+      .toDF("v")
+    rowSet(Streams.mergedHeavyHitters(spark, store, 4, full, "v", 1.0 / 4)
+      ) shouldBe rowSet(Sketches.heavyHitters(full, "v", 1.0 / 4))
+  }
+
   test("idempotent parquet sink: a replayed batch rewrites, never duplicates") {
     val in = MemoryStream[String]
     val dir = tmp("idem-sink")
