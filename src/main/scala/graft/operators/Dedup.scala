@@ -397,6 +397,58 @@ object Dedup {
       sortBy = Seq("band_idx", "band_hash"))
   }
 
+  /** The (doc_id, band_idx, band_hash) band-bucket relation of a
+    * document frame, public for callers that manage their own band
+    * stores — the streaming minhash-tier ingest writes exactly these
+    * rows to its batch-partitioned store (the [[simhashChunkTable]]
+    * analogue for the MinHash family).
+    */
+  def bandBucketTable(documents: DataFrame, ngram: Int = 3, k: Int = 64,
+      bands: Int = 16): DataFrame =
+    bandBuckets(spread(documents), ngram, k, bands)
+
+  /** Create an EMPTY near-dup band index table (spec first, per the
+    * IndexSpec ordering contract) if absent — the bootstrap twin of
+    * [[ensureFingerprintIndex]]/[[ensureSimhashIndex]] for pipelines
+    * that probe the index from day one. No-op when the table exists.
+    */
+  def ensureNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ngram: Int = 3, k: Int = 64, bands: Int = 16,
+      buckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import spark.implicits._
+      graft.sources.IndexSpec.write(
+        Seq((ngram, k, bands, buckets))
+          .toDF("ngram", "k", "bands", "buckets"), table)
+      graft.sources.Sinks.saveTablePartitioned(
+        Seq.empty[(Long, Int, Long)]
+          .toDF("doc_id", "band_idx", "band_hash"),
+        table, bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
+        sortBy = Seq("band_idx", "band_hash"))
+    }
+
+  /** [[appendNearDupIndex]] for rows that are ALREADY band rows
+    * (doc_id, band_idx, band_hash) — the store→index fold path, where
+    * the streaming ingest's band store holds the hashes and re-shingling
+    * the text would defeat the store's purpose. Anti-joins on doc_id
+    * against the index first, so a crashed-and-rerun fold appends
+    * nothing the second time — fold idempotence. The spec parameters
+    * assert the ROWS were signed with the index's settings (band hashes
+    * are opaque; the caller owns that invariant, which is why the fold
+    * reads them off the same spec-guarded family).
+    */
+  def appendBandRows(rows: DataFrame, table: String, ngram: Int = 3,
+      k: Int = 64, bands: Int = 16): Unit = {
+    val spark = rows.sparkSession
+    val buckets = requireNearDupSpec(spark, table, ngram, k, bands)
+    val fresh = rows.select("doc_id", "band_idx", "band_hash")
+      .join(spark.table(table).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    graft.sources.Sinks.appendTablePartitioned(fresh, table,
+      bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
+      sortBy = Seq("band_idx", "band_hash"))
+  }
+
   /** Probe a persisted near-dup index built by [[buildNearDupIndex]] over
     * `corpus`: (new_id, corpus_id, jaccard) pairs where a new-batch doc is
     * a near-duplicate of an existing corpus doc — result-identical to

@@ -410,28 +410,37 @@ object Streams {
     * [[graft.operators.Dedup.ensureFingerprintIndex]]) so a mistyped
     * name fails loudly instead of silently skipping the index screen.
     */
+  /** The in-batch self-dedup shared by every ingest tier: lowest doc_id
+    * per normalized fingerprint (the [[graft.operators.Dedup.exactDedup]]
+    * convention), inlined schema-agnostically so any doc_id+text frame
+    * streams in. The xxhash64 over the full row breaks doc_id ties
+    * DETERMINISTICALLY: the survivors plan is executed twice (outDir
+    * write, store write) and again on replay, and a tie resolved
+    * differently across those jobs would land a payload that doesn't
+    * correspond to the one whose attempt crashed. (Residual: two rows
+    * with equal doc_id AND a 64-bit hash collision on different payloads
+    * could still flip — accepted.) Returns the input columns plus
+    * `fpCol`.
+    */
+  private def selfDedupBatch(batch: DataFrame, fpCol: String,
+      caller: String): DataFrame = {
+    require(!batch.columns.contains(fpCol),
+      s"$caller: input must not already have a $fpCol column")
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(fpCol)
+      .orderBy(col("doc_id"), xxhash64(batch.columns.map(col): _*))
+    batch
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(byFp))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   def dedupIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
       fpDir: String, indexTable: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val fpCol = "__fp_ingest"
-    require(!batch.columns.contains(fpCol),
-      s"dedupIngestBatch: input must not already have a $fpCol column")
-    // in-batch self-dedup, schema-agnostic (any frame with doc_id+text):
-    // lowest doc_id per normalized fingerprint, the exactDedup convention.
-    // The xxhash64 over the full row breaks doc_id ties DETERMINISTICALLY:
-    // the survivors plan is executed twice (outDir write, fp-store write)
-    // and again on replay, and a tie resolved differently across those
-    // jobs would land a payload that doesn't correspond to the one whose
-    // attempt crashed. (Residual: two rows with equal doc_id AND a 64-bit
-    // hash collision on different payloads could still flip — accepted.)
-    val byFp = org.apache.spark.sql.expressions.Window
-      .partitionBy(fpCol)
-      .orderBy(col("doc_id"), xxhash64(batch.columns.map(col): _*))
-    val self = batch
-      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
-      .withColumn("__rn", row_number().over(byFp))
-      .filter(col("__rn") === 1).drop("__rn")
+    val self = selfDedupBatch(batch, fpCol, "dedupIngestBatch")
     val store =
       try spark.read.parquet(fpDir)
         .filter(col("batch_id") =!= batchId)
@@ -504,16 +513,7 @@ object Streams {
       indexTable: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val fpCol = "__fp_ingest"
-    require(!batch.columns.contains(fpCol),
-      s"nearDupIngestBatch: input must not already have a $fpCol column")
-    // same deterministic tie-break as [[dedupIngestBatch]]'s window
-    val byFp = org.apache.spark.sql.expressions.Window
-      .partitionBy(fpCol)
-      .orderBy(col("doc_id"), xxhash64(batch.columns.map(col): _*))
-    val self = batch
-      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
-      .withColumn("__rn", row_number().over(byFp))
-      .filter(col("__rn") === 1).drop("__rn", fpCol)
+    val self = selfDedupBatch(batch, fpCol, "nearDupIngestBatch").drop(fpCol)
     val chunks = graft.operators.Dedup.simhashChunkTable(self)
     val store =
       try spark.read.parquet(sigDir)
@@ -560,6 +560,130 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         nearDupIngestBatch(b, id, outDir, sigDir, maxHamming, indexTable)
+      }
+      .start()
+
+  /** The MINHASH-tier sibling of [[nearDupIngestBatch]]: the screen is
+    * the banded MinHash candidate join of
+    * [[graft.operators.Dedup.probeNearDupIndex]] (band collision →
+    * exact-Jaccard verify at `threshold`) against a batch_id-partitioned
+    * BAND store — so a PARAPHRASED repost at Jaccard ≈ 0.7 is dropped,
+    * not just the high-similarity rewrites the simhash tier's
+    * Hamming ≤ 3 admits. Same idempotent-per-batch recipe: store and
+    * landed-output reads exclude the batch's own prior attempt,
+    * survivors land via dynamic partition overwrite, then ONLY
+    * survivors' band rows overwrite the store's batch partition.
+    *
+    * Recall/cost tiering (pick per pipeline, or cascade both):
+    *   - simhash tier ([[nearDupIngestBatch]]): 4 chunk rows/doc,
+    *     equality join + signature XOR, ZERO text reads at probe time —
+    *     catches near-identical rewrites (Hamming ≤ 3 ≈ similarity
+    *     ≥ ~0.95) and misses paraphrases;
+    *   - minhash tier (this): `bands` rows/doc, band join + an
+    *     exact-Jaccard verify that re-reads the text of MATCHED PRIOR
+    *     docs only (a candidate-scale slice of the landed output /
+    *     index corpus) — catches paraphrase-level dups down to the
+    *     banding threshold, at the cost of those verify reads.
+    *
+    * The verify needs prior-doc text: store-window hits read it from
+    * `outDir`'s earlier partitions (survivors' text lands there by
+    * construction); index hits read it from the `indexCorpus._2` frame —
+    * the documents backing the `indexCorpus._1` table (the
+    * [[graft.operators.Dedup.probeNearDupIndex]] contract). The fold
+    * discipline is [[foldBandStore]], probing BOTH until the next fold.
+    */
+  def minhashIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
+      bandDir: String, indexCorpus: Option[(String, DataFrame)] = None,
+      threshold: Double = 0.7, ngram: Int = 3, k: Int = 64,
+      bands: Int = 16, maxBucket: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fpCol = "__fp_ingest"
+    val self = selfDedupBatch(batch, fpCol, "minhashIngestBatch").drop(fpCol)
+    val myBands = graft.operators.Dedup.bandBucketTable(self, ngram, k, bands)
+    def emptyBands = Seq.empty[(Long, Int, Long)]
+      .toDF("doc_id", "band_idx", "band_hash")
+    val storeBands =
+      try spark.read.parquet(bandDir)
+        .filter(col("batch_id") =!= batchId)
+        .select("doc_id", "band_idx", "band_hash")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => emptyBands
+      }
+    val priorBands = indexCorpus.map { case (t, _) =>
+      require(spark.catalog.tableExists(t),
+        s"minhashIngestBatch: index table $t does not exist — bootstrap " +
+          "it with Dedup.ensureNearDupIndex at pipeline setup")
+      storeBands.union(
+        spark.table(t).select("doc_id", "band_idx", "band_hash"))
+    }.getOrElse(storeBands)
+    // probeNearDupIndex's candidate shape: probe only the batch's bucket
+    // set, bound the PRIOR-side bucket size (the probed slice holds every
+    // prior row of a probed bucket, so the count is the true bucket size)
+    val nb = myBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("new_id"))
+    val probed = priorBands
+      .join(nb.select("band_idx", "band_hash").distinct(),
+        Seq("band_idx", "band_hash"))
+    val bounded = probed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("prior_id"))
+    val cands = nb.join(bounded, Seq("band_idx", "band_hash"))
+      .select("new_id", "prior_id").distinct()
+    // exact-Jaccard verify over the text of matched PRIOR docs only:
+    // store hits live in outDir's earlier partitions, index hits in the
+    // caller-supplied corpus frame
+    def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val landedPrior =
+      try spark.read.parquet(outDir)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => emptyDocs
+      }
+    val priorDocs = indexCorpus.map { case (_, corpus) =>
+      landedPrior.unionByName(
+        corpus.select(col("doc_id").cast("long").as("doc_id"), col("text")))
+    }.getOrElse(landedPrior)
+    val newSh = self
+      .join(cands.select(col("new_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("new_id"),
+        graft.operators.Dedup.shingles(col("text"), ngram).as("__sh_new"))
+    val priorSh = priorDocs
+      .join(cands.select(col("prior_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("prior_id"),
+        graft.operators.Dedup.shingles(col("text"), ngram).as("__sh_prior"))
+    val hit = cands.join(newSh, "new_id").join(priorSh, "prior_id")
+      .filter(round(graft.operators.Dedup.jaccard(
+        col("__sh_new"), col("__sh_prior")), 4) >= threshold)
+      .select("new_id").distinct().withColumnRenamed("new_id", "doc_id")
+    val survivors = self.join(hit, Seq("doc_id"), "left_anti")
+    writeBatchIdempotent(survivors, batchId, outDir)
+    myBands.join(survivors.select("doc_id"), Seq("doc_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(bandDir)
+  }
+
+  /** Streaming minhash-tier ingest — [[startDedupedIngest]] with the
+    * banded-Jaccard screen of [[minhashIngestBatch]].
+    */
+  def startMinhashIngest(docs: DataFrame, outDir: String, bandDir: String,
+      checkpoint: String, indexCorpus: Option[(String, DataFrame)] = None,
+      threshold: Double = 0.7): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        minhashIngestBatch(b, id, outDir, bandDir, indexCorpus, threshold)
       }
       .start()
 
@@ -647,6 +771,36 @@ object Streams {
       spark.read.parquet(sigDir).filter(col("batch_id") < keep)
         .select("doc_id", "simhash", "chunk_idx", "chunk"),
       table, portable)
+    foldable.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    foldable
+  }
+
+  /** [[foldFingerprintStore]]'s minhash-tier twin: fold the band store's
+    * batch partitions into the bucketed
+    * [[graft.operators.Dedup.buildNearDupIndex]] band-table form.
+    * Identical newest-partition-kept replay argument and identical
+    * crash-mid-fold idempotence ([[graft.operators.Dedup.appendBandRows]]
+    * anti-joins on doc_id before appending). The signature parameters
+    * must be the ingest's — they are asserted against the index spec so
+    * a mismatched fold fails loudly instead of planting unmatchable
+    * band hashes.
+    */
+  def foldBandStore(spark: SparkSession, bandDir: String, table: String,
+      ngram: Int = 3, k: Int = 64, bands: Int = 16,
+      buckets: Int = 32): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(bandDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = storeBatchIds(fs, dir)
+    if (parts.size <= 1) return Nil
+    val keep = parts.max
+    val foldable = parts.filter(_ != keep)
+    graft.operators.Dedup.ensureNearDupIndex(spark, table, ngram, k,
+      bands, buckets)
+    graft.operators.Dedup.appendBandRows(
+      spark.read.parquet(bandDir).filter(col("batch_id") < keep)
+        .select("doc_id", "band_idx", "band_hash"),
+      table, ngram, k, bands)
     foldable.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
     foldable

@@ -760,6 +760,128 @@ class StreamingSpec extends SparkSpec {
     Streams.foldSimhashStore(spark, sig, idx) shouldBe Seq.empty
   }
 
+  /** A 100-word base text and a paraphrase with 5 scattered word swaps:
+    * each swap corrupts 3 of the 98 3-shingles, so Jaccard =
+    * (98-15)/(98+15) ≈ 0.73 ≥ 0.7 (minhash tier catches it) while the
+    * scattered edits flip simhash bits well past Hamming 3 in every
+    * chunk (simhash tier admits it) — the tier-gap fixture.
+    */
+  private def tierGapTexts: (String, String) = {
+    val base = (0 until 100).map(i => s"w${i % 37}tok$i")
+    val para = base.zipWithIndex.map { case (w, i) =>
+      if (i % 20 == 10) s"swapped$i" else w
+    }
+    (base.mkString(" "), para.mkString(" "))
+  }
+
+  test("minhash-tier ingest screens a paraphrase the simhash tier admits") {
+    val (textA, textB) = tierGapTexts
+    val b0 = Seq((1L, textA)).toDF("doc_id", "text")
+    val b1 = Seq((2L, textB), (3L, "completely different fresh content " +
+      (0 until 60).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    // simhash tier: the paraphrase's Hamming exceeds 3 -> doc 2 ADMITTED
+    val (outS, sig) = (tmp("mh-sim-out"), tmp("mh-sim-sig"))
+    Seq(outS, sig).foreach(d => new java.io.File(d).delete())
+    Streams.nearDupIngestBatch(b0, 0L, outS, sig)
+    Streams.nearDupIngestBatch(b1, 1L, outS, sig)
+    spark.read.parquet(outS).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(1L, 2L, 3L)
+    // minhash tier: banded Jaccard >= 0.7 -> doc 2 SCREENED
+    val (outM, band) = (tmp("mh-out"), tmp("mh-band"))
+    Seq(outM, band).foreach(d => new java.io.File(d).delete())
+    Streams.minhashIngestBatch(b0, 0L, outM, band)
+    Streams.minhashIngestBatch(b1, 1L, outM, band)
+    def landed() = spark.read.parquet(outM)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    landed() shouldBe Seq(1L, 3L)
+    // engine re-delivery of batch 1: partition rewrites, same answer
+    Streams.minhashIngestBatch(b1, 1L, outM, band)
+    landed() shouldBe Seq(1L, 3L)
+    // the band store holds rows only for LANDED docs
+    spark.read.parquet(band).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 3L)
+  }
+
+  test("minhash-tier ingest probes a persisted corpus index (probe-both)") {
+    import graft.operators.Dedup
+    val (textA, textB) = tierGapTexts
+    val corpus = Seq((100L, textA)).toDF("doc_id", "text")
+    val idx = s"mh_ingest_idx_${System.nanoTime()}"
+    Dedup.buildNearDupIndex(corpus, idx)
+    val (out, band) = (tmp("mh-idx-out"), tmp("mh-idx-band"))
+    Seq(out, band).foreach(d => new java.io.File(d).delete())
+    // batch 0: a paraphrase of a CORPUS doc (index hit, store empty)
+    // plus a fresh doc
+    val b0 = Seq((2L, textB),
+      (3L, "fresh " + (0 until 60).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Streams.minhashIngestBatch(b0, 0L, out, band, Some((idx, corpus)))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(3L)
+    // batch 1: a repost of batch 0's landed doc (STORE hit)
+    val b1 = Seq((4L, "fresh " + (0 until 60).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Streams.minhashIngestBatch(b1, 1L, out, band, Some((idx, corpus)))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(3L)
+    // a mistyped index table fails loudly, never skips the screen
+    an[IllegalArgumentException] should be thrownBy
+      Streams.minhashIngestBatch(b1, 2L, out, band,
+        Some(("mh_no_such_table", corpus)))
+  }
+
+  test("band store→index fold: screen unchanged, crash-rerun converges") {
+    import graft.operators.Dedup
+    val (textA, textB) = tierGapTexts
+    val idx = "mh_fold_band_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $idx")
+    spark.sql(s"DROP TABLE IF EXISTS ${graft.sources.IndexSpec.specTable(idx)}")
+    Dedup.ensureNearDupIndex(spark, idx)
+    val (out, band) = (tmp("mh-fold-out"), tmp("mh-fold-band"))
+    Seq(out, band).foreach(d => new java.io.File(d).delete())
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // batch 0 lands the tier-gap base, batch 1 a fresh doc; the fold
+    // then moves doc 20's band rows (batch 0 < keep=1) into the INDEX
+    Streams.minhashIngestBatch(Seq((20L, textA)).toDF("doc_id", "text"),
+      0L, out, band, Some((idx, corpus)))
+    Streams.minhashIngestBatch(
+      Seq((30L, (0 until 80).map(j => s"fw$j").mkString(" ")))
+        .toDF("doc_id", "text"),
+      1L, out, band, Some((idx, corpus)))
+    Streams.foldBandStore(spark, band, idx) shouldBe Seq(0L)
+    spark.table(idx).select("doc_id").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(20L)
+    // the paraphrase now screens against FOLDED band rows, with doc
+    // 20's text read back from outDir — probe-both across the fold
+    Streams.minhashIngestBatch(Seq((21L, textB)).toDF("doc_id", "text"),
+      2L, out, band, Some((idx, corpus)))
+    def landed() = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    landed() shouldBe Seq(20L, 30L)
+    // crash window: append committed (fold step 1 alone), cleanup not —
+    // the screen still works mid-window, and the fold re-run appends
+    // nothing (doc_id anti-join) then completes the cleanup
+    Dedup.appendBandRows(
+      spark.read.parquet(band).filter(col("batch_id") < 2L)
+        .select("doc_id", "band_idx", "band_hash"), idx)
+    val rowsAfterCrash = spark.table(idx).count()
+    rowsAfterCrash shouldBe 32L // docs 20 + 30, 16 bands each, no dups
+    Streams.minhashIngestBatch(
+      Seq((22L, textB),
+        (23L, (0 until 80).map(j => s"gw$j").mkString(" ")))
+        .toDF("doc_id", "text"),
+      3L, out, band, Some((idx, corpus)))
+    landed() shouldBe Seq(20L, 23L, 30L)
+    // fold recovery: re-append of doc 30's rows is a no-op anti-join,
+    // cleanup completes, newest partition (batch 3) kept
+    Streams.foldBandStore(spark, band, idx) shouldBe Seq(1L)
+    spark.table(idx).count() shouldBe rowsAfterCrash // re-append no-op
+    val parts = new java.io.File(band).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName)
+    parts should have length 1
+  }
+
   test("streaming heavy hitters ≡ batch operator under adversarial splits") {
     import graft.operators.{Sketches, TextAnalysis}
     val toks = tables.documents
