@@ -291,7 +291,38 @@ object Stress {
           iters = 3).count()
       },
       time("sourceShift")(TextAnalysis.sourceShift(docs)),
-      time("noveltyScores")(Dedup.noveltyScores(docs)))
+      time("noveltyScores")(Dedup.noveltyScores(docs)),
+      // BPE training is one word-count shuffle over the 20x corpus plus
+      // 32 pair-count rounds over the (barely grown) vocabulary — the
+      // round cost must NOT scale with corpus size
+      timeAction("bpeTrain32") {
+        Bpe.trainMerges(docs, numMerges = 32).size.toLong
+      },
+      time("bpeTokenStats")(Bpe.tokenStatsByLang(docs,
+        Bpe.trainMerges(docs, numMerges = 8))),
+      // streaming heavy hitters over the 24-batch split: per-batch
+      // bounded summaries + one entrywise merge — vs the batch operator
+      // on the same data (both exact by the recount)
+      timeAction("heavyHitterStream") {
+        val hhDir = s"$ingDir/hh-store"
+        val toks = ingestIn.select(col("__b"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        (0 until 24).foreach(i =>
+          graft.streaming.Streams.heavyHitterBatch(
+            toks.filter(col("__b") === i), i.toLong, "tok", 128, hhDir))
+        graft.streaming.Streams.mergedHeavyHitters(spark, hhDir, 128,
+          toks, "tok", 1.0 / 128).count()
+      },
+      // minhash-tier ingest: 6 crawl batches where EVERY doc in batches
+      // 1+ is a near-dup of an earlier copy — the screen's worst case
+      // (maximal candidate volume, every candidate verifies true)
+      timeAction("minhashIngest6") {
+        (0 until 6).foreach(i =>
+          graft.streaming.Streams.minhashIngestBatch(
+            ingestIn.filter(col("__b") === i).drop("__b"), i.toLong,
+            s"$ingDir/mh-out", s"$ingDir/mh-band"))
+        spark.read.parquet(s"$ingDir/mh-out").count()
+      })
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")
