@@ -1107,6 +1107,26 @@ object SparkEntry {
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
       Bpe.vocabReport(docs, Bpe.loadMerges(s, tbl), topN = 50)
+    }),
+
+    // ---- bloom tier over the fingerprint index: per-crawl exact dedup
+    // where the batch rows that are DEFINITELY new skip the anti-join
+    // entirely (per-row might_contain filter, no shuffle) and only the
+    // bloom residue verifies against the stored set. Same oracle shape
+    // as q130 — the tier must answer exactly what the plain probe does.
+    "q136_bloom_probe" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val bloom = s"graft_bloom_index_${math.abs(d.hashCode.toLong)}"
+      val fpIdx = s"graft_fp7_index_${math.abs(d.hashCode.toLong)}"
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      if (!s.catalog.tableExists(fpIdx))
+        Dedup.buildFingerprintIndex(corpus, fpIdx)
+      if (!s.catalog.tableExists(bloom))
+        Dedup.buildBloomIndex(corpus, bloom)
+      Dedup.probeBloomIndex(docs.filter(col("doc_id") % 7 === 0),
+          bloom, fpIdx)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -2865,7 +2885,18 @@ object SparkEntry {
           SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS total_count
           FROM (SELECT unnest(string_split(trim(rep), '  ')) AS tok, freq
                 FROM vocab_8)
-          GROUP BY tok ORDER BY total_count DESC, token LIMIT 50"""
+          GROUP BY tok ORDER BY total_count DESC, token LIMIT 50""",
+
+    // the bloom tier promises EXACTLY the plain index probe's answer
+    // (no false negatives + residue verified), so the oracle is q130's
+    // inline anti-join on the %7 split
+    "q136_bloom_probe" ->
+      s"""WITH newb AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+          corp AS (SELECT DISTINCT $Fp AS fp FROM documents
+            WHERE doc_id % 7 <> 0)
+          SELECT doc_id, n_chars FROM newb
+          WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.fp = $Fp)
+          ORDER BY doc_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

@@ -324,6 +324,137 @@ object Dedup {
       .drop(fpCol)
   }
 
+  // --------------------------------------- bloom tier over the fingerprint index
+
+  /** Optimal Bloom bit count for `n` keys at false-positive rate `fpp`:
+    * m = −n·ln p / (ln 2)², floored at 64 bits so a degenerate corpus
+    * still builds a valid filter.
+    */
+  private def bloomBits(n: Long, fpp: Double): Long =
+    math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+
+  /** Build the BLOOM TIER over a fingerprint corpus: one Bloom filter of
+    * the corpus's distinct normalized fingerprints (hashed to 64 bits —
+    * the same `xxhash64(fp)` the probe applies), stored as a one-row
+    * binary table beside its [[graft.sources.IndexSpec]].
+    *
+    * Why a tier and not a replacement: [[probeFingerprintIndex]] is
+    * already exact, but its anti-join shuffles the WHOLE batch against
+    * the stored set every crawl, when in a typical crawl almost every
+    * row is new. The bloom answers "definitely unseen" with a per-row
+    * filter — no join, no shuffle, no index read — and only the
+    * `might_contain` residue (true dups + the fpp sliver) pays the
+    * anti-join, so the exact tier's input shrinks from |batch| to
+    * ~|dups| + fpp·|batch|. Exactness is preserved: Bloom filters have
+    * no false negatives, and the residue is verified against the real
+    * index.
+    *
+    * Built with Catalyst's own `BloomFilterAggregate` (the engine's
+    * runtime-join-filter machinery): the filter is assembled by
+    * executor-side partial aggregation and merged once — the corpus
+    * never funnels through the driver. Sizing: optimal bits for
+    * `fpp` at the corpus's measured distinct count; at 10⁹ unique docs
+    * and fpp 1% that is ~1.2 GB — still a broadcastable constant on
+    * production executors, and the spec records both numbers so a probe
+    * can see what it is loading. Past that, raise `fpp` (the exact tier
+    * catches the slack) or fall back to the plain index probe.
+    */
+  def buildBloomIndex(documents: DataFrame, table: String,
+      fpp: Double = 0.01): Unit = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val spark = documents.sparkSession
+    val fps = spread(documents)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = math.max(1L, fps.count()) // one extra pass; build-once cost
+      val bits = bloomBits(n, fpp)
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val bloom = org.apache.spark.sql.graft.bridge.column(
+        new BloomFilterAggregate(
+          org.apache.spark.sql.graft.bridge.expression(xxhash64(col("fp"))),
+          Literal(n), Literal(bits)).toAggregateExpression())
+      import spark.implicits._
+      // spec FIRST (the IndexSpec ordering contract)
+      graft.sources.IndexSpec.write(
+        Seq((n, fpp, bits)).toDF("n_items", "fpp", "num_bits"), table)
+      graft.sources.Sinks.saveTable(fps.agg(bloom.as("bloom")), table)
+    } finally fps.unpersist()
+  }
+
+  /** Fold a new batch into a persisted bloom: Bloom filters of the SAME
+    * (bits, hash-count) geometry merge by bitwise OR, so the batch's
+    * filter is aggregated with the spec's stored sizing and OR-merged
+    * into the existing bytes (two one-row binaries on the driver —
+    * bounded state). The spec's `n_items`/`num_bits` stay fixed: an
+    * append-heavy pipeline saturates toward the spec's fpp ceiling and
+    * should rebuild at the next fold horizon, which is why the observed
+    * sizing stays visible in the spec instead of silently re-deriving.
+    */
+  def appendBloomIndex(newDocs: DataFrame, table: String): Unit = {
+    val spark = newDocs.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val (n, bits) = (spec.getLong(0), spec.getLong(2))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloom = org.apache.spark.sql.graft.bridge.column(
+      new BloomFilterAggregate(
+        org.apache.spark.sql.graft.bridge.expression(
+          xxhash64(TextAnalysis.fingerprint(col("text")))),
+        Literal(n), Literal(bits)).toAggregateExpression())
+    val batchBytes = spread(newDocs).agg(bloom.as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val oldBytes = spark.table(table).head().getAs[Array[Byte]]("bloom")
+    val merged = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(oldBytes))
+    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(batchBytes)))
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    import spark.implicits._
+    graft.sources.Sinks.saveTable(
+      Seq(out.toByteArray).toDF("bloom"), table)
+  }
+
+  /** The `might_contain(bloom, xxhash64(fp))` predicate as a Column —
+    * Catalyst's codegen'd `BloomFilterMightContain` over the stored
+    * bytes embedded as a literal (the expression requires a foldable
+    * filter side; a literal ships once per task like any broadcast).
+    */
+  private def mightContain(bytes: Array[Byte], fp: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes),
+        org.apache.spark.sql.graft.bridge.expression(xxhash64(fp))))
+
+  /** Screen a batch through the bloom tier, then verify the residue
+    * against the exact fingerprint index — result-identical to
+    * [[probeFingerprintIndex]] (asserted in tests), with the anti-join
+    * input cut to the `might_contain` residue. The bloom bytes are one
+    * bounded driver read (size recorded in the spec).
+    */
+  def probeBloomIndex(newDocs: DataFrame, bloomTable: String,
+      fpTable: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    graft.sources.IndexSpec.readRequired(spark, bloomTable) // loud half-built guard
+    val bytes = spark.table(bloomTable).head().getAs[Array[Byte]]("bloom")
+    val fpCol = "__fp_bloom"
+    require(!newDocs.columns.contains(fpCol),
+      s"probeBloomIndex: newDocs must not already have a $fpCol column")
+    val withFp = newDocs
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+    val seen = mightContain(bytes, col(fpCol))
+    // definitely-new rows skip the join entirely (no false negatives);
+    // the residue anti-joins the bucketed index, restoring exactness
+    val definiteNew = withFp.filter(!seen)
+    val survivors = withFp.filter(seen)
+      .join(spark.table(fpTable).withColumnRenamed("fp", fpCol),
+        Seq(fpCol), "left_anti")
+    definiteNew.unionByName(survivors).drop(fpCol)
+  }
+
   // ------------------------------------- persisted near-dup (band-bucket) index
 
   /** Build the PERSISTED near-dup index: the corpus's (doc_id, band_idx,

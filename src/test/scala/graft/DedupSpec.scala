@@ -316,6 +316,60 @@ class DedupSpec extends SparkSpec {
       .filter(col("count") > 1).count() shouldBe 0L
   }
 
+  test("bloom tier: probe equals plain index probe; no false negatives") {
+    val corpus = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
+    val batch = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
+    Dedup.buildFingerprintIndex(corpus, "fp_idx_bt")
+    Dedup.buildBloomIndex(corpus, "bloom_idx_bt")
+    val probed = Dedup.probeBloomIndex(batch, "bloom_idx_bt", "fp_idx_bt")
+    rowSet(probed) shouldBe
+      rowSet(Dedup.probeFingerprintIndex(batch, "fp_idx_bt"))
+    // the bloom predicate is actually in the plan (per-row screen, not
+    // a join), and corpus rows re-probed come back empty — the
+    // no-false-negative guarantee end to end
+    probed.queryExecution.executedPlan.toString should include("might_contain")
+    Dedup.probeBloomIndex(corpus, "bloom_idx_bt", "fp_idx_bt")
+      .count() shouldBe 0L
+  }
+
+  test("bloom tier: saturated high-fpp filter stays exact via the residue join") {
+    val corpus = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
+    val batch = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
+    // fpp = 0.9 → a few hundred bits for ~340 docs: nearly every batch
+    // row is a false positive and funnels into the anti-join, which
+    // must absorb them all without changing the answer
+    Dedup.buildBloomIndex(corpus, "bloom_idx_sat", fpp = 0.9)
+    rowSet(Dedup.probeBloomIndex(batch, "bloom_idx_sat", "fp_idx_bt")) shouldBe
+      rowSet(Dedup.probeFingerprintIndex(batch, "fp_idx_bt"))
+  }
+
+  test("bloom tier: append folds a batch in; missing spec fails loudly") {
+    val corpus = tables.documents
+      .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
+    val growth = tables.documents
+      .filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    Dedup.buildBloomIndex(corpus, "bloom_idx_gr")
+    Dedup.appendBloomIndex(growth, "bloom_idx_gr")
+    Dedup.buildFingerprintIndex(corpus.union(growth), "fp_idx_gr")
+    // grown bloom + grown index: the growth docs are now known, so
+    // re-probing them yields nothing; a genuinely fresh doc passes
+    Dedup.probeBloomIndex(growth, "bloom_idx_gr", "fp_idx_gr")
+      .count() shouldBe 0L
+    val fresh = Seq((9401L, "bloom growth fresh unseen document text"))
+      .toDF("doc_id", "text")
+    Dedup.probeBloomIndex(fresh, "bloom_idx_gr", "fp_idx_gr")
+      .select("doc_id").as[Long].collect().toSeq shouldBe Seq(9401L)
+    // an index table with no spec beside it is half-built: reject
+    graft.sources.Sinks.saveTable(
+      Seq(Array[Byte](1, 2)).toDF("bloom"), "bloom_idx_nospec")
+    an[IllegalStateException] should be thrownBy
+      Dedup.probeBloomIndex(fresh, "bloom_idx_nospec", "fp_idx_gr")
+  }
+
   test("near-dup index: probe equals inline incrementalNearDup") {
     val corpus = tables.documents
       .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
