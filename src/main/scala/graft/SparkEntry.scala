@@ -1127,7 +1127,15 @@ object SparkEntry {
           bloom, fpIdx)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- SemDeDup-style semantic dedup: k-means cells, then drop any
+    // vector with a smaller-id cluster-mate at cosine >= 0.95 — the
+    // embedding tier above lexical dedup. Oracle replays the full
+    // Lloyd chain (the q95 CTEs) plus the within-cell pair rule.
+    "q137_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables(s, d).embeddings, k = 8, iters = 5)
+        .orderBy("vec_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2896,7 +2904,26 @@ object SparkEntry {
             WHERE doc_id % 7 <> 0)
           SELECT doc_id, n_chars FROM newb
           WHERE NOT EXISTS (SELECT 1 FROM corp WHERE corp.fp = $Fp)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // the q95 Lloyd-replay CTEs + the within-cluster pair rule: dup_of
+    // is the smallest smaller-id cluster-mate at 6-dp cosine >= 0.95
+    "q137_semantic_dedup" ->
+      s"""WITH ${kMeansCtes(8, 5)},
+          asg AS MATERIALIZED (
+            SELECT vec_id, emb, cluster FROM assign_final),
+          dup AS (
+            SELECT a.vec_id, min(b.vec_id) AS dup_of
+            FROM asg a JOIN asg b
+              ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+            WHERE round(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.95
+            GROUP BY a.vec_id)
+          SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+            (d.dup_of IS NULL) AS keep, d.dup_of
+          FROM asg s LEFT JOIN dup d USING (vec_id)
+          ORDER BY s.vec_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs
@@ -3161,7 +3188,11 @@ object SparkEntry {
         $rounds"""
   }
 
-  private def kMeansOracle(k: Int, iters: Int): String = {
+  /** The k-means training-replay CTE chain (see [[kMeansOracle]]),
+    * shared with the semantic-dedup oracle: everything up through
+    * `assign_final(vec_id, emb, cluster, d2)`.
+    */
+  private def kMeansCtes(k: Int, iters: Int): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (
             SELECT vec_id, emb, cluster, d2 FROM (
@@ -3193,7 +3224,7 @@ object SparkEntry {
               SELECT cluster, list(val ORDER BY pos) AS cent
               FROM upd_$i GROUP BY cluster) u USING (cluster))"""
     }.mkString(",\n")
-    s"""WITH emb AS (
+    s"""emb AS (
           SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings),
@@ -3202,9 +3233,12 @@ object SparkEntry {
             AS cluster, emb AS cent
           FROM (SELECT vec_id, emb FROM emb ORDER BY vec_id LIMIT $k)),
         $rounds,
-        ${assign("assign_final", s"cents_$iters")}
+        ${assign("assign_final", s"cents_$iters")}"""
+  }
+
+  private def kMeansOracle(k: Int, iters: Int): String =
+    s"""WITH ${kMeansCtes(k, iters)}
         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
           round(d2, 6) AS dist2
         FROM assign_final ORDER BY vec_id"""
-  }
 }

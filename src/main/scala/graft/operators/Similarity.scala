@@ -630,4 +630,50 @@ object Similarity {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         round(col("dist2"), 6).as("dist2"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup: k-means clusters the embedding space,
+    * then only WITHIN each cluster are cosine-similar pairs compared — a
+    * vector is dropped when a smaller-id cluster-mate sits at cosine ≥
+    * `threshold` (6-dp-rounded, the [[cosineDupPairs]] boundary
+    * convention). This is the tier ABOVE text dedup: minhash/simhash
+    * catch lexical near-copies, this catches re-phrasings and
+    * translations whose embeddings collapse while their shingles share
+    * nothing.
+    *
+    * Determinism: the keep rule is per-pair (drop iff a smaller-id
+    * neighbor qualifies — the keep-lowest-id convention of
+    * [[Dedup.exactDedup]]/[[Curation.containmentPrune]]), so the output
+    * is a pure function of the fitted centroids, which are themselves
+    * partition-order independent (decimal sums in [[kMeansFit]]).
+    *
+    * Scale shape: one shuffle on `cluster`, then a per-cluster
+    * self-join — quadratic only inside a cell, never across the corpus;
+    * that bounded cell is the entire point of clustering first (the
+    * SemDeDup recipe: k grows with the corpus so E[cell]² stays flat).
+    * A skewed cell would surface in the `cluster` key's partition size
+    * long before the join, and the fix is raising `k`, not capping —
+    * dropping members would silently lose dup edges.
+    *
+    * Output: (vec_id, cluster, keep, dup_of) — `dup_of` is the smallest
+    * qualifying cluster-mate id, null for kept rows.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 5,
+      threshold: Double = 0.95, seeding: String = "lowest"): DataFrame = {
+    val (cents, _) = kMeansFit(embeddings, k, iters, seeding)
+    val assigned = assignClusters(embeddings, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val dupOf = assigned
+      .select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("cluster"))
+      .filter(col("b_id") < col("a_id"))
+      .filter(round(cosine(col("a_emb"), col("b_emb")), 6) >= threshold)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min(col("b_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
 }

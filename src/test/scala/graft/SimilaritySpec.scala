@@ -285,6 +285,52 @@ class SimilaritySpec extends SparkSpec {
       (0L, 100000L), (1L, 100001L), (2L, 100002L))
   }
 
+  test("semanticDedup: min-id rule matches a driver brute force; clones dropped") {
+    val clones = tables.embeddings.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.000001f)).as("embedding"))
+    val planted = tables.embeddings.select("vec_id", "embedding")
+      .union(clones)
+    val out = Similarity.semanticDedup(planted, k = 4, iters = 3,
+      threshold = 0.99)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // every planted clone is dropped in favor of a smaller id
+    Seq(0L, 1L, 2L).foreach { id =>
+      val row = got.find(_._1 == id + 100000).get
+      row._3 shouldBe false
+      row._4.get should be <= id
+    }
+    // independent driver-side replay of the rule: same fitted clusters
+    // (kMeansFit is deterministic), exact cosines per cluster pair
+    val asg = Similarity.kMeans(planted, k = 4, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val embs = planted.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val expected = embs.keySet.map { id =>
+      val mates = embs.keySet.filter(o =>
+        o < id && asg(o) == asg(id) && cos(embs(o), embs(id)) >= 0.99)
+      val dupOf = if (mates.isEmpty) None else Some(mates.min)
+      (id, asg(id), dupOf.isEmpty, dupOf)
+    }
+    got shouldBe expected
+  }
+
+  test("semanticDedup: output independent of input partitioning") {
+    val base = tables.embeddings.select("vec_id", "embedding")
+    rowSet(Similarity.semanticDedup(base.repartition(7), k = 4, iters = 3)) shouldBe
+      rowSet(Similarity.semanticDedup(base, k = 4, iters = 3))
+  }
+
   test("kMeansFit: objective descends and repeated runs are identical") {
     val (c1, obj1) = Similarity.kMeansFit(tables.embeddings, k = 4, iters = 4)
     val (c2, obj2) = Similarity.kMeansFit(tables.embeddings, k = 4, iters = 4)
