@@ -1135,7 +1135,22 @@ object SparkEntry {
     // Lloyd chain (the q95 CTEs) plus the within-cell pair rule.
     "q137_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(Tables(s, d).embeddings, k = 8, iters = 5)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- duplicated-passage extraction: maximal token runs whose
+    // 8-token windows all recur in >= 2 distinct docs — localized
+    // boilerplate/syndication, the cut-the-passage complement to the
+    // drop-the-document dedup tiers
+    "q138_duplicated_spans" -> ((s, d) =>
+      Dedup.duplicatedSpanRuns(Tables(s, d).documents, window = 8)
+        .orderBy("doc_id", "start_tok")),
+
+    // ---- the removal twin: every doc with its duplicated runs cut
+    // out, plus the count of tokens removed — C4-style boilerplate
+    // stripping as a corpus transform
+    "q139_strip_spans" -> ((s, d) =>
+      Dedup.stripDuplicatedSpans(Tables(s, d).documents, window = 8)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2923,7 +2938,44 @@ object SparkEntry {
           SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
             (d.dup_of IS NULL) AS keep, d.dup_of
           FROM asg s LEFT JOIN dup d USING (vec_id)
-          ORDER BY s.vec_id"""
+          ORDER BY s.vec_id""",
+
+    // positional 8-token windows, distinct-doc df, gaps-and-islands
+    // merge (i - row_number), run text re-sliced from the token list
+    "q138_duplicated_spans" ->
+      s"""WITH ${dupSpanCtes(8)}
+          SELECT r.doc_id, r.start_tok, r.end_tok,
+            array_to_string(t.toks[r.start_tok:r.end_tok], ' ')
+              AS span_text
+          FROM runs r JOIN t USING (doc_id)
+          ORDER BY doc_id, start_tok""",
+
+    // the run intervals explode to covered positions; uncovered tokens
+    // reassemble in order; a fully-duplicated doc keeps an empty text
+    "q139_strip_spans" ->
+      s"""WITH ${dupSpanCtes(8)},
+          t0 AS MATERIALIZED (
+            SELECT doc_id, $Toks AS toks FROM documents),
+          cov AS (
+            SELECT doc_id, unnest(range(start_tok, end_tok + 1)) AS pos
+            FROM runs),
+          tokp AS (
+            SELECT doc_id, unnest(toks) AS tok,
+              generate_subscripts(toks, 1) AS pos
+            FROM t0),
+          kept AS (
+            SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS text,
+              count(*) AS n_kept
+            FROM (
+              SELECT w.doc_id, w.pos, w.tok
+              FROM tokp w LEFT JOIN cov
+                ON cov.doc_id = w.doc_id AND cov.pos = w.pos
+              WHERE cov.pos IS NULL) k
+            GROUP BY k.doc_id)
+          SELECT t0.doc_id, coalesce(kept.text, '') AS text,
+            (len(t0.toks) - coalesce(kept.n_kept, 0)) AS n_cut
+          FROM t0 LEFT JOIN kept USING (doc_id)
+          ORDER BY doc_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs
@@ -3187,6 +3239,35 @@ object SparkEntry {
           GROUP BY word),
         $rounds"""
   }
+
+  /** The duplicated-span CTE chain shared by the q138/q139 oracles:
+    * positional `w`-token windows, distinct-doc df, gaps-and-islands
+    * merge into maximal `runs(doc_id, start_tok, end_tok)`; `t` holds
+    * each window-eligible doc's token list.
+    */
+  private def dupSpanCtes(w: Int): String =
+    s"""t AS MATERIALIZED (
+          SELECT doc_id, $Toks AS toks FROM documents
+          WHERE len($Toks) >= $w),
+        pos AS (
+          SELECT doc_id, unnest(range(1, len(toks) - $w + 2)) AS i
+          FROM t),
+        wnd AS MATERIALIZED (
+          SELECT p.doc_id, p.i,
+            array_to_string(t.toks[p.i:p.i + ${w - 1}], ' ') AS span
+          FROM pos p JOIN t USING (doc_id)),
+        df AS (
+          SELECT span FROM wnd
+          GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        dup AS (
+          SELECT w.doc_id, w.i FROM wnd w JOIN df USING (span)),
+        isl AS (
+          SELECT doc_id, i,
+            i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM dup),
+        runs AS (
+          SELECT doc_id, min(i) AS start_tok, max(i) + ${w - 1} AS end_tok
+          FROM isl GROUP BY doc_id, g)"""
 
   /** The k-means training-replay CTE chain (see [[kMeansOracle]]),
     * shared with the semantic-dedup oracle: everything up through

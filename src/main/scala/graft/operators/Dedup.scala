@@ -849,6 +849,99 @@ object Dedup {
         .drop("__rn")
   }
 
+  /** Cross-document DUPLICATED-PASSAGE extraction (the ExactSubstr genre
+    * of Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): every maximal token run whose
+    * `window`-token sliding windows ALL appear in ≥ `minDf` distinct
+    * documents. Where [[noveltyScores]] grades a document by how much of
+    * it is unseen, this LOCALIZES the repetition — the boilerplate
+    * headers, license blocks and syndicated passages a pipeline wants to
+    * cut out of otherwise-unique documents rather than drop the
+    * documents for.
+    *
+    * Shape: positional windows (posexplode keeps every occurrence — a
+    * span repeated inside ONE doc is not cross-doc boilerplate, hence
+    * the distinct-doc df), a keyed df aggregate, then gaps-and-islands
+    * (i − row_number per doc) to merge overlapping dup windows into
+    * maximal runs. Every stage is a per-row projection or a
+    * hash-partitioned agg/join on span or doc_id; the windows relation
+    * is ≈ the token count of the corpus — the same scale as any token
+    * explode, never pairwise. The run text is re-sliced from the token
+    * array at the end, so the heavy span strings never ride through the
+    * island stage.
+    */
+  def duplicatedSpanRuns(documents: DataFrame, window: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(minDf >= 2, s"minDf below 2 would flag every window: $minDf")
+    val toked = spread(documents)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= window)
+    val wnd = toked
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - window + 1),
+          i => concat_ws(" ", slice(col("toks"), i, lit(window))))
+      ).as(Seq("p0", "span")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
+        col("span"))
+    val spanDf = wnd.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+    val dup = wnd.join(spanDf, "span").select("doc_id", "i")
+    val isl = dup.withColumn("g",
+      col("i") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")))
+    val runs = isl.groupBy("doc_id", "g")
+      .agg(min(col("i")).as("start_tok"),
+        (max(col("i")) + lit(window - 1).cast("long")).as("end_tok"))
+      .drop("g")
+    runs.join(toked, "doc_id")
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        concat_ws(" ", slice(col("toks"), col("start_tok").cast("int"),
+          (col("end_tok") - col("start_tok") + 1).cast("int")))
+          .as("span_text"))
+  }
+
+  /** The removal twin of [[duplicatedSpanRuns]]: documents with every
+    * cross-doc duplicated run CUT OUT (conservative C4-style boilerplate
+    * removal — all occurrences go; "keep exactly one corpus-wide" would
+    * need a global passage identity across runs of different extents,
+    * and the kept copy survives anyway in whichever doc the dedup tiers
+    * keep). Docs shorter than the window pass through untouched; a doc
+    * that is ENTIRELY duplicated comes back with empty text (and a
+    * `n_cut` of its token count) rather than vanishing — dropping docs
+    * is the dedup tiers' job, not the passage cutter's.
+    *
+    * Shape: run intervals explode to covered positions (output-bound by
+    * total duplicated footage), one anti-join on (doc_id, pos), and a
+    * per-doc ordered reassembly via array_sort of (pos, tok) structs —
+    * no windows, no driver state.
+    */
+  def stripDuplicatedSpans(documents: DataFrame, window: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    val runs = duplicatedSpanRuns(documents, window, minDf)
+    val covered = runs.select(col("doc_id"),
+      explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+    val toked = spread(documents)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
+        .as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val kept = toked.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text"),
+        count(lit(1)).as("n_kept"))
+    spread(documents).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /** Connected components over near-dup pairs — the cluster-resolution
     * step that turns [[minhashDupPairs]]' edge list into one canonical
     * document per near-dup GROUP (pairs alone can't dedup transitively:

@@ -316,6 +316,44 @@ class DedupSpec extends SparkSpec {
       .filter(col("count") > 1).count() shouldBe 0L
   }
 
+  test("duplicatedSpanRuns: maximal cross-doc runs; in-doc repeats ignored") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j unique1 unique2"),
+      (2L, "x y a b c d e f g h i j z"),
+      (3L, "p q r s p q r s t u v w"), // repeats only WITHIN one doc
+      (4L, "m n o")                    // shorter than the window
+    ).toDF("doc_id", "text")
+    val runs = Dedup.duplicatedSpanRuns(docs, window = 4)
+      .orderBy("doc_id", "start_tok")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // overlapping dup windows merge into ONE maximal run per doc — the
+    // shared 10-token passage, not seven 4-token windows
+    runs shouldBe Seq(
+      (1L, 1L, 10L, "a b c d e f g h i j"),
+      (2L, 3L, 12L, "a b c d e f g h i j"))
+    // partitioning never changes the answer
+    rowSet(Dedup.duplicatedSpanRuns(docs.repartition(5), window = 4)) shouldBe
+      rowSet(Dedup.duplicatedSpanRuns(docs, window = 4))
+  }
+
+  test("stripDuplicatedSpans cuts runs, keeps everything else in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j unique1 unique2"),
+      (2L, "x y a b c d e f g h i j z"),
+      (3L, "p q r s p q r s t u v w"),
+      (4L, "m n o"),
+      (5L, "a b c d e f g h i j")      // fully duplicated -> empty text
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(docs, window = 4)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, "unique1 unique2", 10L),
+      (2L, "x y z", 10L),
+      (3L, "p q r s p q r s t u v w", 0L),
+      (4L, "m n o", 0L),
+      (5L, "", 10L))
+  }
+
   test("bloom tier: probe equals plain index probe; no false negatives") {
     val corpus = tables.documents
       .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
