@@ -190,6 +190,29 @@ object Stress {
       time("incrementalExactBig")(Dedup.incrementalExactDedup(
         bigDocs.filter(col("doc_id") % 100 === 0),
         bigDocs.filter(col("doc_id") % 100 =!= 0))),
+      // bloom tier in front of the same fp index: the probe's anti-join
+      // input shrinks to the might_contain residue; build is the
+      // one-time corpus pass
+      timed("bloomIndexBuild")(Dedup.buildBloomIndex(
+        bigDocs.filter(col("doc_id") % 100 =!= 0), "stress_bloom_big")),
+      time("bloomIndexProbeBig")(Dedup.probeBloomIndex(
+        bigDocs.filter(col("doc_id") % 100 === 0),
+        "stress_bloom_big", "stress_fp_big")),
+      // semantic dedup at n x 500 embeddings: every vector sits in a
+      // ~n-clone clique (the mutated copies), the per-cell join's
+      // realistic worst case
+      time("semanticDedup")(Similarity.semanticDedup(embs, k = 8,
+        iters = 3, threshold = 0.99)),
+      // duplicated passages: every window recurs in ~n sibling copies,
+      // so df lookups hit on nearly all of the corpus's windows
+      time("duplicatedSpanRuns")(Dedup.duplicatedSpanRuns(docs)),
+      // count() alone would let Catalyst ELIMINATE the left join with
+      // the reassembled-text aggregate (row count is provably the doc
+      // count); summing n_cut forces the whole pipeline. The printed
+      // "rows" is the total tokens cut.
+      timeAction("stripDuplicatedSpans")(
+        Dedup.stripDuplicatedSpans(docs).agg(sum(col("n_cut")))
+          .head().getLong(0)),
       // streaming-ingest store→index fold: the same 24 crawl batches
       // land twice — once accumulating one store partition per batch
       // (the unfolded worst case), once folding into the bucketed index
