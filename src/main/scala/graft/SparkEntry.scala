@@ -1150,7 +1150,16 @@ object SparkEntry {
     // stripping as a corpus transform
     "q139_strip_spans" -> ((s, d) =>
       Dedup.stripDuplicatedSpans(Tables(s, d).documents, window = 8)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- corpus encoding under the trained merges: per-doc token-ID
+    // sequences with frequency-ranked ids — the training-data export
+    // step; oracle replays training + the ranked-vocab join
+    "q140_bpe_encode" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Bpe.encodeDocs(docs, Bpe.trainMerges(docs, numMerges = 8))
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2975,7 +2984,44 @@ object SparkEntry {
           SELECT t0.doc_id, coalesce(kept.text, '') AS text,
             (len(t0.toks) - coalesce(kept.n_kept, 0)) AS n_cut
           FROM t0 LEFT JOIN kept USING (doc_id)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // replay training (bpeTrainCtes), rank the token vocabulary by
+    // (count DESC, token), then assemble each doc's id sequence by
+    // (word position, token position)
+    "q140_bpe_encode" ->
+      s"""${bpeTrainCtes(8)},
+          wt AS MATERIALIZED (
+            SELECT word, freq, string_split(trim(rep), '  ') AS toks
+            FROM vocab_8),
+          tc AS (
+            SELECT tok AS token, sum(freq) AS cnt
+            FROM (SELECT unnest(toks) AS tok, freq FROM wt)
+            GROUP BY tok),
+          ids AS (
+            SELECT token,
+              row_number() OVER (ORDER BY cnt DESC, token) AS id
+            FROM tc),
+          dw AS (
+            SELECT doc_id, unnest(words) AS word,
+              generate_subscripts(words, 1) AS wpos
+            FROM (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z]+') AS words
+              FROM documents)),
+          dt AS (
+            SELECT d.doc_id, d.wpos, unnest(w.toks) AS token,
+              generate_subscripts(w.toks, 1) AS tpos
+            FROM dw d JOIN wt w USING (word)),
+          enc AS (
+            SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
+            FROM (SELECT t.doc_id, t.wpos, t.tpos, i.id
+                  FROM dt t JOIN ids i USING (token))
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+            coalesce(e.ids, CAST([] AS BIGINT[])) AS ids,
+            CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens
+          FROM documents d LEFT JOIN enc e USING (doc_id)
+          ORDER BY d.doc_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

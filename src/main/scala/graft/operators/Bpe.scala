@@ -201,4 +201,51 @@ object Bpe {
       .groupBy("token").agg(sum("freq").as("total_count"))
       .orderBy(col("total_count").desc, col("token"))
       .limit(topN)
+
+  /** Frequency-ranked token-id table under `merges`: 1-based id by
+    * (total occurrence count DESC, token ASC) — the id convention real
+    * tokenizers publish (hot tokens get small ids). The rank is the
+    * distributed two-pass [[Relational.withRowIndex]] over a
+    * range-partitioned sort, never a single-reducer window; the token
+    * vocabulary is distinct-token sized, tiny next to the corpus.
+    */
+  def tokenIds(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    Relational.withRowIndex(
+      wordVocab(docs)
+        .select(explode(tokens(col("word"), merges)).as("token"),
+          col("freq"))
+        .groupBy("token").agg(sum("freq").as("total_count"))
+        .orderBy(col("total_count").desc, col("token")),
+      "__r")
+      .select(col("token"), (col("__r") + 1).as("id"))
+
+  /** Encode every document to its token-ID sequence — the actual
+    * training-data export step the counting operators approximate.
+    * Tokenization happens per DISTINCT word (the vocabulary join
+    * pattern of [[tokenStatsByLang]]); per-occurrence work is only the
+    * positional explode and the id join, and the sequence reassembles
+    * by (word position, token position) inside a per-doc aggregate.
+    * Docs with no `[a-z]+` words encode to the empty sequence.
+    */
+  def encodeDocs(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val wt = wordVocab(docs)
+      .select(col("word"), tokens(col("word"), merges).as("toks"))
+    val ids = tokenIds(docs, merges)
+    val docWords = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as(Seq("wpos", "word")))
+    val encoded = docWords.join(wt, Seq("word"))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(col("toks")).as(Seq("tpos", "token")))
+      .join(ids, Seq("token"))
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(
+          struct(col("wpos"), col("tpos"), col("id")))),
+        s => s.getField("id")).as("ids"))
+    docs.select(col("doc_id")).join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
 }

@@ -93,6 +93,38 @@ class BpeSpec extends SparkSpec {
     totalTokens should be < words.getAs[Long]("chars") // merges bite
   }
 
+  test("encodeDocs: ids decode back to the document's token sequence") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "The mat the cat!"),
+      (3L, "12345 --- !!!")  // no [a-z]+ words -> empty encoding
+    ).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, numMerges = 4)
+    val enc = Bpe.encodeDocs(docs, merges)
+      .orderBy("doc_id")
+      .as[(Long, Seq[Long], Long)].collect().toSeq
+    // decode via the id table and compare against a driver-side
+    // word-by-word application of the merge list
+    val id2tok = Bpe.tokenIds(docs, merges)
+      .as[(String, Long)].collect().map(_.swap).toMap
+    def expectedTokens(text: String): Seq[String] =
+      "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+        .flatMap(w => refApply(w, merges))
+    enc.foreach { case (docId, ids, n) =>
+      n shouldBe ids.length.toLong
+      val text = Map(1L -> "the cat sat on the mat",
+        2L -> "The mat the cat!", 3L -> "12345 --- !!!")(docId)
+      ids.map(id2tok) shouldBe expectedTokens(text)
+    }
+    enc.find(_._1 == 3L).get._2 shouldBe empty
+    // hot tokens get small ids: id 1 is the most frequent token
+    val counts = Bpe.wordVocab(docs)
+      .select(explode(Bpe.tokens(col("word"), merges)).as("t"), col("freq"))
+      .groupBy("t").agg(sum("freq").as("c"))
+      .as[(String, Long)].collect().toMap
+    counts(id2tok(1L)) shouldBe counts.values.max
+  }
+
   test("vocab report conserves corpus token mass") {
     val docs = tables.documents
     val merges = Bpe.trainMerges(docs, numMerges = 4)
