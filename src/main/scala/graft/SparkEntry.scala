@@ -1159,6 +1159,33 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       Bpe.encodeDocs(docs, Bpe.trainMerges(docs, numMerges = 8))
         .orderBy("doc_id")
+    }),
+
+    // ---- crawl-frontier URL canonicalization + dedup: synthetic URLs
+    // vary case/ports/tracking-params/param-order/trailing-slash/
+    // fragments within a doc_id%50 group; distinct raw forms must
+    // collapse to one canonical per (group, non-default-port) cell
+    "q141_url_canonical" -> ((s, d) => {
+      val dd = col("doc_id")
+      val g = dd % 50
+      val scheme = when(g % 2 === 0, lit("https")).otherwise(lit("http"))
+      val host = when(dd % 3 === 0,
+        concat(lit("WWW.EXAMPLE"), g, lit(".COM")))
+        .otherwise(concat(lit("www.example"), g, lit(".com")))
+      val port = when(dd % 7 === 0, lit(":8080"))
+        .otherwise(when(dd % 4 === 0,
+          when(g % 2 === 0, lit(":443")).otherwise(lit(":80")))
+          .otherwise(lit("")))
+      val slash = when(dd % 5 === 0, lit("/")).otherwise(lit(""))
+      val query = when(dd % 3 === 0,
+        concat(lit("?utm_source=x"), dd, lit("&b=2&a=1")))
+        .otherwise(when(dd % 3 === 1, lit("?a=1&b=2"))
+          .otherwise(concat(lit("?b=2&a=1&fbclid=z"), dd)))
+      val frag = when(dd % 6 === 0, concat(lit("#f"), dd)).otherwise(lit(""))
+      val docs = Tables(s, d).documents.withColumn("url",
+        concat(scheme, lit("://"), host, port, lit("/p/"), g, slash,
+          query, frag))
+      Web.canonicalUrlDedup(docs).orderBy("canonical_url")
     })
   )
 
@@ -3021,7 +3048,67 @@ object SparkEntry {
             coalesce(e.ids, CAST([] AS BIGINT[])) AS ids,
             CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens
           FROM documents d LEFT JOIN enc e USING (doc_id)
-          ORDER BY d.doc_id"""
+          ORDER BY d.doc_id""",
+
+    // the same synthetic URLs rebuilt from doc_id, canonicalized with
+    // regexp-only machinery (DuckDB has no parse_url) — both engines
+    // must land on the identical canonical string per group
+    "q141_url_canonical" ->
+      """WITH raw AS (
+           SELECT doc_id, concat(
+             CASE WHEN (doc_id % 50) % 2 = 0 THEN 'https' ELSE 'http' END,
+             '://',
+             CASE WHEN doc_id % 3 = 0
+               THEN concat('WWW.EXAMPLE', doc_id % 50, '.COM')
+               ELSE concat('www.example', doc_id % 50, '.com') END,
+             CASE WHEN doc_id % 7 = 0 THEN ':8080'
+                  WHEN doc_id % 4 = 0 THEN
+                    (CASE WHEN (doc_id % 50) % 2 = 0
+                       THEN ':443' ELSE ':80' END)
+                  ELSE '' END,
+             '/p/', doc_id % 50,
+             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 3 = 0
+                THEN concat('?utm_source=x', doc_id, '&b=2&a=1')
+                WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+                ELSE concat('?b=2&a=1&fbclid=z', doc_id) END,
+             CASE WHEN doc_id % 6 = 0
+                THEN concat('#f', doc_id) ELSE '' END) AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+             lower(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) AS scheme,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS auth,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '[?]([^#]*)', 1) AS query
+           FROM raw),
+         canon AS (
+           SELECT doc_id, concat(
+             scheme, '://',
+             lower(regexp_replace(auth, ':[0-9]+$', '')),
+             CASE WHEN prt = '' THEN ''
+                  WHEN scheme = 'http'  AND prt = '80'  THEN ''
+                  WHEN scheme = 'https' AND prt = '443' THEN ''
+                  ELSE concat(':', prt) END,
+             CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(rawpath, '/+$', '') END,
+             CASE WHEN qq = '' THEN '' ELSE concat('?', qq) END)
+             AS canonical_url
+           FROM (
+             SELECT *,
+               regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+               array_to_string(list_sort(list_filter(
+                 string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS qq
+             FROM parts))
+         SELECT canonical_url, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+         FROM canon GROUP BY canonical_url
+         ORDER BY canonical_url"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

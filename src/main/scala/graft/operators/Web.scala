@@ -45,6 +45,53 @@ object Web {
     urlFeatures(docs, urlCol)
       .withColumn("blocked", col("registered_domain").isin(blockedDomains: _*))
 
+  /** Crawl-frontier URL canonicalization — the rules every large-scale
+    * crawler applies so that cosmetically-different URLs of the same
+    * resource collapse before fetch/dedup accounting:
+    *   - scheme and host lowercased;
+    *   - fragment dropped;
+    *   - default ports dropped (http:80, https:443), explicit
+    *     non-default ports kept;
+    *   - tracking parameters removed (`utm_*`, `gclid`, `fbclid`,
+    *     `ref`), remaining query parameters SORTED (parameter order is
+    *     almost never semantic; sorting makes the canonical form
+    *     order-independent);
+    *   - trailing slashes stripped from the path, empty path → "/".
+    * Pure per-row projection over `parse_url`/regexp built-ins — no
+    * shuffle, no UDF.
+    */
+  def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = lower(parse_url(u, lit("PROTOCOL")))
+    val authority = coalesce(parse_url(u, lit("AUTHORITY")), lit(""))
+    val host = lower(coalesce(parse_url(u, lit("HOST")), lit("")))
+    val port = regexp_extract(authority, ":([0-9]+)$", 1)
+    val keepPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_replace(
+      coalesce(parse_url(u, lit("PATH")), lit("")), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = filter(
+      split(coalesce(parse_url(u, lit("QUERY")), lit("")), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))
+    val canonQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, keepPort, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
+  /** URL-level dedup over the canonical form: one row per canonical URL
+    * with the lowest doc_id as the keeper (the corpus-wide keep-lowest
+    * convention) and the copy count — the frontier's seen-set view.
+    * One hash aggregate on the canonical key; at crawl scale this is
+    * the same shape as exact text dedup and composes with the persisted
+    * fingerprint/bloom indexes for incremental frontier screening.
+    */
+  def canonicalUrlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Per-registered-domain corpus stats: doc count, distinct hosts, and
     * whether the domain is blocklisted — the table a curation run reports
     * before dropping blocked domains.

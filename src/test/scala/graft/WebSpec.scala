@@ -65,6 +65,36 @@ class WebSpec extends SparkSpec {
     out("good.com") shouldBe (("good.com", false, 1L, 1L))
   }
 
+  test("canonicalUrl: case, ports, tracking params, order, slash, fragment") {
+    val canon = Seq(
+      ("a", "HTTPS://WWW.Example.COM:443/Docs/?b=2&utm_source=tw&a=1#frag"),
+      ("b", "https://www.example.com/Docs?a=1&b=2"),
+      ("c", "https://www.example.com:8443/Docs?a=1&b=2"), // non-default port kept
+      ("d", "http://example.org:80"),                      // empty path -> "/"
+      ("e", "http://example.org/?utm_campaign=x&gclid=1&fbclid=2&ref=h")
+    ).toDF("id", "url")
+      .select(col("id"), Web.canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    canon("a") shouldBe "https://www.example.com/Docs?a=1&b=2"
+    canon("b") shouldBe "https://www.example.com/Docs?a=1&b=2"
+    canon("c") shouldBe "https://www.example.com:8443/Docs?a=1&b=2"
+    canon("d") shouldBe "http://example.org/"
+    canon("e") shouldBe "http://example.org/"
+  }
+
+  test("canonicalUrlDedup groups cosmetic variants under the lowest doc_id") {
+    val out = Web.canonicalUrlDedup(Seq(
+      (10L, "https://www.example.com/x?b=2&a=1"),
+      (11L, "HTTPS://WWW.EXAMPLE.COM:443/x/?utm_source=s&a=1&b=2#f"),
+      (12L, "https://www.example.com/y")
+    ).toDF("doc_id", "url"))
+      .orderBy("keep_id")
+      .as[(String, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("https://www.example.com/x?a=1&b=2", 10L, 2L),
+      ("https://www.example.com/y", 12L, 1L))
+  }
+
   test("urlFeatures is a pure projection: no shuffle in the plan") {
     val docs = tables.documents.withColumn("url",
       concat(lit("https://"), col("source"), lit(".example.com/"),
