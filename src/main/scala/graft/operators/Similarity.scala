@@ -363,6 +363,43 @@ object Similarity {
       k)
   }
 
+  /** Incremental SEMANTIC dedup of a new embedding batch against a
+    * persisted IVF corpus index ([[buildIvfIndex]]) — the embedding-tier
+    * member of the per-crawl probe family (exact [[Dedup.probeFingerprintIndex]],
+    * MinHash [[Dedup.probeNearDupIndex]], simhash [[Dedup.probeSimhashIndex]]):
+    * a batch vector is a dup when any corpus vector in its `nprobe`
+    * nearest cells sits at cosine ≥ `threshold` (6-dp-rounded, the
+    * [[cosineDupPairs]] boundary convention); `dup_of` is the smallest
+    * such corpus id. Like [[semanticDedup]] this is the SemDeDup recall
+    * contract — same-cell (or probed-neighbor-cell) comparisons only —
+    * with the quantizer frozen in the index's centroid table.
+    *
+    * Scale shape: cell assignment is a per-row argmax over literal
+    * centroids (no shuffle); the probed cell set is collected once
+    * (bounded by #cells, NOT batch size — this probe takes crawl-sized
+    * batches, unlike the broadcast-contract top-k queries); the verify
+    * join is cell-keyed against only the probed partitions of the index.
+    */
+  def probeSemanticIndex(spark: SparkSession, newEmbeddings: DataFrame,
+      indexTable: String, centroidTable: String, threshold: Double = 0.95,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val cents = collectCentroids(spark.table(centroidTable))
+    val q = probeCells(Dedup.spread(newEmbeddings), cents, nprobe)
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val hits = spark.table(indexTable)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .join(q, "cell")
+      .filter(round(cosine(col("embedding"), col("q_emb")), 6)
+        >= lit(threshold))
+      .groupBy("q_id").agg(min(col("vec_id")).as("dup_of"))
+      .withColumnRenamed("q_id", "vec_id")
+    Dedup.spread(newEmbeddings).select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNull.as("keep"),
+        col("dup_of"))
+  }
+
   /** Embedding near-duplicate pairs: corpus × corpus restricted to pairs
     * sharing a bucket in AT LEAST ONE of `tables` independent sign-LSH
     * tables, verified by exact cosine ≥ threshold. Same never-all-pairs

@@ -436,7 +436,11 @@ object Streams {
   }
 
   def dedupIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
-      fpDir: String, indexTable: Option[String] = None): Unit = {
+      fpDir: String, indexTable: Option[String] = None,
+      bloomTable: Option[String] = None): Unit = {
+    require(bloomTable.isEmpty || indexTable.nonEmpty,
+      "dedupIngestBatch: bloomTable is a tier over the index screen — " +
+        "it requires indexTable")
     val spark = batch.sparkSession
     import spark.implicits._
     val fpCol = "__fp_ingest"
@@ -452,14 +456,30 @@ object Streams {
           Seq.empty[String].toDF(fpCol)
       }
     // probe-both window: folded history lives in the index table, the
-    // store holds only batches since the last fold
-    val screen = indexTable.map { t =>
-      require(spark.catalog.tableExists(t),
-        s"dedupIngestBatch: index table $t does not exist — bootstrap " +
-          "it with Dedup.ensureFingerprintIndex at pipeline setup")
-      store.union(spark.table(t).select(col("fp").as(fpCol)))
-    }.getOrElse(store)
-    val survivors = self.join(screen, Seq(fpCol), "left_anti")
+    // store holds only batches since the last fold. With a bloom tier,
+    // rows the INDEX's bloom rules out skip the index anti-join (the
+    // bloom covers folded history only — the fold appends the bloom
+    // BEFORE the index, so bloom ⊇ index always holds and a bloom miss
+    // is proof of index absence); everyone still screens against the
+    // store.
+    val afterIndex = indexTable match {
+      case None => self
+      case Some(t) =>
+        require(spark.catalog.tableExists(t),
+          s"dedupIngestBatch: index table $t does not exist — bootstrap " +
+            "it with Dedup.ensureFingerprintIndex at pipeline setup")
+        val idx = spark.table(t).select(col("fp").as(fpCol))
+        bloomTable match {
+          case None => self.join(idx, Seq(fpCol), "left_anti")
+          case Some(bt) =>
+            graft.sources.IndexSpec.readRequired(spark, bt)
+            val bytes = spark.table(bt).head().getAs[Array[Byte]]("bloom")
+            val seen = graft.operators.Dedup.mightContain(bytes, col(fpCol))
+            self.filter(!seen).unionByName(
+              self.filter(seen).join(idx, Seq(fpCol), "left_anti"))
+        }
+    }
+    val survivors = afterIndex.join(store, Seq(fpCol), "left_anti")
     writeBatchIdempotent(survivors.drop(fpCol), batchId, outDir)
     survivors.select(col(fpCol).as("fp"))
       .withColumn("batch_id", lit(batchId))
@@ -477,12 +497,13 @@ object Streams {
     * argument.
     */
   def startDedupedIngest(docs: DataFrame, outDir: String, fpDir: String,
-      checkpoint: String, indexTable: Option[String] = None): StreamingQuery =
+      checkpoint: String, indexTable: Option[String] = None,
+      bloomTable: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        dedupIngestBatch(b, id, outDir, fpDir, indexTable)
+        dedupIngestBatch(b, id, outDir, fpDir, indexTable, bloomTable)
       }
       .start()
 
@@ -731,7 +752,8 @@ object Streams {
     * single-writer discipline every compaction job shares.
     */
   def foldFingerprintStore(spark: SparkSession, fpDir: String,
-      table: String, buckets: Int = 32): Seq[Long] = {
+      table: String, buckets: Int = 32,
+      bloomTable: Option[String] = None): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(fpDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = storeBatchIds(fs, dir)
@@ -742,10 +764,18 @@ object Streams {
     // batch_id < keep partition-prunes the read to exactly the snapshot
     // taken above: batch ids only grow, so a concurrent stream write
     // can never land below `keep`
-    graft.operators.Dedup.appendFingerprints(
-      spark.read.parquet(fpDir).filter(col("batch_id") < keep)
-        .select("fp"),
-      table)
+    val folded = spark.read.parquet(fpDir).filter(col("batch_id") < keep)
+      .select("fp")
+    // bloom BEFORE index: the ingest's bloom tier treats a bloom miss
+    // as proof of index absence, so the bloom must never lag the index.
+    // A crash between the two appends leaves bloom ⊇ index (harmless —
+    // the extra fps just route through the residue anti-join); the
+    // re-run re-ORs and re-anti-joins to the identical end state.
+    bloomTable.foreach { bt =>
+      graft.operators.Dedup.ensureBloomIndex(spark, bt)
+      graft.operators.Dedup.appendBloomFingerprints(folded, bt)
+    }
+    graft.operators.Dedup.appendFingerprints(folded, table)
     foldable.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
     foldable

@@ -325,6 +325,54 @@ class SimilaritySpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("probeSemanticIndex: clones screened; nprobe=#cells equals brute force") {
+    val corpus = tables.embeddings.filter(col("vec_id") % 5 =!= 0)
+    val clones = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.000001f)).as("embedding"),
+        col("label"))
+    val batch = tables.embeddings.filter(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding", "label").union(clones)
+    Similarity.buildIvfIndex(corpus, "sem_idx_t", "sem_cents_t")
+    val out = Similarity.probeSemanticIndex(SparkSpec.spark, batch,
+      "sem_idx_t", "sem_cents_t", threshold = 0.99, nprobe = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // every planted clone lands in its original's cell and is screened
+    corpus.filter(col("vec_id") < 10).select("vec_id").as[Long].collect()
+      .foreach { id =>
+        out(id + 200000)._1 shouldBe false
+        out(id + 200000)._2.get should be <= id
+      }
+    // probing every cell removes the quantizer from the picture: the
+    // screen must equal a cell-free driver brute force over the corpus
+    val nCells = SparkSpec.spark.table("sem_cents_t").count().toInt
+    val full = Similarity.probeSemanticIndex(SparkSpec.spark, batch,
+      "sem_idx_t", "sem_cents_t", threshold = 0.99, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val corpusEmb = corpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val expected = batch.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, e) =>
+        val mates = corpusEmb.collect {
+          case (cid, ce) if cos(e, ce) >= 0.99 => cid }
+        val dupOf = if (mates.isEmpty) None else Some(mates.min)
+        (id, dupOf.isEmpty, dupOf)
+      }.toSet
+    full shouldBe expected
+  }
+
   test("semanticDedup: output independent of input partitioning") {
     val base = tables.embeddings.select("vec_id", "embedding")
     rowSet(Similarity.semanticDedup(base.repartition(7), k = 4, iters = 3)) shouldBe

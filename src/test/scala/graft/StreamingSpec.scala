@@ -680,6 +680,51 @@ class StreamingSpec extends SparkSpec {
     landed(outB) shouldBe landed(outA)
   }
 
+  test("bloom-tier ingest: landed set identical with and without the bloom") {
+    // control (index fold, no bloom) vs bloom-tiered run: the bloom is
+    // an optimization over the index anti-join, never a semantic change
+    val (outA, fpA) = (tmp("blm-ctl-out"), tmp("blm-ctl-fp"))
+    val (outB, fpB) = (tmp("blm-out"), tmp("blm-fp"))
+    Seq(outA, fpA, outB, fpB).foreach(d => new java.io.File(d).delete())
+    val (idxA, idxB, blm) = ("blm_fp_idx_ctl", "blm_fp_idx", "blm_bloom")
+    Seq(idxA, idxB, blm, blm + "__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Dedup.ensureFingerprintIndex(spark, idxA)
+    graft.operators.Dedup.ensureFingerprintIndex(spark, idxB)
+    graft.operators.Dedup.ensureBloomIndex(spark, blm, expectedItems = 1000)
+    val rnd = new scala.util.Random(11L)
+    val docs = (1L to 60L).map(i => (i, s"bloom tier text ${rnd.nextInt(15)}"))
+    val batches = rnd.shuffle(docs).grouped(10).toSeq
+    batches.zipWithIndex.foreach { case (b, id) =>
+      Streams.dedupIngestBatch(b.toDF("doc_id", "text"), id.toLong,
+        outA, fpA, Some(idxA))
+      Streams.foldFingerprintStore(spark, fpA, idxA)
+      Streams.dedupIngestBatch(b.toDF("doc_id", "text"), id.toLong,
+        outB, fpB, Some(idxB), Some(blm))
+      Streams.foldFingerprintStore(spark, fpB, idxB,
+        bloomTable = Some(blm))
+    }
+    def landed(out: String): Seq[Long] = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    landed(outB) shouldBe landed(outA)
+    // the fold's bloom-before-index crash window: bloom ORs in fps the
+    // index hasn't absorbed yet (bloom ⊇ index — the safe direction).
+    // A dup of a landed doc still screens (store/index agree), a fresh
+    // doc still lands through the residue join.
+    graft.operators.Dedup.appendBloomFingerprints(
+      spark.read.parquet(fpB).select("fp"), blm)
+    Streams.dedupIngestBatch(
+      Seq((101L, docs.head._2), (102L, "bloom tier genuinely fresh"))
+        .toDF("doc_id", "text"), 90L, outB, fpB, Some(idxB), Some(blm))
+    landed(outB) shouldBe (landed(outA) :+ 102L)
+    // a bloom table without its spec is half-built: reject loudly
+    spark.sql(s"DROP TABLE IF EXISTS ${blm}__spec")
+    an[IllegalStateException] should be thrownBy
+      Streams.dedupIngestBatch(
+        Seq((103L, "x")).toDF("doc_id", "text"), 91L, outB, fpB,
+        Some(idxB), Some(blm))
+  }
+
   test("store→index fold: crash between append and cleanup re-runs to the same state") {
     val (out, fp) = (tmp("fold-crash-out"), tmp("fold-crash-fp"))
     Seq(out, fp).foreach(d => new java.io.File(d).delete())
