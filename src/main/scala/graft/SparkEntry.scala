@@ -1210,7 +1210,15 @@ object SparkEntry {
           t.embeddings.filter(col("vec_id") % 5 === 0), idx, cents,
           threshold = 0.95, nprobe = 2)
         .orderBy("vec_id")
-    })
+    }),
+
+    // ---- in-engine trainable quality classifier: logistic regression
+    // by full-batch GD over bounded 4-dp features, decimal-quantized
+    // gradients — the oracle replays the whole training trajectory as
+    // chained CTEs (the k-means/PageRank scheme)
+    "q143_quality_classifier" -> ((s, d) =>
+      Classifier.qualityClassifier(Tables(s, d).documents)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3180,8 +3188,79 @@ object SparkEntry {
            GROUP BY q_id)
          SELECT q.q_id AS vec_id, (h.dup_of IS NULL) AS keep, h.dup_of
          FROM q LEFT JOIN hits h USING (q_id)
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+
+    "q143_quality_classifier" -> logisticOracle(iters = 8)
   )
+
+  /** DuckDB replay of [[graft.operators.Classifier.qualityClassifier]]:
+    * the q23 feature expressions (4-dp rounded, null-coalesced, capped
+    * into [0,1]), then one gradient-aggregate + weight-update CTE pair
+    * per GD round — per-row gradient contributions quantized to
+    * DECIMAL(20,8) and summed exactly, margins spelled strictly
+    * left-to-right, lr fixed at 1.0 (the Spark side's `lr * g` is then
+    * bit-exact `g`). `f` and each weight row are MATERIALIZED (each is
+    * referenced twice per round — inlining would re-expand the whole
+    * prior chain, the HITS-oracle lesson).
+    */
+  private def logisticOracle(iters: Int): String = {
+    val margin =
+      "((((b + x_stop * w1) + x_upper * w2) + x_len * w3) + x_tlen * w4)"
+    val rounds = (1 to iters).map { i =>
+      s"""g$i AS (
+            SELECT sum(CAST(r AS DECIMAL(20,8))) AS g0,
+              sum(CAST(r * x_stop AS DECIMAL(20,8))) AS g1,
+              sum(CAST(r * x_upper AS DECIMAL(20,8))) AS g2,
+              sum(CAST(r * x_len AS DECIMAL(20,8))) AS g3,
+              sum(CAST(r * x_tlen AS DECIMAL(20,8))) AS g4,
+              count(*) AS n
+            FROM (
+              SELECT (1.0 / (1.0 + exp(-$margin)))
+                  - CAST(label AS DOUBLE) AS r,
+                x_stop, x_upper, x_len, x_tlen
+              FROM f CROSS JOIN w${i - 1})),
+          w$i AS MATERIALIZED (
+            SELECT b - CAST(g0 AS DOUBLE) / n AS b,
+              w1 - CAST(g1 AS DOUBLE) / n AS w1,
+              w2 - CAST(g2 AS DOUBLE) / n AS w2,
+              w3 - CAST(g3 AS DOUBLE) / n AS w3,
+              w4 - CAST(g4 AS DOUBLE) / n AS w4
+            FROM g$i CROSS JOIN w${i - 1})"""
+    }.mkString(",\n")
+    s"""WITH f AS MATERIALIZED (
+          SELECT doc_id,
+            coalesce(CASE WHEN len(toks) > 0 THEN
+              round(CAST(len(list_filter(toks,
+                x -> lower(x) IN ('the','a','an','and','of','to','in','is')))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) END, 0.0)
+              AS x_stop,
+            coalesce(CASE WHEN length(text) > 0 THEN
+              round((CAST(length(text) AS DOUBLE)
+                - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                / CAST(length(text) AS DOUBLE), 4) END, 0.0) AS x_upper,
+            least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS x_len,
+            least(coalesce(CASE WHEN len(toks) > 0 THEN
+              round(CAST(list_aggregate(list_transform(toks,
+                x -> length(x)), 'sum') AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE), 4) END, 0.0) / 10.0, 1.0)
+              AS x_tlen,
+            CAST((coalesce(CASE WHEN len(toks) > 0 THEN
+              round(CAST(len(list_filter(toks,
+                x -> lower(x) IN ('the','a','an','and','of','to','in','is')))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) END, 0.0)
+                >= 0.06 AND len(toks) >= 40) AS INT) AS label
+          FROM (SELECT doc_id, text, $Toks AS toks FROM documents)),
+        w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+          0.0 AS w4),
+        $rounds
+        SELECT doc_id, label, score, (score >= 0.5) AS keep FROM (
+          SELECT f.doc_id, CAST(f.label AS BIGINT) AS label,
+            round(1.0 / (1.0 + exp(-(
+              (((b + f.x_stop * w1) + f.x_upper * w2)
+                + f.x_len * w3) + f.x_tlen * w4))), 6) AS score
+          FROM f CROSS JOIN w$iters)
+        ORDER BY doc_id"""
+  }
 
   /** DuckDB replay of [[graft.operators.Graph.hits]]: two chained CTEs
     * per round (authority update then hub update), per-edge

@@ -345,6 +345,67 @@ object Similarity {
       indexTable, partitionBy = Seq("cell"))
   }
 
+  /** [[appendIvfIndex]] with an anti-join on vec_id before the append —
+    * the store→index fold path, where a crashed-and-rerun fold must not
+    * double-append (the [[Dedup.appendFingerprints]] discipline). An
+    * index grown this way is row-identical to one rebuilt from the
+    * union under the same frozen quantizer.
+    */
+  def appendIvfVectors(spark: SparkSession, vectors: DataFrame,
+      indexTable: String, centroidTable: String): Unit = {
+    val cents = collectCentroids(spark.table(centroidTable))
+    val fresh = vectors.select("vec_id", "embedding")
+      .join(spark.table(indexTable).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    Sinks.appendTablePartitioned(cellAssigned(fresh, cents), indexTable,
+      partitionBy = Seq("cell"))
+  }
+
+  /** Create an EMPTY cell-partitioned IVF vector table if absent — the
+    * bootstrap for streaming pipelines that fold into the index from
+    * day one. The quantizer (centroid table) must already exist; it is
+    * the index's frozen contract.
+    */
+  def ensureIvfIndex(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import spark.implicits._
+      Sinks.saveTablePartitioned(
+        Seq.empty[(Long, Seq[Float], Int)]
+          .toDF("vec_id", "embedding", "cell"),
+        table, partitionBy = Seq("cell"))
+    }
+
+  /** The frozen quantizer of `centroidTable` as plan literals. */
+  private[graft] def cellsOf(spark: SparkSession,
+      centroidTable: String): Array[(Int, Seq[Float])] =
+    collectCentroids(spark.table(centroidTable))
+
+  /** [[cellAssigned]] for callers managing their own vector stores (the
+    * streaming semantic ingest writes exactly these rows).
+    */
+  private[graft] def assignCellsFrame(embeddings: DataFrame,
+      cents: Array[(Int, Seq[Float])]): DataFrame =
+    cellAssigned(embeddings, cents)
+
+  /** The screen core shared by [[probeSemanticIndex]] and the streaming
+    * semantic ingest: distinct batch vec_ids that have a cosine ≥
+    * `threshold` neighbor among `prior` (vec_id, embedding, cell) rows,
+    * compared within the batch's `nprobe` probed cells only. The probed
+    * cell set is collected once (bounded by #cells) and pushed as a
+    * partition/scan filter on the prior side.
+    */
+  private[graft] def semanticHits(batch: DataFrame, prior: DataFrame,
+      cents: Array[(Int, Seq[Float])], threshold: Double,
+      nprobe: Int): DataFrame = {
+    val q = probeCells(Dedup.spread(batch), cents, nprobe)
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    prior.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .join(q, "cell")
+      .filter(round(cosine(col("embedding"), col("q_emb")), 6)
+        >= lit(threshold))
+      .select(col("q_id").as("vec_id")).distinct()
+  }
+
   /** Probe a persisted IVF index built by [[buildIvfIndex]]. The probed
     * cell set across the (small, broadcast) query batch is collected and
     * pushed as a partition filter, so the scan reads ≈ nprobe/#cells of

@@ -836,6 +836,113 @@ object Streams {
     foldable
   }
 
+  /** The SEMANTIC tier of the deduped ingest family — the fourth
+    * modality beside exact ([[dedupIngestBatch]]), simhash
+    * ([[nearDupIngestBatch]]) and minhash ([[minhashIngestBatch]]): an
+    * EMBEDDING stream (vec_id, embedding, payload…) screened per
+    * micro-batch against a cell-assigned vector store plus an optional
+    * persisted IVF index, under the FROZEN quantizer in
+    * `centroidTable` (built once on a seed corpus — the
+    * [[graft.operators.Similarity.probeSemanticIndex]] contract). A
+    * batch vector with a cosine ≥ `threshold` neighbor among prior
+    * vectors in its `nprobe` probed cells is dropped; survivors land
+    * exactly-once and their (vec_id, embedding, cell) rows overwrite
+    * the store's batch partition.
+    *
+    * Scope rules mirror the near-dup tiers: EXACT in-batch duplicates
+    * (byte-equal embeddings) collapse to the lowest vec_id; two
+    * DISTINCT semantic near-dups arriving in the same batch both
+    * survive — in-batch semantic dedup is
+    * [[graft.operators.Similarity.semanticDedup]]'s job upstream. The
+    * replay argument is [[dedupIngestBatch]]'s verbatim: the store read
+    * excludes the batch's own prior attempt, survivor choice is
+    * deterministic, both writes are per-batch dynamic overwrites.
+    * Fold discipline: [[foldVectorStore]], probing BOTH until the next
+    * fold.
+    */
+  def semanticIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
+      vecDir: String, centroidTable: String, threshold: Double = 0.95,
+      nprobe: Int = 1, indexTable: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = graft.operators.Similarity.cellsOf(spark, centroidTable)
+    val byEmb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("embedding")).orderBy(col("vec_id"))
+    val self = batch.withColumn("__rn", row_number().over(byEmb))
+      .filter(col("__rn") === 1).drop("__rn")
+    val store =
+      try spark.read.parquet(vecDir)
+        .filter(col("batch_id") =!= batchId)
+        .select("vec_id", "embedding", "cell")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          Seq.empty[(Long, Seq[Float], Int)]
+            .toDF("vec_id", "embedding", "cell")
+      }
+    val prior = indexTable.map { t =>
+      require(spark.catalog.tableExists(t),
+        s"semanticIngestBatch: index table $t does not exist — bootstrap " +
+          "it with Similarity.ensureIvfIndex at pipeline setup")
+      store.unionByName(
+        spark.table(t).select("vec_id", "embedding", "cell"))
+    }.getOrElse(store)
+    val hits = graft.operators.Similarity.semanticHits(
+      self, prior, cents, threshold, nprobe)
+    val survivors = self.join(hits, Seq("vec_id"), "left_anti")
+    writeBatchIdempotent(survivors, batchId, outDir)
+    graft.operators.Similarity.assignCellsFrame(
+        survivors.select(col("vec_id"), col("embedding")), cents)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(vecDir)
+  }
+
+  /** Streaming semantic ingest — [[startDedupedIngest]] with the
+    * cell-pruned cosine screen of [[semanticIngestBatch]].
+    */
+  def startSemanticIngest(vectors: DataFrame, outDir: String,
+      vecDir: String, centroidTable: String, checkpoint: String,
+      threshold: Double = 0.95, nprobe: Int = 1,
+      indexTable: Option[String] = None): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        semanticIngestBatch(b, id, outDir, vecDir, centroidTable,
+          threshold, nprobe, indexTable)
+      }
+      .start()
+
+  /** [[foldFingerprintStore]]'s semantic-tier twin: fold the vector
+    * store's batch partitions into the cell-partitioned persisted IVF
+    * index. Identical newest-partition-kept replay argument; crash-mid-
+    * fold idempotence comes from
+    * [[graft.operators.Similarity.appendIvfVectors]]' vec_id anti-join.
+    * The quantizer (`centroidTable`) is the same frozen one the ingest
+    * screens with, so folded vectors land in exactly the cells the
+    * probe will search.
+    */
+  def foldVectorStore(spark: SparkSession, vecDir: String,
+      indexTable: String, centroidTable: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(vecDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = storeBatchIds(fs, dir)
+    if (parts.size <= 1) return Nil
+    val keep = parts.max
+    val foldable = parts.filter(_ != keep)
+    graft.operators.Similarity.ensureIvfIndex(spark, indexTable)
+    graft.operators.Similarity.appendIvfVectors(spark,
+      spark.read.parquet(vecDir).filter(col("batch_id") < keep)
+        .select("vec_id", "embedding"),
+      indexTable, centroidTable)
+    foldable.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    foldable
+  }
+
   /** One micro-batch of the streaming heavy-hitter summary: compute the
     * batch's Misra–Gries summary (bounded 2k buffers, no distinct-key
     * shuffle — [[graft.functions.FrequentItemsAgg]]) and land its ≤ 2k

@@ -927,6 +927,62 @@ class StreamingSpec extends SparkSpec {
     parts should have length 1
   }
 
+  test("semantic ingest: embedding reposts screened via store then index") {
+    val (out, vec) = (tmp("sem-ing-out"), tmp("sem-ing-vec"))
+    Seq(out, vec).foreach(d => new java.io.File(d).delete())
+    val (idx, cents) = ("sem_ing_idx", "sem_ing_cents")
+    Seq(idx, cents).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // seed corpus with three labeled clusters -> frozen quantizer + index
+    val seed = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0.1f, 0.9f, 0f, 0f), 1),
+      (5L, Seq(0f, 0f, 0.7f, 0.7f), 2),
+      (6L, Seq(0f, 0f, 0.6f, 0.8f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    graft.operators.Similarity.buildIvfIndex(seed, idx, cents)
+    def ingest(rows: Seq[(Long, Seq[Float])], id: Long): Unit =
+      Streams.semanticIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        out, vec, cents, threshold = 0.99, nprobe = 1, Some(idx))
+    def landed(): Seq[Long] = spark.read.parquet(out)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // batch 0: 100 ≈ seed vector 1 (screened by the INDEX);
+    // 101 is orthogonal to everything -> lands
+    ingest(Seq(
+      (100L, Seq(1f, 0.001f, 0f, 0f)),
+      (101L, Seq(0f, 0f, 1f, 0f))), 0L)
+    landed() shouldBe Seq(101L)
+    // batch 1: 102 ≈ 101 (screened by the STORE, cross-batch);
+    // 103 orthogonal to 101 -> lands; an exact in-batch twin of 103
+    // collapses to the lowest vec_id
+    ingest(Seq(
+      (102L, Seq(0f, 0f, 0.999f, 0.001f)),
+      (103L, Seq(0f, 0f, 0f, 1f)),
+      (104L, Seq(0f, 0f, 0f, 1f))), 1L)
+    landed() shouldBe Seq(101L, 103L)
+    // replay of batch 1 rewrites its own partitions: nothing changes
+    ingest(Seq(
+      (102L, Seq(0f, 0f, 0.999f, 0.001f)),
+      (103L, Seq(0f, 0f, 0f, 1f)),
+      (104L, Seq(0f, 0f, 0f, 1f))), 1L)
+    landed() shouldBe Seq(101L, 103L)
+    // fold the store into the index; screening continues seamlessly
+    Streams.foldVectorStore(spark, vec, idx, cents) should not be empty
+    ingest(Seq(
+      (105L, Seq(0f, 0f, 1f, 0.001f)), // ≈ 101, now screened by the INDEX
+      (106L, Seq(0.7f, 0.7f, 0f, 0f))), 2L) // fresh -> lands
+    landed() shouldBe Seq(101L, 103L, 106L)
+    // a crashed re-run of the fold is a no-op (vec_id anti-join)
+    val before = spark.table(idx).count()
+    graft.operators.Similarity.appendIvfVectors(spark,
+      spark.read.parquet(vec).select("vec_id", "embedding"), idx, cents)
+    val after = spark.table(idx).count()
+    (after - before) should be <= 2L // only the unfolded newest batch
+    spark.table(idx).groupBy("vec_id").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+
   test("streaming heavy hitters ≡ batch operator under adversarial splits") {
     import graft.operators.{Sketches, TextAnalysis}
     val toks = tables.documents
