@@ -219,6 +219,8 @@ object Stress {
         Bpe.encodeDocs(docs, merges).agg(sum(col("n_tokens")))
           .head().getLong(0)
       },
+      // 8 GD rounds = 8 map-side-combined aggregates over the corpus
+      time("qualityClassifier")(Classifier.qualityClassifier(docs)),
       time("urlCanonicalDedup")(Web.canonicalUrlDedup(
         docs.withColumn("url", concat(
           lit("https://WWW.Example"), col("doc_id") % 1000,
