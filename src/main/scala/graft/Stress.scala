@@ -229,6 +229,8 @@ object Stress {
       // duplicated passages: every window recurs in ~n sibling copies,
       // so df lookups hit on nearly all of the corpus's windows
       time("duplicatedSpanRuns")(Dedup.duplicatedSpanRuns(docs)),
+      time("duplicatedSpanRunsHash")(
+        Dedup.duplicatedSpanRuns(docs, hashSpans = true)),
       // count() alone would let Catalyst ELIMINATE the left join with
       // the reassembled-text aggregate (row count is provably the doc
       // count); summing n_cut forces the whole pipeline. The printed

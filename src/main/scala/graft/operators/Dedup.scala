@@ -908,23 +908,32 @@ object Dedup {
     * island stage.
     */
   def duplicatedSpanRuns(documents: DataFrame, window: Int = 8,
-      minDf: Int = 2): DataFrame = {
+      minDf: Int = 2, hashSpans: Boolean = false): DataFrame = {
     require(window > 0, s"window must be positive: $window")
     require(minDf >= 2, s"minDf below 2 would flag every window: $minDf")
     val toked = spread(documents)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= window)
+    // hashSpans is the 100-TB scale path: the df aggregate + self-join
+    // shuffle 8-byte keys instead of ~window·avg-token-length span
+    // strings (a ~10× shuffle-volume cut at web doc sizes). 64-bit
+    // collisions can only MERGE two distinct spans' df counts — i.e.
+    // produce a rare spurious dup window, never lose a true one — and
+    // at 10¹² corpus windows the expected collision count is ~30, so
+    // the failure mode is a handful of extra 1-window runs corpus-wide.
+    // Exact string keys (the default) stay the oracle-gated path.
+    val spanExpr = concat_ws(" ", slice(col("toks"), col("__i0"),
+      lit(window)))
     val wnd = toked
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(1), size(col("toks")) - window + 1),
-          i => concat_ws(" ", slice(col("toks"), i, lit(window))))
-      ).as(Seq("p0", "span")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
-        col("span"))
-    val spanDf = wnd.groupBy("span")
+        sequence(lit(1), size(col("toks")) - window + 1)
+      ).as(Seq("p0", "__i0")), col("toks"))
+      .select(col("doc_id"), col("__i0").cast("long").as("i"),
+        (if (hashSpans) xxhash64(spanExpr) else spanExpr).as("span_key"))
+    val spanDf = wnd.groupBy("span_key")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
-    val dup = wnd.join(spanDf, "span").select("doc_id", "i")
+    val dup = wnd.join(spanDf, "span_key").select("doc_id", "i")
     val isl = dup.withColumn("g",
       col("i") - row_number().over(
         Window.partitionBy("doc_id").orderBy("i")))
@@ -947,7 +956,11 @@ object Dedup {
     * keep). Docs shorter than the window pass through untouched; a doc
     * that is ENTIRELY duplicated comes back with empty text (and a
     * `n_cut` of its token count) rather than vanishing — dropping docs
-    * is the dedup tiers' job, not the passage cutter's.
+    * is the dedup tiers' job, not the passage cutter's. Output text is
+    * the kept tokens single-space joined — i.e. whitespace-NORMALIZED,
+    * the same normalization [[TextAnalysis.fingerprint]] applies; a
+    * pipeline that must preserve original whitespace should treat the
+    * runs from [[duplicatedSpanRuns]] as annotations instead.
     *
     * Shape: run intervals explode to covered positions (output-bound by
     * total duplicated footage), one anti-join on (doc_id, pos), and a
@@ -955,8 +968,8 @@ object Dedup {
     * no windows, no driver state.
     */
   def stripDuplicatedSpans(documents: DataFrame, window: Int = 8,
-      minDf: Int = 2): DataFrame = {
-    val runs = duplicatedSpanRuns(documents, window, minDf)
+      minDf: Int = 2, hashSpans: Boolean = false): DataFrame = {
+    val runs = duplicatedSpanRuns(documents, window, minDf, hashSpans)
     val covered = runs.select(col("doc_id"),
       explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
     val toked = spread(documents)

@@ -334,6 +334,15 @@ class DedupSpec extends SparkSpec {
     // partitioning never changes the answer
     rowSet(Dedup.duplicatedSpanRuns(docs.repartition(5), window = 4)) shouldBe
       rowSet(Dedup.duplicatedSpanRuns(docs, window = 4))
+    // the hash-keyed scale path answers identically (no collisions at
+    // this size; collisions can only add spurious dup windows anyway)
+    rowSet(Dedup.duplicatedSpanRuns(docs, window = 4, hashSpans = true)) shouldBe
+      rowSet(Dedup.duplicatedSpanRuns(docs, window = 4))
+    // and the df shuffle really does carry 8-byte keys, not span strings
+    rowSet(Dedup.duplicatedSpanRuns(
+      tables.documents.filter(col("doc_id") < 300), hashSpans = true)) shouldBe
+      rowSet(Dedup.duplicatedSpanRuns(
+        tables.documents.filter(col("doc_id") < 300)))
   }
 
   test("stripDuplicatedSpans cuts runs, keeps everything else in order") {
