@@ -1218,7 +1218,21 @@ object SparkEntry {
     // chained CTEs (the k-means/PageRank scheme)
     "q143_quality_classifier" -> ((s, d) =>
       Classifier.qualityClassifier(Tables(s, d).documents)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- sequence packing under REAL tokenizer accounting: the q64
+    // two-pass prefix-sum pack, sized by the trained BPE merges (the
+    // persisted q135 table) instead of whitespace counts
+    "q144_pack_bpe" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(tbl))
+        Bpe.buildMergesTable(docs, tbl, numMerges = 8)
+      Relational.packSized(
+          Bpe.docTokenCounts(docs, Bpe.loadMerges(s, tbl)),
+          budgetTokens = 512)
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3190,7 +3204,33 @@ object SparkEntry {
          FROM q LEFT JOIN hits h USING (q_id)
          ORDER BY vec_id""",
 
-    "q143_quality_classifier" -> logisticOracle(iters = 8)
+    "q143_quality_classifier" -> logisticOracle(iters = 8),
+
+    // q134's per-word BPE token counts, per-doc sums, then q64's
+    // prefix-sum pack at budget 512
+    "q144_pack_bpe" ->
+      s"""${bpeTrainCtes(8)},
+          wtc AS (
+            SELECT word, len(string_split(trim(rep), '  ')) AS tc
+            FROM vocab_8),
+          dw AS (
+            SELECT doc_id,
+              unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents),
+          dt AS (
+            SELECT d.doc_id, CAST(sum(w.tc) AS BIGINT) AS n
+            FROM dw d JOIN wtc w USING (word) GROUP BY d.doc_id),
+          t AS (
+            SELECT d.doc_id, CAST(coalesce(dt.n, 0) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN dt USING (doc_id)),
+          c AS (
+            SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS prev
+            FROM t)
+          SELECT doc_id, n_tokens, CAST(prev // 512 AS BIGINT) AS bin_id
+          FROM c ORDER BY doc_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Classifier.qualityClassifier]]:

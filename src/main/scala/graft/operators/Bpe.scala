@@ -202,6 +202,24 @@ object Bpe {
       .orderBy(col("total_count").desc, col("token"))
       .limit(topN)
 
+  /** Per-document token counts under `merges` — the production
+    * replacement for whitespace counts in the budget operators
+    * (packing, budget-select, quantiles). Tokenization happens per
+    * DISTINCT word; the per-occurrence stage is one word-keyed join +
+    * a per-doc sum. Docs with no `[a-z]+` words count 0.
+    */
+  def docTokenCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val wtc = wordVocab(docs).select(col("word"),
+      tokenCount(col("word"), merges).cast("long").as("tc"))
+    val sums = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+      .join(wtc, Seq("word"))
+      .groupBy("doc_id").agg(sum(col("tc")).as("n"))
+    docs.select(col("doc_id")).join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_tokens"))
+  }
+
   /** Frequency-ranked token-id table under `merges`: 1-based id by
     * (total occurrence count DESC, token ASC) — the id convention real
     * tokenizers publish (hot tokens get small ids). The rank is the

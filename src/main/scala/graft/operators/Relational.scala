@@ -561,14 +561,25 @@ object Relational {
     * when the upstream is expensive.
     */
   def packSequences(documents: DataFrame, budgetTokens: Long = 2048,
+      partitions: Int = 0): DataFrame =
+    packSized(
+      documents.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      budgetTokens, partitions)
+
+  /** [[packSequences]] over a caller-sized (doc_id, n_tokens) frame —
+    * the injection point for REAL tokenizer accounting (the BPE counts
+    * of [[Bpe.docTokenCounts]]) instead of whitespace counts. Same
+    * distributed two-pass prefix sum.
+    */
+  def packSized(sizedDocs: DataFrame, budgetTokens: Long = 2048,
       partitions: Int = 0): DataFrame = {
-    val spark = documents.sparkSession
+    val spark = sizedDocs.sparkSession
     val nParts =
       if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    val sized = documents
-      .select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val sized = sizedDocs
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .repartitionByRange(nParts, col("doc_id").asc)
       .sortWithinPartitions("doc_id")
       .rdd.map(r => (r.getLong(0), r.getLong(1)))

@@ -125,6 +125,19 @@ class BpeSpec extends SparkSpec {
     counts(id2tok(1L)) shouldBe counts.values.max
   }
 
+  test("docTokenCounts agrees with the encoding path; wordless docs count 0") {
+    val docs = tables.documents.filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+      .union(Seq((9901L, "12345 --- !!!")).toDF("doc_id", "text"))
+    val merges = Bpe.trainMerges(docs, numMerges = 4)
+    // the count path (per-word sums) and the encoding path (id-sequence
+    // lengths) are independent implementations of the same number
+    rowSet(Bpe.docTokenCounts(docs, merges)) shouldBe
+      rowSet(Bpe.encodeDocs(docs, merges).select("doc_id", "n_tokens"))
+    Bpe.docTokenCounts(docs, merges).filter(col("doc_id") === 9901L)
+      .select("n_tokens").as[Long].head() shouldBe 0L
+  }
+
   test("vocab report conserves corpus token mass") {
     val docs = tables.documents
     val merges = Bpe.trainMerges(docs, numMerges = 4)
