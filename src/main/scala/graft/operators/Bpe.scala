@@ -90,16 +90,24 @@ object Bpe {
     * adjacent-pair counts over the current vocabulary, picks the
     * (count DESC, lhs, rhs) argmax — one row of driver state — and
     * rewrites the vocabulary representations with one `replace`.
-    * Rounds persist their vocabulary and drop the previous one, so the
-    * lineage stays one round deep. Stops early if the vocabulary is
-    * fully merged (no adjacent pairs left).
+    * Rounds materialize through [[graft.core.Rounds]] so the LINEAGE is
+    * truly one round deep — a bare persist caches data but leaves every
+    * previous round nested inside the logical plan, and at 32 merges
+    * over the 20× stress corpus the per-action AQE plan-string
+    * construction alone OOM'd the driver (found round 7; the fixpoint
+    * operators had the same lesson). `checkpointDir` selects the
+    * executor-loss-reliable parquet rounds, per the Rounds contract.
+    * Stops early if the vocabulary is fully merged.
     */
   def trainMerges(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): Seq[Merge] = {
+      textCol: String = "text",
+      checkpointDir: Option[String] = None): Seq[Merge] = {
     require(numMerges >= 1, s"trainMerges: numMerges must be >= 1, got $numMerges")
+    val materialize = graft.core.Rounds.materializer(checkpointDir)
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
-    var vocab = wordVocab(docs, textCol)
-      .withColumn("rep", padded(col("word"))).persist()
+    var vocab = materialize(
+      wordVocab(docs, textCol).withColumn("rep", padded(col("word"))),
+      "bpe_vocab_0")
     try {
       var k = 1
       var exhausted = false
@@ -120,8 +128,9 @@ object Bpe {
         else {
           val m = Merge(k, top(0).getString(0), top(0).getString(1))
           out += m
-          val next = vocab.withColumn("rep", applyOne(col("rep"), m)).persist()
-          next.count() // materialize before releasing the parent round
+          // materialize (eager) BEFORE dropping the parent round's blocks
+          val next = materialize(
+            vocab.withColumn("rep", applyOne(col("rep"), m)), s"bpe_vocab_$k")
           vocab.unpersist()
           vocab = next
           k += 1
