@@ -1122,7 +1122,7 @@ object SparkEntry {
       if (!s.catalog.tableExists(fpIdx))
         Dedup.buildFingerprintIndex(corpus, fpIdx)
       if (!s.catalog.tableExists(bloom))
-        Dedup.buildBloomIndex(corpus, bloom)
+        Dedup.buildBloomIndex(corpus, bloom, fpIdx)
       Dedup.probeBloomIndex(docs.filter(col("doc_id") % 7 === 0),
           bloom, fpIdx)
         .select("doc_id", "n_chars")

@@ -194,7 +194,8 @@ object Stress {
       // input shrinks to the might_contain residue; build is the
       // one-time corpus pass
       timed("bloomIndexBuild")(Dedup.buildBloomIndex(
-        bigDocs.filter(col("doc_id") % 100 =!= 0), "stress_bloom_big")),
+        bigDocs.filter(col("doc_id") % 100 =!= 0), "stress_bloom_big",
+        "stress_fp_big")),
       time("bloomIndexProbeBig")(Dedup.probeBloomIndex(
         bigDocs.filter(col("doc_id") % 100 === 0),
         "stress_bloom_big", "stress_fp_big")),

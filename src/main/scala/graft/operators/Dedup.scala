@@ -334,6 +334,93 @@ object Dedup {
     math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
+  /** Catalyst's `BloomFilterAggregate` silently clamps its
+    * `estimatedNumItems`/`numBits` arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M) and
+    * `.maxNumBits` (2²⁶ bits ≈ 8 MB) — defaults sized for runtime join
+    * filters, not corpus indexes. Without raising them, a build past
+    * ~4M distinct docs would store a filter whose REAL geometry is the
+    * clamp, not the spec — the spec would lie, the fpp would saturate,
+    * and a later sketch-side merge of unclamped geometry would throw
+    * `IncompatibleMergeException`. This wrapper raises both confs to
+    * cover the requested geometry for the duration of the aggregate
+    * (session confs propagate to executor-side `SQLConf.get`, where the
+    * clamp is applied) and restores them after, so the stored filter's
+    * geometry always equals the spec's.
+    */
+  private def withBloomCapacity[T](
+      spark: org.apache.spark.sql.SparkSession, n: Long, bits: Long)(
+      body: => T): T = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.getOption(itemsKey)
+    val oldBits = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey,
+      math.max(n, oldItems.map(_.toLong).getOrElse(0L)))
+    spark.conf.set(bitsKey,
+      math.max(bits, oldBits.map(_.toLong).getOrElse(0L)))
+    try body finally {
+      oldItems.fold(spark.conf.unset(itemsKey))(spark.conf.set(itemsKey, _))
+      oldBits.fold(spark.conf.unset(bitsKey))(spark.conf.set(bitsKey, _))
+    }
+  }
+
+  /** The `BloomFilterAggregate` over `xxhash64(fp)` as a Column, at the
+    * exact (n, bits) geometry (see [[withBloomCapacity]] for why the
+    * geometry must be raised past the runtime-join-filter defaults).
+    */
+  private def bloomAgg(n: Long, bits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    org.apache.spark.sql.graft.bridge.column(
+      new BloomFilterAggregate(
+        org.apache.spark.sql.graft.bridge.expression(xxhash64(col("fp"))),
+        Literal(n), Literal(bits)).toAggregateExpression())
+  }
+
+  /** A serialized EMPTY sketch filter of (n, bits) geometry — the
+    * null-replacement for `BloomFilterAggregate`'s cardinality-0 result
+    * (the aggregate returns NULL over an empty input, and a stored NULL
+    * cell would turn every probe predicate null → both filter(seen) and
+    * filter(!seen) empty → a whole batch silently dropped). The sketch
+    * `create(n, bits)` derives the same hash count as the aggregate's
+    * internal filter, so later OR-merges stay compatible.
+    */
+  private def emptyBloomBytes(n: Long, bits: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    org.apache.spark.util.sketch.BloomFilter.create(n, bits).writeTo(out)
+    out.toByteArray
+  }
+
+  /** Reverse-pairing marker: `<fpTable>__bloom_pair`, one row naming
+    * the bloom table that tiers over `fpTable`. The bloom's own spec
+    * records `fp_table` (forward direction); this marker lets code that
+    * only knows the INDEX discover — and be forced to maintain — its
+    * bloom: a store→index fold that grows the index without OR-ing the
+    * same fingerprints into the bloom breaks bloom ⊇ index, after which
+    * already-indexed docs pass the `!might_contain` fast path and land
+    * as silent duplicates. [[graft.streaming.Streams.foldFingerprintStore]]
+    * refuses to fold a marked index without its marked bloom.
+    */
+  private[graft] def bloomPairTable(fpTable: String): String =
+    s"${fpTable}__bloom_pair"
+
+  /** The bloom table paired to `fpTable`, if any (see
+    * [[bloomPairTable]]).
+    */
+  private[graft] def pairedBloom(spark: org.apache.spark.sql.SparkSession,
+      fpTable: String): Option[String] =
+    if (spark.catalog.tableExists(bloomPairTable(fpTable)))
+      Some(spark.table(bloomPairTable(fpTable)).head().getString(0))
+    else None
+
+  private def writeBloomPair(spark: org.apache.spark.sql.SparkSession,
+      fpTable: String, bloomTable: String): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.saveTable(
+      Seq(bloomTable).toDF("bloom_table"), bloomPairTable(fpTable))
+  }
+
   /** Build the BLOOM TIER over a fingerprint corpus: one Bloom filter of
     * the corpus's distinct normalized fingerprints (hashed to 64 bits —
     * the same `xxhash64(fp)` the probe applies), stored as a one-row
@@ -353,15 +440,25 @@ object Dedup {
     * Built with Catalyst's own `BloomFilterAggregate` (the engine's
     * runtime-join-filter machinery): the filter is assembled by
     * executor-side partial aggregation and merged once — the corpus
-    * never funnels through the driver. Sizing: optimal bits for
-    * `fpp` at the corpus's measured distinct count; at 10⁹ unique docs
-    * and fpp 1% that is ~1.2 GB — still a broadcastable constant on
-    * production executors, and the spec records both numbers so a probe
-    * can see what it is loading. Past that, raise `fpp` (the exact tier
-    * catches the slack) or fall back to the plain index probe.
+    * never funnels through the driver (only the final one-row filter
+    * does, to null-replace an empty-corpus aggregate). Sizing: optimal
+    * bits for `fpp` at the corpus's measured distinct count; at 10⁹
+    * unique docs and fpp 1% that is ~1.2 GB — still a broadcastable
+    * constant on production executors, and the spec records both
+    * numbers so a probe can see what it is loading (the aggregate's
+    * 4M-item/8MB runtime-join-filter clamp is raised around the build —
+    * [[withBloomCapacity]] — so the stored geometry IS the spec'd
+    * geometry). Past that, raise `fpp` (the exact tier catches the
+    * slack) or fall back to the plain index probe.
+    *
+    * `fpTable` names the exact fingerprint index this bloom tiers over:
+    * it is recorded in the spec (probes must pass the same table — a
+    * bloom screening for the WRONG index has no ⊇ guarantee and would
+    * silently drop rows) and in the index-side [[bloomPairTable]]
+    * marker (folds that grow the index must grow this bloom).
     */
   def buildBloomIndex(documents: DataFrame, table: String,
-      fpp: Double = 0.01): Unit = {
+      fpTable: String, fpp: Double = 0.01): Unit = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val spark = documents.sparkSession
     val fps = spread(documents)
@@ -370,17 +467,22 @@ object Dedup {
     try {
       val n = math.max(1L, fps.count()) // one extra pass; build-once cost
       val bits = bloomBits(n, fpp)
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      val bloom = org.apache.spark.sql.graft.bridge.column(
-        new BloomFilterAggregate(
-          org.apache.spark.sql.graft.bridge.expression(xxhash64(col("fp"))),
-          Literal(n), Literal(bits)).toAggregateExpression())
       import spark.implicits._
-      // spec FIRST (the IndexSpec ordering contract)
+      // pairing marker, then spec, then the filter itself: a crash
+      // leaves at worst a marker/spec with no index — probes and folds
+      // fail loudly on the missing table, never run unguarded
+      writeBloomPair(spark, fpTable, table)
       graft.sources.IndexSpec.write(
-        Seq((n, fpp, bits)).toDF("n_items", "fpp", "num_bits"), table)
-      graft.sources.Sinks.saveTable(fps.agg(bloom.as("bloom")), table)
+        Seq((n, fpp, bits, fpTable))
+          .toDF("n_items", "fpp", "num_bits", "fp_table"), table)
+      val bytes = withBloomCapacity(spark, n, bits) {
+        fps.agg(bloomAgg(n, bits).as("bloom"))
+          .head().getAs[Array[Byte]]("bloom")
+      }
+      // empty corpus → NULL aggregate → store a real empty filter (a
+      // NULL cell would null-out every probe predicate downstream)
+      val stored = if (bytes != null) bytes else emptyBloomBytes(n, bits)
+      graft.sources.Sinks.saveTable(Seq(stored).toDF("bloom"), table)
     } finally fps.unpersist()
   }
 
@@ -408,17 +510,19 @@ object Dedup {
     val spark = fps.sparkSession
     val spec = graft.sources.IndexSpec.readRequired(spark, table)
     val (n, bits) = (spec.getLong(0), spec.getLong(2))
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val bloom = org.apache.spark.sql.graft.bridge.column(
-      new BloomFilterAggregate(
-        org.apache.spark.sql.graft.bridge.expression(xxhash64(col("fp"))),
-        Literal(n), Literal(bits)).toAggregateExpression())
-    val batchBytes = fps.agg(bloom.as("bloom"))
-      .head().getAs[Array[Byte]]("bloom")
+    // capacity raised to the spec's geometry: the batch filter must be
+    // built UNCLAMPED or its (bits, hash-count) would differ from the
+    // stored filter's and the sketch-side merge below would throw
+    // IncompatibleMergeException past the 4M-item clamp
+    val batchBytes = withBloomCapacity(spark, n, bits) {
+      fps.agg(bloomAgg(n, bits).as("bloom"))
+        .head().getAs[Array[Byte]]("bloom")
+    }
     val oldBytes = spark.table(table).head().getAs[Array[Byte]]("bloom")
     val merged = org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(oldBytes))
+      .readFrom(new java.io.ByteArrayInputStream(
+        // a legacy NULL cell (pre-null-replacement build) reads as empty
+        if (oldBytes != null) oldBytes else emptyBloomBytes(n, bits)))
     if (batchBytes != null) // null = empty batch aggregate; nothing to add
       merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(batchBytes)))
@@ -436,7 +540,7 @@ object Dedup {
     * ingest that outgrows it should rebuild at a fold horizon.
     */
   def ensureBloomIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, expectedItems: Long = 1000000L,
+      table: String, fpTable: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): Unit =
     if (!spark.catalog.tableExists(table)) {
       require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
@@ -444,15 +548,15 @@ object Dedup {
         s"expectedItems must be positive: $expectedItems")
       val bits = bloomBits(expectedItems, fpp)
       import spark.implicits._
+      writeBloomPair(spark, fpTable, table)
       graft.sources.IndexSpec.write(
-        Seq((expectedItems, fpp, bits))
-          .toDF("n_items", "fpp", "num_bits"), table)
-      val empty = org.apache.spark.util.sketch.BloomFilter
-        .create(expectedItems, bits)
-      val out = new java.io.ByteArrayOutputStream()
-      empty.writeTo(out)
+        Seq((expectedItems, fpp, bits, fpTable))
+          .toDF("n_items", "fpp", "num_bits", "fp_table"), table)
+      // sketch create(n, bits) — unclamped, same geometry the spec
+      // records and appendBloomFingerprints' capacity-raised aggregate
+      // produces, so the first append merges cleanly at any size
       graft.sources.Sinks.saveTable(
-        Seq(out.toByteArray).toDF("bloom"), table)
+        Seq(emptyBloomBytes(expectedItems, bits)).toDF("bloom"), table)
     }
 
   /** The `might_contain(bloom, xxhash64(fp))` predicate as a Column —
@@ -475,20 +579,32 @@ object Dedup {
   def probeBloomIndex(newDocs: DataFrame, bloomTable: String,
       fpTable: String): DataFrame = {
     val spark = newDocs.sparkSession
-    graft.sources.IndexSpec.readRequired(spark, bloomTable) // loud half-built guard
+    val spec = graft.sources.IndexSpec.readRequired(spark, bloomTable)
+    // the spec'd pairing is the exactness contract: a bloom built over
+    // a DIFFERENT index's corpus has no ⊇ guarantee and its misses
+    // would silently drop true-new rows from the residue join
+    require(spec.getString(3) == fpTable,
+      s"probeBloomIndex: bloom $bloomTable was built over index " +
+        s"'${spec.getString(3)}', not '$fpTable' — a mismatched bloom " +
+        "has no superset guarantee and would silently lose rows")
     val bytes = spark.table(bloomTable).head().getAs[Array[Byte]]("bloom")
     val fpCol = "__fp_bloom"
     require(!newDocs.columns.contains(fpCol),
       s"probeBloomIndex: newDocs must not already have a $fpCol column")
     val withFp = newDocs
       .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+    val idx = spark.table(fpTable).withColumnRenamed("fp", fpCol)
+    // a legacy NULL bloom cell means "nothing recorded": skip the bloom
+    // screen and route the whole batch through the exact anti-join (the
+    // might_contain(NULL, …) predicate would instead null out BOTH
+    // branches and drop the entire batch)
+    if (bytes == null) return withFp.join(idx, Seq(fpCol), "left_anti")
+      .drop(fpCol)
     val seen = mightContain(bytes, col(fpCol))
     // definitely-new rows skip the join entirely (no false negatives);
     // the residue anti-joins the bucketed index, restoring exactness
     val definiteNew = withFp.filter(!seen)
-    val survivors = withFp.filter(seen)
-      .join(spark.table(fpTable).withColumnRenamed("fp", fpCol),
-        Seq(fpCol), "left_anti")
+    val survivors = withFp.filter(seen).join(idx, Seq(fpCol), "left_anti")
     definiteNew.unionByName(survivors).drop(fpCol)
   }
 

@@ -472,11 +472,28 @@ object Streams {
         bloomTable match {
           case None => self.join(idx, Seq(fpCol), "left_anti")
           case Some(bt) =>
-            graft.sources.IndexSpec.readRequired(spark, bt)
+            val spec = graft.sources.IndexSpec.readRequired(spark, bt)
+            // both pairing directions must agree: the bloom's spec names
+            // THIS index (a bloom over another index has no ⊇ guarantee)
+            // and the index's marker names THIS bloom (a superseded
+            // bloom the folds stopped feeding lags the index, and its
+            // misses would land already-indexed docs as silent dups)
+            require(spec.getString(3) == t,
+              s"dedupIngestBatch: bloom $bt was built over index " +
+                s"'${spec.getString(3)}', not '$t'")
+            require(
+              graft.operators.Dedup.pairedBloom(spark, t).contains(bt),
+              s"dedupIngestBatch: index $t is not paired to bloom $bt " +
+                "(missing or superseded pairing marker) — the fold " +
+                "would not maintain this bloom, breaking bloom ⊇ index")
             val bytes = spark.table(bt).head().getAs[Array[Byte]]("bloom")
-            val seen = graft.operators.Dedup.mightContain(bytes, col(fpCol))
-            self.filter(!seen).unionByName(
-              self.filter(seen).join(idx, Seq(fpCol), "left_anti"))
+            if (bytes == null) // legacy NULL cell: nothing recorded —
+              self.join(idx, Seq(fpCol), "left_anti") // full exact screen
+            else {
+              val seen = graft.operators.Dedup.mightContain(bytes, col(fpCol))
+              self.filter(!seen).unionByName(
+                self.filter(seen).join(idx, Seq(fpCol), "left_anti"))
+            }
         }
     }
     val survivors = afterIndex.join(store, Seq(fpCol), "left_anti")
@@ -760,6 +777,20 @@ object Streams {
     if (parts.size <= 1) return Nil // nothing safely foldable
     val keep = parts.max
     val foldable = parts.filter(_ != keep)
+    // bootstrap the bloom (no-op when it exists), THEN enforce pairing:
+    // an index marked as bloom-tiered must ALWAYS fold through its
+    // bloom — one fold without it grows the index past the bloom, after
+    // which already-indexed docs pass the !might_contain fast path at
+    // ingest and land as silent duplicates
+    bloomTable.foreach(bt =>
+      graft.operators.Dedup.ensureBloomIndex(spark, bt, table))
+    val paired = graft.operators.Dedup.pairedBloom(spark, table)
+    require(paired == bloomTable,
+      s"foldFingerprintStore: index $table is paired to bloom " +
+        s"${paired.getOrElse("<none>")} but the fold was asked to " +
+        s"maintain ${bloomTable.getOrElse("<none>")} — folding past a " +
+        "paired bloom breaks bloom ⊇ index (silent duplicate landings); " +
+        "pass the paired bloomTable, or build the pairing first")
     graft.operators.Dedup.ensureFingerprintIndex(spark, table, buckets)
     // batch_id < keep partition-prunes the read to exactly the snapshot
     // taken above: batch ids only grow, so a concurrent stream write
@@ -771,10 +802,8 @@ object Streams {
     // A crash between the two appends leaves bloom ⊇ index (harmless —
     // the extra fps just route through the residue anti-join); the
     // re-run re-ORs and re-anti-joins to the identical end state.
-    bloomTable.foreach { bt =>
-      graft.operators.Dedup.ensureBloomIndex(spark, bt)
-      graft.operators.Dedup.appendBloomFingerprints(folded, bt)
-    }
+    bloomTable.foreach(bt =>
+      graft.operators.Dedup.appendBloomFingerprints(folded, bt))
     graft.operators.Dedup.appendFingerprints(folded, table)
     foldable.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))

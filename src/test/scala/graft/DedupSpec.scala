@@ -369,7 +369,7 @@ class DedupSpec extends SparkSpec {
     val batch = tables.documents
       .filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
     Dedup.buildFingerprintIndex(corpus, "fp_idx_bt")
-    Dedup.buildBloomIndex(corpus, "bloom_idx_bt")
+    Dedup.buildBloomIndex(corpus, "bloom_idx_bt", "fp_idx_bt")
     val probed = Dedup.probeBloomIndex(batch, "bloom_idx_bt", "fp_idx_bt")
     rowSet(probed) shouldBe
       rowSet(Dedup.probeFingerprintIndex(batch, "fp_idx_bt"))
@@ -389,7 +389,7 @@ class DedupSpec extends SparkSpec {
     // fpp = 0.9 → a few hundred bits for ~340 docs: nearly every batch
     // row is a false positive and funnels into the anti-join, which
     // must absorb them all without changing the answer
-    Dedup.buildBloomIndex(corpus, "bloom_idx_sat", fpp = 0.9)
+    Dedup.buildBloomIndex(corpus, "bloom_idx_sat", "fp_idx_bt", fpp = 0.9)
     rowSet(Dedup.probeBloomIndex(batch, "bloom_idx_sat", "fp_idx_bt")) shouldBe
       rowSet(Dedup.probeFingerprintIndex(batch, "fp_idx_bt"))
   }
@@ -399,7 +399,7 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_id") < 400 && col("doc_id") % 7 =!= 0)
     val growth = tables.documents
       .filter(col("doc_id") >= 400 && col("doc_id") < 450)
-    Dedup.buildBloomIndex(corpus, "bloom_idx_gr")
+    Dedup.buildBloomIndex(corpus, "bloom_idx_gr", "fp_idx_gr")
     Dedup.appendBloomIndex(growth, "bloom_idx_gr")
     Dedup.buildFingerprintIndex(corpus.union(growth), "fp_idx_gr")
     // grown bloom + grown index: the growth docs are now known, so
@@ -415,6 +415,56 @@ class DedupSpec extends SparkSpec {
       Seq(Array[Byte](1, 2)).toDF("bloom"), "bloom_idx_nospec")
     an[IllegalStateException] should be thrownBy
       Dedup.probeBloomIndex(fresh, "bloom_idx_nospec", "fp_idx_gr")
+    // probing against an index the bloom was NOT built over has no
+    // superset guarantee — must be loud, not silently lossy
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.probeBloomIndex(fresh, "bloom_idx_gr", "fp_idx_bt")
+  }
+
+  test("bloom tier: geometry past the 4M runtime-filter clamp builds and merges") {
+    val spark = SparkSpec.spark
+    Seq("bloom_idx_big", "bloom_idx_big__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // 8M expected items → ~76.7M bits, past BloomFilterAggregate's
+    // default maxNumItems=4M / maxNumBits=2^26 clamps. Pre-fix the
+    // batch aggregate built a CLAMPED filter and the sketch-side merge
+    // with the unclamped bootstrap threw IncompatibleMergeException.
+    Dedup.ensureBloomIndex(spark, "bloom_idx_big", "fp_idx_bt",
+      expectedItems = 8000000L)
+    Dedup.appendBloomFingerprints(
+      Seq("fp-big-1", "fp-big-2").toDF("fp"), "bloom_idx_big")
+    val spec = graft.sources.IndexSpec.readRequired(spark, "bloom_idx_big")
+    spec.getLong(0) shouldBe 8000000L
+    val bytes = spark.table("bloom_idx_big").head()
+      .getAs[Array[Byte]]("bloom")
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    // the stored filter really has the spec'd geometry, not the clamp
+    bf.bitSize() should be >= spec.getLong(2)
+    bf.bitSize() should be > (1L << 26)
+    // and membership survived the merge (aggregate inserts xxhash64(fp))
+    def h(fp: String): Long =
+      Seq(fp).toDF("fp").select(xxhash64(col("fp"))).head().getLong(0)
+    bf.mightContainLong(h("fp-big-1")) shouldBe true
+    bf.mightContainLong(h("fp-big-2")) shouldBe true
+  }
+
+  test("bloom tier: empty corpus stores a real filter; probe passes batch through") {
+    val spark = SparkSpec.spark
+    Seq("bloom_idx_mt", "bloom_idx_mt__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.ensureFingerprintIndex(spark, "fp_idx_mt")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // pre-fix: a cardinality-0 BloomFilterAggregate returns NULL, the
+    // stored NULL cell nulls every might_contain downstream, and BOTH
+    // probe branches drop everything — a whole batch silently lost
+    Dedup.buildBloomIndex(emptyDocs, "bloom_idx_mt", "fp_idx_mt")
+    spark.table("bloom_idx_mt").head()
+      .getAs[Array[Byte]]("bloom") should not be null
+    val batch = Seq((1L, "empty corpus probe one"),
+      (2L, "empty corpus probe two")).toDF("doc_id", "text")
+    Dedup.probeBloomIndex(batch, "bloom_idx_mt", "fp_idx_mt")
+      .select("doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 2L)
   }
 
   test("near-dup index: probe equals inline incrementalNearDup") {

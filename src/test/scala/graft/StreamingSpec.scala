@@ -687,11 +687,12 @@ class StreamingSpec extends SparkSpec {
     val (outB, fpB) = (tmp("blm-out"), tmp("blm-fp"))
     Seq(outA, fpA, outB, fpB).foreach(d => new java.io.File(d).delete())
     val (idxA, idxB, blm) = ("blm_fp_idx_ctl", "blm_fp_idx", "blm_bloom")
-    Seq(idxA, idxB, blm, blm + "__spec")
+    Seq(idxA, idxB, blm, blm + "__spec", idxB + "__bloom_pair")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     graft.operators.Dedup.ensureFingerprintIndex(spark, idxA)
     graft.operators.Dedup.ensureFingerprintIndex(spark, idxB)
-    graft.operators.Dedup.ensureBloomIndex(spark, blm, expectedItems = 1000)
+    graft.operators.Dedup.ensureBloomIndex(spark, blm, idxB,
+      expectedItems = 1000)
     val rnd = new scala.util.Random(11L)
     val docs = (1L to 60L).map(i => (i, s"bloom tier text ${rnd.nextInt(15)}"))
     val batches = rnd.shuffle(docs).grouped(10).toSeq
@@ -723,6 +724,34 @@ class StreamingSpec extends SparkSpec {
       Streams.dedupIngestBatch(
         Seq((103L, "x")).toDF("doc_id", "text"), 91L, outB, fpB,
         Some(idxB), Some(blm))
+  }
+
+  test("bloom pairing: paired index refuses an unpaired fold; crossed wires are loud") {
+    val (out, fp) = (tmp("pair-out"), tmp("pair-fp"))
+    Seq(out, fp).foreach(d => new java.io.File(d).delete())
+    val (idx, idx2, blm) = ("pair_fp_idx", "pair_fp_idx2", "pair_bloom")
+    Seq(idx, idx2, blm, blm + "__spec", idx + "__bloom_pair",
+      idx2 + "__bloom_pair")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Dedup.ensureFingerprintIndex(spark, idx)
+    graft.operators.Dedup.ensureFingerprintIndex(spark, idx2)
+    graft.operators.Dedup.ensureBloomIndex(spark, blm, idx)
+    Streams.dedupIngestBatch(Seq((1L, "pair a")).toDF("doc_id", "text"),
+      0L, out, fp, Some(idx), Some(blm))
+    Streams.dedupIngestBatch(Seq((2L, "pair b")).toDF("doc_id", "text"),
+      1L, out, fp, Some(idx), Some(blm))
+    // folding a bloom-paired index WITHOUT its bloom would grow the
+    // index past the bloom → already-indexed docs would later pass the
+    // !might_contain fast path and land as silent duplicates. Loud now.
+    an[IllegalArgumentException] should be thrownBy
+      Streams.foldFingerprintStore(spark, fp, idx)
+    // screening through a bloom built over a DIFFERENT index: loud too
+    an[IllegalArgumentException] should be thrownBy
+      Streams.dedupIngestBatch(Seq((3L, "pair c")).toDF("doc_id", "text"),
+        2L, out, fp, Some(idx2), Some(blm))
+    // the correctly-paired fold proceeds
+    Streams.foldFingerprintStore(spark, fp, idx,
+      bloomTable = Some(blm)) should not be empty
   }
 
   test("store→index fold: crash between append and cleanup re-runs to the same state") {
