@@ -1154,7 +1154,11 @@ object SparkEntry {
 
     // ---- corpus encoding under the trained merges: per-doc token-ID
     // sequences with frequency-ranked ids — the training-data export
-    // step; oracle replays training + the ranked-vocab join
+    // step; oracle replays training + the ranked-vocab join. The
+    // oracle-facing shape is ARRAY-FREE (the driver's pandas compare
+    // lexsorts result columns and cannot hash an array cell): the id
+    // sequence is carried as an md5 digest of the space-joined ids,
+    // which pins every position and value without an array column.
     "q140_bpe_encode" -> ((s, d) => {
       val docs = Tables(s, d).documents
       // persisted-merges path (the q135 table, shared): training cost is
@@ -1163,6 +1167,9 @@ object SparkEntry {
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
       Bpe.encodeDocs(docs, Bpe.loadMerges(s, tbl))
+        .select(col("doc_id"), col("n_tokens"),
+          md5(array_join(transform(col("ids"), _.cast("string")), " "))
+            .as("ids_digest"))
         .orderBy("doc_id")
     }),
 
@@ -3091,8 +3098,9 @@ object SparkEntry {
                   FROM dt t JOIN ids i USING (token))
             GROUP BY doc_id)
           SELECT d.doc_id,
-            coalesce(e.ids, CAST([] AS BIGINT[])) AS ids,
-            CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens
+            CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens,
+            md5(array_to_string(coalesce(e.ids, CAST([] AS BIGINT[])), ' '))
+              AS ids_digest
           FROM documents d LEFT JOIN enc e USING (doc_id)
           ORDER BY d.doc_id""",
 
