@@ -342,10 +342,18 @@ object Stress {
       time("sourceShift")(TextAnalysis.sourceShift(docs)),
       time("noveltyScores")(Dedup.noveltyScores(docs)),
       // BPE training is one word-count shuffle over the 20x corpus plus
-      // 32 pair-count rounds over the (barely grown) vocabulary — the
-      // round cost must NOT scale with corpus size
-      timeAction("bpeTrain32") {
-        Bpe.trainMerges(docs, numMerges = 32).size.toLong
+      // pair-count rounds over the (barely grown) vocabulary — the
+      // round cost must NOT scale with corpus size. Forced-distributed
+      // 32-round line (the oracle-identical fallback) vs the default
+      // driver-local path at a production-shaped 1024 merges (the
+      // distributed loop would pay 1024 sequential scheduler
+      // round-trips for the same answer)
+      timeAction("bpeTrain32Distributed") {
+        Bpe.trainMerges(docs, numMerges = 32, localMaxWords = 0)
+          .size.toLong
+      },
+      timeAction("bpeTrain1024Local") {
+        Bpe.trainMerges(docs, numMerges = 1024).size.toLong
       },
       time("bpeTokenStats")(Bpe.tokenStatsByLang(docs,
         Bpe.trainMerges(docs, numMerges = 8))),

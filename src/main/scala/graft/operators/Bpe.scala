@@ -86,22 +86,48 @@ object Bpe {
   def tokenCount(word: Column, merges: Seq[Merge]): Column =
     size(tokens(word, merges))
 
-  /** Train `numMerges` merges on the corpus. Each round aggregates
-    * adjacent-pair counts over the current vocabulary, picks the
-    * (count DESC, lhs, rhs) argmax — one row of driver state — and
-    * rewrites the vocabulary representations with one `replace`.
-    * Rounds materialize through [[graft.core.Rounds]] so the LINEAGE is
-    * truly one round deep — a bare persist caches data but leaves every
-    * previous round nested inside the logical plan, and at 32 merges
-    * over the 20× stress corpus the per-action AQE plan-string
-    * construction alone OOM'd the driver (found round 7; the fixpoint
-    * operators had the same lesson). `checkpointDir` selects the
-    * executor-loss-reliable parquet rounds, per the Rounds contract.
-    * Stops early if the vocabulary is fully merged.
+  /** Train `numMerges` merges on the corpus.
+    *
+    * Two paths behind one contract, chosen by the SIZE of the
+    * word-frequency vocabulary summary (measured off the materialized
+    * round-0 table, so the decision costs one tiny aggregate):
+    *
+    *   - **Driver-local** (vocabulary ≤ `localMaxWords` rows AND
+    *     ≤ `localMaxChars` total characters): collect `(word, freq)`
+    *     once and run every merge round in [[trainMergesLocal]]. The
+    *     distributed loop launches ONE Spark job per merge, and at
+    *     production vocabularies (32k–100k merges) that is tens of
+    *     thousands of sequential scheduler round-trips — days of
+    *     latency even though each round's aggregate is cheap. The
+    *     vocabulary summary is orders of magnitude smaller than the
+    *     corpus (it already fits the driver whenever it fits one
+    *     aggregate buffer), and the local trainer uses the SAME
+    *     (count DESC, lhs, rhs) total-order argmax over the same
+    *     leftmost-greedy merge semantics, so the merge list is
+    *     IDENTICAL (asserted path-vs-path in BpeSpec). Default guards:
+    *     1M words / 32M chars ≈ low-single-GB driver heap, far above
+    *     any natural-language vocabulary.
+    *
+    *   - **Distributed fallback** (vocabulary past the guards): each
+    *     round aggregates adjacent-pair counts over the current
+    *     vocabulary, picks the (count DESC, lhs, rhs) argmax — one row
+    *     of driver state — and rewrites the representations with one
+    *     `replace`. Rounds materialize through [[graft.core.Rounds]] so
+    *     the LINEAGE is truly one round deep — a bare persist caches
+    *     data but leaves every previous round nested inside the logical
+    *     plan, and at 32 merges over the 20× stress corpus the
+    *     per-action AQE plan-string construction alone OOM'd the driver
+    *     (found round 7; the fixpoint operators had the same lesson).
+    *     `checkpointDir` selects the executor-loss-reliable parquet
+    *     rounds, per the Rounds contract.
+    *
+    * Both paths stop early if the vocabulary is fully merged.
     */
   def trainMerges(docs: DataFrame, numMerges: Int,
       textCol: String = "text",
-      checkpointDir: Option[String] = None): Seq[Merge] = {
+      checkpointDir: Option[String] = None,
+      localMaxWords: Long = 1000000L,
+      localMaxChars: Long = 32000000L): Seq[Merge] = {
     require(numMerges >= 1, s"trainMerges: numMerges must be >= 1, got $numMerges")
     val materialize = graft.core.Rounds.materializer(checkpointDir)
     val out = scala.collection.mutable.ArrayBuffer[Merge]()
@@ -109,6 +135,14 @@ object Bpe {
       wordVocab(docs, textCol).withColumn("rep", padded(col("word"))),
       "bpe_vocab_0")
     try {
+      val stats = vocab.agg(count(lit(1)).as("n"),
+        coalesce(sum(length(col("word"))), lit(0L)).as("chars")).head()
+      if (stats.getLong(0) <= localMaxWords &&
+          stats.getLong(1) <= localMaxChars) {
+        val rows = vocab.select(col("word"), col("freq")).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        return trainMergesLocal(rows, numMerges)
+      }
       var k = 1
       var exhausted = false
       while (k <= numMerges && !exhausted) {
@@ -137,6 +171,84 @@ object Bpe {
         }
       }
     } finally vocab.unpersist()
+    out.toSeq
+  }
+
+  /** Driver-local BPE training over a collected `(word, freq)`
+    * vocabulary — merge-for-merge identical to the distributed loop:
+    * pair counts weight every adjacent position by word frequency
+    * (so "aaaa" contributes (a,a) three times), the winner is the
+    * (count DESC, lhs ASC, rhs ASC) argmax (ASCII `[a-z]+` symbols, so
+    * Java string order equals Spark's UTF-8 binary order), and a merge
+    * applies leftmost-greedy non-overlapping — the token-list semantics
+    * of the padded-string `replace` pass.
+    *
+    * Per-round cost is proportional to the words CONTAINING the merged
+    * pair, not the vocabulary: pair counts and a pair→word-set index
+    * are maintained incrementally (remove the affected words'
+    * contributions, rewrite them, re-add), which is what makes 32k+
+    * merge productions minutes of driver CPU instead of days of
+    * scheduler latency. The argmax is a full scan of the live pair map
+    * — pair-vocabulary sized, bounded by total characters.
+    */
+  private[operators] def trainMergesLocal(vocab: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val reps: Array[Array[String]] =
+      vocab.map { case (w, _) => w.map(_.toString).toArray }
+    val freqs: Array[Long] = vocab.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val occurs = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def scan(i: Int, sign: Long): Unit = {
+      val t = reps(i); val f = freqs(i) * sign
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        val c = pairCounts.getOrElse(p, 0L) + f
+        if (c == 0L) { pairCounts.remove(p); occurs.remove(p) }
+        else {
+          pairCounts.update(p, c)
+          if (sign > 0) occurs.getOrElseUpdate(p, mutable.BitSet.empty) += i
+          else occurs.get(p).foreach(_ -= i)
+        }
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < reps.length) { scan(i, 1L); i += 1 }
+    val out = mutable.ArrayBuffer[Merge]()
+    var k = 1
+    var done = false
+    while (k <= numMerges && !done) {
+      var bestP: (String, String) = null
+      var bestC = 0L
+      for ((p, c) <- pairCounts)
+        if (bestP == null || c > bestC || (c == bestC &&
+            (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+          bestP = p; bestC = c
+        }
+      if (bestP == null) done = true
+      else {
+        val (lhs, rhs) = bestP
+        out += Merge(k, lhs, rhs)
+        val merged = lhs + rhs
+        val affected = occurs(bestP).toArray // snapshot before mutation
+        affected.foreach(scan(_, -1L))
+        affected.foreach { w =>
+          val t = reps(w)
+          val nw = mutable.ArrayBuffer[String]()
+          var j = 0
+          while (j < t.length) {
+            if (j < t.length - 1 && t(j) == lhs && t(j + 1) == rhs) {
+              nw += merged; j += 2
+            } else { nw += t(j); j += 1 }
+          }
+          reps(w) = nw.toArray
+        }
+        affected.foreach(scan(_, 1L))
+        k += 1
+      }
+    }
     out.toSeq
   }
 

@@ -48,8 +48,20 @@ class BpeSpec extends SparkSpec {
       Merge(3, "l", "o"), Merge(4, "lo", "w"))
     Seq(1, 7).foreach { parts =>
       val docs = words.toDF("text").repartition(parts)
+      // default = driver-local fast path; localMaxWords = 0 forces the
+      // distributed loop — both must produce the textbook merges
       Bpe.trainMerges(docs, numMerges = 4) shouldBe expected
+      Bpe.trainMerges(docs, numMerges = 4,
+        localMaxWords = 0) shouldBe expected
     }
+  }
+
+  test("local fast-path merges equal the distributed loop's on the corpus") {
+    val docs = tables.documents
+    val local = Bpe.trainMerges(docs, numMerges = 24)
+    val dist = Bpe.trainMerges(docs, numMerges = 24, localMaxWords = 0)
+    local shouldBe dist
+    local should have size 24
   }
 
   test("tokens concatenate back to the word (merges never lose chars)") {
