@@ -179,11 +179,17 @@ object SparkEntry {
       // is built ONCE per (session, data dir) and probed thereafter — the
       // persisted-index path whose query latency excludes the build. The
       // table name carries the dir so a session serving several data dirs
-      // never probes the wrong corpus's index.
+      // never probes the wrong corpus's index. PORTABLE signature family
+      // (md5-derived integer planes over the 10⁻⁶-quantized vector) so
+      // the DuckDB oracle replays the bucket structure exactly — the
+      // native fused-codegen planes stay the production default and are
+      // recall/subset-gated in SimilaritySpec.
       val idx = s"graft_lsh_index_${math.abs(d.hashCode.toLong)}"
       if (!s.catalog.tableExists(idx))
-        Similarity.buildLshIndex(t.embeddings, idx, bits = 4, tables = 16)
-      Similarity.queryLshIndex(s, idx, annQueries(t), bits = 4, tables = 16)
+        Similarity.buildLshIndex(t.embeddings, idx, bits = 4, tables = 16,
+          portable = true)
+      Similarity.queryLshIndex(s, idx, annQueries(t), bits = 4,
+          tables = 16, portable = true)
         .orderBy("q_id", "rnk")
     }),
     "q35_cosine_dup_pairs" -> ((s, d) =>
@@ -1659,6 +1665,46 @@ object SparkEntry {
              / (sqrt(list_dot_product(q_emb, q_emb))
                 * sqrt(list_dot_product(emb, emb))), 6) AS sim
            FROM q CROSS JOIN c),
+         r AS (SELECT q_id, vec_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+             AS rnk FROM s)
+         SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
+         ORDER BY q_id, rnk""",
+
+    // full replay of the portable multi-table sign-LSH ANN pipeline:
+    // per-(plane, dim) integer weights from md5 hex (the Spark literals
+    // use the same formula), dot products over the 10⁻⁶-quantized
+    // vectors in exact BIGINT arithmetic (order-free sums — no IEEE
+    // caveat), bucket join on (tbl, sig), then the q33 cosine/rank tail
+    // over the candidate set. 16 tables × 4 bits = 64 planes, dim 64.
+    "q34_ann_topk_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         qv AS (SELECT vec_id,
+           list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT))
+             AS v FROM e),
+         vd AS (SELECT vec_id, d, v[CAST(d + 1 AS INT)] AS x
+           FROM qv CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+         pw AS (SELECT p, d,
+           ('0x' || substr(md5('plane_' || p || '_' || d), 1, 15))::BIGINT
+             % 2000001 - 1000000 AS w
+           FROM (SELECT unnest(range(64)) AS p) pp
+           CROSS JOIN (SELECT unnest(range(64)) AS d) dd),
+         dots AS (SELECT vd.vec_id, pw.p, sum(vd.x * pw.w) AS dp
+           FROM vd JOIN pw USING (d) GROUP BY vd.vec_id, pw.p),
+         sigs AS (SELECT vec_id, p // 4 AS tbl,
+           CAST(sum(CASE WHEN dp > 0 THEN (1::BIGINT << CAST(p % 4 AS INT))
+                         ELSE 0 END) AS BIGINT) AS sig
+           FROM dots GROUP BY vec_id, p // 4),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+           FROM sigs q JOIN sigs c USING (tbl, sig)
+           WHERE q.vec_id < 5),
+         s AS (SELECT cand.q_id, cand.vec_id,
+           round(list_dot_product(qe.emb, ce.emb)
+             / (sqrt(list_dot_product(qe.emb, qe.emb))
+                * sqrt(list_dot_product(ce.emb, ce.emb))), 6) AS sim
+           FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+                     JOIN e ce ON ce.vec_id = cand.vec_id),
          r AS (SELECT q_id, vec_id, sim,
            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
              AS rnk FROM s)

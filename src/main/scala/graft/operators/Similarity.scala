@@ -124,6 +124,61 @@ object Similarity {
   private def tableSignatures(emb: Column, bits: Int, tables: Int): Column =
     graft.functions.SignLshSignatures(emb, bits, tables)
 
+  /** PORTABLE (md5-derived, integer-exact) plane weight for the
+    * cross-engine-replayable sign-LSH family: the first 15 hex chars of
+    * `md5("plane_<p>_<d>")` as a 60-bit integer, mapped to
+    * [-1000000, 1000000]. Same formula as the DuckDB oracle's
+    * `('0x' || substr(md5(...), 1, 15))::BIGINT % 2000001 - 1000000` —
+    * integer arithmetic end to end, so the two engines agree bit for
+    * bit with no IEEE-summation-order caveat.
+    */
+  private[operators] def portablePlaneWeight(p: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${p}_${d}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2000001L - 1000000L
+  }
+
+  /** The vector quantized to integer micro-units: round(x · 10⁶) per
+    * component — the portable family signs dot products of THESE, so
+    * every arithmetic step is exact 64-bit integer math that DuckDB
+    * replays identically (float → double is exact, ×10⁶ is exact in
+    * double for float inputs, and both engines round ties away from
+    * zero). Quantization noise is ~10⁻⁶ per component — geometrically
+    * irrelevant for hyperplane LSH.
+    */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000000d).cast("long"))
+
+  /** One table's portable sign-LSH signature: bit p =
+    * [Σ_d qv[d]·w(table·bits+p, d) > 0] over the quantized vector and
+    * integer plane weights — the oracle-replayable twin of
+    * [[lshSignature]]/[[tableSignatures]]. Weights are plan-time
+    * literals; the fold is an integer HOF chain (interpreted lambdas —
+    * the native codegen expression stays the production default).
+    */
+  def lshSignaturePortable(emb: Column, bits: Int, table: Int,
+      dim: Int = 64): Column = {
+    val qv = quantize(emb)
+    (0 until bits).map { p =>
+      val w = array((0 until dim).map(d =>
+        lit(portablePlaneWeight(table * bits + p, d))): _*)
+      when(aggregate(zip_with(qv, w, (x, y) => x * y), lit(0L),
+        (acc, v) => acc + v) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** [[tableSignatures]] with a family switch: native fused-codegen
+    * XXH-style planes (production) or the portable md5/integer planes
+    * (oracle-replayable) — the [[Dedup.simhashPortable]] pattern.
+    */
+  private def tableSignaturesAny(emb: Column, bits: Int, tables: Int,
+      portable: Boolean): Column =
+    if (portable)
+      array((0 until tables).map(t =>
+        lshSignaturePortable(emb, bits, t)): _*)
+    else tableSignatures(emb, bits, tables)
+
   /** ANN top-k via multi-table sign-LSH: `tables` independent b-bit hash
     * tables; a corpus vector is a candidate for a query iff they share a
     * bucket in AT LEAST ONE table (recall 1-(1-p^b)^L for per-bit
@@ -137,11 +192,12 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       bits: Int = 8,
-      tables: Int = 16): DataFrame = {
+      tables: Int = 16,
+      portable: Boolean = false): DataFrame = {
     rankDedupedCandidates(
-      lshIndexFrame(embeddings, bits, tables)
-        .join(broadcast(lshQuerySignatures(queries, bits, tables)),
-          Seq("tbl", "sig")),
+      lshIndexFrame(embeddings, bits, tables, portable)
+        .join(broadcast(lshQuerySignatures(queries, bits, tables,
+          portable)), Seq("tbl", "sig")),
       k)
   }
 
@@ -151,21 +207,21 @@ object Similarity {
     * serialize on one core otherwise.
     */
   private def lshIndexFrame(embeddings: DataFrame, bits: Int,
-      tables: Int): DataFrame =
+      tables: Int, portable: Boolean = false): DataFrame =
     Dedup.spread(embeddings).select(
       col("vec_id"), col("embedding"),
-      posexplode(tableSignatures(col("embedding"), bits, tables))
-        .as(Seq("tbl", "sig")))
+      posexplode(tableSignaturesAny(col("embedding"), bits, tables,
+        portable)).as(Seq("tbl", "sig")))
 
   /** Broadcast-sized frame of each query's signature per table (hinted
     * at the join site — hinting here would warn on driver-side collects).
     */
   private def lshQuerySignatures(queries: DataFrame, bits: Int,
-      tables: Int): DataFrame =
+      tables: Int, portable: Boolean = false): DataFrame =
     queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .select(col("q_id"), col("q_emb"),
-        posexplode(tableSignatures(col("q_emb"), bits, tables))
-          .as(Seq("tbl", "sig")))
+        posexplode(tableSignaturesAny(col("q_emb"), bits, tables,
+          portable)).as(Seq("tbl", "sig")))
 
   /** Build the PERSISTED multi-table LSH index: the (tbl, sig, vec_id,
     * embedding) relation saved as a managed parquet table bucketed and
@@ -177,17 +233,19 @@ object Similarity {
     * Rebuild when the corpus changes — the table is a snapshot.
     */
   def buildLshIndex(embeddings: DataFrame, table: String, bits: Int = 8,
-      tables: Int = 16): Unit = {
+      tables: Int = 16, portable: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     // persist the signature spec beside the index (the IVF pattern:
     // centroids ARE its spec): appends and probes with the wrong
-    // bits/tables would produce signatures that silently never match.
+    // bits/tables — or the wrong signature FAMILY (native vs portable)
+    // — would produce signatures that silently never match.
     // Spec first — the IndexSpec ordering contract.
     import spark.implicits._
     graft.sources.IndexSpec.write(
-      Seq((bits, tables)).toDF("bits", "tables"), table)
+      Seq((bits, tables, portable)).toDF("bits", "tables", "portable"),
+      table)
     Sinks.saveTablePartitioned(
-      lshIndexFrame(embeddings, bits, tables), table,
+      lshIndexFrame(embeddings, bits, tables, portable), table,
       bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
   }
 
@@ -196,12 +254,13 @@ object Similarity {
     * — or when the spec table is missing (a half-built index).
     */
   private def requireLshSpec(spark: SparkSession, indexTable: String,
-      bits: Int, tables: Int): Unit = {
+      bits: Int, tables: Int, portable: Boolean): Unit = {
     val r = graft.sources.IndexSpec.readRequired(spark, indexTable)
-    val (b, t) = (r.getInt(0), r.getInt(1))
-    require(b == bits && t == tables,
-      s"$indexTable was built with bits=$b tables=$t; " +
-        s"got bits=$bits tables=$tables — signatures would never match")
+    val (b, t, p) = (r.getInt(0), r.getInt(1), r.getBoolean(2))
+    require(b == bits && t == tables && p == portable,
+      s"$indexTable was built with bits=$b tables=$t portable=$p; " +
+        s"got bits=$bits tables=$tables portable=$portable — " +
+        "signatures would never match")
   }
 
   /** Incrementally extend a persisted LSH index with a new embedding
@@ -212,9 +271,10 @@ object Similarity {
     * by appends is row-identical to one rebuilt from the union.
     */
   def appendLshIndex(embeddings: DataFrame, table: String, bits: Int = 8,
-      tables: Int = 16): Unit = {
-    requireLshSpec(embeddings.sparkSession, table, bits, tables)
-    Sinks.appendTablePartitioned(lshIndexFrame(embeddings, bits, tables),
+      tables: Int = 16, portable: Boolean = false): Unit = {
+    requireLshSpec(embeddings.sparkSession, table, bits, tables, portable)
+    Sinks.appendTablePartitioned(
+      lshIndexFrame(embeddings, bits, tables, portable),
       table, bucketBy = Some((8, Seq("sig"))), sortBy = Seq("sig"))
   }
 
@@ -226,9 +286,9 @@ object Similarity {
     */
   def queryLshIndex(spark: SparkSession, indexTable: String,
       queries: DataFrame, k: Int = 10, bits: Int = 8,
-      tables: Int = 16): DataFrame = {
-    requireLshSpec(spark, indexTable, bits, tables)
-    val qsig = lshQuerySignatures(queries, bits, tables)
+      tables: Int = 16, portable: Boolean = false): DataFrame = {
+    requireLshSpec(spark, indexTable, bits, tables, portable)
+    val qsig = lshQuerySignatures(queries, bits, tables, portable)
     val probedSigs = qsig.select("sig").distinct().collect().map(_.getLong(0))
     rankDedupedCandidates(
       spark.table(indexTable)

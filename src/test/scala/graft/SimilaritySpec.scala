@@ -177,6 +177,32 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.queryLshIndex(spark, "test_lsh_spec", queries,
         k = 10, bits = 4, tables = 8)
+    // wrong FAMILY: portable (md5/integer) and native signatures live
+    // in disjoint hash spaces — same silent-recall-loss failure mode
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.queryLshIndex(spark, "test_lsh_spec", queries,
+        k = 10, bits = 4, tables = 16, portable = true)
+  }
+
+  test("portable LSH family: recall holds and index path equals inline") {
+    // the portable md5/integer planes are the oracle-replayable twin of
+    // the native fused-codegen signatures (the q34 driver row): same
+    // pipeline, different (but equally random) hyperplanes — so the
+    // same recall expectation applies, and the persisted-index path
+    // must reproduce the inline result exactly
+    val exact = Similarity.bruteForceTopK(tables.embeddings, queries, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(tables.embeddings, queries, k = 10,
+      bits = 4, tables = 16, portable = true)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    recall should be >= 0.6
+    Similarity.buildLshIndex(tables.embeddings, "test_lsh_port",
+      bits = 4, tables = 16, portable = true)
+    rowSet(Similarity.queryLshIndex(spark, "test_lsh_port", queries,
+      k = 10, bits = 4, tables = 16, portable = true)) shouldBe
+      rowSet(Similarity.lshTopK(tables.embeddings, queries,
+        k = 10, bits = 4, tables = 16, portable = true))
   }
 
   test("IVF append assigns new vectors to existing centroids; probe finds them") {
