@@ -1245,7 +1245,19 @@ object SparkEntry {
           Bpe.docTokenCounts(docs, Bpe.loadMerges(s, tbl)),
           budgetTokens = 512)
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- the 100-TB span path: q138 with hashSpans=true — the df
+    // aggregate and self-join shuffle 8-byte xxhash64 keys instead of
+    // window-token span strings. A 64-bit collision can only merge two
+    // spans' df counts (a spurious dup window, never a lost one), and
+    // at oracle scale the corpus is collision-free, so the EXACT-span
+    // oracle (q138's SQL verbatim) is the gate: the hash path must
+    // answer exactly what the string path answers.
+    "q145_dup_spans_hashed" -> ((s, d) =>
+      Dedup.duplicatedSpanRuns(Tables(s, d).documents, window = 8,
+          hashSpans = true)
+        .orderBy("doc_id", "start_tok"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3284,7 +3296,18 @@ object SparkEntry {
                 AS prev
             FROM t)
           SELECT doc_id, n_tokens, CAST(prev // 512 AS BIGINT) AS bin_id
-          FROM c ORDER BY doc_id"""
+          FROM c ORDER BY doc_id""",
+
+    // the hash-keyed span path must answer exactly what the exact-span
+    // path answers (collisions can only add spurious windows, and the
+    // oracle corpus is collision-free): q138's exact-span SQL verbatim
+    "q145_dup_spans_hashed" ->
+      s"""WITH ${dupSpanCtes(8)}
+          SELECT r.doc_id, r.start_tok, r.end_tok,
+            array_to_string(t.toks[r.start_tok:r.end_tok], ' ')
+              AS span_text
+          FROM runs r JOIN t USING (doc_id)
+          ORDER BY doc_id, start_tok"""
   )
 
   /** DuckDB replay of [[graft.operators.Classifier.qualityClassifier]]:
