@@ -38,6 +38,51 @@ class MultimodalSpec extends SparkSpec {
     df.count() shouldBe tables.documents.count()
   }
 
+  /** A real PNG, generated with JDK-only imaging: `w`×`h` solid-color. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("codec seam: ImageIoDecoder really decodes pixels through mediaFeatures") {
+    // the same operator, a REAL codec: two solid-color PNGs whose mean
+    // BT.601 luminance is known exactly (gray 100 -> 100.0; pure red
+    // -> 0.299 * 255 = 76.245)
+    val gray = pngBytes(3, 2, 0x646464) // r=g=b=100
+    val red = pngBytes(2, 2, 0xFF0000)
+    val docs = Seq((1L, gray), (2L, red)).toDF("doc_id", "payload")
+    val r = Multimodal.extractFeatures(spark, docs,
+        Multimodal.ImageIoDecoder)
+      .toDF().orderBy("doc_id").collect()
+    r(0).getAs[Double]("mean_byte") shouldBe 100.0
+    r(1).getAs[Double]("mean_byte") shouldBe 76.245
+    r(0).getAs[Int]("frame_count") shouldBe 1
+    r(0).getAs[Long]("n_bytes") shouldBe gray.length.toLong
+    r(0).getAs[String]("content_md5") shouldBe MessageDigest
+      .getInstance("MD5").digest(gray).map(b => f"$b%02x").mkString
+    // and the DEFAULT stub path over the same payloads still answers
+    // with byte statistics — two decoders, one operator
+    val stub = Multimodal.extractFeatures(spark, docs).toDF()
+      .orderBy("doc_id").collect()
+    stub(0).getAs[Long]("n_bytes") shouldBe gray.length.toLong
+    stub(0).getAs[Double]("mean_byte") should not be 100.0
+    // an undecodable payload fails loudly with the doc id, never a
+    // silent feature row
+    val bad = Seq((9L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.extractFeatures(spark, bad,
+        Multimodal.ImageIoDecoder).toDF().collect()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n") should include("doc 9")
+  }
+
   test("sampleFrames keeps every stride-th fixed-size frame") {
     val frames = Multimodal.sampleFrames(
       Multimodal.attachBinary(tiny.filter(col("doc_id") === 1)),
