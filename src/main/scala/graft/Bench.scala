@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * `noop` sink — a bare `count()` would let Catalyst prune away the very
   * expressions being measured. Failures are reported per query in an
   * `errors` map (never silently recorded as a timing) and make the run
-  * exit nonzero.
+  * exit nonzero. Readings past 2.5x the committed quiet reference
+  * (`bench_quiet.json`) are re-run and min-merged, with the noisy
+  * original kept in a `"retried"` map — see the noise-guard comment in
+  * `main` (`SPARK_GRAFT_BENCH_RETRY_RUNS=0` disables).
   *
   * `SPARK_GRAFT_BENCH_ISOLATE=1` switches to per-query JVM isolation:
   * the parent forks one fresh JVM per query (same classpath and JVM
@@ -82,9 +85,53 @@ object Bench {
             .linesIterator.take(1).mkString.take(200)
       }
     }
+    // --- box-noise guard: a loaded box has produced artifacts whose
+    // slowest entries were 2.6x the quiet truth (round-7 q118 at
+    // load_start 3.55). Against the committed quiet reference
+    // (bench_quiet.json, refreshed each round), any query measuring
+    // past RETRY_FACTOR x its quiet time is re-run and min-merged, and
+    // the original noisy reading is preserved in a "retried" map — so
+    // the artifact self-corrects instead of embedding scheduler noise
+    // as a phantom regression. Queries without a reference entry (new
+    // this round) and sub-200ms references (natural jitter) are left
+    // alone; retries change only the ESTIMATOR (still min-of-runs of
+    // the same plan), never the measured computation.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_REF",
+      "bench_quiet.json")
+    val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR",
+      "2.5").toDouble
+    val retryRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_RUNS",
+      "2").toInt
+    val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val refQ: Map[String, Double] =
+      if (retryRuns > 0 && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(refPath)))
+        parseQueryMap(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(refPath)),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else Map.empty
+    timings.keys.toSeq.foreach { name =>
+      refQ.get(name).filter(r => timings(name) > retryFactor *
+          math.max(r, 0.2)).foreach { _ =>
+        val fn = SparkEntry.queries(name)
+        var best = timings(name)
+        try (1 to retryRuns).foreach { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => () } // keep the measured time
+        if (best < timings(name)) {
+          retried(name) = timings(name)
+          timings(name) = best
+        }
+      }
+    }
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val retr = retried.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val loadEnd = loadAvg
@@ -95,7 +142,7 @@ object Bench {
     val loads =
       s""""load_start":${loadJson(loadStart)},"load_end":${loadJson(loadEnd)}"""
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,$loads,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,$loads,"sf":${jstr(sfDir)}}"""
     // The driver reads only the stdout TAIL, and the full per-query map
     // (~4 KB) overflows that window — its head truncates mid-key and the
     // line never parses (BENCH_r02/r03 "parsed": null). So: full JSON goes
@@ -108,7 +155,7 @@ object Bench {
     val slow5 = timings.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"slowest":$slow5,$loads,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${timings.size},"n_errors":${errors.size},"n_retried":${retried.size},"slowest":$slow5,$loads,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
     // The summary must be the LAST line of the merged stdout+stderr
     // stream (the driver's tail parser reads the final line): silence
     // remaining log output, stop Spark (its shutdown messages land on
@@ -139,6 +186,15 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** The `"queries"` object of a bench artifact line as name → seconds
+    * — the quiet-reference parser for the retry guard.
+    */
+  private def parseQueryMap(line: String): Map[String, Double] = {
+    val pair = "\"([^\"]+)\":([-0-9.eE+]+)".r
+    pair.findAllMatchIn(jsonObj(line, "queries"))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
 
   /** The inner text of the `"key":{...}` object in a one-line JSON
     * string (braces inside quoted strings skipped), or "" when absent —
