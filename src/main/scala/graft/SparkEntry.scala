@@ -1257,7 +1257,24 @@ object SparkEntry {
     "q145_dup_spans_hashed" -> ((s, d) =>
       Dedup.duplicatedSpanRuns(Tables(s, d).documents, window = 8,
           hashSpans = true)
-        .orderBy("doc_id", "start_tok"))
+        .orderBy("doc_id", "start_tok")),
+
+    // ---- the trainer-facing export: each pack bin's documents
+    // concatenated (doc_id order) into one EOS-separated token-id
+    // training sequence — encodeDocs → packSized → sequence assembly.
+    // Array-free oracle shape (the q140 digest convention).
+    "q146_packed_export" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(tbl))
+        Bpe.buildMergesTable(docs, tbl, numMerges = 8)
+      Bpe.packedSequences(docs, Bpe.loadMerges(s, tbl),
+          budgetTokens = 512)
+        .select(col("bin_id"), col("n_docs"), col("n_tokens"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")),
+            " ")).as("ids_digest"))
+        .orderBy("bin_id")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3129,32 +3146,7 @@ object SparkEntry {
     // (word position, token position)
     "q140_bpe_encode" ->
       s"""${bpeTrainCtes(8)},
-          wt AS MATERIALIZED (
-            SELECT word, freq, string_split(trim(rep), '  ') AS toks
-            FROM vocab_8),
-          tc AS (
-            SELECT tok AS token, sum(freq) AS cnt
-            FROM (SELECT unnest(toks) AS tok, freq FROM wt)
-            GROUP BY tok),
-          ids AS (
-            SELECT token,
-              row_number() OVER (ORDER BY cnt DESC, token) AS id
-            FROM tc),
-          dw AS (
-            SELECT doc_id, unnest(words) AS word,
-              generate_subscripts(words, 1) AS wpos
-            FROM (SELECT doc_id,
-                regexp_extract_all(lower(text), '[a-z]+') AS words
-              FROM documents)),
-          dt AS (
-            SELECT d.doc_id, d.wpos, unnest(w.toks) AS token,
-              generate_subscripts(w.toks, 1) AS tpos
-            FROM dw d JOIN wt w USING (word)),
-          enc AS (
-            SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
-            FROM (SELECT t.doc_id, t.wpos, t.tpos, i.id
-                  FROM dt t JOIN ids i USING (token))
-            GROUP BY doc_id)
+          ${bpeEncodeCtes}
           SELECT d.doc_id,
             CAST(coalesce(len(e.ids), 0) AS BIGINT) AS n_tokens,
             md5(array_to_string(coalesce(e.ids, CAST([] AS BIGINT[])), ' '))
@@ -3307,7 +3299,36 @@ object SparkEntry {
             array_to_string(t.toks[r.start_tok:r.end_tok], ' ')
               AS span_text
           FROM runs r JOIN t USING (doc_id)
-          ORDER BY doc_id, start_tok"""
+          ORDER BY doc_id, start_tok""",
+
+    // encode (q140's chain), weight each doc n_tokens + 1 (its EOS),
+    // q144's prefix-sum pack at budget 512, then flatten each bin's
+    // EOS-terminated sequences in doc_id order and digest
+    "q146_packed_export" ->
+      s"""${bpeTrainCtes(8)},
+          ${bpeEncodeCtes},
+          t AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids,
+              CAST(coalesce(len(e.ids), 0) + 1 AS BIGINT) AS w
+            FROM documents d LEFT JOIN enc e USING (doc_id)),
+          c AS (
+            SELECT doc_id, ids, w,
+              coalesce(sum(w) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS prev
+            FROM t),
+          b AS (
+            SELECT doc_id, list_append(ids, 0::BIGINT) AS ids_eos,
+              CAST(prev // 512 AS BIGINT) AS bin_id
+            FROM c),
+          g AS (
+            SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+              flatten(list(ids_eos ORDER BY doc_id)) AS seq
+            FROM b GROUP BY bin_id)
+          SELECT bin_id, n_docs, CAST(len(seq) AS BIGINT) AS n_tokens,
+            md5(array_to_string(seq, ' ')) AS ids_digest
+          FROM g ORDER BY bin_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Classifier.qualityClassifier]]:
@@ -3613,6 +3634,39 @@ object SparkEntry {
     * determinism contract). Produces CTEs `vocab_0..vocab_n` and
     * `merge_1..merge_n` for the caller's SELECT.
     */
+  /** The corpus-encoding CTE chain shared by the q140/q146 oracles
+    * (appended after [[bpeTrainCtes]]'s `vocab_<n>`): ranked token ids
+    * by (count DESC, token), per-doc id sequences assembled by
+    * (word position, token position) into `enc(doc_id, ids)`.
+    */
+  private val bpeEncodeCtes: String =
+    """wt AS MATERIALIZED (
+            SELECT word, freq, string_split(trim(rep), '  ') AS toks
+            FROM vocab_8),
+          tc AS (
+            SELECT tok AS token, sum(freq) AS cnt
+            FROM (SELECT unnest(toks) AS tok, freq FROM wt)
+            GROUP BY tok),
+          ids AS (
+            SELECT token,
+              row_number() OVER (ORDER BY cnt DESC, token) AS id
+            FROM tc),
+          dw AS (
+            SELECT doc_id, unnest(words) AS word,
+              generate_subscripts(words, 1) AS wpos
+            FROM (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z]+') AS words
+              FROM documents)),
+          dt AS (
+            SELECT d.doc_id, d.wpos, unnest(w.toks) AS token,
+              generate_subscripts(w.toks, 1) AS tpos
+            FROM dw d JOIN wt w USING (word)),
+          enc AS (
+            SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
+            FROM (SELECT t.doc_id, t.wpos, t.tpos, i.id
+                  FROM dt t JOIN ids i USING (token))
+            GROUP BY doc_id)"""
+
   private def bpeTrainCtes(n: Int): String = {
     val rounds = (1 to n).map { k =>
       s"""pairs_$k AS (

@@ -393,4 +393,38 @@ object Bpe {
         coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
+
+  /** The trainer-facing EXPORT stage: each [[Relational.packSized]] bin's
+    * documents concatenated (doc_id order) into ONE training sequence of
+    * token ids with `eosId` after every document — what actually feeds a
+    * next-token-prediction trainer, completing the chain
+    * [[encodeDocs]] → pack → sequence. Documents are weighted
+    * `n_tokens + 1` (the EOS belongs to its document), so bin budgets
+    * account for the separators they will carry. `eosId` defaults to 0 —
+    * [[tokenIds]] ranks are 1-based, so 0 never collides with a real
+    * token. Output: (bin_id, n_docs, input_ids, n_tokens).
+    *
+    * Scale shape: encoding is vocabulary-keyed (see [[encodeDocs]]),
+    * bin assignment is the two-pass distributed prefix sum (no global
+    * window), and the final assembly is one groupBy(bin_id) whose
+    * per-group state is budget-bounded — a bin holds ~budgetTokens ids
+    * regardless of corpus size.
+    */
+  def packedSequences(docs: DataFrame, merges: Seq[Merge],
+      budgetTokens: Long = 2048, eosId: Long = 0L): DataFrame = {
+    val enc = encodeDocs(docs, merges)
+    val bins = Relational.packSized(
+      enc.select(col("doc_id"), (col("n_tokens") + 1L).as("n_tokens")),
+      budgetTokens)
+    enc.join(bins.select("doc_id", "bin_id"), Seq("doc_id"))
+      .withColumn("__ids_eos", concat(col("ids"), array(lit(eosId))))
+      .groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("doc_id"),
+            col("__ids_eos")))),
+          s => s.getField("__ids_eos"))).as("input_ids"))
+      .withColumn("n_tokens", size(col("input_ids")).cast("long"))
+  }
 }

@@ -56,6 +56,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("packedSequences: bins reassemble the EOS-separated corpus stream") {
+    val docs = tables.documents.filter(col("doc_id") < 200)
+    val merges = Bpe.trainMerges(docs, numMerges = 6)
+    val enc = Bpe.encodeDocs(docs, merges).orderBy("doc_id")
+      .select("doc_id", "ids").as[(Long, Seq[Long])].collect()
+    // bins are assigned by a doc_id-ordered prefix sum, so concatenating
+    // bins in bin order must reproduce the whole corpus stream: every
+    // doc's ids, doc order, one EOS (id 0) after each
+    val expected = enc.flatMap { case (_, ids) => ids :+ 0L }.toSeq
+    val packed = Bpe.packedSequences(docs, merges, budgetTokens = 64)
+      .orderBy("bin_id").collect()
+    packed.flatMap(r =>
+      r.getSeq[Long](r.fieldIndex("input_ids"))).toSeq shouldBe expected
+    packed.foreach { r =>
+      r.getAs[Long]("n_tokens") shouldBe
+        r.getSeq[Long](r.fieldIndex("input_ids")).size.toLong
+    }
+    packed.map(_.getAs[Long]("n_docs")).sum shouldBe enc.length.toLong
+  }
+
   test("local fast-path merges equal the distributed loop's on the corpus") {
     val docs = tables.documents
     val local = Bpe.trainMerges(docs, numMerges = 24)
