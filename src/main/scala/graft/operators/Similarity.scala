@@ -168,15 +168,41 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** The portable family's production form: the SAME integer math as
+    * [[lshSignaturePortable]], restructured for plan-compile cost. The
+    * naive form is 64 independent HOF chains over 64 per-plane literal
+    * arrays — ~4k Literal nodes that cost ~0.5 s of Catalyst
+    * analysis/optimization PER PLAN (measured: the q34 probe paid it on
+    * every call). Here all plane weights ship as ONE 2-D literal
+    * referenced exactly once inside a single nested-HOF expression
+    * (tables → bits → dot fold), so the tree is a handful of nodes
+    * regardless of plane count and analysis is O(1) in the geometry.
+    * Returns the array<long> of per-table signatures.
+    */
+  private def portableSigsExpr(emb: Column, bits: Int, tables: Int,
+      dim: Int = 64): Column = {
+    val weights: Seq[Seq[Long]] = (0 until bits * tables).map(p =>
+      (0 until dim).map(d => portablePlaneWeight(p, d)))
+    val planes = typedLit(weights)
+    val powers = typedLit((0 until bits).map(p => 1L << p))
+    val qv = quantize(emb)
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) =>
+        acc + when(
+          aggregate(
+            zip_with(qv, element_at(planes, t * lit(bits) + p + 1),
+              (x, y) => x * y),
+            lit(0L), (a, v) => a + v) > 0,
+          element_at(powers, p + 1)).otherwise(0L)))
+  }
+
   /** [[tableSignatures]] with a family switch: native fused-codegen
     * XXH-style planes (production) or the portable md5/integer planes
     * (oracle-replayable) — the [[Dedup.simhashPortable]] pattern.
     */
   private def tableSignaturesAny(emb: Column, bits: Int, tables: Int,
       portable: Boolean): Column =
-    if (portable)
-      array((0 until tables).map(t =>
-        lshSignaturePortable(emb, bits, t)): _*)
+    if (portable) portableSigsExpr(emb, bits, tables)
     else tableSignatures(emb, bits, tables)
 
   /** ANN top-k via multi-table sign-LSH: `tables` independent b-bit hash
@@ -288,12 +314,23 @@ object Similarity {
       queries: DataFrame, k: Int = 10, bits: Int = 8,
       tables: Int = 16, portable: Boolean = false): DataFrame = {
     requireLshSpec(spark, indexTable, bits, tables, portable)
+    // the query batch is broadcast-bounded by contract, so its
+    // signature relation is collected ONCE and re-planned as a local
+    // relation: the signature expressions compile into exactly one
+    // plan per probe instead of two (the IN-filter collect and the
+    // join used to each re-analyze the full signature tree — half the
+    // probe's driver time for the portable family)
     val qsig = lshQuerySignatures(queries, bits, tables, portable)
-    val probedSigs = qsig.select("sig").distinct().collect().map(_.getLong(0))
+    val qsigRows = qsig.collect().toIndexedSeq
+    val probedSigs = qsigRows.map(_.getLong(3)).distinct
+    val qsigLocal = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(qsigRows).asJava),
+      qsig.schema)
     rankDedupedCandidates(
       spark.table(indexTable)
-        .filter(col("sig").isin(probedSigs.toIndexedSeq: _*))
-        .join(broadcast(qsig), Seq("tbl", "sig")),
+        .filter(col("sig").isin(probedSigs: _*))
+        .join(broadcast(qsigLocal), Seq("tbl", "sig")),
       k)
   }
 
