@@ -24,6 +24,43 @@ class EdgeCaseSpec extends SparkSpec {
     one(0).getLong(2) shouldBe 0L
   }
 
+  test("packedSequences edges: empty corpus; over-budget doc stays whole") {
+    import graft.operators.Bpe
+    val merges = Seq(Bpe.Merge(1, "o", "n"))
+    Bpe.packedSequences(noDocs, merges, budgetTokens = 8).count() shouldBe 0
+    // a document longer than the budget packs into the bin where it
+    // STARTS and is never split (the packer's documented semantics) —
+    // its whole EOS-terminated sequence lands in one bin
+    val fat = Seq((1L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val bins = Bpe.packedSequences(fat, merges, budgetTokens = 4).collect()
+    bins.length shouldBe 1
+    val seq0 = bins(0).getSeq[Long](bins(0).fieldIndex("input_ids"))
+    seq0.last shouldBe 0L // the EOS
+    bins(0).getAs[Long]("n_docs") shouldBe 1L
+  }
+
+  test("portable LSH edges: zero vector signs consistently; empty corpus probes empty") {
+    import graft.operators.Similarity
+    val dim = 64
+    val z = Seq((1L, Array.fill(dim)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // zero vector: every dot is 0, no bit set — signature 0 in every
+    // table, same in both engines (no NaN/null path)
+    val sigs = Similarity.lshTopK(z, z, k = 1, bits = 4, tables = 16,
+      portable = true).collect()
+    sigs.length shouldBe 1 // finds itself through bucket (0, 0)
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    Similarity.lshTopK(empty, z, k = 5, bits = 4, tables = 16,
+      portable = true).count() shouldBe 0
+  }
+
+  test("trainMergesLocal: empty vocabulary trains zero merges") {
+    import graft.operators.Bpe
+    Bpe.trainMerges(noDocs, numMerges = 4) shouldBe Nil
+  }
+
   test("dupComponents: empty pair list terminates and yields no rows") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     Dedup.dupComponents(empty).count() shouldBe 0
