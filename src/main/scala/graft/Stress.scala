@@ -220,6 +220,14 @@ object Stress {
         Bpe.encodeDocs(docs, merges).agg(sum(col("n_tokens")))
           .head().getLong(0)
       },
+      // the trainer-facing export over the same merges: per-bin
+      // sequence assembly on top of encode + the prefix-sum pack;
+      // summing n_tokens forces the flatten aggregates
+      timeAction("packedExport") {
+        val merges = Bpe.trainMerges(docs, numMerges = 8)
+        Bpe.packedSequences(docs, merges, budgetTokens = 2048)
+          .agg(sum(col("n_tokens"))).head().getLong(0)
+      },
       // 8 GD rounds = 8 map-side-combined aggregates over the corpus
       time("qualityClassifier")(Classifier.qualityClassifier(docs)),
       time("urlCanonicalDedup")(Web.canonicalUrlDedup(
@@ -285,6 +293,15 @@ object Stress {
         Similarity.buildLshIndex(embs, "stress_lsh", 4, 16)),
       time("lshIndexQuery")(
         Similarity.queryLshIndex(spark, "stress_lsh", queries, 10, 4, 16)),
+      // the PORTABLE (oracle-replayable) family at the same geometry:
+      // build pays interpreted integer HOFs per corpus row (the
+      // documented tax vs the fused native codegen); the probe must sit
+      // at native parity — it reads the same bucketed layout and its
+      // signature tree is a handful of nodes (see portableSigsExpr)
+      timed("lshIndexBuildPortable")(Similarity.buildLshIndex(
+        embs, "stress_lsh_port", 4, 16, portable = true)),
+      time("lshIndexQueryPortable")(Similarity.queryLshIndex(
+        spark, "stress_lsh_port", queries, 10, 4, 16, portable = true)),
       time("ivfTopK")(Similarity.ivfTopK(embs, queries, 10, 5)),
       timed("ivfIndexBuild")(
         Similarity.buildIvfIndex(embs, "stress_ivf", "stress_ivf_cents")),
