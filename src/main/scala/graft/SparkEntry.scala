@@ -1272,7 +1272,9 @@ object SparkEntry {
           budgetTokens = 512)
         .select(col("bin_id"), col("n_docs"), col("n_tokens"),
           md5(array_join(transform(col("input_ids"), _.cast("string")),
-            " ")).as("ids_digest"))
+            " ")).as("ids_digest"),
+          md5(array_join(transform(col("doc_lens"), _.cast("string")),
+            " ")).as("lens_digest"))
         .orderBy("bin_id")
     })
   )
@@ -3324,10 +3326,12 @@ object SparkEntry {
             FROM c),
           g AS (
             SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
-              flatten(list(ids_eos ORDER BY doc_id)) AS seq
+              flatten(list(ids_eos ORDER BY doc_id)) AS seq,
+              list(len(ids_eos) ORDER BY doc_id) AS lens
             FROM b GROUP BY bin_id)
           SELECT bin_id, n_docs, CAST(len(seq) AS BIGINT) AS n_tokens,
-            md5(array_to_string(seq, ' ')) AS ids_digest
+            md5(array_to_string(seq, ' ')) AS ids_digest,
+            md5(array_to_string(lens, ' ')) AS lens_digest
           FROM g ORDER BY bin_id"""
   )
 

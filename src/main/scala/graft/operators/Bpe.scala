@@ -402,7 +402,10 @@ object Bpe {
     * `n_tokens + 1` (the EOS belongs to its document), so bin budgets
     * account for the separators they will carry. `eosId` defaults to 0 —
     * [[tokenIds]] ranks are 1-based, so 0 never collides with a real
-    * token. Output: (bin_id, n_docs, input_ids, n_tokens).
+    * token. Output: (bin_id, n_docs, input_ids, doc_lens, n_tokens) —
+    * `doc_lens` is each document's EOS-inclusive length in bin order,
+    * the boundary record a trainer needs to reset attention across
+    * documents inside one packed sequence (offsets are its prefix sum).
     *
     * Scale shape: encoding is vocabulary-keyed (see [[encodeDocs]]),
     * bin assignment is the two-pass distributed prefix sum (no global
@@ -421,10 +424,14 @@ object Bpe {
       .groupBy("bin_id")
       .agg(
         count(lit(1)).as("n_docs"),
-        flatten(transform(
-          array_sort(collect_list(struct(col("doc_id"),
-            col("__ids_eos")))),
-          s => s.getField("__ids_eos"))).as("input_ids"))
+        array_sort(collect_list(struct(col("doc_id"), col("__ids_eos"))))
+          .as("__sorted"))
+      .select(
+        col("bin_id"), col("n_docs"),
+        flatten(transform(col("__sorted"), s => s.getField("__ids_eos")))
+          .as("input_ids"),
+        transform(col("__sorted"),
+          s => size(s.getField("__ids_eos")).cast("long")).as("doc_lens"))
       .withColumn("n_tokens", size(col("input_ids")).cast("long"))
   }
 }

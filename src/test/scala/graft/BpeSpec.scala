@@ -72,6 +72,12 @@ class BpeSpec extends SparkSpec {
     packed.foreach { r =>
       r.getAs[Long]("n_tokens") shouldBe
         r.getSeq[Long](r.fieldIndex("input_ids")).size.toLong
+      // the attention-boundary record: per-doc EOS-inclusive lengths
+      // partition the bin's sequence exactly
+      r.getSeq[Long](r.fieldIndex("doc_lens")).sum shouldBe
+        r.getAs[Long]("n_tokens")
+      r.getSeq[Long](r.fieldIndex("doc_lens")).size.toLong shouldBe
+        r.getAs[Long]("n_docs")
     }
     packed.map(_.getAs[Long]("n_docs")).sum shouldBe enc.length.toLong
   }
