@@ -117,6 +117,68 @@ object Sketches {
     exactRecount(df, colName, candidates, math.ceil(minShare * n).toLong)
   }
 
+  /** Build the persisted per-key HLL CARDINALITY STORE: one row per key
+    * group holding a Datasketches HLL binary over `valueCol` — the
+    * sublinear sibling of [[Relational.groupStats]]/`mergeStats` for the
+    * one statistic exact monoids cannot carry: distinct counts don't
+    * merge (per-batch exact distincts double-count overlap), but HLL
+    * sketches union losslessly (register-wise max — a deterministic
+    * function of the item SET, independent of order, partitioning, or
+    * batch split). So per-source distinct-fingerprint tracking updates
+    * per crawl via [[appendHllStore]] without ever rescanning the
+    * corpus. Keys are strata (source, lang, …) by contract — the store
+    * is key-group-sized, each group a ≤ 2^lgK-register sketch.
+    * Spec (lg_k, value_col) persists first, the family-wide
+    * [[graft.sources.IndexSpec]] contract: an append with different
+    * geometry or a different tracked column must fail loudly.
+    */
+  def buildHllStore(df: DataFrame, keys: Seq[String], valueCol: String,
+      table: String, lgK: Int = 12): Unit = {
+    require(keys.nonEmpty, "buildHllStore: need at least one key column")
+    require(!keys.contains("hll"), "buildHllStore: 'hll' is reserved")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.IndexSpec.write(
+      Seq((lgK, valueCol)).toDF("lg_k", "value_col"), table)
+    graft.sources.Sinks.saveTable(
+      df.groupBy(keys.map(col): _*)
+        .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll")),
+      table)
+  }
+
+  /** Fold a new batch into the store: sketch the batch at the spec'd
+    * geometry, union row-wise with the stored sketches per key (new keys
+    * appear, untouched keys pass through), rewrite. The union is
+    * idempotent for re-played batches of the SAME items (register max),
+    * so the merged store equals one built from the concatenated corpus —
+    * asserted exactly in SketchesSpec, not just within tolerance.
+    */
+  def appendHllStore(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val (lgK, valueCol) = (spec.getInt(0), spec.getString(1))
+    val stored = spark.table(table)
+    val keys = stored.columns.filter(_ != "hll").toSeq
+    val batchSk = batch.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+    // materialize the merge BEFORE the overwrite: the plan reads the
+    // very table it replaces (key-group-sized state — tiny)
+    val merged = stored.unionByName(batchSk)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll"), lit(true)).as("hll"))
+      .localCheckpoint(true)
+    graft.sources.Sinks.saveTable(merged, table)
+  }
+
+  /** Read the store as per-key approximate distinct counts. */
+  def hllEstimates(spark: SparkSession, table: String): DataFrame = {
+    graft.sources.IndexSpec.readRequired(spark, table) // half-built guard
+    val stored = spark.table(table)
+    val keys = stored.columns.filter(_ != "hll").toSeq
+    stored.select(keys.map(col) :+
+      hll_sketch_estimate(col("hll")).as("n_distinct_approx"): _*)
+  }
+
   /** The exact second pass shared by the batch and streaming heavy
     * hitters: recount ONLY the proposed candidates (a broadcastable
     * `isin`, never a distinct-key shuffle) and keep those at or above

@@ -41,6 +41,45 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL store: batch-appended store equals single-pass build exactly") {
+    import SparkSpec.spark.implicits._
+    val docs = tables.documents
+    Seq("hll_store_ab", "hll_store_ab__spec", "hll_store_one",
+      "hll_store_one__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // single-pass truth over the whole corpus
+    Sketches.buildHllStore(docs, Seq("lang"), "text", "hll_store_one")
+    // the same corpus in three arbitrary batches, folded incrementally —
+    // HLL union is register-wise max, a pure function of the item SET,
+    // so the per-key estimates must be IDENTICAL, not just close
+    Sketches.buildHllStore(docs.filter(col("doc_id") % 3 === 0),
+      Seq("lang"), "text", "hll_store_ab")
+    Sketches.appendHllStore(docs.filter(col("doc_id") % 3 === 1),
+      "hll_store_ab")
+    Sketches.appendHllStore(docs.filter(col("doc_id") % 3 === 2),
+      "hll_store_ab")
+    def est(t: String): Map[String, Long] =
+      Sketches.hllEstimates(spark, t)
+        .as[(String, Long)].collect().toMap
+    est("hll_store_ab") shouldBe est("hll_store_one")
+    // and the estimates track the exact per-key distincts (lgK 12 →
+    // rsd well under 2%; generous 10% gate)
+    val exact = docs.groupBy("lang")
+      .agg(countDistinct(col("text")).as("n"))
+      .as[(String, Long)].collect().toMap
+    est("hll_store_one").foreach { case (k, v) =>
+      math.abs(v - exact(k)).toDouble / exact(k) should be < 0.1
+    }
+    // replaying a batch already folded leaves the store unchanged
+    Sketches.appendHllStore(docs.filter(col("doc_id") % 3 === 2),
+      "hll_store_ab")
+    est("hll_store_ab") shouldBe est("hll_store_one")
+    // a store without its spec is half-built: loud
+    spark.sql("DROP TABLE IF EXISTS hll_store_ab__spec")
+    an[IllegalStateException] should be thrownBy
+      Sketches.appendHllStore(docs, "hll_store_ab")
+  }
+
   test("heavyHitters equals the exact groupBy-threshold answer") {
     val toks = tables.documents.select(
       explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
