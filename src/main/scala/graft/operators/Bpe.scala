@@ -414,8 +414,48 @@ object Bpe {
     * regardless of corpus size.
     */
   def packedSequences(docs: DataFrame, merges: Seq[Merge],
+      budgetTokens: Long = 2048, eosId: Long = 0L): DataFrame =
+    packedSequencesFrom(encodeDocs(docs, merges), budgetTokens, eosId)
+
+  /** Persist the ENCODED corpus — (doc_id, ids, n_tokens) under a merge
+    * list — as a managed table: the tokenized-corpus artifact a real
+    * pipeline materializes ONCE and then exports from many times
+    * (different budgets, different splits) without re-running the
+    * encode joins. The spec records the merge count and the merges
+    * table it was encoded under, so an export against a retrained
+    * tokenizer fails loudly instead of silently mixing id spaces
+    * (same contract as every persisted index family).
+    */
+  def buildEncodedTable(docs: DataFrame, mergesTable: String,
+      table: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = loadMerges(spark, mergesTable)
+    graft.sources.IndexSpec.write(
+      Seq((merges.size, mergesTable)).toDF("n_merges", "merges_table"),
+      table)
+    graft.sources.Sinks.saveTable(encodeDocs(docs, merges), table)
+  }
+
+  /** Read a persisted encoded corpus, spec-guarded: `mergesTable` must
+    * be the one the encoding was built under (see [[buildEncodedTable]]).
+    */
+  def readEncodedTable(spark: SparkSession, table: String,
+      mergesTable: String): DataFrame = {
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    require(spec.getString(1) == mergesTable,
+      s"readEncodedTable: $table was encoded under merges table " +
+        s"'${spec.getString(1)}', not '$mergesTable' — token ids from " +
+        "different tokenizers must never mix")
+    spark.table(table)
+  }
+
+  /** [[packedSequences]] over an ALREADY-ENCODED corpus frame
+    * (doc_id, ids, n_tokens) — the encode-once/export-many path
+    * (pair with [[buildEncodedTable]]/[[readEncodedTable]]).
+    */
+  def packedSequencesFrom(enc: DataFrame,
       budgetTokens: Long = 2048, eosId: Long = 0L): DataFrame = {
-    val enc = encodeDocs(docs, merges)
     val bins = Relational.packSized(
       enc.select(col("doc_id"), (col("n_tokens") + 1L).as("n_tokens")),
       budgetTokens)

@@ -82,6 +82,26 @@ class BpeSpec extends SparkSpec {
     packed.map(_.getAs[Long]("n_docs")).sum shouldBe enc.length.toLong
   }
 
+  test("encoded table: export from the persisted encoding equals direct; wrong tokenizer is loud") {
+    val docs = tables.documents.filter(col("doc_id") < 200)
+    Seq("bpe_m_enc", "bpe_m_enc__spec", "bpe_m_enc2", "bpe_m_enc2__spec",
+      "bpe_enc_tbl", "bpe_enc_tbl__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val merges = Bpe.buildMergesTable(docs, "bpe_m_enc", numMerges = 6)
+    Bpe.buildEncodedTable(docs, "bpe_m_enc", "bpe_enc_tbl")
+    val fromTable = Bpe.packedSequencesFrom(
+      Bpe.readEncodedTable(spark, "bpe_enc_tbl", "bpe_m_enc"),
+      budgetTokens = 64).orderBy("bin_id").collect()
+    val direct = Bpe.packedSequences(docs, merges, budgetTokens = 64)
+      .orderBy("bin_id").collect()
+    fromTable.toSeq shouldBe direct.toSeq
+    // exporting against a DIFFERENT tokenizer's merges table would mix
+    // id spaces — must throw, never silently re-rank
+    Bpe.buildMergesTable(docs, "bpe_m_enc2", numMerges = 4)
+    an[IllegalArgumentException] should be thrownBy
+      Bpe.readEncodedTable(spark, "bpe_enc_tbl", "bpe_m_enc2")
+  }
+
   test("local fast-path merges equal the distributed loop's on the corpus") {
     val docs = tables.documents
     val local = Bpe.trainMerges(docs, numMerges = 24)
