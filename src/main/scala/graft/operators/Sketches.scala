@@ -170,6 +170,16 @@ object Sketches {
     graft.sources.Sinks.saveTable(merged, table)
   }
 
+  /** Bootstrap an EMPTY HLL store (spec + zero-row table with `sample`'s
+    * key column types) if absent — the streaming tier's day-one path,
+    * like [[graft.operators.Dedup.ensureFingerprintIndex]]. No-op when
+    * the table exists.
+    */
+  def ensureHllStore(sample: DataFrame, keys: Seq[String],
+      valueCol: String, table: String, lgK: Int = 12): Unit =
+    if (!sample.sparkSession.catalog.tableExists(table))
+      buildHllStore(sample.limit(0), keys, valueCol, table, lgK)
+
   /** Read the store as per-key approximate distinct counts. */
   def hllEstimates(spark: SparkSession, table: String): DataFrame = {
     graft.sources.IndexSpec.readRequired(spark, table) // half-built guard

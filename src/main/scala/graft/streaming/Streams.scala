@@ -1049,6 +1049,27 @@ object Streams {
       merged.keys.toSeq, math.ceil(minShare * n).toLong)
   }
 
+  /** Streaming per-key cardinality tracking: fold each micro-batch into
+    * the persisted HLL store ([[graft.operators.Sketches.appendHllStore]])
+    * — running distinct-per-stratum counts over an unbounded stream with
+    * constant state (one ≤ 2^lgK-register sketch per key group).
+    * Replay safety needs NO batch_id machinery here: HLL union is
+    * idempotent for a replayed identical batch (register-wise max), so
+    * a crash between the fold and the checkpoint commit re-runs to the
+    * identical store. Bootstrap the store first
+    * ([[graft.operators.Sketches.ensureHllStore]]) so a mistyped table
+    * fails loudly on the first batch.
+    */
+  def startCardinalityTracking(docs: DataFrame, table: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Sketches.appendHllStore(b, table)
+      }
+      .start()
+
   /** T4/T5: start a running-aggregate query into the in-memory table
     * `name` (complete mode) with a checkpoint — stop + restart with the
     * same checkpoint resumes the state exactly (tested in StreamingSpec).

@@ -1061,6 +1061,33 @@ class StreamingSpec extends SparkSpec {
       ) shouldBe expected
   }
 
+  test("streaming cardinality tier: HLL store equals a single-pass batch build") {
+    import graft.operators.Sketches
+    val ckpt = tmp("hll-ckpt")
+    Seq("hll_live", "hll_live__spec", "hll_live_ref", "hll_live_ref__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val rows = (1 to 90).map(i => (s"lang${i % 3}", s"text ${i % 40}"))
+    Sketches.ensureHllStore(rows.take(1).toDF("lang", "text"),
+      Seq("lang"), "text", "hll_live")
+    val in = MemoryStream[(String, String)]
+    val q = Streams.startCardinalityTracking(
+      in.toDF().toDF("lang", "text"), "hll_live", ckpt)
+    try {
+      rows.grouped(30).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // register-wise max is a pure function of the item set: the
+    // streamed store must equal a single-pass batch build EXACTLY
+    Sketches.buildHllStore(rows.toDF("lang", "text"), Seq("lang"),
+      "text", "hll_live_ref")
+    def est(t: String) = Sketches.hllEstimates(spark, t)
+      .as[(String, Long)].collect().toMap
+    est("hll_live") shouldBe est("hll_live_ref")
+    est("hll_live").keySet shouldBe Set("lang0", "lang1", "lang2")
+  }
+
   test("streaming heavy hitters: live stream end to end") {
     import graft.operators.Sketches
     val (store, ckpt) = (tmp("hh-live"), tmp("hh-live-ckpt"))
