@@ -1283,6 +1283,27 @@ object SparkEntry {
           md5(array_join(transform(col("doc_lens"), _.cast("string")),
             " ")).as("lens_digest"))
         .orderBy("bin_id")
+    }),
+
+    // ---- context-window chunking of the encoded corpus: the pre-pass
+    // that makes over-long documents packable (the packer never splits
+    // a doc). Every chunk <= 32 tokens, chunks concatenate back to the
+    // document exactly; digest oracle per chunk.
+    "q147_chunk_encoded" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tag = math.abs(d.hashCode.toLong)
+      val tbl = s"graft_bpe_merges_$tag"
+      if (!s.catalog.tableExists(tbl))
+        Bpe.buildMergesTable(docs, tbl, numMerges = 8)
+      val encT = s"graft_bpe_encoded_$tag"
+      if (!s.catalog.tableExists(encT))
+        Bpe.buildEncodedTable(docs, tbl, encT)
+      Bpe.chunkEncoded(Bpe.readEncodedTable(s, encT, tbl), maxTokens = 32)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_tokens"),
+          md5(array_join(transform(col("ids"), _.cast("string")), " "))
+            .as("ids_digest"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -3339,7 +3360,30 @@ object SparkEntry {
           SELECT bin_id, n_docs, CAST(len(seq) AS BIGINT) AS n_tokens,
             md5(array_to_string(seq, ' ')) AS ids_digest,
             md5(array_to_string(lens, ' ')) AS lens_digest
-          FROM g ORDER BY bin_id"""
+          FROM g ORDER BY bin_id""",
+
+    // encode (q140's chain), then per-doc 32-token slices — the q41
+    // frame-sample pattern over token lists instead of bytes
+    "q147_chunk_encoded" ->
+      s"""${bpeTrainCtes(8)},
+          ${bpeEncodeCtes},
+          t AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+            FROM documents d LEFT JOIN enc e USING (doc_id)),
+          ci AS (
+            SELECT doc_id, ids,
+              unnest(range(greatest(
+                CAST(ceil(len(ids) / 32.0) AS INT), 1))) AS i
+            FROM t),
+          ch AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+              ids[i * 32 + 1 : i * 32 + 32] AS cids
+            FROM ci)
+          SELECT doc_id, chunk_idx,
+            CAST(len(cids) AS BIGINT) AS n_tokens,
+            md5(array_to_string(cids, ' ')) AS ids_digest
+          FROM ch ORDER BY doc_id, chunk_idx"""
   )
 
   /** DuckDB replay of [[graft.operators.Classifier.qualityClassifier]]:

@@ -450,6 +450,31 @@ object Bpe {
     spark.table(table)
   }
 
+  /** Split over-long encoded documents into `maxTokens`-sized chunks —
+    * the context-window pre-pass [[packedSequencesFrom]] needs, since
+    * the packer deliberately never splits a document (a doc longer than
+    * the training context must be chunked or dropped BEFORE packing;
+    * silently truncating it is the one thing an export must not do).
+    * Output: (doc_id, chunk_idx, ids, n_tokens), chunk_idx 0-based in
+    * token order; every chunk is ≤ maxTokens and chunks concatenate
+    * back to the document exactly (asserted in BpeSpec). A document
+    * with an empty encoding keeps one empty chunk — row-per-doc
+    * accounting survives the pass. Pure per-row projection + explode:
+    * no shuffle, the token-explode scale every word-level operator
+    * already pays.
+    */
+  def chunkEncoded(enc: DataFrame, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"chunkEncoded: maxTokens must be > 0, got $maxTokens")
+    enc.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0),
+          greatest(ceil(size(col("ids")) / maxTokens.toDouble)
+            .cast("int") - 1, lit(0))),
+        i => slice(col("ids"), i * maxTokens + 1, lit(maxTokens))))
+        .as(Seq("chunk_idx", "ids")))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** [[packedSequences]] over an ALREADY-ENCODED corpus frame
     * (doc_id, ids, n_tokens) — the encode-once/export-many path
     * (pair with [[buildEncodedTable]]/[[readEncodedTable]]).

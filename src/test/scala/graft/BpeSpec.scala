@@ -82,6 +82,33 @@ class BpeSpec extends SparkSpec {
     packed.map(_.getAs[Long]("n_docs")).sum shouldBe enc.length.toLong
   }
 
+  test("chunkEncoded: chunks bounded and reassemble exactly; compose bounds the pack") {
+    val docs = tables.documents.filter(col("doc_id") < 200)
+    val merges = Bpe.trainMerges(docs, numMerges = 6)
+    val enc = Bpe.encodeDocs(docs, merges)
+    val encMap = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("ids"))).toMap
+    val ch = Bpe.chunkEncoded(enc, maxTokens = 16)
+    val byDoc = ch.collect().groupBy(_.getLong(0))
+    byDoc.keySet shouldBe encMap.keySet // empty encodings keep their row
+    byDoc.foreach { case (id, rows) =>
+      rows.foreach(r =>
+        r.getSeq[Long](r.fieldIndex("ids")).size should be <= 16)
+      rows.sortBy(_.getInt(1))
+        .flatMap(r => r.getSeq[Long](r.fieldIndex("ids")))
+        .toSeq shouldBe encMap(id)
+    }
+    // the point of the pre-pass: after chunking, every pack unit is
+    // <= maxTokens, so no bin overshoots its budget by more than one
+    // chunk (the packer alone lets one giant doc blow a bin wide open)
+    val rekeyed = ch.select(
+      (col("doc_id") * 1000 + col("chunk_idx")).as("doc_id"),
+      col("ids"), col("n_tokens"))
+    Bpe.packedSequencesFrom(rekeyed, budgetTokens = 64)
+      .collect().foreach(r =>
+        r.getAs[Long]("n_tokens") should be <= (64L + 17L))
+  }
+
   test("encoded table: export from the persisted encoding equals direct; wrong tokenizer is loud") {
     val docs = tables.documents.filter(col("doc_id") < 200)
     Seq("bpe_m_enc", "bpe_m_enc__spec", "bpe_m_enc2", "bpe_m_enc2__spec",
