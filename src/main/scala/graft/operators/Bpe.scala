@@ -432,13 +432,29 @@ object Bpe {
     import spark.implicits._
     val merges = loadMerges(spark, mergesTable)
     graft.sources.IndexSpec.write(
-      Seq((merges.size, mergesTable)).toDF("n_merges", "merges_table"),
+      Seq((merges.size, mergesTable, mergesDigest(merges)))
+        .toDF("n_merges", "merges_table", "merges_md5"),
       table)
     graft.sources.Sinks.saveTable(encodeDocs(docs, merges), table)
   }
 
+  /** md5 over the ordered merge list — the tokenizer identity the
+    * encoded-corpus spec pins, so even a RETRAINED tokenizer under the
+    * same table name (same size, different merges → different id
+    * space) is caught, not just a mistyped name.
+    */
+  private def mergesDigest(merges: Seq[Merge]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(merges.sortBy(_.rank)
+      .map(m => s"${m.rank}${m.lhs}${m.rhs}")
+      .mkString("").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Read a persisted encoded corpus, spec-guarded: `mergesTable` must
-    * be the one the encoding was built under (see [[buildEncodedTable]]).
+    * be the one the encoding was built under AND still hold the exact
+    * merge list it held at encode time (digest match — see
+    * [[buildEncodedTable]]).
     */
   def readEncodedTable(spark: SparkSession, table: String,
       mergesTable: String): DataFrame = {
@@ -447,6 +463,12 @@ object Bpe {
       s"readEncodedTable: $table was encoded under merges table " +
         s"'${spec.getString(1)}', not '$mergesTable' — token ids from " +
         "different tokenizers must never mix")
+    val current = mergesDigest(loadMerges(spark, mergesTable))
+    require(spec.getString(2) == current,
+      s"readEncodedTable: merges table $mergesTable no longer holds " +
+        s"the merge list $table was encoded under (digest " +
+        s"${spec.getString(2)} vs $current) — the tokenizer was " +
+        "retrained; rebuild the encoded table")
     spark.table(table)
   }
 

@@ -127,6 +127,12 @@ class BpeSpec extends SparkSpec {
     Bpe.buildMergesTable(docs, "bpe_m_enc2", numMerges = 4)
     an[IllegalArgumentException] should be thrownBy
       Bpe.readEncodedTable(spark, "bpe_enc_tbl", "bpe_m_enc2")
+    // a RETRAINED tokenizer under the SAME table name is the sneakier
+    // id-space mix — the digest in the spec catches it
+    Bpe.buildMergesTable(docs.filter(col("doc_id") < 100), "bpe_m_enc",
+      numMerges = 6)
+    an[IllegalArgumentException] should be thrownBy
+      Bpe.readEncodedTable(spark, "bpe_enc_tbl", "bpe_m_enc")
   }
 
   test("local fast-path merges equal the distributed loop's on the corpus") {
