@@ -93,9 +93,11 @@ object Bench {
     // the original noisy reading is preserved in a "retried" map — so
     // the artifact self-corrects instead of embedding scheduler noise
     // as a phantom regression. Queries without a reference entry (new
-    // this round) and sub-200ms references (natural jitter) are left
-    // alone; retries change only the ESTIMATOR (still min-of-runs of
-    // the same plan), never the measured computation.
+    // this round) are left alone, and sub-200ms references are floored
+    // to 0.2s before the factor (so a 50ms query retries only past
+    // 0.5s — natural fast-query jitter stays untouched, a real stall
+    // still gets caught); retries change only the ESTIMATOR (still
+    // min-of-runs of the same plan), never the measured computation.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_REF",
       "bench_quiet.json")
     val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR",
@@ -246,6 +248,10 @@ object Bench {
     val loadStart = loadAvg
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errEntries = scala.collection.mutable.ArrayBuffer[String]()
+    // children run the same noise guard; their noisy-original
+    // provenance must survive the stitch or the isolated artifact
+    // would silently hide that a retry occurred
+    val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.zipWithIndex.foreach { case (name, i) =>
       val outFile = workDir.resolve(s"$name.json")
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
@@ -273,6 +279,9 @@ object Bench {
           errEntries += (if (e.nonEmpty) e
             else s"${jstr(name)}:${jstr(s"child exited $code, no artifact")}")
       }
+      parseQueryMap(
+        s"""{"queries":{${jsonObj(line, "retried")}}}""")
+        .foreach { case (k, v) => retried(k) = v }
       // progress to stderr (stdout stays clean for the final summary)
       System.err.println(s"[bench-iso] ${i + 1}/${names.size} $name " +
         timings.get(name).map(sec).getOrElse("ERR"))
@@ -284,9 +293,11 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errs = errEntries.mkString("{", ",", "}")
+    val retr = retried.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
     val total = timings.values.sum
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"queries":$qs,"errors":$errs,$loads,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"queries":$qs,"errors":$errs,"retried":$retr,$loads,"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
@@ -294,7 +305,7 @@ object Bench {
     val slow5 = timings.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"n_queries":${timings.size},"n_errors":${errEntries.size},"slowest":$slow5,$loads,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"n_queries":${timings.size},"n_errors":${errEntries.size},"n_retried":${retried.size},"slowest":$slow5,$loads,"sf":${jstr(sfDir)},"full":${jstr(outPath)}}"""
     println(summary)
     if (errEntries.nonEmpty) sys.exit(1)
   }

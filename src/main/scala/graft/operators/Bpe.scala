@@ -441,7 +441,10 @@ object Bpe {
   /** md5 over the ordered merge list — the tokenizer identity the
     * encoded-corpus spec pins, so even a RETRAINED tokenizer under the
     * same table name (same size, different merges → different id
-    * space) is caught, not just a mistyped name.
+    * space) is caught, not just a mistyped name. Fields join on
+    * \u0001 and merges on \u0002 — symbols are `[a-z]+`, so the
+    * serialization is collision-free (no separator and (1,"ab","c")
+    * vs (1,"a","bc") would hash identically).
     */
   private def mergesDigest(merges: Seq[Merge]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

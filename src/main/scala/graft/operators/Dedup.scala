@@ -465,7 +465,8 @@ object Dedup {
       .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = math.max(1L, fps.count()) // one extra pass; build-once cost
+      val cnt = fps.count() // one extra pass; build-once cost
+      val n = math.max(1L, cnt)
       val bits = bloomBits(n, fpp)
       import spark.implicits._
       // pairing marker, then spec, then the filter itself: a crash
@@ -475,14 +476,20 @@ object Dedup {
       graft.sources.IndexSpec.write(
         Seq((n, fpp, bits, fpTable))
           .toDF("n_items", "fpp", "num_bits", "fp_table"), table)
-      val bytes = withBloomCapacity(spark, n, bits) {
-        fps.agg(bloomAgg(n, bits).as("bloom"))
-          .head().getAs[Array[Byte]]("bloom")
+      // the aggregate is NULL exactly when the corpus is empty (a NULL
+      // cell would null-out every probe predicate downstream), and the
+      // count above already tells us which case we're in — so the
+      // non-empty path stays FULLY distributed (executor-side partials
+      // merged straight into the table write; at the docstring's 10⁹-doc
+      // geometry the filter is ~1.2 GB, which must never funnel through
+      // a driver .head())
+      if (cnt == 0L)
+        graft.sources.Sinks.saveTable(
+          Seq(emptyBloomBytes(n, bits)).toDF("bloom"), table)
+      else withBloomCapacity(spark, n, bits) {
+        graft.sources.Sinks.saveTable(
+          fps.agg(bloomAgg(n, bits).as("bloom")), table)
       }
-      // empty corpus → NULL aggregate → store a real empty filter (a
-      // NULL cell would null-out every probe predicate downstream)
-      val stored = if (bytes != null) bytes else emptyBloomBytes(n, bits)
-      graft.sources.Sinks.saveTable(Seq(stored).toDF("bloom"), table)
     } finally fps.unpersist()
   }
 

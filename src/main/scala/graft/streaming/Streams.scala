@@ -777,21 +777,54 @@ object Streams {
     if (parts.size <= 1) return Nil // nothing safely foldable
     val keep = parts.max
     val foldable = parts.filter(_ != keep)
-    // bootstrap the bloom (no-op when it exists), THEN enforce pairing:
-    // an index marked as bloom-tiered must ALWAYS fold through its
-    // bloom — one fold without it grows the index past the bloom, after
-    // which already-indexed docs pass the !might_contain fast path at
-    // ingest and land as silent duplicates
-    bloomTable.foreach(bt =>
-      graft.operators.Dedup.ensureBloomIndex(spark, bt, table))
-    val paired = graft.operators.Dedup.pairedBloom(spark, table)
-    require(paired == bloomTable,
-      s"foldFingerprintStore: index $table is paired to bloom " +
-        s"${paired.getOrElse("<none>")} but the fold was asked to " +
-        s"maintain ${bloomTable.getOrElse("<none>")} — folding past a " +
-        "paired bloom breaks bloom ⊇ index (silent duplicate landings); " +
-        "pass the paired bloomTable, or build the pairing first")
+    // pairing guard: an index marked as bloom-tiered must ALWAYS fold
+    // through its bloom — one fold without it grows the index past the
+    // bloom, after which already-indexed docs pass the !might_contain
+    // fast path at ingest and land as silent duplicates. Bootstrapping
+    // an EMPTY bloom is only ever sound while the index itself is
+    // empty: resurrecting a missing bloom over a non-empty index (or
+    // silently repointing the marker at a typo'd name) would fabricate
+    // exactly the bloom ⊂ index state the guard exists to prevent, so
+    // every such case throws instead.
     graft.operators.Dedup.ensureFingerprintIndex(spark, table, buckets)
+    val paired = graft.operators.Dedup.pairedBloom(spark, table)
+    bloomTable match {
+      case None =>
+        require(paired.isEmpty,
+          s"foldFingerprintStore: index $table is paired to bloom " +
+            s"${paired.getOrElse("")} — folding past it breaks " +
+            "bloom ⊇ index (silent duplicate landings); pass the " +
+            "paired bloomTable")
+      case Some(bt) if paired.contains(bt) =>
+        require(spark.catalog.tableExists(bt),
+          s"foldFingerprintStore: paired bloom $bt is missing — an " +
+            "empty bootstrap over a non-empty index would break " +
+            "bloom ⊇ index; rebuild it with buildBloomIndex over the " +
+            "indexed corpus")
+        require(graft.sources.IndexSpec.readRequired(spark, bt)
+            .getString(3) == table,
+          s"foldFingerprintStore: bloom $bt's spec names a different " +
+            s"index than $table — crossed pairing state; rebuild")
+      case Some(bt) if paired.isEmpty =>
+        // fresh pairing: sound only while the index holds nothing yet
+        require(spark.table(table).isEmpty,
+          s"foldFingerprintStore: cannot pair bloom $bt to the " +
+            s"non-empty index $table mid-flight — the bootstrap bloom " +
+            "would not cover the already-indexed fingerprints; " +
+            "rebuild with buildBloomIndex over the indexed corpus " +
+            "(which records the pairing)")
+        graft.operators.Dedup.ensureBloomIndex(spark, bt, table)
+        require(graft.operators.Dedup.pairedBloom(spark, table)
+            .contains(bt),
+          s"foldFingerprintStore: bloom $bt exists but is not paired " +
+            s"to $table (stale or missing marker) — rebuild the bloom " +
+            "with buildBloomIndex")
+      case Some(bt) =>
+        throw new IllegalArgumentException(
+          s"foldFingerprintStore: index $table is paired to bloom " +
+            s"${paired.get}, not $bt — folding through the wrong bloom " +
+            "leaves the paired one behind; pass the paired bloomTable")
+    }
     // batch_id < keep partition-prunes the read to exactly the snapshot
     // taken above: batch ids only grow, so a concurrent stream write
     // can never land below `keep`

@@ -184,6 +184,23 @@ class SimilaritySpec extends SparkSpec {
         k = 10, bits = 4, tables = 16, portable = true)
   }
 
+  test("portable signature reference form agrees bit-for-bit with the fused expression") {
+    // lshSignaturePortable is the readable per-table reference; the
+    // production pipeline uses the fused nested-HOF expression (one
+    // 2-D plane literal). Same twin-gating as native-vs-HOF cosine:
+    // the persisted index's (vec_id, tbl, sig) rows must equal the
+    // reference signatures exactly
+    val embs = tables.embeddings.filter(col("vec_id") < 60)
+    Similarity.buildLshIndex(embs, "test_lsh_port_ref",
+      bits = 4, tables = 16, portable = true)
+    val ref = embs.select(col("vec_id"),
+      posexplode(array((0 until 16).map(t =>
+        Similarity.lshSignaturePortable(col("embedding"), 4, t)): _*))
+        .as(Seq("tbl", "sig")))
+    rowSet(spark.table("test_lsh_port_ref")
+      .select("vec_id", "tbl", "sig")) shouldBe rowSet(ref)
+  }
+
   test("portable LSH family: recall holds and index path equals inline") {
     // the portable md5/integer planes are the oracle-replayable twin of
     // the native fused-codegen signatures (the q34 driver row): same
