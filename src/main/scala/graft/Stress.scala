@@ -374,6 +374,22 @@ object Stress {
       },
       time("bpeTokenStats")(Bpe.tokenStatsByLang(docs,
         Bpe.trainMerges(docs, numMerges = 8))),
+      // incremental cardinality: one full-corpus sketch build, then a
+      // crawl-sized fold — the fold must cost the BATCH, not the
+      // corpus (the whole point of the mergeable store)
+      timeAction("hllStoreBuild") {
+        Seq("stress_hll", "stress_hll__spec")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        graft.operators.Sketches.buildHllStore(
+          docs.filter(col("doc_id") % 100 =!= 0),
+          Seq("source"), "text", "stress_hll")
+        -1L
+      },
+      timeAction("hllStoreFold") {
+        graft.operators.Sketches.appendHllStore(
+          docs.filter(col("doc_id") % 100 === 0), "stress_hll")
+        graft.operators.Sketches.hllEstimates(spark, "stress_hll").count()
+      },
       // streaming heavy hitters over the 24-batch split: per-batch
       // bounded summaries + one entrywise merge — vs the batch operator
       // on the same data (both exact by the recount)
