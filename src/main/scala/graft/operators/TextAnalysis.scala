@@ -228,6 +228,60 @@ object TextAnalysis {
     * Per-occurrence log terms quantized to DECIMAL(30,12), summed
     * exactly — the usual determinism convention.
     */
+  /** CCNet-style reference-LM scoring: train an add-k-smoothed bigram
+    * model on `refDocs`, score every `candidates` doc by its mean
+    * NEGATIVE log probability (lower = more reference-like) — the
+    * cross-corpus quality filter: [[fluencyScores]] grades a doc under
+    * its OWN corpus's statistics, this grades a candidate crawl under a
+    * trusted reference's (the CCNet recipe: Wikipedia-LM perplexity
+    * over Common Crawl). Smoothing is add-k over the reference unigram
+    * vocabulary V: P(w2|w1) = (c(w1,w2)+k)/(c(w1·)+k·V), so unseen
+    * bigrams score finitely (1/V at an unseen prefix) instead of
+    * −∞-ing the document. Candidates with < 2 tokens get NULL.
+    *
+    * Plan shape = [[fluencyScores]] with the count tables built from
+    * the REFERENCE and the joins LEFT (absent counts read as 0): one
+    * explode per side, two keyed aggregates, two keyed joins, one
+    * rollup. V is one bounded driver count. Same DECIMAL(30,12)
+    * quantized-log determinism convention.
+    */
+  def crossPerplexity(refDocs: DataFrame, candidates: DataFrame,
+      k: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k > 0, s"crossPerplexity: smoothing k must be > 0, got $k")
+    def bigramsOf(df: DataFrame) = Dedup.spread(df)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS w1, " +
+          "element_at(toks, i + 1) AS w2))")).as("s"))
+      .select(col("doc_id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
+    val refBg = bigramsOf(refDocs)
+    val cnt = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val pref = cnt.groupBy("w1").agg(sum("c").as("p"))
+    val v = Dedup.spread(refDocs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .distinct().count() // one bounded driver scalar
+    val perDoc = bigramsOf(candidates)
+      .join(cnt, Seq("w1", "w2"), "left_outer")
+      .join(pref, Seq("w1"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(log(
+          (coalesce(col("c"), lit(0L)).cast("double") + k) /
+            (coalesce(col("p"), lit(0L)).cast("double") + k * v))
+          .cast(DecimalType(30, 12))).as("s"))
+    candidates.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          round(-col("s").cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("nll"))
+  }
+
   def fluencyScores(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val base = Dedup.spread(documents)

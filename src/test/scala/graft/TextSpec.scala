@@ -226,6 +226,26 @@ class TextSpec extends SparkSpec {
     out(3L) shouldBe ((0L, None))
   }
 
+  test("crossPerplexity: hand-computed add-1 scores; unseen smooths to 1/V") {
+    import SparkSpec.spark.implicits._
+    val ref = Seq((10L, "a b"), (11L, "a b"), (12L, "a c"))
+      .toDF("doc_id", "text") // V = {a,b,c} = 3; c(a,b)=2 c(a,c)=1; a·=3
+    val cand = Seq(
+      (1L, "a b"), // ln((2+1)/(3+3)) = ln(1/2) → nll = ln 2
+      (2L, "z q"), // unseen prefix: ln((0+1)/(0+3)) → nll = ln 3
+      (3L, "a")    // one token: no bigrams, null
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.crossPerplexity(ref, cand).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    out(1L)._1 shouldBe 1L
+    out(1L)._2.get shouldBe math.log(2.0) +- 1e-6
+    out(2L)._2.get shouldBe math.log(3.0) +- 1e-6
+    out(3L) shouldBe ((0L, None))
+    // the filter's point: reference-like text scores lower than noise
+    out(1L)._2.get should be < out(2L)._2.get
+  }
+
   test("fuzzyPairs: q-gram filter reproduces brute force on part names") {
     Seq(1, 2, 3).foreach { t =>
       rowSet(TextOps.fuzzyPairs(tables.part, "p_name", t)) shouldBe
