@@ -1316,6 +1316,17 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 =!= 0),
           docs.filter(col("doc_id") % 5 === 0))
         .orderBy("doc_id")
+    }),
+
+    // ---- persisted-weights classifier scoring: train ONCE into a
+    // weights table, score from it — must answer exactly what the
+    // inline train+score (q143) answers, so q143's oracle is the gate
+    "q149_classifier_store" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tbl = s"graft_clf_weights_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(tbl))
+        Classifier.buildClassifierTable(docs, tbl, iters = 8)
+      Classifier.scoreWithTable(docs, tbl).orderBy("doc_id")
     })
   )
 
@@ -3305,6 +3316,10 @@ object SparkEntry {
          ORDER BY vec_id""",
 
     "q143_quality_classifier" -> logisticOracle(iters = 8),
+
+    // the persisted-weights path must answer exactly what the inline
+    // train+score answers: q143's full training-replay oracle verbatim
+    "q149_classifier_store" -> logisticOracle(iters = 8),
 
     // q134's per-word BPE token counts, per-doc sums, then q64's
     // prefix-sum pack at budget 512

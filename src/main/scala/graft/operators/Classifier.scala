@@ -91,9 +91,11 @@ object Classifier {
     * decision; the score column is the soft signal downstream mixing/
     * budget operators consume.
     */
-  def qualityClassifier(documents: DataFrame, iters: Int = 8,
-      lr: Double = 1.0): DataFrame = {
-    val feats = TextAnalysis.qualityFeatures(documents)
+  /** The bounded feature frame + deterministic reference label shared
+    * by the inline classifier and the persisted-weights path.
+    */
+  private def qualityFeats(documents: DataFrame): DataFrame =
+    TextAnalysis.qualityFeatures(documents)
       .select(col("doc_id"),
         coalesce(col("stopword_ratio"), lit(0.0)).as("x_stop"),
         coalesce(col("upper_ratio"), lit(0.0)).as("x_upper"),
@@ -103,10 +105,55 @@ object Classifier {
           lit(1.0)).as("x_tlen"),
         (coalesce(col("stopword_ratio"), lit(0.0)) >= 0.06 &&
           col("n_tokens") >= 40).cast("int").as("label"))
-    val xs = Seq("x_stop", "x_upper", "x_len", "x_tlen")
-    val w = logisticFit(feats, xs, "label", iters, lr)
-    logisticScore(feats, xs, w)
+
+  private val QualityXs = Seq("x_stop", "x_upper", "x_len", "x_tlen")
+
+  private def scored(feats: DataFrame, w: Seq[Double]): DataFrame =
+    logisticScore(feats, QualityXs, w)
       .select(col("doc_id"), col("label").cast("long").as("label"),
         col("score"), (col("score") >= 0.5).as("keep"))
+
+  def qualityClassifier(documents: DataFrame, iters: Int = 8,
+      lr: Double = 1.0): DataFrame =
+    scored(qualityFeats(documents),
+      logisticFit(qualityFeats(documents), QualityXs, "label", iters, lr))
+
+  /** Persist trained quality-classifier weights as a managed table
+    * (idx, weight; idx 0 = bias) with the family-wide
+    * [[graft.sources.IndexSpec]] guard — train ONCE on the corpus, then
+    * [[scoreWithTable]] any number of crawl batches without re-paying
+    * the `iters` training scans. The spec records (iters, lr,
+    * n_weights) so a partial write or a differently-shaped model fails
+    * loudly at read time.
+    */
+  def buildClassifierTable(documents: DataFrame, table: String,
+      iters: Int = 8, lr: Double = 1.0): Seq[Double] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val w = logisticFit(qualityFeats(documents), QualityXs, "label",
+      iters, lr)
+    graft.sources.IndexSpec.write(
+      Seq((iters, lr, w.size)).toDF("iters", "lr", "n_weights"), table)
+    graft.sources.Sinks.saveTable(
+      w.zipWithIndex.map { case (wt, i) => (i, wt) }.toDF("idx", "weight"),
+      table)
+    w
+  }
+
+  /** Score a corpus with persisted weights — result-identical to
+    * [[qualityClassifier]] run with the same training corpus and
+    * parameters (the build-once/probe-many contract every index family
+    * carries; q149's oracle gate). Weights are a bounded driver read
+    * (k+1 doubles).
+    */
+  def scoreWithTable(documents: DataFrame, table: String): DataFrame = {
+    val spark = documents.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val rows = spark.table(table).orderBy("idx").collect()
+    require(rows.length == spec.getAs[Int]("n_weights"),
+      s"scoreWithTable: $table holds ${rows.length} weights but its " +
+        s"spec says ${spec.getAs[Int]("n_weights")} — partial write; " +
+        "rebuild with buildClassifierTable")
+    scored(qualityFeats(documents), rows.map(_.getDouble(1)).toSeq)
   }
 }

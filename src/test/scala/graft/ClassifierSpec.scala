@@ -56,4 +56,27 @@ class ClassifierSpec extends SparkSpec {
         new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
         out.schema))
   }
+
+  test("persisted weights: scoreWithTable equals inline train+score; partial write is loud") {
+    val spark = SparkSpec.spark
+    Seq("clf_w", "clf_w__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Classifier.buildClassifierTable(tables.documents, "clf_w", iters = 8)
+    rowSet(Classifier.scoreWithTable(tables.documents, "clf_w")) shouldBe
+      rowSet(Classifier.qualityClassifier(tables.documents, iters = 8))
+    // train-once/score-many: a DIFFERENT batch scores under the stored
+    // model without retraining (shape + range sanity)
+    val batch = tables.documents.filter(col("doc_id") % 7 === 0)
+    val scored = Classifier.scoreWithTable(batch, "clf_w").collect()
+    scored.length.toLong shouldBe batch.count()
+    all(scored.map(_.getDouble(2))) should (be >= 0.0 and be <= 1.0)
+    // a weights table that lost rows must throw, never score skewed
+    // (parquet tables don't DELETE — overwrite with a truncated copy)
+    graft.sources.Sinks.saveTable(
+      spark.table("clf_w").filter(col("idx") =!= 2)
+        .localCheckpoint(true),
+      "clf_w")
+    an[IllegalArgumentException] should be thrownBy
+      Classifier.scoreWithTable(tables.documents, "clf_w")
+  }
 }
