@@ -1327,6 +1327,21 @@ object SparkEntry {
       if (!s.catalog.tableExists(tbl))
         Classifier.buildClassifierTable(docs, tbl, iters = 8)
       Classifier.scoreWithTable(docs, tbl).orderBy("doc_id")
+    }),
+
+    // ---- persisted reference LM: the CCNet reference model as a
+    // build-once bucketed artifact; scoring a crawl joins the stored
+    // counts without re-reading reference text. Must answer exactly
+    // what the inline q148 answers — its oracle is the gate.
+    "q150_lm_store" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tbl = s"graft_lm_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(tbl))
+        TextAnalysis.buildLmTable(docs.filter(col("doc_id") % 5 =!= 0),
+          tbl)
+      TextAnalysis.crossPerplexityWithTable(
+          docs.filter(col("doc_id") % 5 === 0), tbl)
+        .orderBy("doc_id")
     })
   )
 
@@ -3416,6 +3431,51 @@ object SparkEntry {
     // reference split, LEFT joins (absent counts read 0), add-1
     // smoothing over the reference unigram vocabulary V
     "q148_cross_perplexity" ->
+      s"""WITH refd AS (
+            SELECT doc_id, $Toks AS toks FROM documents
+            WHERE doc_id % 5 <> 0),
+          vv AS (
+            SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+            FROM (SELECT unnest(toks) AS w FROM refd)),
+          rb0 AS (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> {'w1': toks[i], 'w2': toks[i+1]})) AS s
+            FROM refd),
+          rb AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM rb0),
+          cnt AS (SELECT w1, w2, count(*) AS c FROM rb GROUP BY w1, w2),
+          pref AS (SELECT w1, CAST(sum(c) AS BIGINT) AS p
+                   FROM cnt GROUP BY w1),
+          cand AS (
+            SELECT doc_id, $Toks AS toks FROM documents
+            WHERE doc_id % 5 = 0),
+          cb0 AS (
+            SELECT doc_id, unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> {'w1': toks[i], 'w2': toks[i+1]})) AS s
+            FROM cand),
+          cb AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM cb0),
+          per_doc AS (
+            SELECT cb.doc_id, count(*) AS n_bigrams,
+              sum(CAST(ln(
+                (CAST(coalesce(cnt.c, 0) AS DOUBLE) + 1.0) /
+                (CAST(coalesce(pref.p, 0) AS DOUBLE) + (SELECT v FROM vv)))
+                AS DECIMAL(30,12))) AS s
+            FROM cb LEFT JOIN cnt USING (w1, w2)
+                    LEFT JOIN pref USING (w1)
+            GROUP BY cb.doc_id)
+          SELECT d.doc_id,
+            coalesce(p.n_bigrams, 0) AS n_bigrams,
+            CASE WHEN p.n_bigrams > 0 THEN
+              round(-CAST(p.s AS DOUBLE) /
+                CAST(p.n_bigrams AS DOUBLE), 6) END AS nll
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+          LEFT JOIN per_doc p USING (doc_id)
+          ORDER BY d.doc_id""",
+
+    // the persisted-LM path must answer exactly what the inline
+    // reference-trained scoring answers: q148's SQL verbatim
+    "q150_lm_store" ->
       s"""WITH refd AS (
             SELECT doc_id, $Toks AS toks FROM documents
             WHERE doc_id % 5 <> 0),

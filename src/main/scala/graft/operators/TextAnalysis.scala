@@ -247,22 +247,29 @@ object TextAnalysis {
     */
   def crossPerplexity(refDocs: DataFrame, candidates: DataFrame,
       k: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    require(k > 0, s"crossPerplexity: smoothing k must be > 0, got $k")
-    def bigramsOf(df: DataFrame) = Dedup.spread(df)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> " +
-          "struct(element_at(toks, i) AS w1, " +
-          "element_at(toks, i + 1) AS w2))")).as("s"))
-      .select(col("doc_id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
     val refBg = bigramsOf(refDocs)
     val cnt = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val pref = cnt.groupBy("w1").agg(sum("c").as("p"))
     val v = Dedup.spread(refDocs)
       .select(explode(tokens(col("text"))).as("w"))
       .distinct().count() // one bounded driver scalar
+    scoreAgainstLm(candidates, cnt, pref, v, k)
+  }
+
+  private def bigramsOf(df: DataFrame): DataFrame = Dedup.spread(df)
+    .select(col("doc_id"), tokens(col("text")).as("toks"))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1), i -> " +
+        "struct(element_at(toks, i) AS w1, " +
+        "element_at(toks, i + 1) AS w2))")).as("s"))
+    .select(col("doc_id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
+
+  /** The scoring tail shared by the inline and persisted-LM paths. */
+  private def scoreAgainstLm(candidates: DataFrame, cnt: DataFrame,
+      pref: DataFrame, v: Long, k: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k > 0, s"crossPerplexity: smoothing k must be > 0, got $k")
     val perDoc = bigramsOf(candidates)
       .join(cnt, Seq("w1", "w2"), "left_outer")
       .join(pref, Seq("w1"), "left_outer")
@@ -280,6 +287,54 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
           round(-col("s").cast("double") /
             col("n_bigrams").cast("double"), 6)).as("nll"))
+  }
+
+  /** Persist the reference LM: bigram counts bucketed by their probe
+    * keys (the build-once form of [[crossPerplexity]]'s reference side
+    * — in the CCNet recipe the reference model IS a long-lived
+    * artifact scored against every crawl). Three pieces: the count
+    * table (w1, w2, c) bucketed by (w1, w2), the prefix-marginal
+    * sibling `<table>__pref` (w1, p) bucketed by w1, and the spec
+    * carrying the smoothing vocabulary size V — so a probe joins the
+    * stored tables without re-reading a byte of reference text, and
+    * the bucketed layouts keep the model side shuffle-free.
+    */
+  def buildLmTable(refDocs: DataFrame, table: String,
+      buckets: Int = 32): Unit = {
+    val spark = refDocs.sparkSession
+    import spark.implicits._
+    val v = Dedup.spread(refDocs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .distinct().count()
+    // spec FIRST (the IndexSpec ordering contract), then pref, then
+    // the main table (probes read the main table's spec)
+    graft.sources.IndexSpec.write(Seq(v).toDF("v"), table)
+    val cnt = bigramsOf(refDocs).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.sources.Sinks.saveTablePartitioned(
+        cnt.groupBy("w1").agg(sum("c").as("p")), s"${table}__pref",
+        bucketBy = Some((buckets, Seq("w1"))), sortBy = Seq("w1"))
+      graft.sources.Sinks.saveTablePartitioned(cnt, table,
+        bucketBy = Some((buckets, Seq("w1", "w2"))),
+        sortBy = Seq("w1", "w2"))
+    } finally cnt.unpersist()
+  }
+
+  /** Score candidates against a persisted reference LM — result-
+    * identical to [[crossPerplexity]] over the same reference (the
+    * build-once/probe-many contract; q150's oracle gate).
+    */
+  def crossPerplexityWithTable(candidates: DataFrame, table: String,
+      k: Double = 1.0): DataFrame = {
+    val spark = candidates.sparkSession
+    val v = graft.sources.IndexSpec.readRequired(spark, table).getLong(0)
+    require(spark.catalog.tableExists(s"${table}__pref"),
+      s"crossPerplexityWithTable: $table has no __pref sibling — " +
+        "half-built LM; rebuild with buildLmTable")
+    scoreAgainstLm(candidates, spark.table(table),
+      spark.table(s"${table}__pref"), v, k)
   }
 
   def fluencyScores(documents: DataFrame): DataFrame = {

@@ -246,6 +246,21 @@ class TextSpec extends SparkSpec {
     out(1L)._2.get should be < out(2L)._2.get
   }
 
+  test("persisted LM: crossPerplexityWithTable equals inline; half-built is loud") {
+    val spark = SparkSpec.spark
+    Seq("lm_tbl", "lm_tbl__spec", "lm_tbl__pref")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ref = tables.documents.filter(col("doc_id") % 5 =!= 0)
+    val cand = tables.documents.filter(col("doc_id") % 5 === 0)
+    TextAnalysis.buildLmTable(ref, "lm_tbl")
+    rowSet(TextAnalysis.crossPerplexityWithTable(cand, "lm_tbl")) shouldBe
+      rowSet(TextAnalysis.crossPerplexity(ref, cand))
+    // an LM whose prefix sibling is missing is half-built: reject
+    spark.sql("DROP TABLE IF EXISTS lm_tbl__pref")
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.crossPerplexityWithTable(cand, "lm_tbl")
+  }
+
   test("fuzzyPairs: q-gram filter reproduces brute force on part names") {
     Seq(1, 2, 3).foreach { t =>
       rowSet(TextOps.fuzzyPairs(tables.part, "p_name", t)) shouldBe
