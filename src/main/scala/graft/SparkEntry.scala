@@ -35,6 +35,30 @@ object SparkEntry {
       .orderBy("n_name", "r_name")
   }
 
+  /** Per-data-dir tag for session-cached table names (indexes, merges,
+    * bucketed prep): md5 of the full path, so two dirs can never share
+    * a tag the way `hashCode` could in principle collide — a collision
+    * would silently probe the wrong corpus's index.
+    */
+  private def dirTag(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Queries that build session-cached state (a persisted index, a
+    * merges table, bucketed prep) on FIRST call and only probe it on
+    * later calls. [[graft.Bench]]'s box-noise retry guard must NOT
+    * min-merge a warm rerun into these: the first reading is
+    * build-inclusive, the rerun probe-only — min-of-runs across the two
+    * compares different computations and under-reports the query.
+    */
+  val buildOnFirstCall: Set[String] = Set(
+    "q34_ann_topk_lsh", "q48_bucketed_join", "q51_ann_topk_ivf",
+    "q129_neardup_probe", "q130_exact_probe", "q132_simhash_probe",
+    "q135_bpe_vocab", "q136_bloom_probe", "q140_bpe_encode",
+    "q142_semantic_probe", "q144_pack_bpe", "q146_packed_export",
+    "q147_chunk_encoded", "q149_classifier_store", "q150_lm_store")
+
   private def annQueries(t: Tables): DataFrame =
     t.embeddings.filter(col("vec_id") < 5)
 
@@ -184,7 +208,7 @@ object SparkEntry {
       // the DuckDB oracle replays the bucket structure exactly — the
       // native fused-codegen planes stay the production default and are
       // recall/subset-gated in SimilaritySpec.
-      val idx = s"graft_lsh_index_${math.abs(d.hashCode.toLong)}"
+      val idx = s"graft_lsh_index_${dirTag(d)}"
       if (!s.catalog.tableExists(idx))
         Similarity.buildLshIndex(t.embeddings, idx, bits = 4, tables = 16,
           portable = true)
@@ -202,7 +226,7 @@ object SparkEntry {
       val t = Tables(s, d)
       // persisted-index path: train + assign once per (session, data
       // dir), then the probe reads only the nprobe cells' partitions
-      val tag = math.abs(d.hashCode.toLong)
+      val tag = dirTag(d)
       val (idx, cents) = (s"graft_ivf_index_$tag", s"graft_ivf_cents_$tag")
       if (!s.catalog.tableExists(idx))
         Similarity.buildIvfIndex(t.embeddings, idx, cents)
@@ -329,7 +353,7 @@ object SparkEntry {
       // write is table prep, the operator under test is the shuffle-free
       // bucket-local join. Names carry the dir so a session serving
       // several data dirs never joins the wrong corpus's buckets.
-      val tag = math.abs(d.hashCode.toLong)
+      val tag = dirTag(d)
       val (ordersB, liB) = (s"graft_orders_b_$tag", s"graft_lineitem_agg_b_$tag")
       if (!s.catalog.tableExists(ordersB))
         Sinks.saveTablePartitioned(t.orders, ordersB,
@@ -1036,7 +1060,7 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
-      val idx = s"graft_neardup_index_${math.abs(d.hashCode.toLong)}"
+      val idx = s"graft_neardup_index_${dirTag(d)}"
       if (!s.catalog.tableExists(idx))
         Dedup.buildNearDupIndex(corpus, idx, ngram = 3, k = 64, bands = 32)
       Dedup.probeNearDupIndex(batch, corpus, idx, threshold = 0.7,
@@ -1050,7 +1074,7 @@ object SparkEntry {
     // oracle, the probe must answer identically
     "q130_exact_probe" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val idx = s"graft_fp_index_${math.abs(d.hashCode.toLong)}"
+      val idx = s"graft_fp_index_${dirTag(d)}"
       if (!s.catalog.tableExists(idx))
         Dedup.buildFingerprintIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
       Dedup.probeFingerprintIndex(docs.filter(col("doc_id") % 5 === 0), idx)
@@ -1075,7 +1099,7 @@ object SparkEntry {
     // oracle replays the identical pipeline.
     "q132_simhash_probe" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val idx = s"graft_simhash_index_${math.abs(d.hashCode.toLong)}"
+      val idx = s"graft_simhash_index_${dirTag(d)}"
       if (!s.catalog.tableExists(idx))
         Dedup.buildSimhashIndex(docs.filter(col("doc_id") % 5 =!= 0), idx,
           portable = true)
@@ -1109,7 +1133,7 @@ object SparkEntry {
     // learned vocabulary report — top tokens by corpus occurrence count
     "q135_bpe_vocab" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      val tbl = s"graft_bpe_merges_${dirTag(d)}"
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
       Bpe.vocabReport(docs, Bpe.loadMerges(s, tbl), topN = 50)
@@ -1122,8 +1146,8 @@ object SparkEntry {
     // as q130 — the tier must answer exactly what the plain probe does.
     "q136_bloom_probe" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val bloom = s"graft_bloom_index_${math.abs(d.hashCode.toLong)}"
-      val fpIdx = s"graft_fp7_index_${math.abs(d.hashCode.toLong)}"
+      val bloom = s"graft_bloom_index_${dirTag(d)}"
+      val fpIdx = s"graft_fp7_index_${dirTag(d)}"
       val corpus = docs.filter(col("doc_id") % 7 =!= 0)
       if (!s.catalog.tableExists(fpIdx))
         Dedup.buildFingerprintIndex(corpus, fpIdx)
@@ -1169,7 +1193,7 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       // persisted-merges path (the q135 table, shared): training cost is
       // q133's to measure — this query times ENCODING the corpus
-      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      val tbl = s"graft_bpe_merges_${dirTag(d)}"
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
       Bpe.encodeDocs(docs, Bpe.loadMerges(s, tbl))
@@ -1214,7 +1238,7 @@ object SparkEntry {
     "q142_semantic_probe" -> ((s, d) => {
       val t = Tables(s, d)
       val corpus = t.embeddings.filter(col("vec_id") % 5 =!= 0)
-      val tag = math.abs(d.hashCode.toLong)
+      val tag = dirTag(d)
       val (idx, cents) =
         (s"graft_sem_index_$tag", s"graft_sem_cents_$tag")
       if (!s.catalog.tableExists(idx))
@@ -1238,7 +1262,7 @@ object SparkEntry {
     // persisted q135 table) instead of whitespace counts
     "q144_pack_bpe" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val tbl = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      val tbl = s"graft_bpe_merges_${dirTag(d)}"
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
       Relational.packSized(
@@ -1268,7 +1292,7 @@ object SparkEntry {
     // convention); the oracle replays the whole encode chain inline.
     "q146_packed_export" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val tag = math.abs(d.hashCode.toLong)
+      val tag = dirTag(d)
       val tbl = s"graft_bpe_merges_$tag"
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
@@ -1291,7 +1315,7 @@ object SparkEntry {
     // document exactly; digest oracle per chunk.
     "q147_chunk_encoded" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val tag = math.abs(d.hashCode.toLong)
+      val tag = dirTag(d)
       val tbl = s"graft_bpe_merges_$tag"
       if (!s.catalog.tableExists(tbl))
         Bpe.buildMergesTable(docs, tbl, numMerges = 8)
@@ -1323,7 +1347,7 @@ object SparkEntry {
     // inline train+score (q143) answers, so q143's oracle is the gate
     "q149_classifier_store" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val tbl = s"graft_clf_weights_${math.abs(d.hashCode.toLong)}"
+      val tbl = s"graft_clf_weights_${dirTag(d)}"
       if (!s.catalog.tableExists(tbl))
         Classifier.buildClassifierTable(docs, tbl, iters = 8)
       Classifier.scoreWithTable(docs, tbl).orderBy("doc_id")
@@ -1335,7 +1359,7 @@ object SparkEntry {
     // what the inline q148 answers — its oracle is the gate.
     "q150_lm_store" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val tbl = s"graft_lm_${math.abs(d.hashCode.toLong)}"
+      val tbl = s"graft_lm_${dirTag(d)}"
       if (!s.catalog.tableExists(tbl))
         TextAnalysis.buildLmTable(docs.filter(col("doc_id") % 5 =!= 0),
           tbl)

@@ -446,11 +446,11 @@ object Bpe {
     * serialization is collision-free (no separator and (1,"ab","c")
     * vs (1,"a","bc") would hash identically).
     */
-  private def mergesDigest(merges: Seq[Merge]): String = {
+  private[graft] def mergesDigest(merges: Seq[Merge]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(merges.sortBy(_.rank)
-      .map(m => s"${m.rank}${m.lhs}${m.rhs}")
-      .mkString("").getBytes("UTF-8"))
+      .map(m => s"${m.rank}\u0001${m.lhs}\u0001${m.rhs}")
+      .mkString("\u0002").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
 

@@ -577,6 +577,23 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.Literal(bytes),
         org.apache.spark.sql.graft.bridge.expression(xxhash64(fp))))
 
+  /** The paired fp-table name out of a bloom spec row, with an explicit
+    * diagnostic for blooms persisted under the pre-pairing 3-column
+    * layout (n_items, fpp, num_bits): those predate the pairing
+    * contract, and reading the fourth field would throw a bare
+    * field-index error instead of telling the operator what to rebuild.
+    */
+  private[graft] def bloomSpecFpTable(spec: org.apache.spark.sql.Row,
+      bloomTable: String): String = {
+    require(spec.schema != null &&
+        spec.schema.fieldNames.contains("fp_table"),
+      s"bloom $bloomTable carries a legacy spec without the fp_table " +
+        "pairing field (pre-pairing layout: n_items, fpp, num_bits) — " +
+        "rebuild it with buildBloomIndex(..., fpTable) so the " +
+        "bloom ⊇ index pairing is recorded and enforceable")
+    spec.getAs[String]("fp_table")
+  }
+
   /** Screen a batch through the bloom tier, then verify the residue
     * against the exact fingerprint index — result-identical to
     * [[probeFingerprintIndex]] (asserted in tests), with the anti-join
@@ -590,9 +607,10 @@ object Dedup {
     // the spec'd pairing is the exactness contract: a bloom built over
     // a DIFFERENT index's corpus has no ⊇ guarantee and its misses
     // would silently drop true-new rows from the residue join
-    require(spec.getString(3) == fpTable,
+    val pairedFp = bloomSpecFpTable(spec, bloomTable)
+    require(pairedFp == fpTable,
       s"probeBloomIndex: bloom $bloomTable was built over index " +
-        s"'${spec.getString(3)}', not '$fpTable' — a mismatched bloom " +
+        s"'$pairedFp', not '$fpTable' — a mismatched bloom " +
         "has no superset guarantee and would silently lose rows")
     val bytes = spark.table(bloomTable).head().getAs[Array[Byte]]("bloom")
     val fpCol = "__fp_bloom"

@@ -150,6 +150,19 @@ object Similarity {
   private def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1000000d).cast("long"))
 
+  /** `emb` guarded to exactly `dim` components. The portable plane
+    * family is a fixed-geometry dot product and `zip_with` null-pads
+    * the shorter array — an embedding with fewer than `dim` components
+    * would make every dot-product fold NULL, so every bit 0, so ALL
+    * vectors land in one bucket and ANN silently degrades to an
+    * all-pairs candidate join. A dimension mismatch fails loudly
+    * instead (per row, inside codegen — no extra pass over the data).
+    */
+  private def checkedDim(emb: Column, dim: Int): Column =
+    when(size(emb) === dim, emb).otherwise(raise_error(concat(
+      lit("portable LSH family: embedding has "),
+      size(emb).cast("string"), lit(s" components, expected $dim"))))
+
   /** One table's portable sign-LSH signature: bit p =
     * [Σ_d qv[d]·w(table·bits+p, d) > 0] over the quantized vector and
     * integer plane weights — the oracle-replayable twin of
@@ -159,7 +172,7 @@ object Similarity {
     */
   def lshSignaturePortable(emb: Column, bits: Int, table: Int,
       dim: Int = 64): Column = {
-    val qv = quantize(emb)
+    val qv = quantize(checkedDim(emb, dim))
     (0 until bits).map { p =>
       val w = array((0 until dim).map(d =>
         lit(portablePlaneWeight(table * bits + p, d))): _*)
@@ -185,7 +198,7 @@ object Similarity {
       (0 until dim).map(d => portablePlaneWeight(p, d)))
     val planes = typedLit(weights)
     val powers = typedLit((0 until bits).map(p => 1L << p))
-    val qv = quantize(emb)
+    val qv = quantize(checkedDim(emb, dim))
     transform(sequence(lit(0), lit(tables - 1)), t =>
       aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) =>
         acc + when(

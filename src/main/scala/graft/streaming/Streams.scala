@@ -478,9 +478,11 @@ object Streams {
             // and the index's marker names THIS bloom (a superseded
             // bloom the folds stopped feeding lags the index, and its
             // misses would land already-indexed docs as silent dups)
-            require(spec.getString(3) == t,
+            val pairedFp =
+              graft.operators.Dedup.bloomSpecFpTable(spec, bt)
+            require(pairedFp == t,
               s"dedupIngestBatch: bloom $bt was built over index " +
-                s"'${spec.getString(3)}', not '$t'")
+                s"'$pairedFp', not '$t'")
             require(
               graft.operators.Dedup.pairedBloom(spark, t).contains(bt),
               s"dedupIngestBatch: index $t is not paired to bloom $bt " +
@@ -801,8 +803,8 @@ object Streams {
             "empty bootstrap over a non-empty index would break " +
             "bloom ⊇ index; rebuild it with buildBloomIndex over the " +
             "indexed corpus")
-        require(graft.sources.IndexSpec.readRequired(spark, bt)
-            .getString(3) == table,
+        require(graft.operators.Dedup.bloomSpecFpTable(
+            graft.sources.IndexSpec.readRequired(spark, bt), bt) == table,
           s"foldFingerprintStore: bloom $bt's spec names a different " +
             s"index than $table — crossed pairing state; rebuild")
       case Some(bt) if paired.isEmpty =>

@@ -242,4 +242,17 @@ class BpeSpec extends SparkSpec {
         col("freq"))).head().getLong(0)
     full shouldBe direct
   }
+
+  test("mergesDigest separates fields: (1,ab,c) vs (1,a,bc) differ") {
+    // without the  field separators both lists would serialize to
+    // "1abc" and the retrained-tokenizer guard in readEncodedTable could
+    // pass two different merge lists as identical
+    val a = Seq(Bpe.Merge(1, "ab", "c"))
+    val b = Seq(Bpe.Merge(1, "a", "bc"))
+    Bpe.mergesDigest(a) should not be Bpe.mergesDigest(b)
+    // rank/field boundary: both would serialize to "12ab" unseparated
+    val c = Seq(Bpe.Merge(12, "a", "b"))
+    val d = Seq(Bpe.Merge(1, "2a", "b"))
+    Bpe.mergesDigest(c) should not be Bpe.mergesDigest(d)
+  }
 }

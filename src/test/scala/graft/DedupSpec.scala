@@ -421,6 +421,23 @@ class DedupSpec extends SparkSpec {
       Dedup.probeBloomIndex(fresh, "bloom_idx_gr", "fp_idx_bt")
   }
 
+  test("bloom tier: pre-pairing 3-column spec fails with a rebuild message") {
+    // a bloom persisted before the pairing contract (spec = n_items,
+    // fpp, num_bits) must get the explicit legacy diagnostic, not a
+    // bare field-index error from reading the absent fourth column
+    graft.sources.IndexSpec.write(
+      Seq((1000L, 0.01, 9586L)).toDF("n_items", "fpp", "num_bits"),
+      "bloom_idx_legacy")
+    graft.sources.Sinks.saveTable(
+      Seq(Array[Byte](1, 2)).toDF("bloom"), "bloom_idx_legacy")
+    val batch = Seq((1L, "legacy spec probe doc")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.probeBloomIndex(batch, "bloom_idx_legacy", "fp_idx_bt")
+    }
+    ex.getMessage should include("legacy spec")
+    ex.getMessage should include("fp_table")
+  }
+
   test("bloom tier: geometry past the 4M runtime-filter clamp builds and merges") {
     val spark = SparkSpec.spark
     Seq("bloom_idx_big", "bloom_idx_big__spec")

@@ -201,6 +201,19 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "tbl", "sig")) shouldBe rowSet(ref)
   }
 
+  test("portable LSH family: wrong embedding dimension fails loudly") {
+    // zip_with null-pads a short vector: pre-guard, every dot-product
+    // fold would go NULL → every bit 0 → one giant bucket, an all-pairs
+    // candidate join instead of ANN. Must throw, not degrade.
+    val short3 = Seq((1L, Array(0.1f, 0.2f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      short3.select(Similarity.lshSignaturePortable(
+        col("embedding"), 4, 0).as("sig")).collect()
+    }
+    ex.getMessage should include("expected 64")
+  }
+
   test("portable LSH family: recall holds and index path equals inline") {
     // the portable md5/integer planes are the oracle-replayable twin of
     // the native fused-codegen signatures (the q34 driver row): same
