@@ -237,15 +237,22 @@ object SparkEntry {
     // ---- sketches (A11–A13) with exact twins --------------------------
     "q36_sketch_distinct" -> ((s, d) =>
       Sketches.distinctCounts(Tables(s, d).lineitem)),
+    // PORTABLE sketch family (md5/integer — the q32/q34 pattern): the
+    // DuckDB oracle replays the full cell/bit tables, so these are
+    // rows+schema+hash gated, not rows-only. The native sketch objects
+    // (df.stat.countMinSketch / bloomFilter) stay the production
+    // default and are property-gated against the exact twins in
+    // SketchesSpec.
     "q37_cms_frequencies" -> ((s, d) =>
-      Sketches.cmsFrequencies(s, Tables(s, d).lineitem, "l_returnflag",
-        Seq("A", "N", "R")).orderBy("key")),
+      Sketches.cmsFrequenciesPortable(s, Tables(s, d).lineitem,
+        "l_returnflag", Seq("A", "N", "R")).orderBy("key")),
     "q38_exact_frequencies" -> ((s, d) =>
       Sketches.exactFrequencies(Tables(s, d).lineitem, "l_returnflag",
         Seq("A", "N", "R")).orderBy("key")),
     "q39_bloom_membership" -> ((s, d) =>
-      Sketches.bloomMembership(s, Tables(s, d).lineitem, "l_returnflag",
-        Seq("A", "N", "R", "X", "Z")).orderBy("candidate")),
+      Sketches.bloomMembershipPortable(s, Tables(s, d).lineitem,
+        "l_returnflag", Seq("A", "N", "R", "X", "Z"))
+        .orderBy("candidate")),
 
     // ---- multimodal plumbing ------------------------------------------
     "q40_media_features" -> ((s, d) =>
@@ -1991,10 +1998,51 @@ object SparkEntry {
          SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
          ORDER BY q_id, rnk""",
 
+    // portable CMS replay: the identical md5-derived cell table (depth 5
+    // x width 272, 60-bit integer buckets), then min-over-rows per
+    // probed key — integer arithmetic end to end, the q32/q34 pattern
+    "q37_cms_frequencies" ->
+      """WITH rs AS (SELECT unnest(range(5)) AS row_i),
+         v AS (SELECT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+               WHERE l_returnflag IS NOT NULL),
+         cells AS (SELECT row_i,
+             ('0x' || substr(md5('cms_' || row_i || '_' || v), 1, 15))::BIGINT
+               % 272 AS bucket,
+             count(*) AS cell
+           FROM v CROSS JOIN rs GROUP BY 1, 2),
+         probes AS (SELECT k.key, rs.row_i,
+             ('0x' || substr(md5('cms_' || rs.row_i || '_' || k.key), 1, 15))::BIGINT
+               % 272 AS bucket
+           FROM (VALUES ('A'), ('N'), ('R')) k(key) CROSS JOIN rs)
+         SELECT p.key,
+           CAST(min(coalesce(c.cell, 0)) AS BIGINT) AS estimate
+         FROM probes p LEFT JOIN cells c
+           ON c.row_i = p.row_i AND c.bucket = p.bucket
+         GROUP BY p.key ORDER BY key""",
+
     "q38_exact_frequencies" ->
       """SELECT l_returnflag AS key, count(*) AS cnt FROM lineitem
          WHERE l_returnflag IN ('A', 'N', 'R')
          GROUP BY 1 ORDER BY 1""",
+
+    // portable bloom replay: each value sets 7 md5-derived bits of 9586;
+    // a candidate might be contained iff all 7 of its positions are set
+    "q39_bloom_membership" ->
+      """WITH js AS (SELECT unnest(range(7)) AS j),
+         v AS (SELECT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
+               WHERE l_returnflag IS NOT NULL),
+         bits AS (SELECT DISTINCT
+             ('0x' || substr(md5('bloom_' || j || '_' || v), 1, 15))::BIGINT
+               % 9586 AS pos
+           FROM v CROSS JOIN js),
+         probes AS (SELECT DISTINCT c.candidate,
+             ('0x' || substr(md5('bloom_' || js.j || '_' || c.candidate), 1, 15))::BIGINT
+               % 9586 AS pos
+           FROM (VALUES ('A'), ('N'), ('R'), ('X'), ('Z')) c(candidate)
+           CROSS JOIN js)
+         SELECT p.candidate, count(b.pos) = count(*) AS might_contain
+         FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+         GROUP BY p.candidate ORDER BY candidate""",
 
     "q42_csv_roundtrip" ->
       """SELECT l_returnflag,

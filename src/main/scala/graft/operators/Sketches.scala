@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-query sketches (SURVEY §2.4 A11–A13) with their exact twins
@@ -68,6 +68,119 @@ object Sketches {
     import spark.implicits._
     val cms = df.stat.countMinSketch(colName, eps, confidence, seed)
     keys.map(k => (k, cms.estimateCount(k))).toDF("key", "estimate")
+  }
+
+  // ---- portable (md5/integer) sketch family -------------------------------
+  //
+  // The cross-engine-replayable twin of the native sketches, the
+  // Dedup.simhashPortable / Similarity portable-LSH pattern: every hash
+  // is the first 15 hex chars of an md5 over a tagged string, read as a
+  // 60-bit non-negative integer and reduced mod the geometry — integer
+  // arithmetic end to end, so DuckDB replays the whole sketch
+  // table-by-table with
+  //   ('0x' || substr(md5(tag || v), 1, 15))::BIGINT % m
+  // and the two engines agree bit for bit. The native forms above stay
+  // the production default (treeAggregate sketch objects, no explode);
+  // the portable forms are the oracle-facing family, and their accuracy
+  // properties (CMS over-count-never-under-count, bloom
+  // no-false-negative) are asserted against the exact twins in
+  // SketchesSpec.
+
+  /** Portable CMS geometry — the reference's ε=0.01 / δ=0.01
+    * (`304-streaming/spark/README.md:222-243`): width = ⌈e/ε⌉ = 272,
+    * depth = ⌈ln(1/δ)⌉ = 5.
+    */
+  val CmsDepth = 5
+  val CmsWidth = 272
+
+  /** Portable bloom geometry — the reference's n=1000 / fpp=0.01
+    * (`304-streaming/spark/README.md:197-220`):
+    * m = ⌈−n·ln p / ln²2⌉ = 9586 bits, k = round(m/n·ln 2) = 7 hashes.
+    */
+  val BloomBits = 9586
+  val BloomHashes = 7
+
+  /** md5-derived bucket of `v` under hash index `i`: codegen'd builtins
+    * end to end (md5 → substring → conv → mod), non-negative by
+    * construction (60-bit value, positive modulus).
+    */
+  private def md5Bucket(prefix: String, i: Int, v: Column,
+      mod: Int): Column =
+    conv(substring(md5(concat(lit(s"$prefix${i}_"), v)), 1, 15), 16, 10)
+      .cast("long") % mod
+
+  /** The portable CMS cell relation (row_i, bucket, cell): counts of
+    * values landing in each of depth × width cells. ONE pass — the
+    * depth-way explode partial-aggregates map-side, so the shuffle is
+    * ≤ depth·width rows per partition and the result is ≤ depth·width
+    * rows total regardless of input size (the 100-TB shape: constant
+    * state, like the sketch object it replaces).
+    */
+  def cmsTablePortable(df: DataFrame, colName: String,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    df.select(col(colName).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .select(posexplode(array((0 until depth).map(i =>
+        md5Bucket("cms_", i, col("v"), width)): _*))
+        .as(Seq("row_i", "bucket")))
+      .groupBy("row_i", "bucket")
+      .agg(count(lit(1)).as("cell"))
+
+  /** A13, portable form: CMS frequency estimates for `keys` — per key,
+    * the min over depth rows of its cell count (0 for an empty cell).
+    * Over-counts, never under-counts, exactly like the native sketch;
+    * deterministic (cells are exact sums). The ≤ depth·width cell
+    * relation broadcasts; the probe side is keys × depth rows.
+    */
+  def cmsFrequenciesPortable(spark: SparkSession, df: DataFrame,
+      colName: String, keys: Seq[String], depth: Int = CmsDepth,
+      width: Int = CmsWidth): DataFrame = {
+    import spark.implicits._
+    val probes = keys.toDF("key")
+      .select(col("key"), posexplode(array((0 until depth).map(i =>
+        md5Bucket("cms_", i, col("key"), width)): _*))
+        .as(Seq("row_i", "bucket")))
+    probes
+      .join(broadcast(cmsTablePortable(df, colName, depth, width)),
+        Seq("row_i", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cell"), lit(0L))).as("estimate"))
+  }
+
+  /** The portable bloom's set bit positions: each value sets `k`
+    * md5-derived positions in [0, m). Positions dedupe map-side (each
+    * partition emits ≤ m distinct positions), so the shuffle is bounded
+    * by m per partition and the result by m rows — never a
+    * distinct-value shuffle, even over a high-cardinality column.
+    */
+  def bloomBitsPortable(df: DataFrame, colName: String,
+      m: Int = BloomBits, k: Int = BloomHashes): DataFrame =
+    df.select(col(colName).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .select(explode(array((0 until k).map(j =>
+        md5Bucket("bloom_", j, col("v"), m)): _*)).as("pos"))
+      .distinct()
+
+  /** A12, portable form: bloom membership for `candidates` — a
+    * candidate might be contained iff ALL of its k probe positions are
+    * set. No false negatives by construction (a present value set
+    * exactly these positions); false-positive rate ≤ fpp for the spec'd
+    * geometry. The ≤ m-row bit set broadcasts against the tiny probe
+    * side.
+    */
+  def bloomMembershipPortable(spark: SparkSession, df: DataFrame,
+      colName: String, candidates: Seq[String], m: Int = BloomBits,
+      k: Int = BloomHashes): DataFrame = {
+    import spark.implicits._
+    val probes = candidates.toDF("candidate")
+      .select(col("candidate"), explode(array((0 until k).map(j =>
+        md5Bucket("bloom_", j, col("candidate"), m)): _*)).as("pos"))
+      .distinct()
+    probes
+      .join(broadcast(bloomBitsPortable(df, colName, m, k)
+        .withColumn("present", lit(1))), Seq("pos"), "left")
+      .groupBy("candidate")
+      .agg((count(col("present")) === count(lit(1))).as("might_contain"))
   }
 
   /** Exact frequency twin for the CMS keys — groupBy count restricted to

@@ -41,6 +41,49 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("portable CMS: over-counts never under-counts; bounded; deterministic") {
+    // the oracle-facing md5/integer family must carry the SAME accuracy
+    // contract as the native sketch it twins — over a high-cardinality
+    // column (2000 distinct order keys in 272 buckets forces real
+    // collisions, unlike l_returnflag's 3 values)
+    val keys = Seq("1", "7", "32", "9999999") // last one absent
+    val est = Sketches.cmsFrequenciesPortable(spark, tables.lineitem,
+      "l_orderkey", keys).collect()
+      .map(x => x.getAs[String]("key") -> x.getAs[Long]("estimate")).toMap
+    val exact = Sketches.exactFrequencies(tables.lineitem, "l_orderkey",
+      keys).collect()
+      .map(x => x.getAs[String]("key") -> x.getAs[Long]("cnt")).toMap
+    est.keySet shouldBe keys.toSet // absent keys still answer (with 0+)
+    keys.foreach { k =>
+      est(k) should be >= exact.getOrElse(k, 0L)
+      // width=272, depth=5 -> overshoot ~ N/width per row, min over rows
+      est(k) should be <= exact.getOrElse(k, 0L) + (6.0 * 6000 / 272).toLong
+    }
+    est shouldBe Sketches.cmsFrequenciesPortable(spark, tables.lineitem,
+      "l_orderkey", keys).collect()
+      .map(x => x.getAs[String]("key") -> x.getAs[Long]("estimate")).toMap
+  }
+
+  test("portable bloom: no false negatives; absent-probe fp rate near spec") {
+    // build over the 2000 distinct l_orderkey strings (~21% of the
+    // n=1000-sized geometry's saturation -> real bit collisions), probe
+    // every present value and 500 known-absent ones
+    val present = (1 to 50).map(_.toString)
+    val absent = (1000000 to 1000499).map(_.toString)
+    val r = Sketches.bloomMembershipPortable(spark, tables.lineitem,
+      "l_orderkey", present ++ absent).collect()
+      .map(x => x.getAs[String]("candidate") ->
+        x.getAs[Boolean]("might_contain")).toMap
+    val trulyPresent = tables.lineitem
+      .select(col("l_orderkey").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    present.filter(trulyPresent).foreach(p => r(p) shouldBe true)
+    // fpp is geometry-driven; over-full filter (2000 items in an
+    // n=1000 build) still stays well under a loose ceiling
+    val fp = absent.count(r(_)) / 500.0
+    fp should be < 0.25
+  }
+
   test("HLL store: batch-appended store equals single-pass build exactly") {
     import SparkSpec.spark.implicits._
     val docs = tables.documents
