@@ -1016,8 +1016,9 @@ object Streams {
     * rewrites its own partition instead of double counting, and the
     * store is a per-batch summary log that merges associatively
     * ([[mergedHeavyHitters]]). Growth is ≤ 2k+1 tiny rows per batch;
-    * the store→fold discipline of [[foldFingerprintStore]] applies
-    * unchanged when batch count warrants it.
+    * [[foldHeavyHitterStore]] compacts history into one ≤ k+1-row
+    * epoch partition whenever the caller wants the merge's driver
+    * collect back to O(k).
     */
   def heavyHitterBatch(batch: DataFrame, batchId: Long, colName: String,
       k: Int, storeDir: String): Unit = {
@@ -1068,9 +1069,18 @@ object Streams {
   def mergedHeavyHitters(spark: SparkSession, storeDir: String, k: Int,
       recountOver: DataFrame, colName: String,
       minShare: Double): DataFrame = {
-    // bounded driver state: ≤ 2k distinct values per batch partition,
-    // summed down to one row per distinct surviving value
+    // bounded driver state: the committed fold partition (≤ k+1 rows)
+    // plus ≤ 2k+1 rows per batch landed since that fold — O(k) for a
+    // stream that folds periodically ([[foldHeavyHitterStore]]), not
+    // O(k·stream lifetime). The epoch read rule also makes every
+    // fold-crash window invisible: an uncommitted fold partition has no
+    // marker and is skipped; a committed fold supersedes its inputs
+    // even before they are garbage-collected.
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epoch = heavyHitterFoldEpoch(fs, dir)
     val summed = spark.read.parquet(storeDir)
+      .filter(col("batch_id") >= epoch || col("batch_id") === -epoch)
       .groupBy("value").agg(sum("cnt").as("cnt"))
       .collect()
     val n = summed.collectFirst {
@@ -1082,6 +1092,100 @@ object Streams {
       }.toMap, k)
     graft.operators.Sketches.exactRecount(recountOver, colName,
       merged.keys.toSeq, math.ceil(minShare * n).toLong)
+  }
+
+  /** The committed fold epoch of a heavy-hitter store: the largest E
+    * with BOTH the fold partition `batch_id=-E` and its `_fold_E`
+    * commit marker present. The marker is created strictly AFTER the
+    * partition write, so a crash mid-fold can never present a partial
+    * partition as live (`_`-prefixed files are invisible to parquet
+    * reads, so the marker never pollutes the data).
+    */
+  private def heavyHitterFoldEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(dir)) 0L
+    else {
+      val folds = storeBatchIds(fs, dir).filter(_ < 0).map(-_).toSet
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_fold_"))
+        .map(_.stripPrefix("_fold_").toLong)
+        .filter(folds.contains)
+        .maxOption.getOrElse(0L)
+    }
+
+  /** Compact the heavy-hitter summary store: sum and Misra–Gries-
+    * compress every live partition EXCEPT the newest batch into one
+    * ≤ k+1-row fold partition, so [[mergedHeavyHitters]]'s driver
+    * collect stays O(k) regardless of stream lifetime — pre-fold the
+    * store grew one ≤ 2k+1-row summary per micro-batch forever, the
+    * one unbounded driver-side path left in the tier. Soundness is the
+    * mergeable-summaries theorem (Agarwal et al., ACM TODS 2013):
+    * summing MG summaries and re-compressing at the same k keeps the
+    * aggregate per-value under-count ≤ N/(k+1) across ANY merge tree,
+    * and the NULL total row carries N exactly — so for
+    * k ≥ 1/minShare, fold-then-merge answers EQUAL merge-without-fold
+    * answers after the exact recount (asserted under an adversarial
+    * split in StreamingSpec). Fold cadence is the caller's: each fold
+    * collects the O(k·batches-since-last-fold) summed summary, the
+    * same bounded read the merge itself pays.
+    *
+    * Crash safety — the epoch protocol (a mini commit log, shared with
+    * [[mergedHeavyHitters]]'s read rule):
+    *   1. write the folded summary to `batch_id=-E` (E = the newest
+    *      live batch id; epochs grow with the stream, so E is fresh)
+    *      via dynamic partition overwrite;
+    *   2. THEN create the `_fold_E` marker (one atomic file create).
+    * Readers honor a fold only with its marker: a crash before the
+    * marker leaves readers on the previous epoch and the re-run
+    * recomputes from the unchanged inputs, overwriting the uncommitted
+    * partition; a crash after the marker leaves the folded inputs as
+    * garbage readers already ignore, deleted by this or the next
+    * fold's GC step. Returns the positive batch ids folded in (Nil
+    * when there is nothing to fold).
+    */
+  def foldHeavyHitterStore(spark: SparkSession, storeDir: String,
+      k: Int): Seq[Long] = {
+    import spark.implicits._
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e0 = heavyHitterFoldEpoch(fs, dir)
+    val positives = storeBatchIds(fs, dir).filter(_ >= 0)
+    if (positives.isEmpty) return Nil
+    val e1 = positives.max // newest live batch stays unfolded
+    val foldable = positives.filter(id => id >= e0 && id < e1)
+    if (foldable.isEmpty) return Nil // nothing new below the tip
+    val live =
+      if (e0 == 0) col("batch_id") >= 0 && col("batch_id") < e1
+      else col("batch_id") === -e0 ||
+        (col("batch_id") >= e0 && col("batch_id") < e1)
+    val summed = spark.read.parquet(storeDir).filter(live)
+      .groupBy("value").agg(sum("cnt").as("cnt"))
+      .collect()
+    val n = summed.collectFirst {
+      case r if r.isNullAt(0) => r.getLong(1)
+    }.getOrElse(0L)
+    val entries = graft.functions.FrequentItemsAgg.compress(
+      summed.collect { case r if !r.isNullAt(0) =>
+        r.getString(0) -> r.getLong(1)
+      }.toMap, k)
+    val rows = entries.toSeq.sortBy(_._1)
+      .map { case (v, c) => (Option(v), c) } :+
+      (Option.empty[String], n)
+    writeBatchIdempotent(rows.toDF("value", "cnt"), -e1, storeDir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"_fold_$e1"), true)
+      .close()
+    // GC: partitions and markers the new epoch supersedes (read rule
+    // already ignores them — deletion is housekeeping, not correctness)
+    storeBatchIds(fs, dir)
+      .filter(id => (id >= 0 && id < e1) || (id < 0 && id != -e1))
+      .foreach(id =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(nm => nm.startsWith("_fold_") &&
+        nm.stripPrefix("_fold_").toLong < e1)
+      .foreach(nm =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, nm), false))
+    foldable
   }
 
   /** Streaming per-key cardinality tracking: fold each micro-batch into

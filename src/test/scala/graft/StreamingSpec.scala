@@ -1061,6 +1061,66 @@ class StreamingSpec extends SparkSpec {
       ) shouldBe expected
   }
 
+  test("heavy-hitter store fold: compacted answers equal uncompacted; O(k) bound") {
+    import graft.operators.Sketches
+    // skewed stream, small k -> constant compression pressure (the
+    // hardest case for bound preservation across the fold)
+    val heavy = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(120)("c")
+    val noise = (0 until 200).map(i => f"noise$i%03d")
+    val ordered = noise ++ heavy // adversarial: heavy mass arrives last
+    val full = (heavy ++ noise).toDF("v")
+    val expected = rowSet(Sketches.heavyHitters(full, "v", 1.0 / 8))
+    val store = tmp("hh-fold"); new java.io.File(store).delete()
+    val batches = ordered.grouped(80).toSeq
+    def merged() = rowSet(Streams.mergedHeavyHitters(
+      spark, store, 8, full, "v", 1.0 / 8))
+    batches.zipWithIndex.foreach { case (b, id) =>
+      Streams.heavyHitterBatch(b.toDF("v"), id.toLong, "v", 8, store)
+      // fold after every other batch: answers must be IDENTICAL to the
+      // never-folded merge at every point of the stream
+      if (id % 2 == 1) Streams.foldHeavyHitterStore(spark, store, 8)
+    }
+    merged() shouldBe expected
+    // O(k) bound: after a final fold, live state is one <= k+1-row fold
+    // partition plus the newest batch summary — and stays there however
+    // many more folds run (re-folding with no new batches is a no-op)
+    Streams.foldHeavyHitterStore(spark, store, 8)
+    Streams.foldHeavyHitterStore(spark, store, 8) shouldBe Nil
+    val liveRows = spark.read.parquet(store).count()
+    liveRows should be <= (8 + 1 + 2 * 8 + 1).toLong
+    merged() shouldBe expected
+    // a replayed (re-delivered) newest batch rewrites its partition and
+    // the folded answer still holds
+    Streams.heavyHitterBatch(batches.last.toDF("v"),
+      (batches.size - 1).toLong, "v", 8, store)
+    merged() shouldBe expected
+  }
+
+  test("heavy-hitter store fold: uncommitted fold partition is invisible") {
+    import graft.operators.Sketches
+    val vals = Seq.fill(60)("x") ++ Seq.fill(20)("y") ++ Seq.fill(5)("z")
+    val full = vals.toDF("v")
+    val store = tmp("hh-crash"); new java.io.File(store).delete()
+    vals.grouped(30).zipWithIndex.foreach { case (b, id) =>
+      Streams.heavyHitterBatch(b.toDF("v"), id.toLong, "v", 4, store)
+    }
+    val expected = rowSet(Sketches.heavyHitters(full, "v", 1.0 / 4))
+    // simulate a fold that crashed between the partition write and the
+    // marker create: a poisoned partition with NO _fold_ marker must be
+    // ignored by the epoch read rule, not summed into the answer
+    Seq((Option("x"), 999999L), (Option.empty[String], 999999L))
+      .toDF("value", "cnt")
+      .withColumn("batch_id", lit(-2L)).write.mode("append")
+      .partitionBy("batch_id").parquet(store)
+    rowSet(Streams.mergedHeavyHitters(spark, store, 4, full, "v", 1.0 / 4)
+      ) shouldBe expected
+    // the next real fold commits epoch 2 (marker present), GCs the
+    // poison, and the answer is unchanged
+    Streams.foldHeavyHitterStore(spark, store, 4)
+    rowSet(Streams.mergedHeavyHitters(spark, store, 4, full, "v", 1.0 / 4)
+      ) shouldBe expected
+  }
+
   test("streaming cardinality tier: HLL store equals a single-pass batch build") {
     import graft.operators.Sketches
     val ckpt = tmp("hll-ckpt")
