@@ -1373,6 +1373,30 @@ object SparkEntry {
       TextAnalysis.crossPerplexityWithTable(
           docs.filter(col("doc_id") % 5 === 0), tbl)
         .orderBy("doc_id")
+    }),
+
+    // ---- CCNet perplexity split: head/middle/tail terciles per lang
+    // over the reference-LM nll (ntile over the total (nll, doc_id)
+    // order; unscorable docs bucketed outside the window — see the
+    // operator's NULLS FIRST/LAST scaladoc note)
+    "q151_perplexity_buckets" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      TextAnalysis.perplexityBuckets(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR-style importance weights: mean per-bigram log-ratio
+    // between a curated target reference and a raw-pool reference
+    "q152_importance_weights" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      TextAnalysis.importanceWeights(
+        targetRef = docs.filter(col("doc_id") % 5 === 1),
+        rawRef = docs.filter(col("doc_id") % 5 === 2 ||
+          col("doc_id") % 5 === 3),
+        candidates = docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
     })
   )
 
@@ -3588,8 +3612,99 @@ object SparkEntry {
                 CAST(p.n_bigrams AS DOUBLE), 6) END AS nll
           FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
           LEFT JOIN per_doc p USING (doc_id)
-          ORDER BY d.doc_id"""
+          ORDER BY d.doc_id""",
+
+    // CCNet split: q148's scoring pipeline (via lmScoreCtes), lang
+    // joined back, ntile(3) over the total (nll, doc_id) order per
+    // lang; NULL-nll docs bucketed outside the window (Spark sorts
+    // ascending NULLS FIRST, DuckDB NULLS LAST — in-window NULLs would
+    // shift every tercile boundary between engines)
+    "q151_perplexity_buckets" ->
+      s"""WITH ${lmScoreCtes("", "doc_id % 5 <> 0", "doc_id % 5 = 0")},
+          lj AS (
+            SELECT s.doc_id, dd.lang, s.n_bigrams, s.nll
+            FROM scored s JOIN documents dd USING (doc_id)),
+          t AS (
+            SELECT doc_id, lang, n_bigrams, nll,
+              ntile(3) OVER (PARTITION BY lang
+                ORDER BY nll ASC, doc_id ASC) AS b
+            FROM lj WHERE nll IS NOT NULL)
+          SELECT doc_id, lang, n_bigrams, nll,
+            CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+          FROM t
+          UNION ALL
+          SELECT doc_id, lang, n_bigrams, nll, 'unscored' AS bucket
+          FROM lj WHERE nll IS NULL
+          ORDER BY doc_id""",
+
+    // DSIR-style importance log-ratio: the SAME candidates scored
+    // against two different reference splits (two full lmScoreCtes
+    // pipelines), differenced on the 6-dp-quantized nll columns
+    "q152_importance_weights" ->
+      s"""WITH ${lmScoreCtes("t_", "doc_id % 5 = 1", "doc_id % 5 = 0")},
+          ${lmScoreCtes("r_", "doc_id % 5 = 2 OR doc_id % 5 = 3",
+            "doc_id % 5 = 0")}
+          SELECT t.doc_id, t.n_bigrams,
+            t.nll AS nll_target, r.nll AS nll_raw,
+            round(r.nll - t.nll, 6) AS log_ratio
+          FROM t_scored t JOIN r_scored r USING (doc_id)
+          ORDER BY t.doc_id"""
   )
+
+  /** q148's add-k bigram scoring pipeline as prefixed CTEs ending in
+    * `<p>scored(doc_id, n_bigrams, nll)` — the q151/q152 oracles score
+    * the same candidates against different reference splits, so the
+    * pipeline is generated per (prefix, reference filter) pair instead
+    * of hand-copied.
+    */
+  private def lmScoreCtes(p: String, refWhere: String,
+      candWhere: String): String =
+    s"""${p}refd AS (
+          SELECT doc_id, $Toks AS toks FROM documents
+          WHERE $refWhere),
+        ${p}vv AS (
+          SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT unnest(toks) AS w FROM ${p}refd)),
+        ${p}rb0 AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 0)),
+            i -> {'w1': toks[i], 'w2': toks[i+1]})) AS s
+          FROM ${p}refd),
+        ${p}rb AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM ${p}rb0),
+        ${p}cnt AS (
+          SELECT w1, w2, count(*) AS c FROM ${p}rb GROUP BY w1, w2),
+        ${p}pref AS (
+          SELECT w1, CAST(sum(c) AS BIGINT) AS p
+          FROM ${p}cnt GROUP BY w1),
+        ${p}cand AS (
+          SELECT doc_id, $Toks AS toks FROM documents
+          WHERE $candWhere),
+        ${p}cb0 AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 0)),
+            i -> {'w1': toks[i], 'w2': toks[i+1]})) AS s
+          FROM ${p}cand),
+        ${p}cb AS (
+          SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM ${p}cb0),
+        ${p}per_doc AS (
+          SELECT ${p}cb.doc_id, count(*) AS n_bigrams,
+            sum(CAST(ln(
+              (CAST(coalesce(${p}cnt.c, 0) AS DOUBLE) + 1.0) /
+              (CAST(coalesce(${p}pref.p, 0) AS DOUBLE) +
+                (SELECT v FROM ${p}vv)))
+              AS DECIMAL(30,12))) AS s
+          FROM ${p}cb LEFT JOIN ${p}cnt USING (w1, w2)
+                  LEFT JOIN ${p}pref USING (w1)
+          GROUP BY ${p}cb.doc_id),
+        ${p}scored AS (
+          SELECT d.doc_id,
+            coalesce(pd.n_bigrams, 0) AS n_bigrams,
+            CASE WHEN pd.n_bigrams > 0 THEN
+              round(-CAST(pd.s AS DOUBLE) /
+                CAST(pd.n_bigrams AS DOUBLE), 6) END AS nll
+          FROM (SELECT doc_id FROM documents WHERE $candWhere) d
+          LEFT JOIN ${p}per_doc pd USING (doc_id))"""
 
   /** DuckDB replay of [[graft.operators.Classifier.qualityClassifier]]:
     * the q23 feature expressions (4-dp rounded, null-coalesced, capped

@@ -412,6 +412,51 @@ object Stress {
             ingestIn.filter(col("__b") === i).drop("__b"), i.toLong,
             s"$ingDir/mh-out", s"$ingDir/mh-band"))
         spark.read.parquet(s"$ingDir/mh-out").count()
+      },
+      // the same 24-batch heavy-hitter stream with a fold every 6
+      // batches: the merge's driver read is O(k) however long the
+      // stream ran — end-to-end cost must sit at the unfolded line's
+      // level (folds are tiny summary rewrites, not corpus passes)
+      timeAction("heavyHitterStreamFolded") {
+        val hhDir = s"$ingDir/hh-store-folded"
+        val toks = ingestIn.select(col("__b"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        (0 until 24).foreach { i =>
+          graft.streaming.Streams.heavyHitterBatch(
+            toks.filter(col("__b") === i), i.toLong, "tok", 128, hhDir)
+          if (i % 6 == 5)
+            graft.streaming.Streams.foldHeavyHitterStore(spark, hhDir, 128)
+        }
+        graft.streaming.Streams.mergedHeavyHitters(spark, hhDir, 128,
+          toks, "tok", 1.0 / 128).count()
+      },
+      // CCNet LM family at 20x: the reference-LM bigram table is the
+      // scale surface (|bigram vocab| rows, bucketed by probe keys).
+      // Inline re-pays the reference pass per scoring call; the
+      // persisted path pays it once — the probe must cost the
+      // CANDIDATES, not the reference. rows on lmTableBuild = model
+      // size (bigram count rows)
+      time("crossPerplexityInline")(TextAnalysis.crossPerplexity(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))),
+      timeAction("lmTableBuild") {
+        TextAnalysis.buildLmTable(
+          docs.filter(col("doc_id") % 3 =!= 0), "stress_lm")
+        spark.table("stress_lm").count()
+      },
+      time("crossPerplexityProbe")(TextAnalysis.crossPerplexityWithTable(
+        docs.filter(col("doc_id") % 3 === 0), "stress_lm")),
+      // k-means seeding at IVF-scale k over the 20x embeddings:
+      // farthest pays k-1 dependent corpus passes, k-means|| pays
+      // rounds+1=6 regardless of k — the crossover the seeding option
+      // exists for. iters=1 so the line times SEEDING + one Lloyd pass
+      timeAction("kmeansSeedFarthest256") {
+        Similarity.kMeansFit(embs, k = 256, iters = 1,
+          seeding = "farthest")._1.length.toLong
+      },
+      timeAction("kmeansSeedParallel256") {
+        Similarity.kMeansFit(embs, k = 256, iters = 1,
+          seeding = "parallel")._1.length.toLong
       })
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")

@@ -738,7 +738,8 @@ object Similarity {
     * Cost: k-1 extra passes over the corpus, each a projection over
     * literal seeds + a distributed top-1 (TakeOrdered) — no shuffle, no
     * driver state beyond the k seeds themselves. For huge k switch to
-    * k-means|| style oversampling; for the k a mixing pipeline uses
+    * the k-means|| oversampling path ([[parallelSeeds]], rounds+1
+    * passes independent of k); for the k a mixing pipeline uses
     * (tens to hundreds) a pass per seed is the simpler, still-linear
     * plan.
     */
@@ -757,11 +758,139 @@ object Similarity {
     seeds
   }
 
+  /** Squared distance of the row's embedding to its NEAREST vector in
+    * `candLit` (a 2-D array<array<double>> literal — ONE plan node
+    * regardless of candidate count, the [[portableSigsExpr]] lesson:
+    * per-candidate struct literals explode Catalyst analysis time past
+    * a few hundred candidates).
+    */
+  private def minDist2Expr(candLit: Column, nCands: Int): Column =
+    aggregate(sequence(lit(0), lit(nCands - 1)), lit(Double.MaxValue),
+      (acc, i) => least(acc,
+        aggregate(zip_with(toDouble(col("embedding")),
+          element_at(candLit, i + 1), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)))
+
+  /** Index (0-based) of the row's nearest candidate in `candLit`, ties
+    * to the lower index — same 2-D-literal shape as [[minDist2Expr]].
+    */
+  private def nearestIdxExpr(candLit: Column, nCands: Int): Column =
+    aggregate(sequence(lit(0), lit(nCands - 1)),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("idx")),
+      (acc, i) => {
+        val d2 = aggregate(zip_with(toDouble(col("embedding")),
+          element_at(candLit, i + 1), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), i.as("idx"))).otherwise(acc)
+      }).getField("idx")
+
+  /** Deterministic k-means|| (Bahmani et al., VLDB 2012) seeding — the
+    * scale path for large k, where [[farthestPointSeeds]]' k−1 corpus
+    * passes turn quadratic-ish (IVF at hundreds-to-thousands of cells).
+    * Pass count is `rounds`+1, INDEPENDENT of k:
+    *
+    *   1. start from the lowest-vec_id vector; each round OVERSAMPLES
+    *      the ℓ = 2k not-yet-chosen vectors farthest from the current
+    *      candidate set (the deterministic limit of the paper's
+    *      D²-proportional sampling, ties by md5(vec_id) then vec_id —
+    *      the [[farthestPointSeeds]] tiebreak);
+    *   2. one final pass weights each candidate by the number of corpus
+    *      vectors nearest to it;
+    *   3. the ≤ 1+2k·rounds weighted candidates re-cluster ON THE
+    *      DRIVER (greedy weighted farthest-point, then weighted Lloyd
+    *      to a fixpoint) down to k seeds — bounded local work, the
+    *      paper's final step with the randomness removed.
+    *
+    * Every step is deterministic, so retried/resumed fits seed
+    * identically — the same contract as the other two seedings.
+    * Objective parity vs farthest seeding is asserted in
+    * SimilaritySpec; the Stress harness carries a k=256 timing.
+    */
+  private[operators] def parallelSeeds(embeddings: DataFrame, k: Int,
+      rounds: Int = 5): Array[Array[Double]] = {
+    val ell = 2 * k
+    var cands = lowestIdSeeds(embeddings, 1)
+    var candIds = embeddings.orderBy("vec_id").limit(1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    (1 to rounds).foreach { _ =>
+      val candLit = typedLit(cands.map(_.toSeq).toSeq)
+      val next = embeddings
+        .filter(!col("vec_id").isin(candIds: _*))
+        .withColumn("__d2", minDist2Expr(candLit, cands.length))
+        .orderBy(col("__d2").desc,
+          md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+        .limit(ell)
+        .select(col("vec_id"), col("embedding")).collect()
+      cands = cands ++ next.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      candIds = candIds ++ next.map(_.getLong(0))
+    }
+    // weight pass: corpus mass nearest each candidate
+    val candLit = typedLit(cands.map(_.toSeq).toSeq)
+    val w = new Array[Long](cands.length)
+    embeddings.select(nearestIdxExpr(candLit, cands.length).as("idx"))
+      .groupBy("idx").count().collect()
+      .foreach(r => w(r.getInt(0)) = r.getLong(1))
+    localWeightedKMeans(cands, w, k)
+  }
+
+  /** Driver-side weighted k-means over the (tiny) candidate set: greedy
+    * weighted farthest-point seeding (argmax w·D², ties to the lower
+    * index; zero-mass ties fall back to the lowest unchosen index), then
+    * weighted Lloyd until assignments stabilize. Deterministic.
+    */
+  private def localWeightedKMeans(cands: Array[Array[Double]],
+      w: Array[Long], k: Int): Array[Array[Double]] = {
+    require(cands.length >= k,
+      s"corpus has fewer than $k distinct seedable vectors")
+    val dim = cands(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      w.indices.maxBy(i => (w(i), -i)))
+    val minD2 = cands.map(c => d2(c, cands(chosen(0))))
+    while (chosen.size < k) {
+      val pick = cands.indices
+        .filterNot(chosen.contains)
+        .maxBy(i => (w(i) * minD2(i), -i))
+      chosen += pick
+      cands.indices.foreach(i =>
+        minD2(i) = math.min(minD2(i), d2(cands(i), cands(pick))))
+    }
+    var cents = chosen.map(cands(_).clone()).toArray
+    var assign = Array.fill(cands.length)(-1)
+    var changed = true
+    var guard = 0
+    while (changed && guard < 100) {
+      guard += 1
+      val nextAssign = cands.indices.map(i =>
+        cents.indices.minBy(c => (d2(cands(i), cents(c)), c))).toArray
+      changed = !java.util.Arrays.equals(nextAssign, assign)
+      assign = nextAssign
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val mass = new Array[Long](k)
+      cands.indices.foreach { i =>
+        val c = assign(i); mass(c) += w(i)
+        var p = 0
+        while (p < dim) { sums(c)(p) += cands(i)(p) * w(i); p += 1 }
+      }
+      cents = cents.indices.map(c =>
+        if (mass(c) == 0) cents(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / mass(c))).toArray
+    }
+    cents
+  }
+
   /** Lloyd's k-means over the embedding column — the clustering a
     * data-mixing / domain-discovery pipeline runs over document
     * embeddings. Deterministic by construction: seeds are the k
     * lowest-vec_id vectors by default (`seeding = "farthest"` opts into
-    * [[farthestPointSeeds]]), distance ties assign to the lower cluster
+    * [[farthestPointSeeds]]; `"parallel"` into the k-means||
+    * [[parallelSeeds]] whose pass count is independent of k), distance
+    * ties assign to the lower cluster
     * id, and centroid updates average via exact DECIMAL sums — so
     * repeated (and resumed) runs produce identical clusterings, the
     * property that makes a 100-TB clustering job retry-safe.
@@ -795,8 +924,10 @@ object Similarity {
       val seed = seeding match {
         case "lowest"   => lowestIdSeeds(fitInput, k)
         case "farthest" => farthestPointSeeds(fitInput, k)
+        case "parallel" => parallelSeeds(fitInput, k)
         case other => throw new IllegalArgumentException(
-          s"seeding must be 'lowest' or 'farthest', got '$other'")
+          s"seeding must be 'lowest', 'farthest' or 'parallel', " +
+            s"got '$other'")
       }
       require(seed.length == k, s"corpus has fewer than $k vectors")
       val dim = seed(0).length

@@ -337,6 +337,62 @@ object TextAnalysis {
       spark.table(s"${table}__pref"), v, k)
   }
 
+  /** CCNet's perplexity split: per language, candidates scored against
+    * the reference LM ([[crossPerplexity]]) divide into head / middle /
+    * tail terciles of nll (lower nll = more reference-like; the CCNet
+    * recipe trains on head+middle and drops or down-weights tail).
+    * Tercile assignment is `ntile(3)` over the TOTAL order (nll,
+    * doc_id) — deterministic and engine-agnostic (ANSI ntile fills the
+    * first n mod 3 buckets one heavier in every engine, and the doc_id
+    * tiebreak removes the only ordering freedom). Unscorable docs
+    * (< 2 tokens ⇒ NULL nll) are bucketed 'unscored' OUTSIDE the
+    * window — Spark sorts ascending NULLS FIRST where DuckDB defaults
+    * NULLS LAST, so leaving them in the ntile would silently shift
+    * every tercile boundary between engines.
+    *
+    * One window, partitioned by lang — per-partition sort of the
+    * CANDIDATE set only (the reference side never enters the window),
+    * which is the scored-batch size, not the corpus.
+    */
+  def perplexityBuckets(refDocs: DataFrame,
+      candidates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = candidates.select(col("doc_id"), col("lang"))
+      .join(crossPerplexity(refDocs, candidates), Seq("doc_id"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("nll").asc, col("doc_id").asc)
+    val names = typedLit(Seq("head", "middle", "tail"))
+    scored.filter(col("nll").isNotNull)
+      .withColumn("bucket", element_at(names, ntile(3).over(w)))
+      .unionByName(scored.filter(col("nll").isNull)
+        .withColumn("bucket", lit("unscored")))
+  }
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS 2023, with the
+    * hashed-n-gram features replaced by this engine's add-k bigram
+    * LMs): each candidate's weight is its mean per-bigram log-ratio
+    * log p_target − log p_raw = nll_raw − nll_target, scored against a
+    * curated TARGET reference and a RAW-distribution reference.
+    * Positive = more target-like than the raw pool; sampling ∝ the
+    * exponentiated ratio is importance resampling toward the target.
+    * The ratio is computed from the two 6-dp-quantized nll columns, so
+    * it carries their cross-engine determinism. Both scorings share
+    * one candidate set; at build-once scale run each reference through
+    * [[buildLmTable]] and difference [[crossPerplexityWithTable]]
+    * scores the same way.
+    */
+  def importanceWeights(targetRef: DataFrame, rawRef: DataFrame,
+      candidates: DataFrame, k: Double = 1.0): DataFrame = {
+    val t = crossPerplexity(targetRef, candidates, k)
+      .withColumnRenamed("nll", "nll_target")
+    val r = crossPerplexity(rawRef, candidates, k)
+      .withColumnRenamed("nll", "nll_raw").drop("n_bigrams")
+    t.join(r, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_target"),
+        col("nll_raw"),
+        round(col("nll_raw") - col("nll_target"), 6).as("log_ratio"))
+  }
+
   def fluencyScores(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val base = Dedup.spread(documents)

@@ -475,6 +475,36 @@ class SimilaritySpec extends SparkSpec {
     oF.last should be <= oL.last * 1.01
   }
 
+  test("k-means|| seeding: objective parity with farthest; deterministic") {
+    // the scale path (rounds+1 passes, independent of k) must match the
+    // k-1-pass farthest seeding in quality on the real corpus...
+    val (_, oF) = Similarity.kMeansFit(tables.embeddings, k = 8, iters = 5,
+      seeding = "farthest")
+    val (cP1, oP1) = Similarity.kMeansFit(tables.embeddings, k = 8,
+      iters = 5, seeding = "parallel")
+    oP1.last should be <= oF.last * 1.10
+    // ...descend monotonically, and seed identically on reruns
+    oP1.zip(oP1.tail).foreach { case (a, b) => b should be <= a + 1e-9 }
+    val (cP2, oP2) = Similarity.kMeansFit(tables.embeddings, k = 8,
+      iters = 5, seeding = "parallel")
+    cP1.map(_.toSeq).toSeq shouldBe cP2.map(_.toSeq).toSeq
+    oP1 shouldBe oP2
+    // and on the id-degenerate layout it must also escape (the whole
+    // point of D2-weighted oversampling): 4 separated clusters, lowest
+    // ids all in cluster 0
+    val pts = for { c <- 0 until 4; i <- 0 until 25 } yield {
+      val base = Array.fill(8)(0.0f)
+      base(c) = 10.0f
+      val jit = ((c * 25 + i) * 37 % 10) * 0.01f
+      ((c * 25 + i).toLong, base.toSeq.map(_ + jit))
+    }
+    val sep = pts.toDF("vec_id", "embedding")
+    val (_, objL) = Similarity.kMeansFit(sep, k = 4, iters = 6)
+    val (_, objP) = Similarity.kMeansFit(sep, k = 4, iters = 6,
+      seeding = "parallel")
+    objP.last should be < objL.last * 0.5
+  }
+
   test("dimensionStats: order-independent per-dim extrema over the corpus") {
     val st = Similarity.dimensionStats(tables.embeddings)
       .collect().map(r => r.getInt(0) ->

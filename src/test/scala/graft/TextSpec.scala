@@ -261,6 +261,65 @@ class TextSpec extends SparkSpec {
       TextAnalysis.crossPerplexityWithTable(cand, "lm_tbl")
   }
 
+  test("perplexityBuckets: lang terciles balanced, ordered, nulls outside") {
+    val ref = tables.documents.filter(col("doc_id") % 5 =!= 0)
+    val cand = tables.documents.filter(col("doc_id") % 5 === 0)
+    val out = TextAnalysis.perplexityBuckets(ref, cand)
+    out.count() shouldBe cand.count() // every candidate lands in a bucket
+    val rows = out.filter(col("bucket") =!= "unscored")
+      .select("lang", "nll", "bucket")
+      .as[(String, Double, String)].collect()
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.size).toMap
+      withClue(s"$lang sizes $sizes: ") {
+        // ntile: bucket sizes differ by at most 1
+        (sizes.values.max - sizes.values.min) should be <= 1
+        // and every head nll <= every middle nll <= every tail nll
+        def m(b: String, f: Seq[Double] => Double, d: Double) =
+          Some(rs.filter(_._3 == b).map(_._2).toSeq).filter(_.nonEmpty)
+            .map(f).getOrElse(d)
+        m("head", _.max, Double.MinValue) should be <=
+          m("middle", _.min, Double.MaxValue)
+        m("middle", _.max, Double.MinValue) should be <=
+          m("tail", _.min, Double.MaxValue)
+      }
+    }
+    // a one-token doc is unscorable: bucketed 'unscored', never in a tercile
+    val short = Seq((5L, "solo", "en")).toDF("doc_id", "text", "lang")
+    TextAnalysis.perplexityBuckets(ref, short)
+      .select("bucket").as[String].collect() shouldBe Array("unscored")
+  }
+
+  test("importanceWeights: log-ratio pulls target-like docs positive") {
+    import SparkSpec.spark.implicits._
+    // target reference speaks pattern A, raw reference pattern B: a
+    // candidate in pattern A must score positive (more target-like),
+    // pattern B negative, and the column must equal nll_raw - nll_target
+    val target = (0 until 20).map(i => (100L + i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val raw = (0 until 20).map(i => (200L + i, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.importanceWeights(target, raw, cand).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    out(1L)._3 should be > 0.0
+    out(2L)._3 should be < 0.0
+    out.values.foreach { case (t, r, lr) =>
+      lr shouldBe BigDecimal(r - t)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+    // real-corpus shape: weights exist for every scorable candidate
+    val full = TextAnalysis.importanceWeights(
+      tables.documents.filter(col("doc_id") % 5 === 1),
+      tables.documents.filter(col("doc_id") % 5 === 2 ||
+        col("doc_id") % 5 === 3),
+      tables.documents.filter(col("doc_id") % 5 === 0))
+    full.count() shouldBe
+      tables.documents.filter(col("doc_id") % 5 === 0).count()
+  }
+
   test("fuzzyPairs: q-gram filter reproduces brute force on part names") {
     Seq(1, 2, 3).foreach { t =>
       rowSet(TextOps.fuzzyPairs(tables.part, "p_name", t)) shouldBe
