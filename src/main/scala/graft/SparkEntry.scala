@@ -1397,7 +1397,14 @@ object SparkEntry {
           col("doc_id") % 5 === 3),
         candidates = docs.filter(col("doc_id") % 5 === 0))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- portable HLL (the q37/q39 pattern closing the sketch family):
+    // per-returnflag distinct-order estimates DuckDB replays register
+    // by register; native HLL++ (q36) stays the production default
+    "q153_hll_portable" -> ((s, d) =>
+      Sketches.hllEstimatePortable(Tables(s, d).lineitem,
+        "l_orderkey", "l_returnflag").orderBy("key"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3649,7 +3656,55 @@ object SparkEntry {
             t.nll AS nll_target, r.nll AS nll_raw,
             round(r.nll - t.nll, 6) AS log_ratio
           FROM t_scored t JOIN r_scored r USING (doc_id)
-          ORDER BY t.doc_id"""
+          ORDER BY t.doc_id""",
+
+    // portable HLL replay: the identical md5-derived register relation
+    // (j = H%1024, rank = 61 - len(bin(H'))), indicator sum kept as the
+    // EXACT integer S = sum 2^(61-r) (+ 2^61 per empty register, HUGEINT
+    // — never IEEE addition), then the same fixed double chain for
+    // alpha*m^2*2^61/S and Flajolet's linear-counting branch
+    "q153_hll_portable" ->
+      """WITH v AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS key,
+                  CAST(l_orderkey AS VARCHAR) AS v
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+         h AS (SELECT key,
+             ('0x' || substr(md5('hllj_0_' || v), 1, 15))::BIGINT
+               % 1024 AS j,
+             61 - length(bin(
+               ('0x' || substr(md5('hllw_0_' || v), 1, 15))::BIGINT))
+               AS rho
+           FROM v),
+         regs AS (SELECT key, j, max(rho) AS r FROM h GROUP BY key, j),
+         agg AS (SELECT key, count(*) AS n_set,
+             sum(CAST(pow(2, 61 - r) AS DECIMAL(38,0))) AS s_present
+           FROM regs GROUP BY key),
+         tot AS (SELECT key, n_set,
+             CAST(s_present AS HUGEINT)
+               + (1024 - n_set)::HUGEINT
+                 * 2305843009213693952::HUGEINT AS s_total
+           FROM agg),
+         raws AS (SELECT key, n_set,
+             CAST(0.7213 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE)
+                  + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+               * CAST(1048576.0 AS DOUBLE)
+               * CAST(2305843009213693952.0 AS DOUBLE)
+               / CAST(s_total AS DOUBLE) AS raw
+           FROM tot),
+         ex AS (SELECT CAST(l_returnflag AS VARCHAR) AS key,
+             count(DISTINCT l_orderkey) AS exact_distinct
+           FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+         SELECT r.key, CAST(n_set AS BIGINT) AS n_set,
+           round(CASE WHEN n_set < 1024
+                       AND raw <= CAST(2560.0 AS DOUBLE)
+             THEN CAST(1024.0 AS DOUBLE)
+               * ln(CAST(1024.0 AS DOUBLE) / CAST(1024 - n_set AS DOUBLE))
+             ELSE raw END, 4) AS estimate,
+           exact_distinct
+         FROM raws r JOIN ex USING (key)
+         ORDER BY key"""
   )
 
   /** q148's add-k bigram scoring pipeline as prefixed CTEs ending in

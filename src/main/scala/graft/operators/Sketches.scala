@@ -106,8 +106,14 @@ object Sketches {
     */
   private def md5Bucket(prefix: String, i: Int, v: Column,
       mod: Int): Column =
+    md5Long(prefix, i, v) % mod
+
+  /** The raw 60-bit md5-derived integer under hash index `i` — the
+    * uniform word the HLL rank reads leading zeros from.
+    */
+  private def md5Long(prefix: String, i: Int, v: Column): Column =
     conv(substring(md5(concat(lit(s"$prefix${i}_"), v)), 1, 15), 16, 10)
-      .cast("long") % mod
+      .cast("long")
 
   /** The portable CMS cell relation (row_i, bucket, cell): counts of
     * values landing in each of depth × width cells. ONE pass — the
@@ -181,6 +187,77 @@ object Sketches {
         .withColumn("present", lit(1))), Seq("pos"), "left")
       .groupBy("candidate")
       .agg((count(col("present")) === count(lit(1))).as("might_contain"))
+  }
+
+  /** Portable HLL geometry: m = 2^10 = 1024 registers
+    * (rsd ≈ 1.04/√m = 3.25%, between the reference's 0.05 and 0.01
+    * settings).
+    */
+  val HllRegs = 1024
+
+  /** The portable HLL register relation (key, j, r): per group key, the
+    * max rank over values landing in each of m registers. Two
+    * independent md5 hashes per value — register index
+    * j = H("hllj_")%m and rank ρ = 61 − len(bin(H("hllw_"))) (leading
+    * zeros of the 60-bit word + 1; the w=0 corner maps to 60 in BOTH
+    * engines, which is all a defined hash family needs). One pass, the
+    * max partial-aggregates map-side, so the shuffle and the result are
+    * ≤ #groups·m rows at any input size — the same constant-state shape
+    * as the CMS cell table.
+    */
+  def hllRegistersPortable(df: DataFrame, colName: String,
+      groupCol: String, m: Int = HllRegs): DataFrame =
+    df.select(col(groupCol).cast("string").as("key"),
+        col(colName).cast("string").as("v"))
+      .filter(col("v").isNotNull && col("key").isNotNull)
+      .select(col("key"),
+        md5Bucket("hllj_", 0, col("v"), m).as("j"),
+        (lit(61) - length(bin(md5Long("hllw_", 0, col("v"))))).as("rho"))
+      .groupBy("key", "j")
+      .agg(max(col("rho")).as("r"))
+
+  /** A11, portable form: per-group HLL distinct-count estimates that a
+    * SQL oracle replays exactly (the q32/q34/q37/q39 pattern — the
+    * native HLL++ in [[distinctCounts]] stays the production default;
+    * its registers are engine-private, which is why q36 is rows-only).
+    *
+    * Determinism across engines: the indicator sum Z = Σ 2^−ρ_j is kept
+    * as the EXACT integer S = Σ 2^(61−ρ_j) (absent registers contribute
+    * 2^61; every term is a dyadic power ≤ 2^61, summed in DECIMAL(38,0)
+    * — never IEEE addition, which would be order-dependent). The
+    * estimate α·m²·2^61/S is then a fixed chain of double ops on
+    * identical exact inputs, and Flajolet's linear-counting branch
+    * (E ≤ 2.5m with empty registers) switches on that same
+    * deterministic value. Output is (key, n_set, estimate,
+    * exact_distinct) — the exact twin rides along, so the oracle also
+    * locks the accuracy the spec asserts.
+    */
+  def hllEstimatePortable(df: DataFrame, colName: String,
+      groupCol: String, m: Int = HllRegs): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val regs = hllRegistersPortable(df, colName, groupCol, m)
+    val agg = regs.groupBy("key").agg(
+      count(lit(1)).as("n_set"),
+      sum(pow(lit(2.0), lit(61) - col("r")).cast(DecimalType(38, 0)))
+        .as("s_present"))
+    val two61 = new java.math.BigDecimal("2305843009213693952") // 2^61
+    val tot = agg.withColumn("s_total",
+      col("s_present") +
+        (lit(m) - col("n_set")).cast(DecimalType(4, 0)) * lit(two61))
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble * m) * lit(2305843009213693952.0) /
+      col("s_total").cast("double")
+    val small = lit(m.toDouble) *
+      log(lit(m.toDouble) / (lit(m) - col("n_set")).cast("double"))
+    val withEst = tot.withColumn("raw", raw)
+      .withColumn("estimate",
+        round(when(col("n_set") < m && col("raw") <= lit(2.5 * m), small)
+          .otherwise(col("raw")), 4))
+    val exact = df.filter(col(colName).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("key"))
+      .agg(countDistinct(col(colName)).as("exact_distinct"))
+    withEst.select(col("key"), col("n_set"), col("estimate"))
+      .join(exact, Seq("key"))
   }
 
   /** Exact frequency twin for the CMS keys — groupBy count restricted to

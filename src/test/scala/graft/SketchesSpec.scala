@@ -84,6 +84,29 @@ class SketchesSpec extends SparkSpec {
     fp should be < 0.25
   }
 
+  test("portable HLL: per-group estimate within 5 sigma; deterministic") {
+    // the oracle-facing register family must carry the native HLL++'s
+    // accuracy contract: m=1024 registers -> rsd 1.04/32 = 3.25%, so 5
+    // sigma is ~16%. l_orderkey per returnflag is ~600-900 distinct at
+    // sf0.001 — real register collisions, nowhere near the
+    // linear-counting boundary's engine-sensitive edge
+    def run() = Sketches.hllEstimatePortable(tables.lineitem,
+      "l_orderkey", "l_returnflag").collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_set"), r.getAs[Double]("estimate"),
+          r.getAs[Long]("exact_distinct"))).toMap
+    val est = run()
+    est.keySet shouldBe Set("A", "N", "R")
+    est.foreach { case (k, (nSet, e, exact)) =>
+      withClue(s"$k: est $e vs exact $exact: ") {
+        nSet should be <= 1024L
+        nSet should be >= 1L
+        math.abs(e - exact) / exact.toDouble should be < 0.16
+      }
+    }
+    est shouldBe run() // register relation + estimate chain deterministic
+  }
+
   test("HLL store: batch-appended store equals single-pass build exactly") {
     import SparkSpec.spark.implicits._
     val docs = tables.documents
