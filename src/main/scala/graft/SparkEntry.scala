@@ -57,7 +57,8 @@ object SparkEntry {
     "q129_neardup_probe", "q130_exact_probe", "q132_simhash_probe",
     "q135_bpe_vocab", "q136_bloom_probe", "q140_bpe_encode",
     "q142_semantic_probe", "q144_pack_bpe", "q146_packed_export",
-    "q147_chunk_encoded", "q149_classifier_store", "q150_lm_store")
+    "q147_chunk_encoded", "q149_classifier_store", "q150_lm_store",
+    "q156_quantile_store")
 
   private def annQueries(t: Tables): DataFrame =
     t.embeddings.filter(col("vec_id") < 5)
@@ -1404,7 +1405,42 @@ object SparkEntry {
     // by register; native HLL++ (q36) stays the production default
     "q153_hll_portable" -> ((s, d) =>
       Sketches.hllEstimatePortable(Tables(s, d).lineitem,
-        "l_orderkey", "l_returnflag").orderBy("key"))
+        "l_orderkey", "l_returnflag").orderBy("key")),
+
+    // ---- content-addressed sampling (P10's reproducible twin): keep a
+    // row iff md5 of its KEY falls under the fraction — stable across
+    // runs, engines, cluster layouts, and re-crawls, unlike RNG q18
+    "q154_hash_sample" -> ((s, d) =>
+      Relational.hashSample(Tables(s, d).lineitem,
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")), 0.1)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- mergeable integer-histogram quantiles: per-lang n_chars
+    // p50/p90/p99 from a ~1k-bucket constant-state sketch (exact twin
+    // rides along, locking the 2^-4 relative-error bound in the oracle)
+    "q155_quantile_sketch" -> ((s, d) =>
+      Sketches.histogramQuantiles(Tables(s, d).documents,
+        "n_chars", "lang").orderBy("key", "p")),
+
+    // ---- persisted quantile store: build the histogram on the even-id
+    // half, FOLD the odd-id half in, then answer per-group quantiles
+    // straight off the store — because histograms merge by exact
+    // bucket-wise sum, the folded store must answer IDENTICALLY to
+    // q155's whole-corpus inline run, so q155's SQL is the gate for the
+    // entire build→append→probe path
+    "q156_quantile_store" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val tbl = s"graft_hist_${dirTag(d)}"
+      if (!s.catalog.tableExists(tbl)) {
+        Sketches.buildHistogramStore(
+          docs.filter(col("doc_id") % 2 === 0), "n_chars", "lang", tbl)
+        Sketches.appendHistogramStore(
+          docs.filter(col("doc_id") % 2 === 1), tbl)
+      }
+      Sketches.histogramQuantilesViaStore(docs, "n_chars", "lang", tbl)
+        .orderBy("key", "p")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3704,8 +3740,74 @@ object SparkEntry {
              ELSE raw END, 4) AS estimate,
            exact_distinct
          FROM raws r JOIN ex USING (key)
-         ORDER BY key"""
+         ORDER BY key""",
+
+    // content-addressed sample: membership is md5(salt || key) % 1e6
+    // under floor(fraction * 1e6) — a pure function of the key, so the
+    // oracle replays the exact row set
+    "q154_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber
+         FROM lineitem
+         WHERE ('0x' || substr(md5('smp_' ||
+                 (CAST(l_orderkey AS VARCHAR) || '_' ||
+                  CAST(l_linenumber AS VARCHAR))), 1, 15))::BIGINT
+               % 1000000 < 100000
+         ORDER BY l_orderkey, l_linenumber""",
+
+    // integer-histogram quantiles: identical bit-length binning
+    // (bl = len(bin(v)), shift = max(bl-5, 0), idx = v div 2^shift),
+    // cumulative walk over the bucket relation, rank = ceil(p*n/100) by
+    // integer division, exact twin = value at that rank in sort order
+    "q155_quantile_sketch" -> quantileSketchSql,
+
+    // the persisted store path (build on half, fold the other half in,
+    // probe the store) must answer exactly what the inline whole-corpus
+    // run answers — histogram merge is an exact bucket-wise sum, so
+    // q155's SQL verbatim is the gate
+    "q156_quantile_store" -> quantileSketchSql
   )
+
+  private val quantileSketchSql: String =
+      """WITH vals AS (
+           SELECT CAST(lang AS VARCHAR) AS key,
+                  CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+             AND n_chars >= 0),
+         hist AS (
+           SELECT key, bl, sh, idx, count(*) AS cnt
+           FROM (SELECT key, bl, sh, v // (1::BIGINT << sh) AS idx
+                 FROM (SELECT key, v, length(bin(v)) AS bl,
+                         greatest(length(bin(v)) - 5, 0) AS sh
+                       FROM vals))
+           GROUP BY key, bl, sh, idx),
+         cum AS (
+           SELECT key, bl, idx, idx * (1::BIGINT << sh) AS lo,
+                  sum(cnt) OVER (PARTITION BY key
+                                 ORDER BY bl, idx) AS cum
+           FROM hist),
+         totals AS (SELECT key, count(*) AS n FROM vals GROUP BY key),
+         ranks AS (
+           SELECT key, n, p, (p * n + 99) // 100 AS rank
+           FROM totals
+           CROSS JOIN (SELECT unnest([50, 90, 99]::BIGINT[]) AS p)),
+         est AS (
+           SELECT r.key, r.p, r.n, min(c.lo) AS est
+           FROM ranks r JOIN cum c
+             ON r.key = c.key AND c.cum >= r.rank
+           GROUP BY r.key, r.p, r.n),
+         ranked AS (
+           SELECT key, v,
+                  row_number() OVER (PARTITION BY key ORDER BY v) AS rn
+           FROM vals),
+         exact AS (
+           SELECT r.key, r.p, k.v AS exact
+           FROM ranks r JOIN ranked k
+             ON r.key = k.key AND k.rn = r.rank)
+         SELECT e.key, e.p, CAST(e.n AS BIGINT) AS n,
+                CAST(e.est AS BIGINT) AS est, x.exact
+         FROM est e JOIN exact x ON e.key = x.key AND e.p = x.p
+         ORDER BY e.key, e.p"""
 
   /** q148's add-k bigram scoring pipeline as prefixed CTEs ending in
     * `<p>scored(doc_id, n_bigrams, nll)` — the q151/q152 oracles score

@@ -443,6 +443,30 @@ object Relational {
     lineitem.sample(withReplacement = false, fraction, seed = 42L)
       .select("l_orderkey", "l_linenumber")
 
+  /** P10's content-addressed twin: a deterministic Bernoulli sample that
+    * keeps a row iff md5(salt ‖ key) mod 10⁶ falls under ⌊fraction·10⁶⌋.
+    * This is the sampler a 100-TB pipeline actually wants — membership is
+    * a pure function of the row KEY, so the sample is reproducible across
+    * runs, engines, cluster sizes, and input layouts (RNG `.sample` is
+    * per-partition-seeded: repartition the input and the sample changes,
+    * which is why q18 is rows-only), and it is STABLE under reprocessing:
+    * a re-crawled document keeps its in/out decision, so downstream
+    * incremental state never churns. Same-salt samples nest (fraction
+    * 0.01 ⊂ fraction 0.1 — shrink a training mix without resampling);
+    * distinct salts give independent samples. Pure codegen'd builtins
+    * (md5 → conv → mod), filter evaluated at the scan: no shuffle at all.
+    */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
+      salt: String = "smp_"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"hashSample: fraction must be in [0, 1], got $fraction")
+    val m = 1000000L
+    val thresh = math.floor(fraction * m).toLong
+    df.filter(
+      conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
+        16, 10).cast("long") % m < thresh)
+  }
+
   /** P11: contiguous 0-based positional index (the RDD `zipWithIndex`
     * semantic, `301-solutions.scala:56`). zipWithIndex is the
     * scale-correct contiguous index: one extra lightweight job counts

@@ -260,6 +260,186 @@ object Sketches {
       .join(exact, Seq("key"))
   }
 
+  /** The mergeable integer-histogram relation (key, bl, idx, cnt)
+    * underlying [[histogramQuantiles]]: each non-negative integer value
+    * is binned by keeping its top `sigBits`+1 bits — bucket identity is
+    * (bit length, truncated mantissa), so bucket width ≤ 2^(bl−sigBits−1)
+    * ≤ value·2^−sigBits and the bucket order (bl, idx) IS numeric order.
+    * Pure integer arithmetic end to end (bit length via `bin`, shift via
+    * integer division by a power of two) — no logarithms, so the binning
+    * is bit-identical in every engine and a SQL oracle replays it
+    * table-by-table (the q32/q34/q37/q39/q153 portable-family pattern).
+    *
+    * Mergeability is trivial and total: the histogram is a counts-by-
+    * bucket relation, so summing two histograms IS the histogram of the
+    * concatenation — partial aggregation map-side-combines, appends fold
+    * by `sum`, and state per group is ≤ (64−sigBits)·2^sigBits + 2^sigBits
+    * buckets (≈ 1k at sigBits=4) at ANY input size. This is the
+    * distributed-quantile shape for 100 TB: a billions-of-rows sort
+    * becomes one constant-state aggregate.
+    */
+  def histogramBuckets(df: DataFrame, valueCol: String, groupCol: String,
+      sigBits: Int = 4): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 20,
+      s"histogramBuckets: sigBits must be in [1, 20], got $sigBits")
+    val v = col(valueCol).cast("long")
+    df.select(col(groupCol).cast("string").as("key"), v.as("v"))
+      .filter(col("v").isNotNull && col("key").isNotNull)
+      .filter(col("v") >= 0) // bit-length binning is defined on n ≥ 0
+      .withColumn("bl", length(bin(col("v"))))
+      // shift = max(bl − (sigBits+1), 0); 2^shift via shiftleft(1L, s)
+      .withColumn("sh", greatest(col("bl") - lit(sigBits + 1), lit(0)))
+      // `div`, not `/`: Spark's `/` is double division, and the binning
+      // must stay integer-exact to be engine-portable
+      .withColumn("idx",
+        expr("v div shiftleft(cast(1 as bigint), cast(sh as int))"))
+      .groupBy("key", "bl", "sh", "idx")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Approximate per-group quantiles from the portable integer
+    * histogram, with the exact discrete quantile riding along as the
+    * accuracy twin. For each requested percentile p the estimate is the
+    * LOWER BOUND (idx·2^shift) of the first bucket whose cumulative
+    * count reaches rank ⌈p·n/100⌉ — an under-estimate by strictly less
+    * than 2^−sigBits of the true value (6.25% at the default sigBits=4),
+    * the HdrHistogram guarantee. Rank arithmetic is pure integer
+    * (⌈pn/100⌉ = (pn+99) div 100), the cumulative walk is a window over
+    * the ≤ ~1k-bucket histogram partitioned by key, and the exact twin
+    * is the value at that same rank in per-group sort order — every
+    * step replayable in SQL, so the oracle locks both the binning AND
+    * the error bound. The exact twin is the verification pass, not the
+    * scale path: at 100 TB you ship the histogram alone.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99),
+      sigBits: Int = 4): DataFrame = {
+    val hist = histogramBuckets(df, valueCol, groupCol, sigBits)
+    joinExactTwin(quantileEstimates(hist, percentiles),
+      df, valueCol, groupCol)
+  }
+
+  /** The estimate stage shared by the inline and persisted-store paths:
+    * (key, p, n, rank, est) from a (key, bl, sh, idx, cnt) histogram.
+    * The cumulative walk is a window over the ≤ ~1k-bucket relation
+    * partitioned by key — constant work per group no matter the corpus.
+    */
+  private def quantileEstimates(hist: DataFrame,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"histogramQuantiles: percentiles must be in [1, 100]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("bl", "idx")
+    val cum = hist
+      .withColumn("lo",
+        expr("idx * shiftleft(cast(1 as bigint), cast(sh as int))"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val totals = hist.groupBy("key").agg(sum(col("cnt")).as("n"))
+    val ps = percentiles.map(p => struct(lit(p.toLong).as("p")))
+    val ranks = totals
+      .select(col("key"), col("n"), explode(array(ps: _*)).as("q"))
+      .select(col("key"), col("n"), col("q.p").as("p"))
+      // ⌈p·n/100⌉ via integer `div` — never double division
+      .withColumn("rank", expr("(p * n + 99) div 100"))
+    ranks.join(cum, Seq("key"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("key", "p", "n", "rank")
+      .agg(min(col("lo")).as("est"))
+  }
+
+  /** Attach the exact discrete quantile (the value at `rank` in
+    * per-group sort order) to the estimates — the verification pass,
+    * not the scale path: a partitioned window over the raw values,
+    * exactly the sort the histogram exists to avoid at corpus scale.
+    */
+  private def joinExactTwin(est: DataFrame, df: DataFrame,
+      valueCol: String, groupCol: String): DataFrame = {
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("v")
+    val ranked = df
+      .select(col(groupCol).cast("string").as("key"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("key").isNotNull &&
+        col("v") >= 0)
+      .withColumn("rn", row_number().over(rw))
+    val exact = est.select(col("key"), col("p"), col("rank"))
+      .join(ranked, Seq("key"))
+      .filter(col("rn") === col("rank"))
+      .select(col("key"), col("p"), col("v").as("exact"))
+    est.join(exact, Seq("key", "p"))
+      .select(col("key"), col("p"), col("n"), col("est"), col("exact"))
+  }
+
+  /** Build the persisted QUANTILE STORE: the (key, bl, sh, idx, cnt)
+    * integer histogram as a table — the third leg of the mergeable-
+    * summary store family (HLL store = distinct counts, Misra–Gries
+    * store = heavy hitters, histogram store = quantiles). Because a
+    * histogram of a union is the bucket-wise SUM of the histograms,
+    * the store folds new batches exactly (not approximately): the
+    * appended store is bit-identical to one built from the concatenated
+    * corpus, asserted in SketchesSpec. Spec (sig_bits, value_col,
+    * key_col) persists first — the family-wide
+    * [[graft.sources.IndexSpec]] contract: an append with different
+    * geometry or a different tracked column must fail loudly, and a
+    * half-built store (table without spec) throws on read.
+    */
+  def buildHistogramStore(df: DataFrame, valueCol: String,
+      groupCol: String, table: String, sigBits: Int = 4): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.IndexSpec.write(
+      Seq((sigBits, valueCol, groupCol))
+        .toDF("sig_bits", "value_col", "key_col"), table)
+    graft.sources.Sinks.saveTable(
+      histogramBuckets(df, valueCol, groupCol, sigBits), table)
+  }
+
+  /** Fold a new batch into the quantile store: histogram the batch at
+    * the spec'd geometry, bucket-wise SUM with the stored counts (new
+    * buckets appear, untouched buckets pass through), rewrite. Unlike
+    * the HLL store's idempotent register-max, histogram counts ADD — a
+    * replayed batch double-counts, so the streaming tier must gate on
+    * batch_id like the exact-stats stores do.
+    */
+  def appendHistogramStore(batch: DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val (sigBits, valueCol, keyCol) =
+      (spec.getInt(0), spec.getString(1), spec.getString(2))
+    val merged = spark.table(table)
+      .unionByName(histogramBuckets(batch, valueCol, keyCol, sigBits))
+      .groupBy("key", "bl", "sh", "idx")
+      .agg(sum(col("cnt")).as("cnt"))
+      // materialize BEFORE the overwrite: the plan reads the very table
+      // it replaces (≤ ~1k rows per key group — tiny)
+      .localCheckpoint(true)
+    graft.sources.Sinks.saveTable(merged, table)
+  }
+
+  /** Per-group quantile estimates straight off the persisted store —
+    * the probe never touches the corpus: it reads ≤ ~1k rows per key
+    * group, so quantiles over a 100-TB corpus cost a lookup once the
+    * histogram exists. Same estimate chain as the inline path, so the
+    * two answer identically (q156's oracle contract).
+    */
+  def quantilesFromStore(spark: SparkSession, table: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    graft.sources.IndexSpec.readRequired(spark, table) // half-built guard
+    quantileEstimates(spark.table(table), percentiles)
+  }
+
+  /** q156's driver shape: store-read estimates joined with the inline
+    * exact twin, so the DuckDB oracle (q155's full-replay SQL) also
+    * proves persisted ≡ inline.
+    */
+  def histogramQuantilesViaStore(df: DataFrame, valueCol: String,
+      groupCol: String, table: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    joinExactTwin(
+      quantilesFromStore(df.sparkSession, table, percentiles),
+      df, valueCol, groupCol)
+
   /** Exact frequency twin for the CMS keys — groupBy count restricted to
     * the probed keys.
     */

@@ -155,6 +155,35 @@ class RelationalSpec extends SparkSpec {
     a should be > 0L
   }
 
+  test("hashSample: layout-invariant, nested, near the target fraction") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val key = concat_ws("_", col("l_orderkey"), col("l_linenumber"))
+    def ids(df: org.apache.spark.sql.DataFrame, f: Double) =
+      Relational.hashSample(df, key, f)
+        .select("l_orderkey", "l_linenumber").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+    val li = tables.lineitem
+    val s10 = ids(li, 0.1)
+    // the property RNG .sample lacks: membership is a function of the
+    // KEY, so any repartition/reorder of the input yields the SAME rows
+    ids(li.repartition(13, col("l_partkey")), 0.1) shouldBe s10
+    // same-salt samples nest: shrinking the fraction subsets, never
+    // resamples
+    val s2 = ids(li, 0.02)
+    s2.subsetOf(s10) shouldBe true
+    // Bernoulli concentration over DISTINCT keys (membership is per-key,
+    // and the synthetic lineitem has duplicate (orderkey, linenumber)
+    // pairs): ~N(nf, nf(1-f)), 5 sigma
+    val n = li.select(key.as("k")).distinct().count().toDouble
+    math.abs(s10.size - 0.1 * n) should be <
+      (5 * math.sqrt(n * 0.1 * 0.9))
+    math.abs(s2.size - 0.02 * n) should be <
+      (5 * math.sqrt(n * 0.02 * 0.98))
+    // boundary fractions keep row multiplicity intact
+    Relational.hashSample(li, key, 0.0).count() shouldBe 0L
+    Relational.hashSample(li, key, 1.0).count() shouldBe li.count()
+  }
+
   test("packSequences equals the sequential prefix-sum reference") {
     val packed = Relational.packSequences(tables.documents,
       budgetTokens = 512)

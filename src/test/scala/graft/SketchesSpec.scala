@@ -107,6 +107,62 @@ class SketchesSpec extends SparkSpec {
     est shouldBe run() // register relation + estimate chain deterministic
   }
 
+  test("histogram quantiles: error bound holds; histograms merge by sum") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val out = Sketches.histogramQuantiles(docs, "n_chars", "lang")
+      .collect()
+    out should not be empty
+    out.foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est"), r.getAs[Long]("exact"))
+      withClue(s"${r.getAs[String]("key")} p${r.getAs[Long]("p")}: " +
+        s"est $est exact $exact: ") {
+        // HdrHistogram guarantee at sigBits=4: bucket lower bound is an
+        // under-estimate by strictly less than 2^-4 of the true value
+        est should be <= exact
+        (exact - est).toDouble should be < (exact.toDouble / 16 + 1)
+      }
+    }
+    // mergeability IS summation: histogram(a ∪ b) = histogram(a) +
+    // histogram(b), bucket-wise — the fold an appendable stats store uses
+    val a = Sketches.histogramBuckets(
+      docs.filter(col("doc_id") % 2 === 0), "n_chars", "lang")
+    val b = Sketches.histogramBuckets(
+      docs.filter(col("doc_id") % 2 === 1), "n_chars", "lang")
+    val merged = a.unionByName(b)
+      .groupBy("key", "bl", "sh", "idx")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val whole = Sketches.histogramBuckets(docs, "n_chars", "lang")
+    merged.exceptAll(whole).count() shouldBe 0L
+    whole.exceptAll(merged).count() shouldBe 0L
+    // constant-state bound: buckets per group ≤ (64 − 4)·2^4 + 2^5
+    whole.groupBy("key").count().collect()
+      .foreach(_.getLong(1) should be <= ((64 - 4) * 16 + 32).toLong)
+  }
+
+  test("histogram store: folded store answers exactly like inline") {
+    val docs = tables.documents
+    Seq("hist_store_t", "hist_store_t__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // build on the even half, fold the odd half in — merge is an exact
+    // bucket-wise sum, so the store path must answer IDENTICALLY to the
+    // inline whole-corpus run (estimates AND counts, not just close)
+    Sketches.buildHistogramStore(
+      docs.filter(col("doc_id") % 2 === 0), "n_chars", "lang",
+      "hist_store_t")
+    Sketches.appendHistogramStore(
+      docs.filter(col("doc_id") % 2 === 1), "hist_store_t")
+    rowSet(Sketches.histogramQuantilesViaStore(
+      docs, "n_chars", "lang", "hist_store_t")) shouldBe
+      rowSet(Sketches.histogramQuantiles(docs, "n_chars", "lang"))
+    // a store without its spec is half-built: loud, never defaulted
+    spark.sql("DROP TABLE IF EXISTS hist_store_t__spec")
+    an[IllegalStateException] should be thrownBy
+      Sketches.quantilesFromStore(spark, "hist_store_t")
+    an[IllegalStateException] should be thrownBy
+      Sketches.appendHistogramStore(docs, "hist_store_t")
+  }
+
   test("HLL store: batch-appended store equals single-pass build exactly") {
     import SparkSpec.spark.implicits._
     val docs = tables.documents
