@@ -1440,6 +1440,32 @@ object SparkEntry {
       }
       Sketches.histogramQuantilesViaStore(docs, "n_chars", "lang", tbl)
         .orderBy("key", "p")
+    }),
+
+    // ---- winnowing (MOSS) fingerprints: k-gram hashes → rightmost min
+    // per w-window; any shared token run ≥ w+k−1 shares a fingerprint.
+    // md5-mod-2^30 hashes + integer packing → DuckDB replays the whole
+    // relation bit for bit
+    "q157_winnow_fingerprints" -> ((s, d) =>
+      Dedup.winnowingFingerprints(Tables(s, d).documents)
+        .orderBy("doc_id", "pos", "fp")),
+
+    // ---- the MOSS match step: pairs sharing ≥ 2 distinct fingerprints
+    // via the posting-list join, after the df ≤ 64 boilerplate cut
+    "q158_winnow_matches" -> ((s, d) =>
+      Dedup.winnowingMatches(Tables(s, d).documents)
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- HLL inclusion–exclusion corpus overlap: per-lang estimated
+    // |train ∩ held-out| text overlap from registers alone — the
+    // decontamination triage that never joins the corpora (exact twin
+    // rides along)
+    "q159_hll_overlap" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Sketches.hllOverlapPortable(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "text", "lang").orderBy("key")
     })
   )
 
@@ -3764,8 +3790,150 @@ object SparkEntry {
     // probe the store) must answer exactly what the inline whole-corpus
     // run answers — histogram merge is an exact bucket-wise sum, so
     // q155's SQL verbatim is the gate
-    "q156_quantile_store" -> quantileSketchSql
+    "q156_quantile_store" -> quantileSketchSql,
+
+    // winnowing: replay the k-gram hash, the packed rightmost-min
+    // window selection, and the decode — the full fingerprint relation
+    "q157_winnow_fingerprints" ->
+      s"""WITH $winnowCtes
+          SELECT doc_id, pos, fp FROM wfp
+          ORDER BY doc_id, pos, fp""",
+
+    // the match step over the same replayed fingerprints: df ≤ 64 cut,
+    // posting-list self-join, shared-distinct-hash count ≥ 2
+    "q158_winnow_matches" ->
+      s"""WITH $winnowCtes,
+          dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+          keepfp AS (
+            SELECT fp FROM dfp GROUP BY fp HAVING count(*) <= 64),
+          pr AS (SELECT d.doc_id, d.fp FROM dfp d JOIN keepfp USING (fp))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared
+          FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+          ORDER BY doc_a, doc_b""",
+
+    // HLL overlap: replay q153's register→estimate chain for A, B, and
+    // the register-wise-max union, then inclusion–exclusion in
+    // DECIMAL(38,6); the exact distinct-text intersection rides along
+    "q159_hll_overlap" ->
+      s"""WITH va AS (
+            SELECT CAST(lang AS VARCHAR) AS key,
+                   CAST(text AS VARCHAR) AS v
+            FROM documents
+            WHERE doc_id % 3 <> 0
+              AND text IS NOT NULL AND lang IS NOT NULL),
+          vb AS (
+            SELECT CAST(lang AS VARCHAR) AS key,
+                   CAST(text AS VARCHAR) AS v
+            FROM documents
+            WHERE doc_id % 3 = 0
+              AND text IS NOT NULL AND lang IS NOT NULL),
+          ${hllEstCtes("a", "va")},
+          ${hllEstCtes("b", "vb")},
+          uregs AS (
+            SELECT key, j, max(r) AS r
+            FROM (SELECT key, j, r FROM aregs
+                  UNION ALL SELECT key, j, r FROM bregs)
+            GROUP BY key, j),
+          uest AS (${hllEstFromRegsSql("uregs")}),
+          ex AS (
+            SELECT key, count(*) AS exact_overlap
+            FROM (SELECT DISTINCT key, v FROM va) xa
+            JOIN (SELECT DISTINCT key, v FROM vb) xb USING (key, v)
+            GROUP BY key)
+          SELECT a.key, a.estimate AS est_a, b.estimate AS est_b,
+            u.estimate AS est_union,
+            CAST(greatest(CAST(0 AS DECIMAL(38,6)),
+              CAST(a.estimate AS DECIMAL(38,6))
+                + CAST(b.estimate AS DECIMAL(38,6))
+                - CAST(u.estimate AS DECIMAL(38,6))) AS DOUBLE)
+              AS overlap_est,
+            coalesce(ex.exact_overlap, 0) AS exact_overlap
+          FROM aest a JOIN best b USING (key) JOIN uest u USING (key)
+          LEFT JOIN ex USING (key)
+          ORDER BY a.key"""
   )
+
+  /** q153's register build + estimate chain as CTEs parameterized by a
+    * (key, v) source relation: emits `<p>h`, `<p>regs`, `<p>est` —
+    * `<p>est` is (key, estimate). Mirrors
+    * [[graft.operators.Sketches.hllRegistersPortable]] +
+    * `hllEstimateFromRegs` exactly.
+    */
+  private def hllEstCtes(p: String, src: String): String =
+    s"""${p}h AS (SELECT key,
+           ('0x' || substr(md5('hllj_0_' || v), 1, 15))::BIGINT
+             % 1024 AS j,
+           61 - length(bin(
+             ('0x' || substr(md5('hllw_0_' || v), 1, 15))::BIGINT))
+             AS rho
+         FROM $src),
+       ${p}regs AS (SELECT key, j, max(rho) AS r FROM ${p}h
+         GROUP BY key, j),
+       ${p}est AS (${hllEstFromRegsSql(s"${p}regs")})"""
+
+  /** The (key, estimate) SELECT over an existing register relation —
+    * the SQL twin of `Sketches.hllEstimateFromRegs` (exact HUGEINT
+    * indicator sum, harmonic-mean estimate, linear-counting branch,
+    * 4-dp round).
+    */
+  private def hllEstFromRegsSql(regs: String): String =
+    s"""SELECT key,
+          round(CASE WHEN n_set < 1024
+                      AND raw <= CAST(2560.0 AS DOUBLE)
+            THEN CAST(1024.0 AS DOUBLE)
+              * ln(CAST(1024.0 AS DOUBLE) / CAST(1024 - n_set AS DOUBLE))
+            ELSE raw END, 4) AS estimate
+        FROM (SELECT key, n_set,
+            CAST(0.7213 AS DOUBLE)
+              / (CAST(1.0 AS DOUBLE)
+                 + CAST(1.079 AS DOUBLE) / CAST(1024.0 AS DOUBLE))
+              * CAST(1048576.0 AS DOUBLE)
+              * CAST(2305843009213693952.0 AS DOUBLE)
+              / CAST(s_total AS DOUBLE) AS raw
+          FROM (SELECT key, n_set,
+              CAST(s_present AS HUGEINT)
+                + (1024 - n_set)::HUGEINT
+                  * 2305843009213693952::HUGEINT AS s_total
+            FROM (SELECT key, count(*) AS n_set,
+                sum(CAST(pow(2, 61 - r) AS DECIMAL(38,0))) AS s_present
+              FROM $regs GROUP BY key)))"""
+
+  /** Winnowing fingerprint replay (k=4, w=5) as CTEs ending in
+    * wfp(doc_id, pos, fp) — mirrors [[Dedup.winnowingFingerprints]]'
+    * md5-mod-2³⁰ k-gram hash and the v = h·2²⁰ + (2²⁰−1−pos)
+    * rightmost-min packing exactly (pure 64-bit integer arithmetic,
+    * engine-identical).
+    */
+  private val winnowCtes: String =
+    s"""tokp AS (
+         SELECT doc_id, unnest($Toks) AS tok,
+                generate_subscripts($Toks, 1) - 1 AS pos
+         FROM documents),
+       kg AS (
+         SELECT doc_id, pos,
+           tok || ' ' || lead(tok, 1) OVER win || ' ' ||
+             lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win
+             AS kgram
+         FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       pk AS (
+         SELECT doc_id, pos,
+           (('0x' || substr(md5('wfp_' || kgram), 1, 15))::BIGINT
+              % 1073741824) * 1048576 + (1048575 - pos) AS v
+         FROM kg WHERE kgram IS NOT NULL),
+       winsel AS (
+         SELECT doc_id, pos,
+           min(v) OVER win5 AS minv,
+           count(*) OVER win5 AS n_in
+         FROM pk
+         WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+       wfp AS (
+         SELECT DISTINCT doc_id, 1048575 - (minv % 1048576) AS pos,
+                minv // 1048576 AS fp
+         FROM winsel WHERE n_in = 5 OR pos = 0)"""
 
   private val quantileSketchSql: String =
       """WITH vals AS (

@@ -457,7 +457,28 @@ object Stress {
       timeAction("kmeansSeedParallel256") {
         Similarity.kMeansFit(embs, k = 256, iters = 1,
           seeding = "parallel")._1.length.toLong
-      })
+      },
+      // portable (oracle-replayable) HLL: one aggregate over the corpus
+      // to m=1024 registers per key — the estimate chain is driver-free
+      time("hllPortable")(Sketches.hllEstimatePortable(docs
+        .select(col("doc_id").as("l_orderkey"), col("lang")
+          .as("l_returnflag")), "l_orderkey", "l_returnflag")),
+      // histogram-quantile family: inline pays the corpus aggregate +
+      // the exact-twin sort; the store build pays ONLY the aggregate
+      // (the scale path ships no twin); the probe reads <=~1k rows/key
+      // off the persisted store — quantiles as a lookup
+      time("histQuantilesInline")(
+        Sketches.histogramQuantiles(docs, "n_chars", "lang")),
+      timeAction("histStoreBuildFold") {
+        Sketches.buildHistogramStore(
+          docs.filter(col("doc_id") % 2 === 0), "n_chars", "lang",
+          "stress_hist")
+        Sketches.appendHistogramStore(
+          docs.filter(col("doc_id") % 2 === 1), "stress_hist")
+        spark.table("stress_hist").count()
+      },
+      time("histStoreProbe")(
+        Sketches.quantilesFromStore(spark, "stress_hist")))
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")

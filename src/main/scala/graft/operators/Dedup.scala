@@ -1586,4 +1586,97 @@ object Dedup {
       .dropDuplicates("new_id", "corpus_id")
       .select("new_id", "corpus_id", "hamming")
   }
+
+  // ---------------------------------------------------------------------
+  // Winnowing fingerprints (the MOSS algorithm)
+  // ---------------------------------------------------------------------
+
+  /** Winnowing fingerprint relation (doc_id, pos, fp): hash every
+    * k-token shingle, slide a w-wide window over the per-doc hash
+    * sequence, and keep the rightmost minimum of each window —
+    * Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting" (SIGMOD 2003), the MOSS fingerprinter.
+    * Guarantees: any token run of length ≥ w+k−1 shared by two
+    * documents shares at least one selected fingerprint, and expected
+    * density is 2/(w+1) — the position-aware middle ground between
+    * whole-doc hashing (the q130 fingerprint index: exact dups only)
+    * and hashing EVERY k-gram window (q138's span pipeline: w× the
+    * volume).
+    *
+    * Execution shape: one shuffle by doc_id, then lead/min window
+    * functions over (doc_id, pos) — per-doc linear work, no self-join,
+    * nothing driver-side. The rightmost-min-of-window selection is a
+    * single framed `min` via an integer PACKING trick:
+    * v = h·2²⁰ + (2²⁰−1−pos), so minimizing v minimizes h and, among
+    * equal h, maximizes pos — argmin with the paper's tie-break in an
+    * aggregate Spark windows natively support. h is md5-derived mod
+    * 2³⁰ (so v < 2⁵⁰: exact in 64-bit integers in every engine), which
+    * makes the whole fingerprint relation DuckDB-replayable bit for bit
+    * — the q32/q34/q37/q39/q153 portable-family pattern.
+    *
+    * Documents with fewer than w+k−1 tokens contribute their single
+    * global rightmost-min (the pos-0 window, whose frame is the whole
+    * short sequence); empty/whitespace-only documents contribute
+    * nothing. Positions above 2²⁰ would corrupt the packing, so they
+    * raise instead (a 4 MB+ single document — chunk it first).
+    */
+  def winnowingFingerprints(documents: DataFrame, k: Int = 4,
+      w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1,
+      s"winnowing: k and w must be >= 1, got k=$k w=$w")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = documents.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    // full k-grams only: the position of the shingle's LAST token
+    // existing is the completeness test (concat_ws would silently skip
+    // the missing tail otherwise)
+    val kg = toks
+      .withColumn("kgram", concat_ws(" ",
+        (0 until k).map(i => lead(col("tok"), i).over(win)): _*))
+      .withColumn("last", lead(col("tok"), k - 1).over(win))
+      .filter(col("last").isNotNull)
+    val posGuard = when(col("pos") < (1L << 20), col("pos"))
+      .otherwise(raise_error(concat(lit("winnowing: token position "),
+        col("pos").cast("string"), lit(" exceeds the 2^20 packing bound"))))
+    val h = conv(substring(md5(concat(lit("wfp_"), col("kgram"))), 1, 15),
+      16, 10).cast("long") % (1L << 30)
+    val packed = kg.select(col("doc_id"), col("pos"),
+      (h * (1L << 20) + (lit((1L << 20) - 1) - posGuard)).as("v"))
+    // shingle positions 0..m−1 are gap-free, so the ROWS frame slides
+    // over consecutive shingles
+    val frame = win.rowsBetween(0, w - 1)
+    packed
+      .withColumn("minv", min(col("v")).over(frame))
+      .withColumn("n_in", count(lit(1)).over(frame))
+      .filter(col("n_in") === w || col("pos") === 0)
+      .select(col("doc_id"),
+        (lit((1L << 20) - 1) - col("minv") % (1L << 20)).as("pos"),
+        expr(s"minv div ${1L << 20}").as("fp"))
+      .distinct()
+  }
+
+  /** Candidate match pairs from shared winnowing fingerprints: document
+    * pairs sharing ≥ `minShared` DISTINCT selected hashes, with the
+    * shared count — the MOSS match step. The join is posting-list
+    * shaped (by fingerprint hash, never all-pairs), and hashes selected
+    * in more than `maxDf` documents are dropped first: boilerplate
+    * shingles ("all rights reserved") would otherwise give one hash a
+    * corpus-sized posting list. The df cut is part of the operator's
+    * semantics — deterministic and replayed by the oracle — not a
+    * silent cap, and it bounds every per-hash pair fan-out at maxDf².
+    */
+  def winnowingMatches(documents: DataFrame, k: Int = 4, w: Int = 5,
+      minShared: Int = 2, maxDf: Int = 64): DataFrame = {
+    val fps = winnowingFingerprints(documents, k, w)
+      .select("doc_id", "fp").distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val pruned = fps.join(keep, Seq("fp"))
+    pruned.as("a").join(pruned.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

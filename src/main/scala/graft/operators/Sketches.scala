@@ -234,8 +234,21 @@ object Sketches {
     */
   def hllEstimatePortable(df: DataFrame, colName: String,
       groupCol: String, m: Int = HllRegs): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val regs = hllRegistersPortable(df, colName, groupCol, m)
+    val exact = df.filter(col(colName).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("key"))
+      .agg(countDistinct(col(colName)).as("exact_distinct"))
+    hllEstimateFromRegs(regs, m).join(exact, Seq("key"))
+  }
+
+  /** The register-relation → (key, n_set, estimate) chain shared by the
+    * inline estimator and the overlap estimator — Flajolet's harmonic
+    * mean with the linear-counting small-range branch, on the EXACT
+    * integer indicator sum (see [[hllEstimatePortable]]'s determinism
+    * note).
+    */
+  private def hllEstimateFromRegs(regs: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val agg = regs.groupBy("key").agg(
       count(lit(1)).as("n_set"),
       sum(pow(lit(2.0), lit(61) - col("r")).cast(DecimalType(38, 0)))
@@ -249,15 +262,65 @@ object Sketches {
       col("s_total").cast("double")
     val small = lit(m.toDouble) *
       log(lit(m.toDouble) / (lit(m) - col("n_set")).cast("double"))
-    val withEst = tot.withColumn("raw", raw)
+    tot.withColumn("raw", raw)
       .withColumn("estimate",
         round(when(col("n_set") < m && col("raw") <= lit(2.5 * m), small)
           .otherwise(col("raw")), 4))
-    val exact = df.filter(col(colName).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("key"))
-      .agg(countDistinct(col(colName)).as("exact_distinct"))
-    withEst.select(col("key"), col("n_set"), col("estimate"))
-      .join(exact, Seq("key"))
+      .select(col("key"), col("n_set"), col("estimate"))
+  }
+
+  /** Corpus-overlap estimate WITHOUT a join: per group key, estimate
+    * |A|, |B|, and |A ∪ B| from portable HLL registers — the union is
+    * register-wise max, exactly the store fold — and read |A ∩ B| off
+    * inclusion–exclusion. This is decontamination TRIAGE at 100 TB:
+    * each corpus reduces to ≤ #groups·m register rows in one pass
+    * (shippable, mergeable, reusable across every pairing), and the
+    * overlap of any corpus pair then costs a register-relation join —
+    * never a value-level join of the corpora themselves. Error is a few
+    * percent of the LARGEST of the three cardinalities, so a small true
+    * overlap can read as 0 (the floor) or a small spurious positive:
+    * use it to rank corpus × benchmark pairs for the exact pass (q62's
+    * benchmarkOverlap), not to certify zero contamination.
+    *
+    * Engine-portable arithmetic: the three estimates are the q153
+    * deterministic chain; the inclusion–exclusion subtraction runs in
+    * DECIMAL(38,6) over the 4-dp-rounded estimates (exact, floored at
+    * 0), so DuckDB replays the whole relation. The exact intersection
+    * rides along as the accuracy twin — verification, not the scale
+    * path. Keys must appear in BOTH corpora to be emitted.
+    */
+  def hllOverlapPortable(a: DataFrame, b: DataFrame, valueCol: String,
+      groupCol: String, m: Int = HllRegs): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val regsA = hllRegistersPortable(a, valueCol, groupCol, m)
+    val regsB = hllRegistersPortable(b, valueCol, groupCol, m)
+    val regsU = regsA.unionByName(regsB)
+      .groupBy("key", "j").agg(max(col("r")).as("r"))
+    def est(regs: DataFrame, name: String) =
+      hllEstimateFromRegs(regs, m)
+        .select(col("key"), col("estimate").as(name))
+    val dec = DecimalType(38, 6)
+    val overlap = greatest(lit(BigDecimal(0)).cast(dec),
+      col("est_a").cast(dec) + col("est_b").cast(dec)
+        - col("est_union").cast(dec))
+    def vals(df: DataFrame) = df
+      .select(col(groupCol).cast("string").as("key"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull && col("key").isNotNull)
+      .distinct()
+    val exact = vals(a).join(vals(b), Seq("key", "v"))
+      .groupBy("key").agg(count(lit(1)).as("exact_overlap"))
+    est(regsA, "est_a")
+      .join(est(regsB, "est_b"), Seq("key"))
+      .join(est(regsU, "est_union"), Seq("key"))
+      .withColumn("overlap_est", overlap)
+      .join(exact, Seq("key"), "left")
+      .select(col("key"), col("est_a"), col("est_b"), col("est_union"),
+        // exact in DECIMAL above; the final cast is a deterministic
+        // representation change (4-dp quantities fit doubles exactly
+        // enough for a bit-identical cross-engine read)
+        col("overlap_est").cast("double").as("overlap_est"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
   }
 
   /** The mergeable integer-histogram relation (key, bl, idx, cnt)

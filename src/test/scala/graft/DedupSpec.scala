@@ -631,4 +631,73 @@ class DedupSpec extends SparkSpec {
       .agg(sum("keep").as("n_keep"))
       .filter(col("n_keep") =!= 1L).count() shouldBe 0
   }
+
+  test("winnowing: shared-run guarantee, short-doc fallback, invariance") {
+    val (k, w) = (4, 5)
+    // guarantee threshold is w+k−1 = 8 tokens: two docs sharing an
+    // 8-token run must share at least one fingerprint HASH
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"unique preamble words here $run trailing bits"),
+      (2L, s"$run completely different continuation tokens"),
+      (3L, "tiny doc"),                    // 2 toks < k: no shingle at all
+      (4L, "just five small tokens here")  // m=2 shingles < w: global min
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, k, w)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+    val h1 = byDoc(1L).map(_.getLong(2)).toSet
+    val h2 = byDoc(2L).map(_.getLong(2)).toSet
+    (h1 intersect h2) should not be empty
+    byDoc.get(3L) shouldBe None
+    byDoc(4L).length shouldBe 1
+    // membership is a pure function of (doc, pos, tokens): repartition
+    // the input and the fingerprint set is unchanged
+    rowSet(Dedup.winnowingFingerprints(
+      docs.repartition(7, col("text")), k, w)) shouldBe rowSet(fps)
+  }
+
+  test("winnowing: every w-window is covered on the real corpus") {
+    // the paper's correctness property: each window of w consecutive
+    // shingle hashes contains a selected fingerprint ⇔ the first
+    // selected position is < w, consecutive selected positions gap by
+    // ≤ w, and the last is within w of the end (m−w ≤ last)
+    val (k, w) = (4, 5)
+    val docs = tables.documents
+    val fps = Dedup.winnowingFingerprints(docs, k, w)
+    val m = docs.select(col("doc_id"),
+      (org.apache.spark.sql.functions.size(
+        graft.operators.TextAnalysis.tokens(col("text"))) - (k - 1))
+        .as("m"))
+      .filter(col("m") >= w) // full-window docs only
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val gaps = fps.join(m, Seq("doc_id"))
+      .withColumn("prev", lag(col("pos"), 1).over(win))
+      .withColumn("nxt", lead(col("pos"), 1).over(win))
+    gaps.filter( // any uncovered window shows up as one of these
+      (col("prev").isNull && col("pos") >= w) ||
+      (col("prev").isNotNull && col("pos") - col("prev") > w) ||
+      (col("nxt").isNull && col("pos") < col("m") - w))
+      .count() shouldBe 0L
+    fps.count() should be > 0L
+  }
+
+  test("winnowingMatches: dup docs pair up; df cut drops boilerplate") {
+    val pairs = Dedup.winnowingMatches(tables.documents)
+    pairs.count() should be > 0L
+    pairs.agg(min(col("n_shared"))).head().getLong(0) should be >= 2L
+    // boilerplate: a 10-token run (≥ w+k−1 = 8, so sharing ≥ 1
+    // fingerprint is GUARANTEED) prefixed to 6 otherwise-unrelated docs
+    val run = "all rights reserved to the original copyright holder always ok"
+    val boiler = Seq.tabulate(6)(i =>
+      (i.toLong, s"$run unique$i body$i text$i filler$i more$i end$i"))
+      .toDF("doc_id", "text")
+    // positive control: without the cut binding, the shared run alone
+    // connects every pair — C(6,2) = 15
+    Dedup.winnowingMatches(boiler, minShared = 1).count() shouldBe 15L
+    // maxDf = 1 cuts every hash seen in ≥ 2 docs, so NO cross-doc
+    // sharing can survive: the boilerplate stops linking anything
+    Dedup.winnowingMatches(boiler, minShared = 1, maxDf = 1)
+      .count() shouldBe 0L
+  }
 }

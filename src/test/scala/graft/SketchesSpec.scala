@@ -140,6 +140,39 @@ class SketchesSpec extends SparkSpec {
       .foreach(_.getLong(1) should be <= ((64 - 4) * 16 + 32).toLong)
   }
 
+  test("hllOverlapPortable: inclusion-exclusion tracks the exact overlap") {
+    import SparkSpec.spark.implicits._
+    // two corpora with a planned per-key structure: 800 shared values,
+    // 400 A-only, 600 B-only
+    val a = (0 until 1200).map(i => ("k", s"v$i")).toDF("g", "v")
+    val b = (400 until 1800).map(i => ("k", s"v$i")).toDF("g", "v")
+    val out = Sketches.hllOverlapPortable(a, b, "v", "g").collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[Long]("exact_overlap") shouldBe 800L
+    val (estA, estB, estU) = (r.getAs[Double]("est_a"),
+      r.getAs[Double]("est_b"), r.getAs[Double]("est_union"))
+    val ov = r.getAs[Double]("overlap_est")
+    // rsd at m=1024 is ~3.25%; inclusion-exclusion compounds three
+    // estimates, so gate at 5 sigma of the union cardinality
+    math.abs(estA - 1200) should be < (5 * 0.0325 * 1200)
+    math.abs(estB - 1400) should be < (5 * 0.0325 * 1400)
+    math.abs(ov - 800) should be < (5 * 0.0325 * 1800)
+    estU should be <= (estA + estB)
+    // identical corpora: identical registers, so union ≡ A and the
+    // estimate algebra collapses EXACTLY (not approximately)
+    val same = Sketches.hllOverlapPortable(a, a, "v", "g").head()
+    same.getAs[Double]("est_union") shouldBe same.getAs[Double]("est_a")
+    same.getAs[Double]("overlap_est") shouldBe
+      same.getAs[Double]("est_a") +- 1e-6
+    // disjoint corpora: exact 0; the estimate floor keeps it >= 0
+    val c = (5000 until 5600).map(i => ("k", s"w$i")).toDF("g", "v")
+    val dj = Sketches.hllOverlapPortable(a, c, "v", "g").head()
+    dj.getAs[Long]("exact_overlap") shouldBe 0L
+    dj.getAs[Double]("overlap_est") should
+      be >= 0.0
+  }
+
   test("histogram store: folded store answers exactly like inline") {
     val docs = tables.documents
     Seq("hist_store_t", "hist_store_t__spec")
