@@ -1466,7 +1466,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0),
         "text", "lang").orderBy("key")
-    })
+    }),
+
+    // ---- deterministic training-mix construction: per-lang
+    // content-addressed fractions in one shuffle-free scan (es absent
+    // from the mix → dropped, the allowlist semantics)
+    "q160_mixture_sample" -> ((s, d) =>
+      Relational.mixtureSample(Tables(s, d).documents, col("doc_id"),
+          col("lang"),
+          Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.75, "zh" -> 0.1))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3853,7 +3863,19 @@ object SparkEntry {
             coalesce(ex.exact_overlap, 0) AS exact_overlap
           FROM aest a JOIN best b USING (key) JOIN uest u USING (key)
           LEFT JOIN ex USING (key)
-          ORDER BY a.key"""
+          ORDER BY a.key""",
+
+    // mixture sample: the q154 membership predicate with a per-lang
+    // threshold (langs outside the mix map to 0 → dropped)
+    "q160_mixture_sample" ->
+      """SELECT doc_id, lang
+         FROM documents
+         WHERE ('0x' || substr(md5('smp_' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+               < CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000
+                           WHEN 'de' THEN 750000 WHEN 'zh' THEN 100000
+                           ELSE 0 END
+         ORDER BY doc_id"""
   )
 
   /** q153's register build + estimate chain as CTEs parameterized by a

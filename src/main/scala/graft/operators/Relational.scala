@@ -467,6 +467,32 @@ object Relational {
         16, 10).cast("long") % m < thresh)
   }
 
+  /** The training-MIX builder on top of [[hashSample]]: per-group
+    * sampling fractions (e.g. per language or per source), one scan,
+    * zero shuffle. Membership for a row in group g is the SAME
+    * content-addressed predicate as hashSample at fraction(g), so every
+    * hashSample property holds per group: reproducible across
+    * runs/engines/layouts, stable under re-crawls, and same-salt mixes
+    * NEST group-wise — re-weighting a mix (en 0.5 → 0.3) only ever
+    * drops rows, never resamples, which keeps downstream incremental
+    * state (dedup indexes, token counts) valid across mix revisions.
+    * Groups absent from `fractions` are dropped (fraction 0) — the
+    * explicit-allowlist semantics a curated mix wants.
+    */
+  def mixtureSample(df: DataFrame, keyCol: Column, groupCol: Column,
+      fractions: Map[String, Double], salt: String = "smp_"): DataFrame = {
+    require(fractions.nonEmpty, "mixtureSample: fractions must be non-empty")
+    fractions.foreach { case (g, f) => require(f >= 0.0 && f <= 1.0,
+      s"mixtureSample: fraction for '$g' must be in [0, 1], got $f") }
+    val m = 1000000L
+    val thresh = typedLit(fractions.map { case (g, f) =>
+      g -> math.floor(f * m).toLong })
+    df.filter(
+      conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
+        16, 10).cast("long") % m <
+        coalesce(element_at(thresh, groupCol.cast("string")), lit(0L)))
+  }
+
   /** P11: contiguous 0-based positional index (the RDD `zipWithIndex`
     * semantic, `301-solutions.scala:56`). zipWithIndex is the
     * scale-correct contiguous index: one extra lightweight job counts

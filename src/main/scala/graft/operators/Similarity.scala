@@ -699,7 +699,27 @@ object Similarity {
     * as ONE attribute before the argmin reads two fields out of it, and
     * distance ties break to the lower cluster id (deterministic).
     */
-  private def assignClusters(embeddings: DataFrame,
+  private[graft] def assignClusters(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    // native fused loop (graft.functions.NearestCandidate): one codegen
+    // loop nest over a task-shipped double[][], vs |cents| interpreted
+    // HOF chains + |cents| Literal plan nodes per row in the HOF twin
+    // below — bit-identical arithmetic, asserted in SimilaritySpec
+    val best = graft.functions.NearestCandidate(col("embedding"), cents)
+    Dedup.spread(embeddings)
+      .withColumn("__best", best)
+      .select(col("vec_id"), col("embedding"),
+        col("__best").getField("idx").as("cluster"),
+        col("__best").getField("d2").as("dist2"))
+  }
+
+  /** HOF reference form of [[assignClusters]] — the readable spec the
+    * native expression is bit-equality-tested against (same (x−y)²
+    * ascending-dim double accumulation; array_min over struct(d2,
+    * cluster) ties to the lower cluster exactly like the native strict
+    * `<`).
+    */
+  private[graft] def assignClustersHof(embeddings: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     val cands = array(cents.zipWithIndex.map { case (c, i) =>
       struct(
@@ -758,33 +778,6 @@ object Similarity {
     seeds
   }
 
-  /** Squared distance of the row's embedding to its NEAREST vector in
-    * `candLit` (a 2-D array<array<double>> literal — ONE plan node
-    * regardless of candidate count, the [[portableSigsExpr]] lesson:
-    * per-candidate struct literals explode Catalyst analysis time past
-    * a few hundred candidates).
-    */
-  private def minDist2Expr(candLit: Column, nCands: Int): Column =
-    aggregate(sequence(lit(0), lit(nCands - 1)), lit(Double.MaxValue),
-      (acc, i) => least(acc,
-        aggregate(zip_with(toDouble(col("embedding")),
-          element_at(candLit, i + 1), (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)))
-
-  /** Index (0-based) of the row's nearest candidate in `candLit`, ties
-    * to the lower index — same 2-D-literal shape as [[minDist2Expr]].
-    */
-  private def nearestIdxExpr(candLit: Column, nCands: Int): Column =
-    aggregate(sequence(lit(0), lit(nCands - 1)),
-      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("idx")),
-      (acc, i) => {
-        val d2 = aggregate(zip_with(toDouble(col("embedding")),
-          element_at(candLit, i + 1), (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)
-        when(d2 < acc.getField("d2"),
-          struct(d2.as("d2"), i.as("idx"))).otherwise(acc)
-      }).getField("idx")
-
   /** Deterministic k-means|| (Bahmani et al., VLDB 2012) seeding — the
     * scale path for large k, where [[farthestPointSeeds]]' k−1 corpus
     * passes turn quadratic-ish (IVF at hundreds-to-thousands of cells).
@@ -814,10 +807,10 @@ object Similarity {
     var candIds = embeddings.orderBy("vec_id").limit(1)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     (1 to rounds).foreach { _ =>
-      val candLit = typedLit(cands.map(_.toSeq).toSeq)
       val next = embeddings
         .filter(!col("vec_id").isin(candIds: _*))
-        .withColumn("__d2", minDist2Expr(candLit, cands.length))
+        .withColumn("__d2", graft.functions.NearestCandidate(
+          col("embedding"), cands).getField("d2"))
         .orderBy(col("__d2").desc,
           md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
         .limit(ell)
@@ -825,10 +818,13 @@ object Similarity {
       cands = cands ++ next.map(_.getSeq[Float](1).map(_.toDouble).toArray)
       candIds = candIds ++ next.map(_.getLong(0))
     }
-    // weight pass: corpus mass nearest each candidate
-    val candLit = typedLit(cands.map(_.toSeq).toSeq)
+    // weight pass: corpus mass nearest each candidate — the |cands| ≈
+    // 2k·rounds × dim loop per row that MUST be the native fused
+    // expression (the interpreted 2-D-literal fold measured 25+ min
+    // here at k=256 over the 20× corpus; the native loop is seconds)
     val w = new Array[Long](cands.length)
-    embeddings.select(nearestIdxExpr(candLit, cands.length).as("idx"))
+    embeddings.select(graft.functions.NearestCandidate(
+        col("embedding"), cands).getField("idx").as("idx"))
       .groupBy("idx").count().collect()
       .foreach(r => w(r.getInt(0)) = r.getLong(1))
     localWeightedKMeans(cands, w, k)

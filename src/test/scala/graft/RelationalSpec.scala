@@ -184,6 +184,31 @@ class RelationalSpec extends SparkSpec {
     Relational.hashSample(li, key, 1.0).count() shouldBe li.count()
   }
 
+  test("mixtureSample: per-group fractions, allowlist drop, group-wise nesting") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val mix = Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.75, "zh" -> 0.1)
+    val out = Relational.mixtureSample(docs, col("doc_id"), col("lang"), mix)
+    // absent group = fraction 0 (the allowlist semantics)
+    out.filter(col("lang") === "es").count() shouldBe 0L
+    // per-group counts concentrate at fraction * group size (5 sigma)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy("lang").count().collect().foreach { r =>
+      val (g, got) = (r.getString(0), r.getLong(1))
+      val (n, f) = (sizes(g).toDouble, mix(g))
+      math.abs(got - f * n) should be < (5 * math.sqrt(n * f * (1 - f)) + 1)
+    }
+    // group-wise nesting: shrinking en 0.5 -> 0.2 SUBSETS the mix
+    val smaller = Relational.mixtureSample(docs, col("doc_id"),
+      col("lang"), mix.updated("en", 0.2))
+    smaller.exceptAll(out).count() shouldBe 0L
+    // and a per-group predicate equals hashSample run on that group alone
+    rowSet(out.filter(col("lang") === "fr")) shouldBe
+      rowSet(Relational.hashSample(docs.filter(col("lang") === "fr"),
+        col("doc_id"), 0.25))
+  }
+
   test("packSequences equals the sequential prefix-sum reference") {
     val packed = Relational.packSequences(tables.documents,
       budgetTokens = 512)

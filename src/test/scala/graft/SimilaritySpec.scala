@@ -24,6 +24,24 @@ class SimilaritySpec extends SparkSpec {
       .toString should include("*(1)") // WholeStageCodegen stage marker
   }
 
+  test("native nearest-candidate agrees bit-for-bit with the HOF form") {
+    // 37 arbitrary centroids off the corpus itself (including exact
+    // duplicates of corpus vectors, so d2 = 0 ties exercise the
+    // lowest-index tie-break both ways)
+    val cents = tables.embeddings.orderBy("vec_id").limit(37)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val native = Similarity.assignClusters(tables.embeddings, cents)
+      .select("vec_id", "cluster", "dist2")
+    val hof = Similarity.assignClustersHof(tables.embeddings, cents)
+      .select("vec_id", "cluster", "dist2")
+    rowSet(native) shouldBe rowSet(hof) // EXACT doubles — no tolerance
+    // and the native projection stays inside whole-stage codegen
+    val plan = tables.embeddings.select(
+      graft.functions.NearestCandidate(col("embedding"), cents))
+      .queryExecution.executedPlan.toString
+    plan should include("*(1)")
+  }
+
   test("every native expression is callable from the SQL surface") {
     // production sessions register via GraftExtensions
     // (spark.sql.extensions); the shared test session is already built,
