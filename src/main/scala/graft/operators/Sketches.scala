@@ -387,7 +387,7 @@ object Sketches {
     * The cumulative walk is a window over the ≤ ~1k-bucket relation
     * partitioned by key — constant work per group no matter the corpus.
     */
-  private def quantileEstimates(hist: DataFrame,
+  private[graft] def quantileEstimates(hist: DataFrame,
       percentiles: Seq[Int]): DataFrame = {
     require(percentiles.nonEmpty &&
       percentiles.forall(p => p >= 1 && p <= 100),

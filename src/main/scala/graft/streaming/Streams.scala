@@ -1172,10 +1172,22 @@ object Streams {
       .map { case (v, c) => (Option(v), c) } :+
       (Option.empty[String], n)
     writeBatchIdempotent(rows.toDF("value", "cnt"), -e1, storeDir)
+    commitFoldEpoch(fs, dir, e1)
+    foldable
+  }
+
+  /** Commit a fold at epoch `e1` and garbage-collect what it
+    * supersedes: write the `_fold_<e1>` marker (the fold partition is
+    * only LIVE once this lands — a crash before it leaves an unmarked
+    * partition the read rule skips), then delete folded partitions and
+    * stale markers. The read rule already ignores everything deleted
+    * here — deletion is housekeeping, not correctness. Shared by every
+    * epoch-folded store tier (heavy hitters, histograms).
+    */
+  private def commitFoldEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, e1: Long): Unit = {
     fs.create(new org.apache.hadoop.fs.Path(dir, s"_fold_$e1"), true)
       .close()
-    // GC: partitions and markers the new epoch supersedes (read rule
-    // already ignores them — deletion is housekeeping, not correctness)
     storeBatchIds(fs, dir)
       .filter(id => (id >= 0 && id < e1) || (id < 0 && id != -e1))
       .foreach(id =>
@@ -1185,6 +1197,93 @@ object Streams {
         nm.stripPrefix("_fold_").toLong < e1)
       .foreach(nm =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, nm), false))
+  }
+
+  // -------------------------------------------------------------------
+  // Streaming quantile tier: batch_id-partitioned histogram store
+  // -------------------------------------------------------------------
+
+  /** One micro-batch of the streaming QUANTILE tier: histogram the
+    * batch at the [[graft.operators.Sketches.histogramBuckets]] geometry
+    * into the batch's OWN batch_id partition. Histogram counts ADD — a
+    * replayed batch would double-count — so this tier rides the
+    * dynamic-partition-overwrite machinery ([[writeBatchIdempotent]]),
+    * NOT the HLL tier's replay-idempotent register max: at-least-once
+    * delivery + same-partition rewrite = effectively exactly-once.
+    * [[streamQuantiles]] answers; [[foldHistogramStore]] compacts.
+    */
+  def histogramBatch(batch: DataFrame, batchId: Long, valueCol: String,
+      keyCol: String, storeDir: String, sigBits: Int = 4): Unit =
+    writeBatchIdempotent(
+      graft.operators.Sketches.histogramBuckets(batch, valueCol, keyCol,
+        sigBits), batchId, storeDir)
+
+  /** Streaming per-key quantile tracking: fold each micro-batch's
+    * integer histogram into the store — running length/size quantiles
+    * over an unbounded stream with ≤ ~1k bucket rows per key per
+    * partition, the fourth member of the mergeable-summary stream
+    * family (exact stats / HLL distincts / heavy hitters / quantiles).
+    */
+  def startHistogramStream(df: DataFrame, valueCol: String,
+      keyCol: String, storeDir: String, checkpoint: String,
+      sigBits: Int = 4): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        histogramBatch(b, id, valueCol, keyCol, storeDir, sigBits)
+      }
+      .start()
+
+  /** Stream-lifetime per-key quantiles off the store: bucket-wise SUM
+    * over every live partition — EXACT, because the histogram of a
+    * union is the sum of the histograms — then the same estimate chain
+    * as the batch operator, so stream ≡ batch under ANY batch split
+    * (asserted in StreamingSpec). The sum is distributed and the
+    * result is ≤ ~1k rows per key: nothing collects, at any stream
+    * age. Same epoch read rule as the heavy-hitter store: the
+    * committed fold partition (−e) plus batches ≥ e.
+    */
+  def streamQuantiles(spark: SparkSession, storeDir: String,
+      percentiles: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epoch = heavyHitterFoldEpoch(fs, dir)
+    val hist = spark.read.parquet(storeDir)
+      .filter(col("batch_id") >= epoch || col("batch_id") === -epoch)
+      .groupBy("key", "bl", "sh", "idx").agg(sum("cnt").as("cnt"))
+    graft.operators.Sketches.quantileEstimates(hist, percentiles)
+  }
+
+  /** Compact the histogram store: bucket-wise-sum every live partition
+    * below the newest batch into one fold partition (the
+    * [[foldHeavyHitterStore]] epoch/marker protocol). Unlike the
+    * Misra–Gries fold, this one is EXACT — answers are identical at
+    * every stream point, folded or not; what it buys is scan cost
+    * (≤ ~1k rows per key group instead of one partition per micro-batch
+    * forever). Fully distributed: the fold never collects.
+    */
+  def foldHistogramStore(spark: SparkSession,
+      storeDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e0 = heavyHitterFoldEpoch(fs, dir)
+    val positives = storeBatchIds(fs, dir).filter(_ >= 0)
+    if (positives.isEmpty) return Nil
+    val e1 = positives.max // newest live batch stays unfolded
+    val foldable = positives.filter(id => id >= e0 && id < e1)
+    if (foldable.isEmpty) return Nil // nothing new below the tip
+    val live =
+      if (e0 == 0) col("batch_id") >= 0 && col("batch_id") < e1
+      else col("batch_id") === -e0 ||
+        (col("batch_id") >= e0 && col("batch_id") < e1)
+    // materialize BEFORE the partition write: the plan reads the very
+    // directory the fold adds a partition to (tiny — ≤ ~1k rows/key)
+    val folded = spark.read.parquet(storeDir).filter(live)
+      .groupBy("key", "bl", "sh", "idx").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true)
+    writeBatchIdempotent(folded, -e1, storeDir)
+    commitFoldEpoch(fs, dir, e1)
     foldable
   }
 

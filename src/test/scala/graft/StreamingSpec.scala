@@ -1121,6 +1121,43 @@ class StreamingSpec extends SparkSpec {
       ) shouldBe expected
   }
 
+  test("streaming quantile tier: store equals batch at every point; fold exact") {
+    import graft.operators.Sketches
+    val docs = tables.documents
+    val store = tmp("hist-stream"); new java.io.File(store).delete()
+    // the batch truth this stream must reproduce: estimate columns of
+    // the inline histogram quantiles over everything ingested so far
+    def batchTruth(upTo: Long) = rowSet(Sketches.quantileEstimates(
+      Sketches.histogramBuckets(
+        docs.filter(col("doc_id") % 6 < upTo), "n_chars", "lang"),
+      Seq(50, 90, 99)))
+    def stream() = rowSet(Streams.streamQuantiles(spark, store))
+    (0L until 6L).foreach { id =>
+      Streams.histogramBatch(docs.filter(col("doc_id") % 6 === id),
+        id, "n_chars", "lang", store)
+      // stream == batch at EVERY stream point (exact — the histogram
+      // of a union is the bucket-wise sum)
+      stream() shouldBe batchTruth(id + 1)
+      // fold mid-stream: answers identical, folded or not
+      if (id == 3) Streams.foldHistogramStore(spark, store)
+    }
+    val expected = batchTruth(6)
+    stream() shouldBe expected
+    // a replayed (re-delivered) batch rewrites its own partition — the
+    // double-count the batch_id machinery exists to prevent
+    Streams.histogramBatch(docs.filter(col("doc_id") % 6 === 5L),
+      5L, "n_chars", "lang", store)
+    stream() shouldBe expected
+    // final fold: re-fold with nothing new is a no-op; live rows stay
+    // bounded by ~1k-bucket groups (fold partition + newest batch)
+    Streams.foldHistogramStore(spark, store)
+    Streams.foldHistogramStore(spark, store) shouldBe Nil
+    stream() shouldBe expected
+    val nKeys = docs.select("lang").distinct().count()
+    spark.read.parquet(store).count() should be <=
+      (2 * nKeys * ((64 - 4) * 16 + 32))
+  }
+
   test("streaming cardinality tier: HLL store equals a single-pass batch build") {
     import graft.operators.Sketches
     val ckpt = tmp("hll-ckpt")
