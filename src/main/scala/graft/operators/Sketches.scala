@@ -124,13 +124,20 @@ object Sketches {
     */
   def cmsTablePortable(df: DataFrame, colName: String,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
+    // value-combine FIRST, hash per distinct value: cell counts are a
+    // function of the value HISTOGRAM, so the depth md5s run once per
+    // distinct value instead of once per row (measured 2.7 s → sub-
+    // second at sf0.1 over a 3-value column). The extra aggregate is
+    // map-side-combined (shuffle ≤ per-partition distinct), and the
+    // final cell relation stays ≤ depth·width rows at any input size.
     df.select(col(colName).cast("string").as("v"))
       .filter(col("v").isNotNull)
-      .select(posexplode(array((0 until depth).map(i =>
+      .groupBy("v").agg(count(lit(1)).as("n"))
+      .select(col("n"), posexplode(array((0 until depth).map(i =>
         md5Bucket("cms_", i, col("v"), width)): _*))
         .as(Seq("row_i", "bucket")))
       .groupBy("row_i", "bucket")
-      .agg(count(lit(1)).as("cell"))
+      .agg(sum(col("n")).as("cell"))
 
   /** A13, portable form: CMS frequency estimates for `keys` — per key,
     * the min over depth rows of its cell count (0 for an empty cell).
@@ -161,8 +168,14 @@ object Sketches {
     */
   def bloomBitsPortable(df: DataFrame, colName: String,
       m: Int = BloomBits, k: Int = BloomHashes): DataFrame =
+    // membership is a function of the value SET: dedupe values first
+    // (map-side-combined), then hash each distinct value once — k md5s
+    // per distinct instead of per row (measured 3.6 s → sub-second at
+    // sf0.1). The position distinct keeps the final shuffle and result
+    // bounded by m rows regardless of column cardinality.
     df.select(col(colName).cast("string").as("v"))
       .filter(col("v").isNotNull)
+      .distinct()
       .select(explode(array((0 until k).map(j =>
         md5Bucket("bloom_", j, col("v"), m)): _*)).as("pos"))
       .distinct()
@@ -210,6 +223,11 @@ object Sketches {
     df.select(col(groupCol).cast("string").as("key"),
         col(colName).cast("string").as("v"))
       .filter(col("v").isNotNull && col("key").isNotNull)
+      // registers are a function of the distinct (key, value) SET:
+      // dedupe first (map-side-combined) so the two md5s run once per
+      // distinct pair, not once per row — the register shuffle stays
+      // ≤ #groups·m either way
+      .distinct()
       .select(col("key"),
         md5Bucket("hllj_", 0, col("v"), m).as("j"),
         (lit(61) - length(bin(md5Long("hllw_", 0, col("v"))))).as("rho"))
