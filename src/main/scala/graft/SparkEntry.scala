@@ -58,7 +58,7 @@ object SparkEntry {
     "q135_bpe_vocab", "q136_bloom_probe", "q140_bpe_encode",
     "q142_semantic_probe", "q144_pack_bpe", "q146_packed_export",
     "q147_chunk_encoded", "q149_classifier_store", "q150_lm_store",
-    "q156_quantile_store")
+    "q156_quantile_store", "q162_winnow_probe")
 
   private def annQueries(t: Tables): DataFrame =
     t.embeddings.filter(col("vec_id") < 5)
@@ -1476,7 +1476,30 @@ object SparkEntry {
           col("lang"),
           Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.75, "zh" -> 0.1))
         .select("doc_id", "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- token-budget mixture: per-lang token TARGETS → derived
+    // fractions f = min(1, budget/total), unbiased hash membership
+    // (fr budget exceeds its mass → the f=1 branch; es absent → dropped)
+    "q161_token_budget_mix" -> ((s, d) =>
+      Relational.tokenBudgetMix(Tables(s, d).documents, col("doc_id"),
+          col("lang"), size(TextAnalysis.tokens(col("text"))),
+          Map("en" -> 3000L, "de" -> 2000L, "zh" -> 400L,
+            "fr" -> 10000000L))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ---- winnowing fingerprint index probe: shared-passage
+    // containment of a crawl batch against the persisted corpus index —
+    // contamination screening that never touches corpus text
+    "q162_winnow_probe" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val idx = s"graft_winnow_index_${dirTag(d)}"
+      if (!s.catalog.tableExists(idx))
+        Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
+      Dedup.probeWinnowIndex(docs.filter(col("doc_id") % 5 === 0), idx)
+        .orderBy("new_id", "corpus_id")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -3875,7 +3898,52 @@ object SparkEntry {
                < CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000
                            WHEN 'de' THEN 750000 WHEN 'zh' THEN 100000
                            ELSE 0 END
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // token-budget mix: derive per-lang thresholds from the replayed
+    // token totals (min(1, budget/T) in double, floor to integer
+    // micro-units), then the q154 membership predicate
+    "q161_token_budget_mix" ->
+      s"""WITH w AS (
+            SELECT doc_id, lang, len($Toks) AS w
+            FROM documents),
+          tot AS (SELECT lang, sum(w) AS t FROM w GROUP BY lang),
+          th AS (
+            SELECT lang,
+              CAST(floor(least(1.0,
+                CASE WHEN t > 0 THEN
+                  CAST(CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 2000
+                                 WHEN 'zh' THEN 400 WHEN 'fr' THEN 10000000
+                                 ELSE 0 END AS DOUBLE) / t
+                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
+            FROM tot)
+          SELECT d.doc_id, d.lang
+          FROM documents d JOIN th USING (lang)
+          WHERE ('0x' || substr(md5('smp_' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                < thresh
+          ORDER BY d.doc_id""",
+
+    // winnowing index probe: replay both sides' fingerprints, the
+    // posting-list join, the matched-rows df ≤ 64 cut, and the shared
+    // count ≥ 2
+    "q162_winnow_probe" ->
+      s"""WITH corp AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+          bat AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+          ${winnowCtesFor("corp", "c")},
+          ${winnowCtesFor("bat", "b")},
+          cd AS (SELECT DISTINCT doc_id AS corpus_id, fp FROM cwfp),
+          bd AS (SELECT DISTINCT doc_id AS new_id, fp FROM bwfp),
+          dfc AS (
+            SELECT fp, count(*) AS df FROM cd GROUP BY fp)
+          SELECT b.new_id, c.corpus_id, count(*) AS n_shared
+          FROM bd b JOIN cd c USING (fp) JOIN dfc USING (fp)
+          WHERE dfc.df <= 64
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+          ORDER BY new_id, corpus_id"""
   )
 
   /** q153's register build + estimate chain as CTEs parameterized by a
@@ -3924,38 +3992,41 @@ object SparkEntry {
               FROM $regs GROUP BY key)))"""
 
   /** Winnowing fingerprint replay (k=4, w=5) as CTEs ending in
-    * wfp(doc_id, pos, fp) — mirrors [[Dedup.winnowingFingerprints]]'
+    * `<p>wfp`(doc_id, pos, fp) over source relation `src` (which must
+    * expose doc_id and text) — mirrors [[Dedup.winnowingFingerprints]]'
     * md5-mod-2³⁰ k-gram hash and the v = h·2²⁰ + (2²⁰−1−pos)
     * rightmost-min packing exactly (pure 64-bit integer arithmetic,
     * engine-identical).
     */
-  private val winnowCtes: String =
-    s"""tokp AS (
+  private def winnowCtesFor(src: String, p: String): String =
+    s"""${p}tokp AS (
          SELECT doc_id, unnest($Toks) AS tok,
                 generate_subscripts($Toks, 1) - 1 AS pos
-         FROM documents),
-       kg AS (
+         FROM $src),
+       ${p}kg AS (
          SELECT doc_id, pos,
            tok || ' ' || lead(tok, 1) OVER win || ' ' ||
              lead(tok, 2) OVER win || ' ' || lead(tok, 3) OVER win
              AS kgram
-         FROM tokp WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-       pk AS (
+         FROM ${p}tokp WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       ${p}pk AS (
          SELECT doc_id, pos,
            (('0x' || substr(md5('wfp_' || kgram), 1, 15))::BIGINT
               % 1073741824) * 1048576 + (1048575 - pos) AS v
-         FROM kg WHERE kgram IS NOT NULL),
-       winsel AS (
+         FROM ${p}kg WHERE kgram IS NOT NULL),
+       ${p}winsel AS (
          SELECT doc_id, pos,
            min(v) OVER win5 AS minv,
            count(*) OVER win5 AS n_in
-         FROM pk
+         FROM ${p}pk
          WINDOW win5 AS (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
-       wfp AS (
+       ${p}wfp AS (
          SELECT DISTINCT doc_id, 1048575 - (minv % 1048576) AS pos,
                 minv // 1048576 AS fp
-         FROM winsel WHERE n_in = 5 OR pos = 0)"""
+         FROM ${p}winsel WHERE n_in = 5 OR pos = 0)"""
+
+  private val winnowCtes: String = winnowCtesFor("documents", "")
 
   private val quantileSketchSql: String =
       """WITH vals AS (

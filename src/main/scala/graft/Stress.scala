@@ -478,7 +478,38 @@ object Stress {
         spark.table("stress_hist").count()
       },
       time("histStoreProbe")(
-        Sketches.quantilesFromStore(spark, "stress_hist")))
+        Sketches.quantilesFromStore(spark, "stress_hist")),
+      // winnowing at 20x: fingerprint density is 2/(w+1) per shingle, so
+      // rows ~ 1/3 of the token count; the match join is posting-list
+      // bounded (df cut) over a corpus that is one giant near-dup family
+      time("winnowFingerprints")(
+        Dedup.winnowingFingerprints(docs)),
+      time("winnowMatches")(
+        Dedup.winnowingMatches(docs, maxDf = 64)),
+      // mixture sample: one shuffle-free scan whatever the mix size
+      time("mixtureSample")(Relational.mixtureSample(docs, col("doc_id"),
+        col("lang"), Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.75,
+          "zh" -> 0.1))),
+      // HLL overlap triage: corpus pair -> register join, no value join
+      time("hllOverlap")(Sketches.hllOverlapPortable(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), "text", "lang")),
+      // winnow INDEX: build pays the corpus fingerprint pass once
+      // (bucketed write by fp); the probe pays only the batch's own
+      // fingerprints + the posting join — per-crawl contamination
+      // screening as a lookup against 95% of the corpus
+      timeAction("winnowIndexBuild") {
+        Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 20 =!= 0),
+          "stress_winnow")
+        spark.table("stress_winnow").count()
+      },
+      time("winnowIndexProbe")(Dedup.probeWinnowIndex(
+        docs.filter(col("doc_id") % 20 === 0), "stress_winnow")),
+      // token-budget mix: totals aggregate + broadcast + filtered scan
+      time("tokenBudgetMix")(Relational.tokenBudgetMix(docs,
+        col("doc_id"), col("lang"), col("n_chars"),
+        Map("en" -> 2000000L, "fr" -> 1000000L, "de" -> 3000000L,
+          "zh" -> 400000L))))
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")

@@ -1679,4 +1679,79 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Persisted winnowing fingerprint INDEX: the passage-level member of
+    * the per-crawl probe family (exact doc / minhash / simhash /
+    * semantic / winnowing). The (corpus_id, fp) relation is bucketed by
+    * `fp` — exactly the probe's join key, so probing a crawl batch
+    * shuffles only the batch's own fingerprints, never the index. Spec
+    * (k, w, buckets) persists FIRST (the IndexSpec ordering contract);
+    * a probe or append at different shingle geometry fails loudly —
+    * mismatched k-gram hashes join nothing and lose recall silently.
+    */
+  def buildWinnowIndex(corpus: DataFrame, table: String, k: Int = 4,
+      w: Int = 5, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.sources.IndexSpec.write(
+      Seq((k, w, buckets)).toDF("k", "w", "buckets"), table)
+    graft.sources.Sinks.saveTablePartitioned(
+      winnowingFingerprints(spread(corpus), k, w)
+        .select(col("doc_id").as("corpus_id"), col("fp")).distinct(),
+      table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
+  }
+
+  private def requireWinnowSpec(spark: org.apache.spark.sql.SparkSession,
+      table: String, k: Int, w: Int): Int = {
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    require(spec.getInt(0) == k && spec.getInt(1) == w,
+      s"winnow index $table was built with k=${spec.getInt(0)} " +
+        s"w=${spec.getInt(1)}; probe/append asked k=$k w=$w — mismatched " +
+        "shingle geometry joins nothing and loses recall silently")
+    spec.getInt(2)
+  }
+
+  /** Fold a new crawl's fingerprints into the index (same bucketing, so
+    * probes keep their zero-index-shuffle plan). No df cut is stored —
+    * the probe derives each hash's document frequency from the join
+    * itself, so the boilerplate cut can never go stale under appends.
+    */
+  def appendWinnowIndex(newDocs: DataFrame, table: String, k: Int = 4,
+      w: Int = 5): Unit = {
+    val buckets = requireWinnowSpec(newDocs.sparkSession, table, k, w)
+    graft.sources.Sinks.appendTablePartitioned(
+      winnowingFingerprints(spread(newDocs), k, w)
+        .select(col("doc_id").as("corpus_id"), col("fp")).distinct(),
+      table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
+  }
+
+  /** Shared-passage containment screen for a crawl batch: (new_id,
+    * corpus_id, n_shared) for every batch document sharing ≥ `minShared`
+    * distinct fingerprints with a corpus document — contamination /
+    * quotation detection at crawl time, without touching corpus text.
+    * The bucketed join surfaces each matched hash's FULL posting list,
+    * so the df ≤ `maxDf` boilerplate cut is computed from the matched
+    * rows themselves: correct under appends, no extra index scan, and
+    * per-hash fan-out stays ≤ maxDf × batch side.
+    */
+  def probeWinnowIndex(batch: DataFrame, table: String,
+      minShared: Int = 2, maxDf: Int = 64, k: Int = 4,
+      w: Int = 5): DataFrame = {
+    val spark = batch.sparkSession
+    requireWinnowSpec(spark, table, k, w)
+    val bfps = winnowingFingerprints(spread(batch), k, w)
+      .select(col("doc_id").as("new_id"), col("fp")).distinct()
+    val hits = bfps.join(spark.table(table), Seq("fp"))
+      // a doc appended twice would duplicate posting rows — harden the
+      // counts against replayed appends
+      .dropDuplicates("new_id", "corpus_id", "fp")
+    val keep = hits.groupBy("fp")
+      .agg(countDistinct(col("corpus_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    hits.join(keep, Seq("fp"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

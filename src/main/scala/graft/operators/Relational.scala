@@ -493,6 +493,47 @@ object Relational {
         coalesce(element_at(thresh, groupCol.cast("string")), lit(0L)))
   }
 
+  /** Token-BUDGET mixture: per-group token TARGETS instead of per-group
+    * fractions. For each group g with total weight mass T_g the kept
+    * fraction is f_g = min(1, budget_g / T_g), and membership is the
+    * content-addressed [[hashSample]] predicate at f_g — each budget is
+    * met IN EXPECTATION by an unbiased sample of its group. Contrast
+    * [[budgetSelect]]: exact to the token under a global budget but
+    * prefix-biased toward high scores; a pre-training mix usually wants
+    * this unbiased per-group form. Two passes: one map-side-combined
+    * aggregate for the T_g totals (broadcast back), then a shuffle-free
+    * filtered scan. Groups without a budget drop (allowlist, like
+    * [[mixtureSample]]); a zero-mass group trivially fits any budget
+    * (f=1 — explicit branch, no NaN semantics relied on). The derived
+    * thresholds are plain double arithmetic on exact longs, identical
+    * in every engine, so the oracle replays the exact row set.
+    */
+  def tokenBudgetMix(df: DataFrame, keyCol: Column, groupCol: Column,
+      weightCol: Column, budgets: Map[String, Long],
+      salt: String = "smp_"): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix: budgets must be non-empty")
+    budgets.foreach { case (g, b) => require(b >= 0L,
+      s"tokenBudgetMix: budget for '$g' must be >= 0, got $b") }
+    val m = 1000000L
+    val bLit = typedLit(budgets)
+    val frac = least(lit(1.0),
+      when(col("__t") > 0,
+        coalesce(element_at(bLit, col("__g")), lit(0L)).cast("double") /
+          col("__t"))
+        .otherwise(lit(1.0)))
+    val totals = df
+      .groupBy(groupCol.cast("string").as("__g"))
+      .agg(sum(weightCol.cast("long")).as("__t"))
+      .withColumn("__thresh", floor(frac * m).cast("long"))
+      .select("__g", "__thresh")
+    df.withColumn("__g", groupCol.cast("string"))
+      .join(broadcast(totals), Seq("__g"), "left")
+      .filter(
+        conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
+          16, 10).cast("long") % m < coalesce(col("__thresh"), lit(0L)))
+      .drop("__g", "__thresh")
+  }
+
   /** P11: contiguous 0-based positional index (the RDD `zipWithIndex`
     * semantic, `301-solutions.scala:56`). zipWithIndex is the
     * scale-correct contiguous index: one extra lightweight job counts

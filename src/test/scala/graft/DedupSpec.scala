@@ -682,6 +682,47 @@ class DedupSpec extends SparkSpec {
     fps.count() should be > 0L
   }
 
+  test("winnow index: probe equals inline; grown index; geometry guards") {
+    val docs = tables.documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Seq("winnow_idx_t", "winnow_idx_t__spec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // build on 3/5 of the corpus, append the rest: the grown index must
+    // answer exactly like the inline computation over the union
+    Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 5 === 1 ||
+      col("doc_id") % 5 === 2), "winnow_idx_t")
+    Dedup.appendWinnowIndex(docs.filter(col("doc_id") % 5 === 3 ||
+      col("doc_id") % 5 === 4), "winnow_idx_t")
+    val probed = Dedup.probeWinnowIndex(batch, "winnow_idx_t")
+    // inline truth: batch fps × corpus fps with the same df cut
+    val cfps = Dedup.winnowingFingerprints(corpus)
+      .select(col("doc_id").as("corpus_id"), col("fp")).distinct()
+    val bfps = Dedup.winnowingFingerprints(batch)
+      .select(col("doc_id").as("new_id"), col("fp")).distinct()
+    val dfKeep = cfps.groupBy("fp").count().filter(col("count") <= 64)
+      .select("fp")
+    val truth = bfps.join(cfps, Seq("fp")).join(dfKeep, Seq("fp"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    rowSet(probed) shouldBe rowSet(truth)
+    probed.count() should be > 0L // dup structure must actually match
+    // replayed append: probe counts unchanged (dropDuplicates hardening)
+    Dedup.appendWinnowIndex(docs.filter(col("doc_id") % 5 === 4),
+      "winnow_idx_t")
+    rowSet(Dedup.probeWinnowIndex(batch, "winnow_idx_t")) shouldBe
+      rowSet(truth)
+    // geometry mismatch and half-built stores fail loudly
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.probeWinnowIndex(batch, "winnow_idx_t", k = 5)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.appendWinnowIndex(batch, "winnow_idx_t", w = 9)
+    spark.sql("DROP TABLE IF EXISTS winnow_idx_t__spec")
+    an[IllegalStateException] should be thrownBy
+      Dedup.probeWinnowIndex(batch, "winnow_idx_t")
+  }
+
   test("winnowingMatches: dup docs pair up; df cut drops boilerplate") {
     val pairs = Dedup.winnowingMatches(tables.documents)
     pairs.count() should be > 0L

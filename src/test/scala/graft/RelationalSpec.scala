@@ -209,6 +209,32 @@ class RelationalSpec extends SparkSpec {
         col("doc_id"), 0.25))
   }
 
+  test("tokenBudgetMix: budgets met in expectation; f=1 branch; allowlist") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val docs = tables.documents
+    val w = asize(graft.operators.TextAnalysis.tokens(col("text")))
+    val budgets = Map("en" -> 3000L, "de" -> 2000L, "zh" -> 400L,
+      "fr" -> 10000000L)
+    val out = Relational.tokenBudgetMix(docs, col("doc_id"), col("lang"),
+      w, budgets)
+    out.filter(col("lang") === "es").count() shouldBe 0L // allowlist
+    // fr's budget exceeds its total mass -> the f = 1 branch keeps ALL
+    out.filter(col("lang") === "fr").count() shouldBe
+      docs.filter(col("lang") === "fr").count()
+    // kept token mass per budgeted lang concentrates at the budget:
+    // Bernoulli over docs with weights; allow a generous 50% band (the
+    // oracle locks exactness — this asserts the SEMANTICS of the knob)
+    val kept = out.withColumn("w", w.cast("long"))
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("w").as("kw"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("en", "de", "zh").foreach { g =>
+      val b = budgets(g).toDouble
+      withClue(s"$g kept ${kept(g)} vs budget $b: ") {
+        math.abs(kept(g) - b) should be < (0.5 * b)
+      }
+    }
+  }
+
   test("packSequences equals the sequential prefix-sum reference") {
     val packed = Relational.packSequences(tables.documents,
       budgetTokens = 512)
