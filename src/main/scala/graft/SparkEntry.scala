@@ -1489,6 +1489,15 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // ---- temperature mixture (α = 0.5): √-share flattening —
+    // low-resource langs keep proportionally more of the budget; every
+    // group participates (no allowlist)
+    "q163_temperature_mix" -> ((s, d) =>
+      Relational.temperatureMix(Tables(s, d).documents, col("doc_id"),
+          col("lang"), size(TextAnalysis.tokens(col("text"))), 20000L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // ---- winnowing fingerprint index probe: shared-passage
     // containment of a crawl batch against the persisted corpus index —
     // contamination screening that never touches corpus text
@@ -3917,6 +3926,35 @@ object SparkEntry {
                                  ELSE 0 END AS DOUBLE) / t
                 ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
             FROM tot)
+          SELECT d.doc_id, d.lang
+          FROM documents d JOIN th USING (lang)
+          WHERE ('0x' || substr(md5('smp_' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                < thresh
+          ORDER BY d.doc_id""",
+
+    // temperature mix: √T shares in integer micro-units (sqrt is
+    // IEEE-correctly-rounded in both engines; the Σ is exact over
+    // longs), budget·s/ss/t threshold chain left-associated exactly as
+    // the engine computes it, then the q154 membership predicate
+    "q163_temperature_mix" ->
+      s"""WITH w AS (
+            SELECT doc_id, lang, len($Toks) AS w
+            FROM documents),
+          tot AS (SELECT lang, sum(w) AS t FROM w GROUP BY lang),
+          sv AS (
+            SELECT lang, t,
+              CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                AS s
+            FROM tot),
+          ssv AS (SELECT sum(s) AS ss FROM sv),
+          th AS (
+            SELECT lang,
+              CAST(floor(least(1.0,
+                CASE WHEN t > 0 THEN
+                  CAST(20000 AS DOUBLE) * s / ss / t
+                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
+            FROM sv, ssv)
           SELECT d.doc_id, d.lang
           FROM documents d JOIN th USING (lang)
           WHERE ('0x' || substr(md5('smp_' ||

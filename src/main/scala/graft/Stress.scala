@@ -509,7 +509,10 @@ object Stress {
       time("tokenBudgetMix")(Relational.tokenBudgetMix(docs,
         col("doc_id"), col("lang"), col("n_chars"),
         Map("en" -> 2000000L, "fr" -> 1000000L, "de" -> 3000000L,
-          "zh" -> 400000L))))
+          "zh" -> 400000L))),
+      // temperature mix: same two-pass shape, √T shares derived in-plan
+      time("temperatureMix")(Relational.temperatureMix(docs,
+        col("doc_id"), col("lang"), col("n_chars"), 5000000L)))
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")

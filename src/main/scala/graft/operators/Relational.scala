@@ -534,6 +534,52 @@ object Relational {
       .drop("__g", "__thresh")
   }
 
+  /** Temperature-scaled mixture (α = 0.5): the multilingual-LM sampling
+    * scheme (XLM-R / mT5 style) that up-weights low-resource groups.
+    * Each group's share of `totalBudget` is √T_g / Σ_h √T_h (so kept
+    * fractions scale as 1/√T — smaller groups keep proportionally
+    * more), membership is the content-addressed [[hashSample]]
+    * predicate at f_g = min(1, share·budget / T_g). α is FIXED at 0.5:
+    * `sqrt` is the one fractional power IEEE 754 requires correctly
+    * rounded, so the derived thresholds are bit-identical in every
+    * engine and the oracle replays the exact row set — a configurable
+    * `pow(x, α)` is only faithfully rounded and would not replay.
+    * Unlike [[mixtureSample]]/[[tokenBudgetMix]] (allowlists), every
+    * group present in the data participates. Σ√T is attached via a
+    * constant-key broadcast join of the one-row aggregate (a broadcast
+    * HASH join — no cartesian shape, no global window). √T is pinned to
+    * integer micro-units before the exact Σ, so the tiny-group share
+    * never depends on double summation order.
+    */
+  def temperatureMix(df: DataFrame, keyCol: Column, groupCol: Column,
+      weightCol: Column, totalBudget: Long,
+      salt: String = "smp_"): DataFrame = {
+    require(totalBudget >= 0L,
+      s"temperatureMix: totalBudget must be >= 0, got $totalBudget")
+    val m = 1000000L
+    val totals = df
+      .groupBy(groupCol.cast("string").as("__g"))
+      .agg(sum(weightCol.cast("long")).as("__t"))
+      .withColumn("__s",
+        round(sqrt(col("__t").cast("double")) * m).cast("long"))
+      .withColumn("__k", lit(1))
+    val sumS = totals.groupBy("__k").agg(sum(col("__s")).as("__ss"))
+    val frac = least(lit(1.0),
+      when(col("__t") > 0,
+        lit(totalBudget).cast("double") * col("__s") / col("__ss") /
+          col("__t"))
+        .otherwise(lit(1.0)))
+    val thresholds = totals.join(broadcast(sumS), Seq("__k"))
+      .withColumn("__thresh", floor(frac * m).cast("long"))
+      .select("__g", "__thresh")
+    df.withColumn("__g", groupCol.cast("string"))
+      .join(broadcast(thresholds), Seq("__g"), "left")
+      .filter(
+        conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
+          16, 10).cast("long") % m < coalesce(col("__thresh"), lit(0L)))
+      .drop("__g", "__thresh")
+  }
+
   /** P11: contiguous 0-based positional index (the RDD `zipWithIndex`
     * semantic, `301-solutions.scala:56`). zipWithIndex is the
     * scale-correct contiguous index: one extra lightweight job counts

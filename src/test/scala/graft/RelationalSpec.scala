@@ -235,6 +235,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix: √-flattening; nesting; clamp; no allowlist") {
+    import org.apache.spark.sql.functions.{col, size => asize, sum => asum}
+    val docs = tables.documents
+    val w = asize(graft.operators.TextAnalysis.tokens(col("text")))
+    val out = Relational.temperatureMix(docs, col("doc_id"), col("lang"),
+      w, 20000L)
+    // budget >= total mass -> the f = 1 clamp keeps EVERY row
+    Relational.temperatureMix(docs, col("doc_id"), col("lang"), w,
+      100000000L).count() shouldBe docs.count()
+    // zero budget over nonzero-mass groups keeps nothing
+    Relational.temperatureMix(docs, col("doc_id"), col("lang"), w, 0L)
+      .count() shouldBe 0L
+    // same-salt budgets NEST (thresholds monotone in the budget):
+    // shrinking the budget only drops rows, never resamples
+    val small = Relational.temperatureMix(docs, col("doc_id"),
+      col("lang"), w, 8000L)
+    small.join(out, Seq("doc_id"), "left_anti").count() shouldBe 0L
+    // √-share flattening: the smallest-mass lang keeps a LARGER
+    // fraction of its mass than the largest-mass lang (f ∝ 1/√T)
+    val mass = docs.withColumn("w", w.cast("long")).groupBy("lang")
+      .agg(asum("w").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.withColumn("w", w.cast("long")).groupBy("lang")
+      .agg(asum("w").as("kw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val largest = mass.maxBy(_._2)._1
+    val smallest = mass.minBy(_._2)._1
+    val fLarge = kept.getOrElse(largest, 0L).toDouble / mass(largest)
+    val fSmall = kept.getOrElse(smallest, 0L).toDouble / mass(smallest)
+    withClue(s"f($smallest)=$fSmall vs f($largest)=$fLarge: ") {
+      fSmall should be > fLarge
+    }
+    // repartition-invariant (content-addressed membership)
+    rowSet(out) shouldBe rowSet(Relational.temperatureMix(
+      docs.repartition(7), col("doc_id"), col("lang"), w, 20000L))
+  }
+
   test("packSequences equals the sequential prefix-sum reference") {
     val packed = Relational.packSequences(tables.documents,
       budgetTokens = 512)
