@@ -545,11 +545,16 @@ object Relational {
     * engine and the oracle replays the exact row set — a configurable
     * `pow(x, α)` is only faithfully rounded and would not replay.
     * Unlike [[mixtureSample]]/[[tokenBudgetMix]] (allowlists), every
-    * group present in the data participates. Σ√T is attached via a
-    * constant-key broadcast join of the one-row aggregate (a broadcast
-    * HASH join — no cartesian shape, no global window). √T is pinned to
-    * integer micro-units before the exact Σ, so the tiny-group share
-    * never depends on double summation order.
+    * group present in the data participates. Σ√T is a ONE-ROW driver
+    * collect of the map-side-combined aggregate (the k-means-centroid
+    * collect pattern: bounded by construction — the per-group threshold
+    * relation is broadcast in the membership join anyway, so group
+    * cardinality is already assumed broadcast-size; a literal-key
+    * equi-join or constant-partition window for the same scalar
+    * constant-folds into exactly the cartesian / unpartitioned-window
+    * shapes PlanGateSpec rejects). √T is pinned to integer micro-units
+    * before the exact Σ, so the tiny-group share never depends on
+    * double summation order.
     */
   def temperatureMix(df: DataFrame, keyCol: Column, groupCol: Column,
       weightCol: Column, totalBudget: Long,
@@ -562,14 +567,19 @@ object Relational {
       .agg(sum(weightCol.cast("long")).as("__t"))
       .withColumn("__s",
         round(sqrt(col("__t").cast("double")) * m).cast("long"))
-      .withColumn("__k", lit(1))
-    val sumS = totals.groupBy("__k").agg(sum(col("__s")).as("__ss"))
+    // Σ√T accumulates in exact DECIMAL(38,0): micro-unit √T is ≤ ~3·10¹⁵
+    // per group, so a long Σ would overflow past ~3000 groups (domains,
+    // not langs, at corpus scale); the double cast happens once at the
+    // division, exactly as the oracle's HUGEINT→DOUBLE cast does
+    val ss = totals
+      .agg(sum(col("__s").cast("decimal(38,0)")).as("__ss")).head()
+      .getDecimal(0)
     val frac = least(lit(1.0),
-      when(col("__t") > 0,
-        lit(totalBudget).cast("double") * col("__s") / col("__ss") /
-          col("__t"))
+      when(col("__t") > 0 && lit(ss).isNotNull,
+        lit(totalBudget).cast("double") * col("__s") /
+          lit(ss).cast("double") / col("__t"))
         .otherwise(lit(1.0)))
-    val thresholds = totals.join(broadcast(sumS), Seq("__k"))
+    val thresholds = totals
       .withColumn("__thresh", floor(frac * m).cast("long"))
       .select("__g", "__thresh")
     df.withColumn("__g", groupCol.cast("string"))
