@@ -37,9 +37,14 @@ case class NearestCandidate(child: Expression, cands: Seq[Seq[Double]])
     extends UnaryExpression {
 
   require(cands.nonEmpty, "NearestCandidate requires at least one candidate")
+  require(cands.forall(_.length == cands.head.length),
+    "NearestCandidate: candidates must share one dimension, got " +
+      cands.map(_.length).distinct.mkString(","))
 
   @transient private lazy val candArr: Array[Array[Double]] =
     cands.map(_.toArray).toArray
+
+  private val candDim: Int = cands.head.length
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -52,9 +57,19 @@ case class NearestCandidate(child: Expression, cands: Seq[Seq[Double]])
     StructField("idx", IntegerType, nullable = false)))
   override def prettyName: String = "nearest_candidate"
 
+  // a mismatched embedding would otherwise yield a plausible-but-wrong
+  // prefix distance (silent misassignment — the failure the LSH family's
+  // checkedDim guards against), and an all-NaN row would leave idx = -1
+  // to crash a downstream array index: both fail loudly instead
+  private def badRow(n: Int): Nothing = throw new IllegalArgumentException(
+    s"nearest_candidate: embedding has $n components, candidates have " +
+      s"$candDim — or the embedding contains NaN; refusing a silent " +
+      "prefix/garbage assignment")
+
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
     val n = emb.numElements()
+    if (n != candDim) badRow(n)
     val v = new Array[Double](n)
     var i = 0
     while (i < n) { v(i) = emb.getFloat(i).toDouble; i += 1 }
@@ -63,13 +78,13 @@ case class NearestCandidate(child: Expression, cands: Seq[Seq[Double]])
     var j = 0
     while (j < candArr.length) {
       val cj = candArr(j)
-      val m = math.min(n, cj.length)
       var s = 0.0
       var d = 0
-      while (d < m) { val t = v(d) - cj(d); s += t * t; d += 1 }
+      while (d < n) { val t = v(d) - cj(d); s += t * t; d += 1 }
       if (s < best) { best = s; bi = j }
       j += 1
     }
+    if (bi < 0) badRow(n) // every distance NaN
     new GenericInternalRow(Array[Any](best, bi))
   }
 
@@ -81,7 +96,6 @@ case class NearestCandidate(child: Expression, cands: Seq[Seq[Double]])
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val d = ctx.freshName("d")
-      val m = ctx.freshName("m")
       val s = ctx.freshName("s")
       val t = ctx.freshName("t")
       val cj = ctx.freshName("cj")
@@ -89,6 +103,12 @@ case class NearestCandidate(child: Expression, cands: Seq[Seq[Double]])
       val bi = ctx.freshName("bi")
       s"""
         int $n = $x.numElements();
+        if ($n != $candDim) {
+          throw new IllegalArgumentException(
+            "nearest_candidate: embedding has " + $n +
+            " components, candidates have " + $candDim +
+            " - refusing a silent prefix assignment");
+        }
         double[] $v = new double[$n];
         for (int $i = 0; $i < $n; $i++) {
           $v[$i] = (double) $x.getFloat($i);
@@ -97,13 +117,17 @@ case class NearestCandidate(child: Expression, cands: Seq[Seq[Double]])
         int $bi = -1;
         for (int $j = 0; $j < $c.length; $j++) {
           double[] $cj = $c[$j];
-          int $m = java.lang.Math.min($n, $cj.length);
           double $s = 0.0;
-          for (int $d = 0; $d < $m; $d++) {
+          for (int $d = 0; $d < $n; $d++) {
             double $t = $v[$d] - $cj[$d];
             $s += $t * $t;
           }
           if ($s < $best) { $best = $s; $bi = $j; }
+        }
+        if ($bi < 0) {
+          throw new IllegalArgumentException(
+            "nearest_candidate: every candidate distance is NaN " +
+            "(embedding contains NaN)");
         }
         ${ev.value} =
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

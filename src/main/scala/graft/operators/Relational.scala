@@ -456,15 +456,27 @@ object Relational {
     * distinct salts give independent samples. Pure codegen'd builtins
     * (md5 → conv → mod), filter evaluated at the scan: no shuffle at all.
     */
+  /** The micro-unit modulus shared by the whole sampler family. */
+  private val SampleModulus = 1000000L
+
+  /** The content-addressed membership bucket in [0, 10⁶): the ONE
+    * hash expression behind [[hashSample]], [[mixtureSample]],
+    * [[tokenBudgetMix]], and [[temperatureMix]]. Shared on purpose —
+    * the cross-sampler nesting guarantee (same salt ⇒ lower threshold
+    * selects a subset) holds only while every sampler buckets rows
+    * identically, and each oracle replays this exact chain: changing
+    * it means changing all four oracles together.
+    */
+  private def memberBucket(keyCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
+      16, 10).cast("long") % SampleModulus
+
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
       salt: String = "smp_"): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"hashSample: fraction must be in [0, 1], got $fraction")
-    val m = 1000000L
-    val thresh = math.floor(fraction * m).toLong
-    df.filter(
-      conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
-        16, 10).cast("long") % m < thresh)
+    val thresh = math.floor(fraction * SampleModulus).toLong
+    df.filter(memberBucket(keyCol, salt) < thresh)
   }
 
   /** The training-MIX builder on top of [[hashSample]]: per-group
@@ -484,13 +496,10 @@ object Relational {
     require(fractions.nonEmpty, "mixtureSample: fractions must be non-empty")
     fractions.foreach { case (g, f) => require(f >= 0.0 && f <= 1.0,
       s"mixtureSample: fraction for '$g' must be in [0, 1], got $f") }
-    val m = 1000000L
     val thresh = typedLit(fractions.map { case (g, f) =>
-      g -> math.floor(f * m).toLong })
-    df.filter(
-      conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
-        16, 10).cast("long") % m <
-        coalesce(element_at(thresh, groupCol.cast("string")), lit(0L)))
+      g -> math.floor(f * SampleModulus).toLong })
+    df.filter(memberBucket(keyCol, salt) <
+      coalesce(element_at(thresh, groupCol.cast("string")), lit(0L)))
   }
 
   /** Token-BUDGET mixture: per-group token TARGETS instead of per-group
@@ -514,7 +523,7 @@ object Relational {
     require(budgets.nonEmpty, "tokenBudgetMix: budgets must be non-empty")
     budgets.foreach { case (g, b) => require(b >= 0L,
       s"tokenBudgetMix: budget for '$g' must be >= 0, got $b") }
-    val m = 1000000L
+    val m = SampleModulus
     val bLit = typedLit(budgets)
     val frac = least(lit(1.0),
       when(col("__t") > 0,
@@ -528,9 +537,8 @@ object Relational {
       .select("__g", "__thresh")
     df.withColumn("__g", groupCol.cast("string"))
       .join(broadcast(totals), Seq("__g"), "left")
-      .filter(
-        conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
-          16, 10).cast("long") % m < coalesce(col("__thresh"), lit(0L)))
+      .filter(memberBucket(keyCol, salt) <
+        coalesce(col("__thresh"), lit(0L)))
       .drop("__g", "__thresh")
   }
 
@@ -561,7 +569,7 @@ object Relational {
       salt: String = "smp_"): DataFrame = {
     require(totalBudget >= 0L,
       s"temperatureMix: totalBudget must be >= 0, got $totalBudget")
-    val m = 1000000L
+    val m = SampleModulus
     val totals = df
       .groupBy(groupCol.cast("string").as("__g"))
       .agg(sum(weightCol.cast("long")).as("__t"))
@@ -584,9 +592,8 @@ object Relational {
       .select("__g", "__thresh")
     df.withColumn("__g", groupCol.cast("string"))
       .join(broadcast(thresholds), Seq("__g"), "left")
-      .filter(
-        conv(substring(md5(concat(lit(salt), keyCol.cast("string"))), 1, 15),
-          16, 10).cast("long") % m < coalesce(col("__thresh"), lit(0L)))
+      .filter(memberBucket(keyCol, salt) <
+        coalesce(col("__thresh"), lit(0L)))
       .drop("__g", "__thresh")
   }
 

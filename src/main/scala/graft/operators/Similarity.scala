@@ -803,9 +803,13 @@ object Similarity {
   private[operators] def parallelSeeds(embeddings: DataFrame, k: Int,
       rounds: Int = 5): Array[Array[Double]] = {
     val ell = 2 * k
-    var cands = lowestIdSeeds(embeddings, 1)
-    var candIds = embeddings.orderBy("vec_id").limit(1)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // one top-1 job fetches (vec_id, embedding) together — a separate
+    // lowestIdSeeds + id fetch would scan the corpus twice for one row
+    val first = embeddings.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect().head
+    var cands: Array[Array[Double]] =
+      Array(first.getSeq[Float](1).map(_.toDouble).toArray)
+    var candIds: Seq[Long] = Seq(first.getLong(0))
     (1 to rounds).foreach { _ =>
       val next = embeddings
         .filter(!col("vec_id").isin(candIds: _*))

@@ -121,23 +121,23 @@ object Sketches {
     * ≤ depth·width rows per partition and the result is ≤ depth·width
     * rows total regardless of input size (the 100-TB shape: constant
     * state, like the sketch object it replaces).
+    *
+    * Deliberately hashes PER ROW, not per distinct value: a
+    * distinct/histogram pre-combine saves md5 work on low-cardinality
+    * columns but its shuffle is O(distinct values) — unbounded on
+    * exactly the high-cardinality inputs sketches exist for, trading
+    * the constant-state contract above for a linear one. md5 per row
+    * is codegen'd CPU that scales with executors; keep it.
     */
   def cmsTablePortable(df: DataFrame, colName: String,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
-    // value-combine FIRST, hash per distinct value: cell counts are a
-    // function of the value HISTOGRAM, so the depth md5s run once per
-    // distinct value instead of once per row (measured 2.7 s → sub-
-    // second at sf0.1 over a 3-value column). The extra aggregate is
-    // map-side-combined (shuffle ≤ per-partition distinct), and the
-    // final cell relation stays ≤ depth·width rows at any input size.
     df.select(col(colName).cast("string").as("v"))
       .filter(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("n"))
-      .select(col("n"), posexplode(array((0 until depth).map(i =>
+      .select(posexplode(array((0 until depth).map(i =>
         md5Bucket("cms_", i, col("v"), width)): _*))
         .as(Seq("row_i", "bucket")))
       .groupBy("row_i", "bucket")
-      .agg(sum(col("n")).as("cell"))
+      .agg(count(lit(1)).as("cell"))
 
   /** A13, portable form: CMS frequency estimates for `keys` — per key,
     * the min over depth rows of its cell count (0 for an empty cell).
@@ -168,14 +168,8 @@ object Sketches {
     */
   def bloomBitsPortable(df: DataFrame, colName: String,
       m: Int = BloomBits, k: Int = BloomHashes): DataFrame =
-    // membership is a function of the value SET: dedupe values first
-    // (map-side-combined), then hash each distinct value once — k md5s
-    // per distinct instead of per row (measured 3.6 s → sub-second at
-    // sf0.1). The position distinct keeps the final shuffle and result
-    // bounded by m rows regardless of column cardinality.
     df.select(col(colName).cast("string").as("v"))
       .filter(col("v").isNotNull)
-      .distinct()
       .select(explode(array((0 until k).map(j =>
         md5Bucket("bloom_", j, col("v"), m)): _*)).as("pos"))
       .distinct()
@@ -223,11 +217,6 @@ object Sketches {
     df.select(col(groupCol).cast("string").as("key"),
         col(colName).cast("string").as("v"))
       .filter(col("v").isNotNull && col("key").isNotNull)
-      // registers are a function of the distinct (key, value) SET:
-      // dedupe first (map-side-combined) so the two md5s run once per
-      // distinct pair, not once per row — the register shuffle stays
-      // ≤ #groups·m either way
-      .distinct()
       .select(col("key"),
         md5Bucket("hllj_", 0, col("v"), m).as("j"),
         (lit(61) - length(bin(md5Long("hllw_", 0, col("v"))))).as("rho"))
@@ -274,7 +263,11 @@ object Sketches {
     val two61 = new java.math.BigDecimal("2305843009213693952") // 2^61
     val tot = agg.withColumn("s_total",
       col("s_present") +
-        (lit(m) - col("n_set")).cast(DecimalType(4, 0)) * lit(two61))
+        // DECIMAL(10,0): m - n_set <= m, and a 4-digit decimal would
+        // silently null every estimate (non-ANSI overflow cast) for
+        // any register count m >= 10000; 10 digits admits m up to 2^31
+        // and the × 2^61 product still fits DECIMAL(38,0) exactly
+        (lit(m) - col("n_set")).cast(DecimalType(10, 0)) * lit(two61))
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
       lit(m.toDouble * m) * lit(2305843009213693952.0) /
       col("s_total").cast("double")
