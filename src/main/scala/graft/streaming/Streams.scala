@@ -1080,7 +1080,7 @@ object Streams {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epoch = heavyHitterFoldEpoch(fs, dir)
     val summed = spark.read.parquet(storeDir)
-      .filter(col("batch_id") >= epoch || col("batch_id") === -epoch)
+      .filter(liveAtEpoch(epoch))
       .groupBy("value").agg(sum("cnt").as("cnt"))
       .collect()
     val n = summed.collectFirst {
@@ -1143,21 +1143,49 @@ object Streams {
     * fold's GC step. Returns the positive batch ids folded in (Nil
     * when there is nothing to fold).
     */
+  /** The epoch read rule shared by every store reader
+    * ([[mergedHeavyHitters]], [[streamQuantiles]]): partitions landed
+    * at or after the committed epoch, plus that epoch's fold partition.
+    * ONE copy — crash-window invisibility (uncommitted folds skipped,
+    * committed folds superseding their not-yet-GC'd inputs) depends on
+    * this exact predicate, so readers must never drift apart.
+    */
+  private def liveAtEpoch(epoch: Long) =
+    col("batch_id") >= epoch || col("batch_id") === -epoch
+
+  /** Shared prologue of every epoch-folded store compaction
+    * ([[foldHeavyHitterStore]], [[foldHistogramStore]]): resolve the
+    * committed epoch, pick the foldable positive partitions strictly
+    * below the newest live batch (the tip stays unfolded — it may
+    * still be rewritten by a replay), and build the live-input
+    * predicate for the fold's read. None when there is nothing to
+    * fold. One copy for the same reason as [[liveAtEpoch]].
+    */
+  private def foldPlan(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)
+      : Option[(Long, Seq[Long], org.apache.spark.sql.Column)] = {
+    val e0 = heavyHitterFoldEpoch(fs, dir)
+    val positives = storeBatchIds(fs, dir).filter(_ >= 0)
+    if (positives.isEmpty) return None
+    val e1 = positives.max // newest live batch stays unfolded
+    val foldable = positives.filter(id => id >= e0 && id < e1)
+    if (foldable.isEmpty) return None // nothing new below the tip
+    val live =
+      if (e0 == 0) col("batch_id") >= 0 && col("batch_id") < e1
+      else col("batch_id") === -e0 ||
+        (col("batch_id") >= e0 && col("batch_id") < e1)
+    Some((e1, foldable, live))
+  }
+
   def foldHeavyHitterStore(spark: SparkSession, storeDir: String,
       k: Int): Seq[Long] = {
     import spark.implicits._
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val e0 = heavyHitterFoldEpoch(fs, dir)
-    val positives = storeBatchIds(fs, dir).filter(_ >= 0)
-    if (positives.isEmpty) return Nil
-    val e1 = positives.max // newest live batch stays unfolded
-    val foldable = positives.filter(id => id >= e0 && id < e1)
-    if (foldable.isEmpty) return Nil // nothing new below the tip
-    val live =
-      if (e0 == 0) col("batch_id") >= 0 && col("batch_id") < e1
-      else col("batch_id") === -e0 ||
-        (col("batch_id") >= e0 && col("batch_id") < e1)
+    val (e1, foldable, live) = foldPlan(fs, dir) match {
+      case None => return Nil
+      case Some(p) => p
+    }
     val summed = spark.read.parquet(storeDir).filter(live)
       .groupBy("value").agg(sum("cnt").as("cnt"))
       .collect()
@@ -1250,7 +1278,7 @@ object Streams {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epoch = heavyHitterFoldEpoch(fs, dir)
     val hist = spark.read.parquet(storeDir)
-      .filter(col("batch_id") >= epoch || col("batch_id") === -epoch)
+      .filter(liveAtEpoch(epoch))
       .groupBy("key", "bl", "sh", "idx").agg(sum("cnt").as("cnt"))
     graft.operators.Sketches.quantileEstimates(hist, percentiles)
   }
@@ -1267,16 +1295,10 @@ object Streams {
       storeDir: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(storeDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val e0 = heavyHitterFoldEpoch(fs, dir)
-    val positives = storeBatchIds(fs, dir).filter(_ >= 0)
-    if (positives.isEmpty) return Nil
-    val e1 = positives.max // newest live batch stays unfolded
-    val foldable = positives.filter(id => id >= e0 && id < e1)
-    if (foldable.isEmpty) return Nil // nothing new below the tip
-    val live =
-      if (e0 == 0) col("batch_id") >= 0 && col("batch_id") < e1
-      else col("batch_id") === -e0 ||
-        (col("batch_id") >= e0 && col("batch_id") < e1)
+    val (e1, foldable, live) = foldPlan(fs, dir) match {
+      case None => return Nil
+      case Some(p) => p
+    }
     // materialize BEFORE the partition write: the plan reads the very
     // directory the fold adds a partition to (tiny — ≤ ~1k rows/key)
     val folded = spark.read.parquet(storeDir).filter(live)
