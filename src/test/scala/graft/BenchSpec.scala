@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Guards the bench harness's quiet-reference parser. The round-9
+  * driver artifact embedded ~19 s of scheduler noise because the retry
+  * guard's exact-substring tag match (`"queries":{`) silently parsed a
+  * reserialized reference (`"queries": {` — one space) to an EMPTY map
+  * and disarmed itself with no diagnostic. These tests pin the
+  * whitespace-tolerant parse so the guard can never be disarmed by a
+  * formatting change again.
+  */
+class BenchSpec extends AnyFunSuite with Matchers {
+
+  private val compact =
+    """{"metric":"total","value":1.0,"unit":"sec","queries":{"q01":0.12,"q02":1.5e-1},"errors":{},"sf":"x"}"""
+
+  // exactly the round-9 failure shape: space after the key's colon,
+  // spaces inside the pairs, newlines between entries
+  private val spaced =
+    "{\"metric\": \"total\", \"value\": 1.0, \"queries\": {\n  \"q01\": 0.12,\n  \"q02\": 0.15\n}, \"errors\": {}}"
+
+  test("parseQueryMap reads Bench's own compact serialization") {
+    val m = Bench.parseQueryMap(compact)
+    m should have size 2
+    m("q01") shouldBe 0.12 +- 1e-9
+    m("q02") shouldBe 0.15 +- 1e-9
+  }
+
+  test("parseQueryMap survives external re-serialization with whitespace") {
+    val m = Bench.parseQueryMap(spaced)
+    m should have size 2
+    m("q01") shouldBe 0.12 +- 1e-9
+    m("q02") shouldBe 0.15 +- 1e-9
+  }
+
+  test("jsonObj extracts the right object even with spaced tags") {
+    Bench.jsonObj(spaced, "queries") should include ("\"q01\"")
+    Bench.jsonObj(spaced, "errors").trim shouldBe ""
+    Bench.jsonObj(spaced, "absent") shouldBe ""
+  }
+
+  test("jsonObj skips braces inside quoted strings") {
+    val s = """{"errors":{"q9":"boom {not a brace}"},"queries":{"q1":2.0}}"""
+    Bench.parseQueryMap(s) shouldBe Map("q1" -> 2.0)
+    Bench.jsonObj(s, "errors") should include ("boom")
+  }
+
+  test("the committed quiet reference parses to a non-empty map") {
+    val p = java.nio.file.Paths.get("bench_quiet.json")
+    assume(java.nio.file.Files.exists(p))
+    val line = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = Bench.parseQueryMap(line)
+    m.size should be > 100 // 163 queries as of round 9
+    all(m.values) should be >= 0.0
+  }
+}
