@@ -1508,7 +1508,19 @@ object SparkEntry {
         Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 5 =!= 0), idx)
       Dedup.probeWinnowIndex(docs.filter(col("doc_id") % 5 === 0), idx)
         .orderBy("new_id", "corpus_id")
-    })
+    }),
+
+    // ---- END-TO-END corpus build: the composition proof. One call
+    // chains curate (q52) → canonical near-dup resolution (q31/q74/
+    // q102) → temperature mix (q163) → BPE train-on-selection + encode
+    // (q133/q140) → context-window chunk (q147) → fixed-budget pack
+    // (q144) → content-addressed shard (q103); one row per training
+    // chunk with its token-stream digest, bin, and shard. The oracle
+    // replays the ENTIRE chain as one CTE pipeline built from the same
+    // parameterized fragments the per-stage oracles use.
+    "q164_corpus_build" -> ((s, d) =>
+      Pipeline.corpusBuild(Tables(s, d).documents)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -2133,21 +2145,24 @@ object SparkEntry {
          SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 10
          ORDER BY q_id, rnk""",
 
-    // portable CMS replay: the identical md5-derived cell table (depth 5
-    // x width 272, 60-bit integer buckets), then min-over-rows per
-    // probed key — integer arithmetic end to end, the q32/q34 pattern
+    // portable CMS replay: the identical Kirsch–Mitzenmacher cell table
+    // (depth 5 x width 272; bucket_i = (h1 + i*h2) mod 272 over the two
+    // 60-bit sub-words of ONE md5, h2 forced odd), then min-over-rows
+    // per probed key — integer arithmetic end to end, the q32/q34 pattern
     "q37_cms_frequencies" ->
       """WITH rs AS (SELECT unnest(range(5)) AS row_i),
          v AS (SELECT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
                WHERE l_returnflag IS NOT NULL),
-         cells AS (SELECT row_i,
-             ('0x' || substr(md5('cms_' || row_i || '_' || v), 1, 15))::BIGINT
-               % 272 AS bucket,
+         hw AS (SELECT ('0x' || substr(md5('cms_' || v), 1, 15))::BIGINT AS h1,
+             (('0x' || substr(md5('cms_' || v), 16, 15))::BIGINT | 1) AS h2
+           FROM v),
+         cells AS (SELECT row_i, (h1 + row_i * h2) % 272 AS bucket,
              count(*) AS cell
-           FROM v CROSS JOIN rs GROUP BY 1, 2),
+           FROM hw CROSS JOIN rs GROUP BY 1, 2),
          probes AS (SELECT k.key, rs.row_i,
-             ('0x' || substr(md5('cms_' || rs.row_i || '_' || k.key), 1, 15))::BIGINT
-               % 272 AS bucket
+             ((('0x' || substr(md5('cms_' || k.key), 1, 15))::BIGINT
+               + rs.row_i * (('0x' || substr(md5('cms_' || k.key), 16, 15))::BIGINT | 1))
+               % 272) AS bucket
            FROM (VALUES ('A'), ('N'), ('R')) k(key) CROSS JOIN rs)
          SELECT p.key,
            CAST(min(coalesce(c.cell, 0)) AS BIGINT) AS estimate
@@ -2160,19 +2175,22 @@ object SparkEntry {
          WHERE l_returnflag IN ('A', 'N', 'R')
          GROUP BY 1 ORDER BY 1""",
 
-    // portable bloom replay: each value sets 7 md5-derived bits of 9586;
+    // portable bloom replay: each value sets 7 bits of 9586 via
+    // Kirsch–Mitzenmacher (pos_j = (h1 + j*h2) mod 9586 from ONE md5);
     // a candidate might be contained iff all 7 of its positions are set
     "q39_bloom_membership" ->
       """WITH js AS (SELECT unnest(range(7)) AS j),
          v AS (SELECT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem
                WHERE l_returnflag IS NOT NULL),
-         bits AS (SELECT DISTINCT
-             ('0x' || substr(md5('bloom_' || j || '_' || v), 1, 15))::BIGINT
-               % 9586 AS pos
-           FROM v CROSS JOIN js),
+         hw AS (SELECT ('0x' || substr(md5('bloom_' || v), 1, 15))::BIGINT AS h1,
+             (('0x' || substr(md5('bloom_' || v), 16, 15))::BIGINT | 1) AS h2
+           FROM v),
+         bits AS (SELECT DISTINCT (h1 + j * h2) % 9586 AS pos
+           FROM hw CROSS JOIN js),
          probes AS (SELECT DISTINCT c.candidate,
-             ('0x' || substr(md5('bloom_' || js.j || '_' || c.candidate), 1, 15))::BIGINT
-               % 9586 AS pos
+             ((('0x' || substr(md5('bloom_' || c.candidate), 1, 15))::BIGINT
+               + js.j * (('0x' || substr(md5('bloom_' || c.candidate), 16, 15))::BIGINT | 1))
+               % 9586) AS pos
            FROM (VALUES ('A'), ('N'), ('R'), ('X'), ('Z')) c(candidate)
            CROSS JOIN js)
          SELECT p.candidate, count(b.pos) = count(*) AS might_contain
@@ -3981,7 +3999,94 @@ object SparkEntry {
           WHERE dfc.df <= 64
           GROUP BY 1, 2
           HAVING count(*) >= 2
-          ORDER BY new_id, corpus_id"""
+          ORDER BY new_id, corpus_id""",
+
+    // the full corpus-build composition: curate CTEs (q52, c_ prefix)
+    // → brute-force-Jaccard components over the CURATED corpus (q102's
+    // gate pattern; minhash ≡ exact at these parameters per q31) →
+    // canonical keep set → temperature mix (q163 verbatim over the
+    // canonical corpus) → BPE train/encode on the SELECTION (q133/q140
+    // fragments) → 32-token chunks (q147's slice convention) →
+    // 512-budget prefix-sum pack (q144) → md5-order bin shard (q103)
+    "q164_corpus_build" ->
+      s"""WITH RECURSIVE
+          ${curateCtesFor("documents", "c_")},
+          curdocs AS MATERIALIZED (SELECT d.* FROM documents d
+            JOIN c_cur USING (doc_id)),
+          ${dupComponentsCtesFor("curdocs")},
+          wc AS (
+            SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS component,
+              CAST(d.n_chars AS BIGINT) AS score
+            FROM curdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          best AS (SELECT component, max(score) AS best_score
+                   FROM wc GROUP BY 1),
+          canon AS (
+            SELECT wc.component, min(wc.doc_id) AS canonical_id
+            FROM wc JOIN best ON wc.component = best.component
+              AND wc.score = best.best_score
+            GROUP BY 1),
+          canondocs AS MATERIALIZED (
+            SELECT d.* FROM curdocs d
+            JOIN wc ON d.doc_id = wc.doc_id
+            JOIN canon ON wc.component = canon.component
+            WHERE d.doc_id = canon.canonical_id),
+          mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
+          mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
+          msv AS (
+            SELECT lang, t,
+              CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                AS s
+            FROM mtot),
+          mssv AS (SELECT sum(s) AS ss FROM msv),
+          mth AS (
+            SELECT lang,
+              CAST(floor(least(1.0,
+                CASE WHEN t > 0 THEN
+                  CAST(20000 AS DOUBLE) * s / ss / t
+                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
+            FROM msv, mssv),
+          seldocs AS MATERIALIZED (
+            SELECT d.* FROM canondocs d JOIN mth USING (lang)
+            WHERE ('0x' || substr(md5('smp_' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                  < thresh),
+          ${bpeTrainCtesFor(8, "seldocs")},
+          ${bpeEncodeCtesFor("seldocs")},
+          encall AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+            FROM seldocs d LEFT JOIN enc e USING (doc_id)),
+          ch AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+              ids[(ci*32+1):(ci*32+32)] AS cids
+            FROM (SELECT doc_id, ids,
+                unnest(generate_series(0,
+                  CAST(greatest(ceil(len(ids)/32.0) - 1, 0) AS BIGINT)))
+                  AS ci
+              FROM encall)),
+          chn AS MATERIALIZED (
+            SELECT doc_id, chunk_idx,
+              CAST(len(cids) AS BIGINT) AS n_tokens,
+              md5(array_to_string(cids, ' ')) AS ids_digest,
+              doc_id * 100000 + chunk_idx AS ckey
+            FROM ch),
+          pk AS (
+            SELECT ckey,
+              CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512 AS BIGINT) AS bin_id
+            FROM chn),
+          bs AS (
+            SELECT bin_id,
+              (row_number() OVER (
+                ORDER BY md5(CAST(bin_id AS VARCHAR)), bin_id) - 1) % 8
+                AS shard
+            FROM (SELECT DISTINCT bin_id FROM pk))
+          SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.ids_digest,
+            p.bin_id, CAST(b.shard AS BIGINT) AS shard
+          FROM chn c JOIN pk p USING (ckey) JOIN bs b USING (bin_id)
+          ORDER BY doc_id, chunk_idx"""
   )
 
   /** q153's register build + estimate chain as CTEs parameterized by a
@@ -4404,14 +4509,63 @@ object SparkEntry {
     * boundary) + recursive transitive closure, ending in a `comp`
     * relation (doc_id, component = min doc_id of the cluster).
     */
+  /** q52's curation chain parameterized by source relation and a
+    * CTE-name prefix (the composition WITH already uses t/f/p/l/k/d
+    * lookalikes elsewhere) — emits `<p>t..<p>d` and `<p>cur`, the
+    * kept-docs relation (doc_id, lang, source, n_chars, n_tokens,
+    * predicted_lang). Mirrors [[graft.operators.Curation.curate]]
+    * exactly (q52's gated chain).
+    */
+  private def curateCtesFor(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, lang, source, n_chars,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM $src),
+         ${p}f AS (SELECT doc_id, lang, source, n_chars, fp,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
+         FROM ${p}t),
+         ${p}p AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m
+           FROM ${p}f),
+         ${p}l AS (SELECT doc_id, lang, source, n_chars, fp, n_tokens,
+           CASE WHEN m = 0 THEN 'unknown'
+                WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
+                WHEN s_fr = m THEN 'fr' WHEN s_de = m THEN 'de'
+                ELSE 'zh' END AS predicted_lang
+         FROM ${p}p),
+         ${p}k AS (SELECT * FROM ${p}l
+           WHERE n_tokens BETWEEN 30 AND 120
+             AND predicted_lang IN ('en', 'unknown')),
+         ${p}d AS (SELECT *,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM ${p}k),
+         ${p}cur AS (SELECT doc_id, lang, source, n_chars, n_tokens,
+           predicted_lang FROM ${p}d WHERE rn = 1)"""
+
   private def DupComponentsCte: String =
-    s"""WITH RECURSIVE sh AS (
+    "WITH RECURSIVE " + dupComponentsCtesFor("documents")
+
+  /** [[DupComponentsCte]] without the WITH prefix and parameterized by
+    * the corpus relation (must carry doc_id, text) — the q164
+    * composition clusters its CURATED corpus, not `documents`.
+    */
+  private def dupComponentsCtesFor(src: String): String =
+    // sh/p/e carry AS MATERIALIZED deliberately: DuckDB inlines CTEs
+    // by default, and `e` is referenced from the RECURSIVE reach —
+    // inlined, every fixpoint iteration re-executed the full shingle +
+    // all-pairs-Jaccard chain down to the parquet scan (observed as fd
+    // exhaustion when this builder was composed into q164's long chain)
+    s"""sh AS MATERIALIZED (
           SELECT doc_id,
             list_distinct(list_transform(
               generate_series(1, greatest(len(toks) - 2, 0)),
               i -> array_to_string(toks[i:i+2], ' '))) AS sh
-          FROM (SELECT doc_id, $Toks AS toks FROM documents)),
-        p AS (
+          FROM (SELECT doc_id, $Toks AS toks FROM $src)),
+        p AS MATERIALIZED (
           SELECT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -4419,8 +4573,9 @@ object SparkEntry {
                   AS DOUBLE), 4) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.7),
-        e AS (SELECT doc_a AS a, doc_b AS b FROM p
-              UNION SELECT doc_b, doc_a FROM p),
+        e AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
         reach(a, b) AS (
           SELECT a, b FROM e
           UNION
@@ -4470,8 +4625,14 @@ object SparkEntry {
     * by (count DESC, token), per-doc id sequences assembled by
     * (word position, token position) into `enc(doc_id, ids)`.
     */
-  private val bpeEncodeCtes: String =
-    """wt AS MATERIALIZED (
+  private val bpeEncodeCtes: String = bpeEncodeCtesFor("documents")
+
+  /** [[bpeEncodeCtes]] parameterized by the corpus relation the doc
+    * side reads — the q164 composition encodes the SELECTED corpus,
+    * not `documents`.
+    */
+  private def bpeEncodeCtesFor(src: String): String =
+    s"""wt AS MATERIALIZED (
             SELECT word, freq, string_split(trim(rep), '  ') AS toks
             FROM vocab_8),
           tc AS (
@@ -4487,7 +4648,7 @@ object SparkEntry {
               generate_subscripts(words, 1) AS wpos
             FROM (SELECT doc_id,
                 regexp_extract_all(lower(text), '[a-z]+') AS words
-              FROM documents)),
+              FROM $src)),
           dt AS (
             SELECT d.doc_id, d.wpos, unnest(w.toks) AS token,
               generate_subscripts(w.toks, 1) AS tpos
@@ -4498,7 +4659,14 @@ object SparkEntry {
                   FROM dt t JOIN ids i USING (token))
             GROUP BY doc_id)"""
 
-  private def bpeTrainCtes(n: Int): String = {
+  private def bpeTrainCtes(n: Int): String =
+    "WITH " + bpeTrainCtesFor(n, "documents")
+
+  /** [[bpeTrainCtes]] without the WITH prefix and parameterized by the
+    * training-corpus relation — the q164 composition trains the
+    * tokenizer on its mixed selection inside a larger CTE chain.
+    */
+  private def bpeTrainCtesFor(n: Int, src: String): String = {
     val rounds = (1 to n).map { k =>
       s"""pairs_$k AS (
             SELECT t[i] AS lhs, t[i + 1] AS rhs, sum(freq) AS cnt
@@ -4516,12 +4684,12 @@ object SparkEntry {
                       ' ' || lhs || rhs || ' ') AS rep
             FROM vocab_${k - 1} CROSS JOIN merge_$k)"""
     }.mkString(",\n")
-    s"""WITH vocab_0 AS (
+    s"""vocab_0 AS (
           SELECT word, count(*) AS freq,
             regexp_replace(word, '(.)', ' \\1 ', 'g') AS rep
           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
                   AS word
-                FROM documents)
+                FROM $src)
           GROUP BY word),
         $rounds"""
   }

@@ -466,12 +466,34 @@ object Bpe {
       s"readEncodedTable: $table was encoded under merges table " +
         s"'${spec.getString(1)}', not '$mergesTable' — token ids from " +
         "different tokenizers must never mix")
-    val current = mergesDigest(loadMerges(spark, mergesTable))
-    require(spec.getString(2) == current,
-      s"readEncodedTable: merges table $mergesTable no longer holds " +
-        s"the merge list $table was encoded under (digest " +
-        s"${spec.getString(2)} vs $current) — the tokenizer was " +
-        "retrained; rebuild the encoded table")
+    val merges = loadMerges(spark, mergesTable)
+    val current = mergesDigest(merges)
+    if (spec.getString(2) != current) {
+      // disambiguate "retrained tokenizer" from "digest format upgrade":
+      // specs written before the separator fix (round 8) hashed the
+      // merge list WITHOUT field separators — if the stored digest
+      // matches that legacy serialization of the CURRENT merge list,
+      // the tokenizer is unchanged and only the spec format moved
+      val legacy = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(merges.sortBy(_.rank)
+          .map(m => s"${m.rank}${m.lhs}${m.rhs}")
+          .mkString("").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      if (spec.getString(2) == legacy)
+        throw new IllegalArgumentException(
+          s"readEncodedTable: $table's spec carries a legacy-format " +
+            "digest (pre-separator-fix serialization of the SAME merge " +
+            "list) — the tokenizer was NOT retrained; re-run " +
+            "buildEncodedTable once to refresh the spec")
+      else
+        throw new IllegalArgumentException(
+          s"readEncodedTable: merges table $mergesTable no longer " +
+            s"holds the merge list $table was encoded under (digest " +
+            s"${spec.getString(2)} vs $current) — the tokenizer was " +
+            "retrained; rebuild the encoded table")
+    }
     spark.table(table)
   }
 

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-build composition — the proof that the engine's
+  * stages are a PIPELINE, not a query zoo. One call chains the
+  * individually-oracle-gated operators in their production order:
+  *
+  *   1. curate          — quality/language screen + exact dedup
+  *                        ([[Curation.curate]], q52's gate)
+  *   2. canonicalize    — MinHash near-dup clusters resolved to one
+  *                        canonical doc per cluster
+  *                        ([[Dedup.minhashDupPairs]] →
+  *                        [[Dedup.dupComponents]] →
+  *                        [[Dedup.resolveCanonical]], q31/q74/q102)
+  *   3. mix             — temperature-scaled (α = 0.5) sampling to a
+  *                        global token budget
+  *                        ([[Relational.temperatureMix]], q163)
+  *   4. tokenize        — BPE merges trained ON THE MIXED CORPUS (the
+  *                        data the model would see), then every
+  *                        selected doc encoded ([[Bpe.trainMerges]] /
+  *                        [[Bpe.encodeDocs]], q133/q140)
+  *   5. chunk           — context-window splitting of over-long
+  *                        encodings ([[Bpe.chunkEncoded]], q147)
+  *   6. pack            — fixed-budget bin assignment by the
+  *                        distributed two-pass prefix sum
+  *                        ([[Relational.packSized]], q64/q144)
+  *   7. shard           — content-addressed deterministic export
+  *                        sharding over the packed bins
+  *                        ([[Relational.shuffleShard]], q103)
+  *
+  * Output: one row per training chunk —
+  * (doc_id, chunk_idx, n_tokens, ids_digest, bin_id, shard) — which
+  * pins end-to-end: WHICH docs survived selection (rows), the exact
+  * token stream (ids_digest, the q140 array-free digest convention),
+  * the chunk geometry, the pack assignment, and the export shard.
+  * Deterministic at every stage (content-addressed sampling, integer
+  * micro-unit thresholds, total-order tie-breaks), so the q164 DuckDB
+  * oracle replays the full chain and hash-matches.
+  *
+  * Scale notes (the 100-TB shape): the curated and selected corpora
+  * are persisted (MEMORY_AND_DISK) because each feeds several
+  * downstream scans (near-dup pipeline; BPE train + encode); every
+  * stage keeps its own documented scale shape — no stage added a
+  * global window, driver-side corpus collect, or all-pairs join that
+  * its standalone form doesn't have. The driver-side state is bounded:
+  * BPE vocab argmax rows (numMerges), mix thresholds (#groups), pack
+  * partition totals (#partitions), shard count (total tokens /
+  * packTokens / re-bin).
+  */
+object Pipeline {
+
+  /** Build a training corpus from raw documents; see the object doc.
+    * `documents` must carry (doc_id, text, lang, source, n_chars) —
+    * the documents-table contract shared by every curation operator.
+    */
+  def corpusBuild(
+      documents: DataFrame,
+      mixBudgetTokens: Long = 20000L,
+      chunkTokens: Int = 32,
+      packTokens: Long = 512L,
+      numMerges: Int = 8,
+      nShards: Int = 8,
+      neardupThreshold: Double = 0.7): DataFrame = {
+
+    // 1. curate: keep-list of doc_ids, then re-attach text (curate's
+    //    q52-stable output schema drops the text column)
+    val curated = Curation.curate(documents)
+    val curatedDocs = documents
+      .join(curated.select("doc_id"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 2. canonical near-dup resolution OVER THE CURATED CORPUS (the
+    //    exact-dup tier already ran inside curate; this is the fuzzy
+    //    tier). keep=1 rows ARE the near-dup-deduplicated corpus.
+    val canon = Dedup.resolveCanonical(curatedDocs,
+        Dedup.dupComponents(Dedup.minhashDupPairs(curatedDocs,
+          threshold = neardupThreshold, k = 64, bands = 32)))
+      .filter(col("keep") === 1L)
+      .select("doc_id")
+    val canonDocs = curatedDocs.join(canon, Seq("doc_id"))
+
+    // 3. temperature mix to the token budget (α = 0.5 √-share
+    //    flattening; content-addressed membership, so the selection
+    //    replays bit-for-bit in the oracle)
+    val selDocs = Relational.temperatureMix(canonDocs, col("doc_id"),
+        col("lang"), size(TextAnalysis.tokens(col("text"))),
+        mixBudgetTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 4. tokenizer trained on the SELECTED corpus (what a real pipeline
+    //    trains on — the tokenizer depends on every upstream stage),
+    //    then encode. trainMerges is eager driver-side argmax over
+    //    vocabulary aggregates (bounded), the q133 contract.
+    val merges = Bpe.trainMerges(selDocs, numMerges)
+    val enc = Bpe.encodeDocs(selDocs, merges)
+
+    // 5. chunk to the context window
+    val chunks = Bpe.chunkEncoded(enc, chunkTokens)
+      // a single synthetic long key gives the packer its total order
+      // (doc_id, chunk_idx); chunk counts are << 100k by construction
+      // (chunkEncoded output is ceil(n_tokens/chunkTokens) chunks)
+      .withColumn("ckey", col("doc_id") * 100000L + col("chunk_idx"))
+
+    // 6. pack chunks into fixed token-budget bins (two-pass prefix sum)
+    val bins = Relational.packSized(
+        chunks.select(col("ckey").as("doc_id"), col("n_tokens")),
+        packTokens)
+      .select(col("doc_id").as("ckey"), col("bin_id"))
+
+    // 7. shard the BINS (the export unit) content-addressed; the bin
+    //    relation is total-tokens/packTokens rows — broadcast-sized
+    val shards = Relational.shuffleShard(
+        bins.select("bin_id").distinct(), "bin_id", nShards)
+      .select("bin_id", "shard")
+
+    chunks
+      .join(bins, Seq("ckey"))
+      .join(F.broadcast(shards), Seq("bin_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_tokens"),
+        md5(array_join(transform(col("ids"), _.cast("string")), " "))
+          .as("ids_digest"),
+        col("bin_id"),
+        col("shard"))
+  }
+}

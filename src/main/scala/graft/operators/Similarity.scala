@@ -157,11 +157,18 @@ object Similarity {
     * vectors land in one bucket and ANN silently degrades to an
     * all-pairs candidate join. A dimension mismatch fails loudly
     * instead (per row, inside codegen — no extra pass over the data).
+    * NULL embeddings propagate null rather than falling into the
+    * mismatch branch (`size(null)` is null, the `=== dim` predicate is
+    * null, and an unguarded `otherwise` would throw a misleading
+    * dimension error on rows the rest of the family treats as simply
+    * unscorable).
     */
   private def checkedDim(emb: Column, dim: Int): Column =
-    when(size(emb) === dim, emb).otherwise(raise_error(concat(
-      lit("portable LSH family: embedding has "),
-      size(emb).cast("string"), lit(s" components, expected $dim"))))
+    when(emb.isNull, emb)
+      .when(size(emb) === dim, emb)
+      .otherwise(raise_error(concat(
+        lit("portable LSH family: embedding has "),
+        size(emb).cast("string"), lit(s" components, expected $dim"))))
 
   /** One table's portable sign-LSH signature: bit p =
     * [Σ_d qv[d]·w(table·bits+p, d) > 0] over the quantized vector and
@@ -806,7 +813,10 @@ object Similarity {
     // one top-1 job fetches (vec_id, embedding) together — a separate
     // lowestIdSeeds + id fetch would scan the corpus twice for one row
     val first = embeddings.orderBy("vec_id").limit(1)
-      .select(col("vec_id"), col("embedding")).collect().head
+      .select(col("vec_id"), col("embedding")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: corpus has fewer than $k vectors " +
+        "(k-means|| seeding needs a non-empty embeddings input)"))
     var cands: Array[Array[Double]] =
       Array(first.getSeq[Float](1).map(_.toDouble).toArray)
     var candIds: Seq[Long] = Seq(first.getLong(0))

@@ -108,6 +108,41 @@ object Sketches {
       mod: Int): Column =
     md5Long(prefix, i, v) % mod
 
+  /** All `n` bucket indices of a value from ONE md5 — Kirsch–
+    * Mitzenmacher double hashing (bucket_i = (h1 + i·h2) mod `mod`)
+    * over the two 60-bit sub-words of md5(prefix‖v), with h2 forced
+    * odd (`| 1`) so the probe sequence never degenerates to a single
+    * bucket and is a full cycle mod any even table size. Replaces the
+    * per-index md5 family that cost depth (CMS) / k (bloom) full md5
+    * evaluations per ROW — at sf0.1 that multiplier was 11–19× the
+    * native sketch latency (round-9 bench). Overflow-safe by
+    * construction: h1, h2 < 2⁶⁰ and i ≤ 6, so h1 + i·h2 < 7·2⁶⁰ < 2⁶³.
+    * Exactly replayable in DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`
+    * and the same integer chain.
+    *
+    * Split as a DataFrame stage ([[kmWords]]) + a cheap per-index
+    * column ([[kmBucket]]) rather than one array-of-everything
+    * expression: the array feeds a Generate (explode), and GenerateExec
+    * does NOT subexpression-eliminate its generator input — an inline
+    * form re-evaluated the md5 and both convs per index, measurably
+    * SLOWER than the per-index-md5 family it replaced. As separate
+    * projections the md5/conv attributes are each referenced more than
+    * once downstream, so CollapseProject leaves them materialized and
+    * each row pays exactly one md5 + two convs.
+    */
+  private def kmWords(df: DataFrame, prefix: String,
+      v: Column): DataFrame =
+    df.withColumn("__kmh", md5(concat(lit(prefix), v)))
+      .withColumn("__kmh1",
+        conv(substring(col("__kmh"), 1, 15), 16, 10).cast("long"))
+      .withColumn("__kmh2",
+        conv(substring(col("__kmh"), 16, 15), 16, 10).cast("long")
+          .bitwiseOR(lit(1L)))
+
+  /** Bucket index i over [[kmWords]] output: (h1 + i·h2) mod `mod`. */
+  private def kmBucket(i: Int, mod: Int): Column =
+    (col("__kmh1") + lit(i.toLong) * col("__kmh2")) % mod
+
   /** The raw 60-bit md5-derived integer under hash index `i` — the
     * uniform word the HLL rank reads leading zeros from.
     */
@@ -131,11 +166,10 @@ object Sketches {
     */
   def cmsTablePortable(df: DataFrame, colName: String,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame =
-    df.select(col(colName).cast("string").as("v"))
-      .filter(col("v").isNotNull)
+    kmWords(df.select(col(colName).cast("string").as("v"))
+        .filter(col("v").isNotNull), "cms_", col("v"))
       .select(posexplode(array((0 until depth).map(i =>
-        md5Bucket("cms_", i, col("v"), width)): _*))
-        .as(Seq("row_i", "bucket")))
+        kmBucket(i, width)): _*)).as(Seq("row_i", "bucket")))
       .groupBy("row_i", "bucket")
       .agg(count(lit(1)).as("cell"))
 
@@ -149,10 +183,10 @@ object Sketches {
       colName: String, keys: Seq[String], depth: Int = CmsDepth,
       width: Int = CmsWidth): DataFrame = {
     import spark.implicits._
-    val probes = keys.toDF("key")
-      .select(col("key"), posexplode(array((0 until depth).map(i =>
-        md5Bucket("cms_", i, col("key"), width)): _*))
-        .as(Seq("row_i", "bucket")))
+    val probes = kmWords(keys.toDF("key"), "cms_", col("key"))
+      .select(col("key"),
+        posexplode(array((0 until depth).map(i =>
+          kmBucket(i, width)): _*)).as(Seq("row_i", "bucket")))
     probes
       .join(broadcast(cmsTablePortable(df, colName, depth, width)),
         Seq("row_i", "bucket"), "left")
@@ -168,10 +202,10 @@ object Sketches {
     */
   def bloomBitsPortable(df: DataFrame, colName: String,
       m: Int = BloomBits, k: Int = BloomHashes): DataFrame =
-    df.select(col(colName).cast("string").as("v"))
-      .filter(col("v").isNotNull)
+    kmWords(df.select(col(colName).cast("string").as("v"))
+        .filter(col("v").isNotNull), "bloom_", col("v"))
       .select(explode(array((0 until k).map(j =>
-        md5Bucket("bloom_", j, col("v"), m)): _*)).as("pos"))
+        kmBucket(j, m)): _*)).as("pos"))
       .distinct()
 
   /** A12, portable form: bloom membership for `candidates` — a
@@ -185,9 +219,11 @@ object Sketches {
       colName: String, candidates: Seq[String], m: Int = BloomBits,
       k: Int = BloomHashes): DataFrame = {
     import spark.implicits._
-    val probes = candidates.toDF("candidate")
-      .select(col("candidate"), explode(array((0 until k).map(j =>
-        md5Bucket("bloom_", j, col("candidate"), m)): _*)).as("pos"))
+    val probes = kmWords(candidates.toDF("candidate"), "bloom_",
+        col("candidate"))
+      .select(col("candidate"),
+        explode(array((0 until k).map(j =>
+          kmBucket(j, m)): _*)).as("pos"))
       .distinct()
     probes
       .join(broadcast(bloomBitsPortable(df, colName, m, k)
@@ -303,8 +339,15 @@ object Sketches {
   def hllOverlapPortable(a: DataFrame, b: DataFrame, valueCol: String,
       groupCol: String, m: Int = HllRegs): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // materialize each corpus's register relation (≤ #groups·m rows —
+    // tiny) before deriving est_a/est_b/est_union: regsA/regsB each
+    // feed both an est() and the union, and without the checkpoint
+    // Spark recomputes the full corpus scan for every consumer —
+    // breaking the documented "one pass per corpus" triage shape
     val regsA = hllRegistersPortable(a, valueCol, groupCol, m)
+      .localCheckpoint(true)
     val regsB = hllRegistersPortable(b, valueCol, groupCol, m)
+      .localCheckpoint(true)
     val regsU = regsA.unionByName(regsB)
       .groupBy("key", "j").agg(max(col("r")).as("r"))
     def est(regs: DataFrame, name: String) =

@@ -350,22 +350,26 @@ object TextAnalysis {
     * NULLS LAST, so leaving them in the ntile would silently shift
     * every tercile boundary between engines.
     *
-    * One window, partitioned by lang — per-partition sort of the
-    * CANDIDATE set only (the reference side never enters the window),
-    * which is the scored-batch size, not the corpus.
+    * One window, partitioned by (lang, nll IS NULL) — per-partition
+    * sort of the CANDIDATE set only (the reference side never enters
+    * the window), which is the scored-batch size, not the corpus. The
+    * null-flag in the partition key is what keeps this a SINGLE pass:
+    * unscorable docs sort into their own window partition (so tercile
+    * boundaries over the scorable rows are untouched) and a `when`
+    * overrides their label — the earlier filter-twice-and-union shape
+    * executed the whole reference-LM scoring pipeline twice per call.
     */
   def perplexityBuckets(refDocs: DataFrame,
       candidates: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = candidates.select(col("doc_id"), col("lang"))
       .join(crossPerplexity(refDocs, candidates), Seq("doc_id"))
-    val w = Window.partitionBy("lang")
+    val w = Window.partitionBy(col("lang"), col("nll").isNull)
       .orderBy(col("nll").asc, col("doc_id").asc)
     val names = typedLit(Seq("head", "middle", "tail"))
-    scored.filter(col("nll").isNotNull)
-      .withColumn("bucket", element_at(names, ntile(3).over(w)))
-      .unionByName(scored.filter(col("nll").isNull)
-        .withColumn("bucket", lit("unscored")))
+    scored.withColumn("bucket",
+      when(col("nll").isNull, lit("unscored"))
+        .otherwise(element_at(names, ntile(3).over(w))))
   }
 
   /** DSIR-style importance weights (Xie et al., NeurIPS 2023, with the
