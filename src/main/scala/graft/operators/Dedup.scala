@@ -1725,6 +1725,45 @@ object Dedup {
       table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
   }
 
+  /** Create an EMPTY winnowing index (spec first) if absent — the
+    * bootstrap twin of [[ensureNearDupIndex]] for streaming pipelines
+    * that screen against the index from the first micro-batch. No-op
+    * when the table exists (the spec guard still applies on use).
+    */
+  def ensureWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, k: Int = 4, w: Int = 5, buckets: Int = 32): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      import spark.implicits._
+      graft.sources.IndexSpec.write(
+        Seq((k, w, buckets)).toDF("k", "w", "buckets"), table)
+      graft.sources.Sinks.saveTablePartitioned(
+        Seq.empty[(Long, Long)].toDF("corpus_id", "fp"),
+        table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
+    }
+
+  /** [[appendWinnowIndex]] for rows that are ALREADY (corpus_id, fp)
+    * fingerprints — the store→index fold path, where the streaming
+    * ingest's fingerprint store holds the selected hashes and
+    * re-winnowing the text would defeat the store's purpose. Anti-joins
+    * on corpus_id against the index first, so a crashed-and-rerun fold
+    * appends nothing the second time — fold idempotence, the
+    * [[appendBandRows]] recipe. The geometry params are asserted
+    * against the spec: rows winnowed at different (k, w) would plant
+    * unmatchable hashes.
+    */
+  def appendWinnowRows(fpRows: DataFrame, table: String, k: Int = 4,
+      w: Int = 5): Unit = {
+    val spark = fpRows.sparkSession
+    val buckets = requireWinnowSpec(spark, table, k, w)
+    graft.sources.Sinks.appendTablePartitioned(
+      fpRows.select(col("corpus_id").cast("long").as("corpus_id"),
+          col("fp").cast("long").as("fp"))
+        .distinct()
+        .join(spark.table(table).select("corpus_id").distinct(),
+          Seq("corpus_id"), "left_anti"),
+      table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
+  }
+
   /** Shared-passage containment screen for a crawl batch: (new_id,
     * corpus_id, n_shared) for every batch document sharing ≥ `minShared`
     * distinct fingerprints with a corpus document — contamination /

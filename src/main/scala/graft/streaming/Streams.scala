@@ -980,6 +980,124 @@ object Streams {
       }
       .start()
 
+  /** The WINNOWING tier of the deduped ingest family — the passage-
+    * level sixth modality beside exact / bloom / simhash / minhash /
+    * semantic: each micro-batch's documents are screened by SHARED
+    * SELECTED FINGERPRINTS ([[graft.operators.Dedup.winnowingFingerprints]],
+    * the MOSS scheme) against a batch_id-partitioned fingerprint store
+    * plus an optional persisted winnow index — so a document that
+    * REUSES A PASSAGE (quotation, boilerplate splice, partial copy)
+    * from any prior landed or indexed document is dropped at crawl
+    * time, a containment case the whole-doc similarity tiers
+    * structurally miss (a long doc quoting a short one has low global
+    * Jaccard). The screen is [[graft.operators.Dedup.probeWinnowIndex]]'s
+    * exact shape: posting-list join on fp, the df ≤ `maxDf` boilerplate
+    * cut derived from matched rows, pair hit at ≥ `minShared` distinct
+    * shared hashes. No text re-read — fingerprints alone decide.
+    *
+    * Same idempotent-per-batch recipe as every tier: in-batch exact
+    * self-dups collapse first (two DISTINCT passage-sharers in one
+    * batch both survive — in-batch passage analysis is
+    * [[graft.operators.Dedup.winnowingMatches]]'s job upstream); store
+    * and output reads exclude the batch's own prior attempt; survivors
+    * and their fingerprints land via dynamic partition overwrite. Fold
+    * discipline: [[foldWinnowStore]], probing BOTH until the next fold.
+    */
+  def winnowIngestBatch(batch: DataFrame, batchId: Long, outDir: String,
+      fpDir: String, indexTable: Option[String] = None,
+      minShared: Int = 2, maxDf: Int = 64, k: Int = 4,
+      w: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fpCol = "__fp_ingest"
+    val self = selfDedupBatch(batch, fpCol, "winnowIngestBatch").drop(fpCol)
+    val myFps = graft.operators.Dedup
+      .winnowingFingerprints(self, k, w)
+      .select("doc_id", "fp").distinct()
+    def emptyFps = Seq.empty[(Long, Long)].toDF("doc_id", "fp")
+    val storeFps =
+      try spark.read.parquet(fpDir)
+        .filter(col("batch_id") =!= batchId)
+        .select("doc_id", "fp")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => emptyFps
+      }
+    val priorFps = indexTable.map { t =>
+      require(spark.catalog.tableExists(t),
+        s"winnowIngestBatch: index table $t does not exist — bootstrap " +
+          "it with Dedup.ensureWinnowIndex at pipeline setup")
+      storeFps.unionByName(spark.table(t)
+        .select(col("corpus_id").as("doc_id"), col("fp")))
+    }.getOrElse(storeFps)
+    // probeWinnowIndex's screen verbatim: dedupe (replayed appends may
+    // duplicate posting rows), boilerplate df cut from the matched rows
+    // themselves, pair hit at >= minShared distinct shared hashes
+    val hits = myFps.select(col("doc_id").as("new_id"), col("fp"))
+      .join(priorFps.select(col("doc_id").as("prior_id"), col("fp")),
+        Seq("fp"))
+      .dropDuplicates("new_id", "prior_id", "fp")
+    val keepFp = hits.groupBy("fp")
+      .agg(countDistinct(col("prior_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val dropped = hits.join(keepFp, Seq("fp"))
+      .groupBy("new_id", "prior_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("new_id").as("doc_id")).distinct()
+    val survivors = self.join(dropped, Seq("doc_id"), "left_anti")
+    writeBatchIdempotent(survivors, batchId, outDir)
+    myFps.join(survivors.select("doc_id"), Seq("doc_id"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(fpDir)
+  }
+
+  /** Streaming winnowing-tier ingest — [[startDedupedIngest]] with the
+    * shared-passage screen of [[winnowIngestBatch]].
+    */
+  def startWinnowIngest(docs: DataFrame, outDir: String, fpDir: String,
+      checkpoint: String, indexTable: Option[String] = None,
+      minShared: Int = 2, maxDf: Int = 64): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        winnowIngestBatch(b, id, outDir, fpDir, indexTable,
+          minShared, maxDf)
+      }
+      .start()
+
+  /** [[foldFingerprintStore]]'s winnowing-tier twin: fold the
+    * fingerprint store's committed batch partitions into the bucketed
+    * [[graft.operators.Dedup.buildWinnowIndex]] table form. Identical
+    * newest-partition-kept replay argument; crash-mid-fold idempotence
+    * comes from [[graft.operators.Dedup.appendWinnowRows]]' corpus_id
+    * anti-join. Geometry (k, w) is asserted against the index spec so a
+    * mismatched fold fails loudly instead of planting unmatchable
+    * hashes.
+    */
+  def foldWinnowStore(spark: SparkSession, fpDir: String,
+      indexTable: String, k: Int = 4, w: Int = 5): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = storeBatchIds(fs, dir)
+    if (parts.size <= 1) return Nil
+    val keep = parts.max
+    val foldable = parts.filter(_ != keep)
+    graft.operators.Dedup.ensureWinnowIndex(spark, indexTable, k, w)
+    graft.operators.Dedup.appendWinnowRows(
+      spark.read.parquet(fpDir).filter(col("batch_id") < keep)
+        .select(col("doc_id").as("corpus_id"), col("fp")),
+      indexTable, k, w)
+    foldable.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    foldable
+  }
+
   /** [[foldFingerprintStore]]'s semantic-tier twin: fold the vector
     * store's batch partitions into the cell-partitioned persisted IVF
     * index. Identical newest-partition-kept replay argument; crash-mid-
@@ -1042,15 +1160,34 @@ object Streams {
     * to the deduped ingest. Candidates come out of
     * [[mergedHeavyHitters]] whenever asked; nothing rescans history.
     */
+  /** `foldEvery = Some(n)` wires [[foldHeavyHitterStore]] into the
+    * running stream: every n-th micro-batch compacts the store inline
+    * (after its own summary lands), so an operator who never calls the
+    * fold manually still gets an O(k) store at any stream age instead
+    * of one summary partition per micro-batch forever. Safe under
+    * replay: the fold is the crash-safe epoch protocol and always
+    * leaves the newest partition unfolded, so a re-delivered batch
+    * rewrites its own partition and the re-run fold is a no-op or a
+    * fresh epoch — answers are unchanged either way (the mergeable-
+    * summaries bound; asserted in StreamingSpec).
+    */
   def startHeavyHitterStream(df: DataFrame, colName: String, k: Int,
-      storeDir: String, checkpoint: String): StreamingQuery =
+      storeDir: String, checkpoint: String,
+      foldEvery: Option[Int] = None): StreamingQuery = {
+    foldEvery.foreach(n => require(n > 0,
+      s"startHeavyHitterStream: foldEvery must be positive, got $n"))
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         heavyHitterBatch(b, id, colName, k, storeDir)
+        if (foldEvery.exists(n => (id + 1) % n == 0)) {
+          foldHeavyHitterStore(b.sparkSession, storeDir, k)
+          ()
+        }
       }
       .start()
+  }
 
   /** Merge the per-batch summary store into the stream-lifetime heavy
     * hitters: entrywise count sums (one tiny aggregate over ≤ 2k+1 rows
@@ -1252,16 +1389,28 @@ object Streams {
     * partition, the fourth member of the mergeable-summary stream
     * family (exact stats / HLL distincts / heavy hitters / quantiles).
     */
+  /** `foldEvery = Some(n)` compacts the store inline every n-th
+    * micro-batch ([[foldHistogramStore]]) — same contract as the
+    * heavy-hitter tier's option, and here the fold is EXACT, so inline
+    * compaction cannot change any answer at any point.
+    */
   def startHistogramStream(df: DataFrame, valueCol: String,
       keyCol: String, storeDir: String, checkpoint: String,
-      sigBits: Int = 4): StreamingQuery =
+      sigBits: Int = 4, foldEvery: Option[Int] = None): StreamingQuery = {
+    foldEvery.foreach(n => require(n > 0,
+      s"startHistogramStream: foldEvery must be positive, got $n"))
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         histogramBatch(b, id, valueCol, keyCol, storeDir, sigBits)
+        if (foldEvery.exists(n => (id + 1) % n == 0)) {
+          foldHistogramStore(b.sparkSession, storeDir)
+          ()
+        }
       }
       .start()
+  }
 
   /** Stream-lifetime per-key quantiles off the store: bucket-wise SUM
     * over every live partition — EXACT, because the histogram of a

@@ -1280,4 +1280,158 @@ class StreamingSpec extends SparkSpec {
       out should include("word")
     } finally q.stop()
   }
+
+  test("foldEvery: heavy-hitter stream self-compacts to O(k) with no manual fold") {
+    import graft.operators.Sketches
+    val heavy = Seq.fill(400)("a") ++ Seq.fill(250)("b")
+    val noise = (0 until 150).map(i => f"n$i%03d")
+    val all = new scala.util.Random(11).shuffle(heavy ++ noise)
+    val full = all.toDF("value")
+    val expected = rowSet(Sketches.heavyHitters(full, "value", 1.0 / 8))
+    expected.map(_.head) shouldBe Set("a", "b")
+    val store = tmp("hh-foldevery"); new java.io.File(store).delete()
+    val in = MemoryStream[String]
+    val q = Streams.startHeavyHitterStream(in.toDF(), "value", 8,
+      store, tmp("hh-foldevery-ck"), foldEvery = Some(2))
+    try {
+      // 10 micro-batches; the stream folds itself every 2nd batch —
+      // NO manual foldHeavyHitterStore call anywhere in this test
+      all.grouped(80).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // O(k) bound at stream end: one <= k+1-row fold partition + at
+    // most foldEvery unfolded batch summaries of <= 2k+1 rows each
+    spark.read.parquet(store).count() should be <= (9 + 2 * 17).toLong
+    rowSet(Streams.mergedHeavyHitters(spark, store, 8, full, "value",
+      1.0 / 8)) shouldBe expected
+  }
+
+  test("foldEvery: histogram stream self-compacts; quantiles unchanged") {
+    import graft.operators.Sketches
+    val vals = (1 to 600).map(i => ("g", (i * 37 % 500).toLong + 1))
+    val full = vals.toDF("k", "v")
+    val expected = rowSet(Sketches.quantileEstimates(
+      Sketches.histogramBuckets(full, "v", "k"), Seq(50, 90, 99)))
+    val store = tmp("qh-foldevery"); new java.io.File(store).delete()
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.startHistogramStream(
+      in.toDF().toDF("k", "v"), "v", "k",
+      store, tmp("qh-foldevery-ck"), foldEvery = Some(3))
+    try {
+      vals.grouped(60).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the exact fold: answers identical to the single-pass batch chain
+    rowSet(Streams.streamQuantiles(spark, store,
+      Seq(50, 90, 99))) shouldBe expected
+    // self-compacted: far fewer partitions live than the 10 batches
+    // written (one fold partition + <= foldEvery unfolded batches)
+    val dir = new org.apache.hadoop.fs.Path(store)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).map(_.getPath.getName)
+      .count(_.startsWith("batch_id=")) should be <= 4
+  }
+
+  /** A 30-token passage spliced into otherwise-disjoint documents:
+    * global Jaccard ≈ 0.27 (< the minhash tier's 0.7 — whole-doc
+    * similarity admits the splice) while the shared passage winnows to
+    * well over minShared selected fingerprints.
+    */
+  private def passageTexts: (String, String) = {
+    val passage = (0 until 30).map(i => s"p$i").mkString(" ")
+    val textA = passage + " " + (0 until 40).map(i => s"a$i").mkString(" ")
+    val textB = (0 until 40).map(i => s"b$i").mkString(" ") + " " + passage
+    (textA, textB)
+  }
+
+  test("winnow-tier ingest screens a passage splice the minhash tier admits") {
+    val (textA, textB) = passageTexts
+    val b0 = Seq((1L, textA)).toDF("doc_id", "text")
+    val b1 = Seq((2L, textB),
+      (3L, "fresh " + (0 until 60).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // minhash tier: global Jaccard far below 0.7 -> the splice LANDS
+    val (outM, band) = (tmp("wn-mh-out"), tmp("wn-mh-band"))
+    Seq(outM, band).foreach(d => new java.io.File(d).delete())
+    Streams.minhashIngestBatch(b0, 0L, outM, band)
+    Streams.minhashIngestBatch(b1, 1L, outM, band)
+    spark.read.parquet(outM).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(1L, 2L, 3L)
+    // winnow tier: shared selected fingerprints -> the splice SCREENED
+    val (out, fps) = (tmp("wn-out"), tmp("wn-fp"))
+    Seq(out, fps).foreach(d => new java.io.File(d).delete())
+    Streams.winnowIngestBatch(b0, 0L, out, fps)
+    Streams.winnowIngestBatch(b1, 1L, out, fps)
+    def landed() = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    landed() shouldBe Seq(1L, 3L)
+    // engine re-delivery of batch 1: partition rewrites, same answer
+    Streams.winnowIngestBatch(b1, 1L, out, fps)
+    landed() shouldBe Seq(1L, 3L)
+    // the fingerprint store holds rows only for LANDED docs
+    spark.read.parquet(fps).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq shouldBe Seq(1L, 3L)
+  }
+
+  test("winnow-tier ingest probes a persisted corpus index (probe-both)") {
+    import graft.operators.Dedup
+    val (textA, textB) = passageTexts
+    val corpus = Seq((100L, textA)).toDF("doc_id", "text")
+    val idx = s"wn_ingest_idx_${System.nanoTime()}"
+    Dedup.buildWinnowIndex(corpus, idx)
+    val (out, fps) = (tmp("wn-idx-out"), tmp("wn-idx-fp"))
+    Seq(out, fps).foreach(d => new java.io.File(d).delete())
+    // batch 0: a passage splice from a CORPUS doc (index hit, store
+    // empty) plus a fresh doc
+    val b0 = Seq((2L, textB),
+      (3L, "fresh " + (0 until 60).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Streams.winnowIngestBatch(b0, 0L, out, fps, Some(idx))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(3L)
+    // batch 1: a repost of batch 0's landed doc (STORE hit)
+    val b1 = Seq((4L, "fresh " + (0 until 60).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Streams.winnowIngestBatch(b1, 1L, out, fps, Some(idx))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(3L)
+    // a mistyped index table fails loudly, never skips the screen
+    an[IllegalArgumentException] should be thrownBy
+      Streams.winnowIngestBatch(b1, 2L, out, fps, Some("wn_no_such_table"))
+  }
+
+  test("winnow store→index fold: screen unchanged, crash-rerun converges") {
+    import graft.operators.Dedup
+    val (textA, textB) = passageTexts
+    val idx = s"wn_fold_idx_${System.nanoTime()}"
+    Dedup.ensureWinnowIndex(spark, idx)
+    val (out, fps) = (tmp("wn-fold-out"), tmp("wn-fold-fp"))
+    Seq(out, fps).foreach(d => new java.io.File(d).delete())
+    Streams.winnowIngestBatch(
+      Seq((10L, textA)).toDF("doc_id", "text"), 0L, out, fps, Some(idx))
+    Streams.winnowIngestBatch(
+      Seq((11L, "other " + (0 until 50).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text"), 1L, out, fps, Some(idx))
+    // fold everything below the newest batch into the index
+    Streams.foldWinnowStore(spark, fps, idx) shouldBe Seq(0L)
+    spark.table(idx).select("corpus_id").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(10L)
+    // the screen is unchanged across the fold: a passage splice of the
+    // FOLDED doc is still dropped (index hit now, store hit before)
+    Streams.winnowIngestBatch(
+      Seq((12L, textB)).toDF("doc_id", "text"), 2L, out, fps, Some(idx))
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq shouldBe Seq(10L, 11L)
+    // crash between append and cleanup: the re-run append is a no-op
+    // (corpus_id anti-join) — no duplicate posting rows ever
+    Dedup.appendWinnowRows(
+      spark.read.parquet(fps)
+        .select(col("doc_id").as("corpus_id"), col("fp")), idx)
+    spark.table(idx).groupBy("corpus_id", "fp").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
 }
