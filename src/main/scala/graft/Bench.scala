@@ -240,7 +240,26 @@ object Bench {
     */
   private[graft] def jsonObj(s: String, key: String): String = {
     val tag = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
-    val m = tag.findFirstMatchIn(s)
+    // the tag locator must be string-aware like the brace scanner
+    // below: an error message VALUE containing the literal text
+    // `"queries":{` would otherwise hijack the extraction — the same
+    // disarmed-guard failure class the whitespace fix addressed
+    val insideStr = {
+      val a = new Array[Boolean](s.length)
+      var in = false; var esc = false; var i = 0
+      while (i < s.length) {
+        a(i) = in
+        val c = s.charAt(i)
+        if (in) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') in = false
+        } else if (c == '"') in = true
+        i += 1
+      }
+      a
+    }
+    val m = tag.findAllMatchIn(s).find(mm => !insideStr(mm.start))
     if (m.isEmpty) return ""
     val start = m.get.end
     var depth = 1; var j = start; var inStr = false; var esc = false

@@ -2035,33 +2035,13 @@ object SparkEntry {
          FROM f WHERE fi % 4 = 0 AND n - fi * 64 > 0
          ORDER BY doc_id, frame_idx""",
 
+    // ONE copy of the curation gate chain (shared with q164's
+    // composition) — two hand-synced copies would let the stage and
+    // the pipeline silently gate different corpora
     "q52_curate" ->
-      """WITH t AS (SELECT doc_id, lang, source, n_chars,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
-           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-         FROM documents),
-         f AS (SELECT doc_id, lang, source, n_chars, fp,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS s_en,
-           len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS s_es,
-           len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS s_fr,
-           len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS s_de,
-           len(list_filter(toks, x -> x IN ('的','是','了','在'))) AS s_zh
-         FROM t),
-         p AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m FROM f),
-         l AS (SELECT doc_id, lang, source, n_chars, fp, n_tokens,
-           CASE WHEN m = 0 THEN 'unknown'
-                WHEN s_en = m THEN 'en' WHEN s_es = m THEN 'es'
-                WHEN s_fr = m THEN 'fr' WHEN s_de = m THEN 'de'
-                ELSE 'zh' END AS predicted_lang
-         FROM p),
-         k AS (SELECT * FROM l
-           WHERE n_tokens BETWEEN 30 AND 120
-             AND predicted_lang IN ('en', 'unknown')),
-         d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
-           AS rn FROM k)
+      s"""WITH ${curateCtesFor("documents", "")}
          SELECT doc_id, lang, source, n_chars, n_tokens, predicted_lang
-         FROM d WHERE rn = 1 ORDER BY doc_id""",
+         FROM cur ORDER BY doc_id""",
 
     "q53_curation_funnel" ->
       """WITH t AS (SELECT

@@ -512,7 +512,15 @@ object Stress {
           "zh" -> 400000L))),
       // temperature mix: same two-pass shape, √T shares derived in-plan
       time("temperatureMix")(Relational.temperatureMix(docs,
-        col("doc_id"), col("lang"), col("n_chars"), 5000000L)))
+        col("doc_id"), col("lang"), col("n_chars"), 5000000L)),
+      // the END-TO-END corpus build (q164's engine path) over the 20×
+      // adversarially-duplicated corpus: curate + near-dup resolution +
+      // temperature mix + BPE train/encode + chunk + pack + shard in
+      // one call — the composition's cost at scale is the number that
+      // matters, since every stage is individually timed above.
+      // Budget scaled so the mix keeps a real selection (not all/none).
+      time("corpusBuild")(Pipeline.corpusBuild(docs,
+        mixBudgetTokens = 400000L)))
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")

@@ -1701,7 +1701,8 @@ object Dedup {
       table, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
   }
 
-  private def requireWinnowSpec(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def requireWinnowSpec(
+      spark: org.apache.spark.sql.SparkSession,
       table: String, k: Int, w: Int): Int = {
     val spec = graft.sources.IndexSpec.readRequired(spark, table)
     require(spec.getInt(0) == k && spec.getInt(1) == w,

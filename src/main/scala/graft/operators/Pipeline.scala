@@ -96,12 +96,28 @@ object Pipeline {
     val merges = Bpe.trainMerges(selDocs, numMerges)
     val enc = Bpe.encodeDocs(selDocs, merges)
 
-    // 5. chunk to the context window
+    // 5. chunk to the context window. Persisted because THREE jobs
+    //    consume it (packSized's two-pass prefix sum collects partition
+    //    totals eagerly, shuffleShard's zipWithIndex runs its own
+    //    offsets job, and the final join materializes the rows) — each
+    //    would otherwise replay the whole BPE encode join chain
+    //    (packSized's scaladoc: persist the sized projection when the
+    //    upstream is expensive).
     val chunks = Bpe.chunkEncoded(enc, chunkTokens)
       // a single synthetic long key gives the packer its total order
-      // (doc_id, chunk_idx); chunk counts are << 100k by construction
-      // (chunkEncoded output is ceil(n_tokens/chunkTokens) chunks)
-      .withColumn("ckey", col("doc_id") * 100000L + col("chunk_idx"))
+      // (doc_id, chunk_idx); the packing bound is asserted per row —
+      // a >= 100k-chunk document (3.2M tokens at the default window)
+      // or a negative doc_id would silently collide keys, corrupting
+      // pack order and fanning out the join back
+      .withColumn("ckey",
+        when(col("chunk_idx") < 100000 && col("doc_id") >= 0,
+          col("doc_id") * 100000L + col("chunk_idx"))
+          .otherwise(raise_error(concat(
+            lit("corpusBuild: chunk key packing bound exceeded "),
+            lit("(doc_id="), col("doc_id").cast("string"),
+            lit(", chunk_idx="), col("chunk_idx").cast("string"),
+            lit(") — need doc_id >= 0 and < 100000 chunks/doc")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 6. pack chunks into fixed token-budget bins (two-pass prefix sum)
     val bins = Relational.packSized(

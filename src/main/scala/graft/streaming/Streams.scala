@@ -1009,6 +1009,12 @@ object Streams {
       w: Int = 5): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // the store's fingerprints are only meaningful at ONE winnowing
+    // geometry: assert before reading (a restart at different (k, w)
+    // would join nothing against the stored hashes and lose the whole
+    // screen silently); the stamp itself lands after the write below
+    assertWinnowGeometry(spark, fpDir, k, w, "winnowIngestBatch",
+      stamp = false)
     val fpCol = "__fp_ingest"
     val self = selfDedupBatch(batch, fpCol, "winnowIngestBatch").drop(fpCol)
     val myFps = graft.operators.Dedup
@@ -1027,6 +1033,10 @@ object Streams {
       require(spark.catalog.tableExists(t),
         s"winnowIngestBatch: index table $t does not exist — bootstrap " +
           "it with Dedup.ensureWinnowIndex at pipeline setup")
+      // same guard probeWinnowIndex applies: an index built at a
+      // different (k, w) holds hashes this batch's fingerprints can
+      // never join — the screen would silently vanish
+      graft.operators.Dedup.requireWinnowSpec(spark, t, k, w)
       storeFps.unionByName(spark.table(t)
         .select(col("corpus_id").as("doc_id"), col("fp")))
     }.getOrElse(storeFps)
@@ -1054,22 +1064,54 @@ object Streams {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(fpDir)
+    assertWinnowGeometry(spark, fpDir, k, w, "winnowIngestBatch",
+      stamp = true)
   }
 
   /** Streaming winnowing-tier ingest — [[startDedupedIngest]] with the
-    * shared-passage screen of [[winnowIngestBatch]].
+    * shared-passage screen of [[winnowIngestBatch]]. `k`/`w` must match
+    * the index the stream probes (asserted per batch against its spec).
     */
   def startWinnowIngest(docs: DataFrame, outDir: String, fpDir: String,
       checkpoint: String, indexTable: Option[String] = None,
-      minShared: Int = 2, maxDf: Int = 64): StreamingQuery =
+      minShared: Int = 2, maxDf: Int = 64, k: Int = 4,
+      w: Int = 5): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
         winnowIngestBatch(b, id, outDir, fpDir, indexTable,
-          minShared, maxDf)
+          minShared, maxDf, k, w)
       }
       .start()
+
+  /** The fingerprint store's geometry stamp: a `_winnow_k<k>_w<w>`
+    * marker created on first use and asserted ever after, by both the
+    * ingest and the fold — fingerprints winnowed at one (k, w) are
+    * permanently unmatchable under another, so a geometry change must
+    * be a loud restart with a fresh store, never a silent screen loss.
+    */
+  private def assertWinnowGeometry(spark: SparkSession, fpDir: String,
+      k: Int, w: Int, caller: String, stamp: Boolean): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mine = s"_winnow_k${k}_w$w"
+    // a store that doesn't exist yet has no geometry to protect — and
+    // must NOT be created here, or the first batch's empty-store read
+    // would see an existing-but-empty directory instead of the
+    // PATH_NOT_FOUND its bootstrap path handles
+    if (!fs.exists(dir)) return
+    val markers = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_winnow_k"))
+    if (markers.isEmpty) {
+      if (stamp)
+        fs.create(new org.apache.hadoop.fs.Path(dir, mine), true).close()
+    } else require(markers == Seq(mine),
+      s"$caller: fingerprint store $fpDir was written at geometry " +
+        s"${markers.mkString(",")} but this call uses $mine — " +
+        "mismatched winnowing geometry joins nothing and loses the " +
+        "screen silently; use the original (k, w) or a fresh store")
+  }
 
   /** [[foldFingerprintStore]]'s winnowing-tier twin: fold the
     * fingerprint store's committed batch partitions into the bucketed
@@ -1086,6 +1128,11 @@ object Streams {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = storeBatchIds(fs, dir)
     if (parts.size <= 1) return Nil
+    // the store stamp proves the ROWS' geometry, the index spec proves
+    // the TARGET's — both must equal this call's (k, w) or folded
+    // history becomes permanently unmatchable in the index
+    assertWinnowGeometry(spark, fpDir, k, w, "foldWinnowStore",
+      stamp = true)
     val keep = parts.max
     val foldable = parts.filter(_ != keep)
     graft.operators.Dedup.ensureWinnowIndex(spark, indexTable, k, w)

@@ -47,6 +47,13 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.jsonObj(s, "errors") should include ("boom")
   }
 
+  test("jsonObj ignores a tag lookalike inside a string value") {
+    // an error VALUE quoting an artifact line must not hijack the
+    // extraction when keys are reordered ('errors' before 'queries')
+    val s = """{"errors":{"q9":"failed parsing \"queries\":{\"q0\":9.9}"},"queries":{"q1":2.0}}"""
+    Bench.parseQueryMap(s) shouldBe Map("q1" -> 2.0)
+  }
+
   test("the committed quiet reference parses to a non-empty map") {
     val p = java.nio.file.Paths.get("bench_quiet.json")
     assume(java.nio.file.Files.exists(p))

@@ -1434,4 +1434,38 @@ class StreamingSpec extends SparkSpec {
     spark.table(idx).groupBy("corpus_id", "fp").count()
       .filter(col("count") > 1).count() shouldBe 0L
   }
+
+  test("winnow-tier geometry guards: mismatched (k, w) is loud, never silent") {
+    import graft.operators.Dedup
+    val (textA, _) = passageTexts
+    val (out, fps) = (tmp("wn-geo-out"), tmp("wn-geo-fp"))
+    Seq(out, fps).foreach(d => new java.io.File(d).delete())
+    Streams.winnowIngestBatch(
+      Seq((1L, textA)).toDF("doc_id", "text"), 0L, out, fps)
+    // a restart at different geometry must refuse the stamped store
+    the[IllegalArgumentException] thrownBy {
+      Streams.winnowIngestBatch(
+        Seq((2L, textA)).toDF("doc_id", "text"), 1L, out, fps,
+        minShared = 2, maxDf = 64, k = 5, w = 9)
+    } should have message ("requirement failed: winnowIngestBatch: " +
+      s"fingerprint store $fps was written at geometry _winnow_k4_w5 " +
+      "but this call uses _winnow_k5_w9 — mismatched winnowing " +
+      "geometry joins nothing and loses the screen silently; use the " +
+      "original (k, w) or a fresh store")
+    // an index built at different geometry must refuse the probe (the
+    // ingest's screen would otherwise silently join nothing)
+    val idx = s"wn_geo_idx_${System.nanoTime()}"
+    Dedup.buildWinnowIndex(
+      Seq((100L, textA)).toDF("doc_id", "text"), idx, k = 5, w = 9)
+    an[IllegalArgumentException] should be thrownBy
+      Streams.winnowIngestBatch(
+        Seq((3L, textA)).toDF("doc_id", "text"), 1L, out, fps, Some(idx))
+    // and the fold refuses to plant unmatchable hashes in it (two
+    // store partitions first — a single partition is never foldable)
+    Streams.winnowIngestBatch(
+      Seq((4L, "fresh " + (0 until 50).map(i => s"g$i").mkString(" ")))
+        .toDF("doc_id", "text"), 1L, out, fps)
+    an[IllegalArgumentException] should be thrownBy
+      Streams.foldWinnowStore(spark, fps, idx, k = 5, w = 9)
+  }
 }
