@@ -1520,7 +1520,55 @@ object SparkEntry {
     // parameterized fragments the per-stage oracles use.
     "q164_corpus_build" -> ((s, d) =>
       Pipeline.corpusBuild(Tables(s, d).documents)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ---- triangle counting over the NEAR-DUP pair graph (the q31
+    // minhash pairs): per-doc triangle density separates tight clone
+    // clusters (cliques — every pair similar) from chain-shaped drift
+    // (A~B~C but A≁C), the signal canonical-doc resolution is blind
+    // to. The supplier co-occurrence graph was rejected here: at sf0.1
+    // it saturates to near-complete (~C(1000,3) triangles — output-
+    // bound by construction, not an operator cost). The operator's
+    // degree orientation caps oriented out-degree at O(√m), so the
+    // wedge join survives hub nodes where naive Σ deg² explodes.
+    "q165_triangle_counts" -> ((s, d) => {
+      val edges = Dedup.minhashDupPairs(Tables(s, d).documents,
+          threshold = 0.7, k = 64, bands = 32)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Graph.triangleCounts(edges).orderBy("node")
+    }),
+
+    // ---- community detection: synchronous label propagation (fixed
+    // rounds, most-frequent-neighbor-label argmax with min-label
+    // tie-break) over the same supplier co-occurrence graph ----------
+    "q167_communities" -> ((s, d) => {
+      val pairs = Tables(s, d).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.as("x")
+        .join(pairs.as("y"), col("x.ok") === col("y.ok"))
+        .filter(col("x.sk") =!= col("y.sk"))
+        .select(col("x.sk").as("src"), col("y.sk").as("dst"))
+      Graph.labelPropagation(edges, iters = 4).orderBy("node")
+    }),
+
+    // ---- XML roundtrip (Spark 4's NATIVE xml source — no external
+    // package): write → schema'd read → aggregate; values must survive
+    // the text serialization exactly (Double via Java toString is
+    // round-trip exact; the oracle aggregates the parquet base)
+    "q166_xml_roundtrip" -> ((s, d) => {
+      val src = Tables(s, d).supplier
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_rt_xml_$rtTag"
+      Sinks.writeXml(src, dir)
+      Ingest.readXml(s, dir, schema = Some(src.schema))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(12,2)")).cast("double")
+            .as("sum_bal"))
+        .orderBy("s_nationkey")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -4066,8 +4114,83 @@ object SparkEntry {
           SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.ids_digest,
             p.bin_id, CAST(b.shard AS BIGINT) AS shard
           FROM chn c JOIN pk p USING (ckey) JOIN bs b USING (bin_id)
-          ORDER BY doc_id, chunk_idx"""
+          ORDER BY doc_id, chunk_idx""",
+
+    // triangle counting replay over the exact-Jaccard pair graph
+    // (minhash ≡ exact at these parameters, the q31 gate): the oracle
+    // enumerates each triangle once at its id-canonical orientation
+    // (x < y < z) — the engine's degree orientation finds the same
+    // triangle set (orientation only changes WHERE a triangle is
+    // counted, never whether), so per-node counts are identical
+    "q165_triangle_counts" ->
+      s"""WITH ${jaccardPairsCtes("documents")},
+         und AS MATERIALIZED (
+           SELECT DISTINCT doc_a AS a, doc_b AS b FROM p),
+         deg AS (
+           SELECT node, count(*) AS deg
+           FROM (SELECT a AS node FROM und
+                 UNION ALL SELECT b FROM und)
+           GROUP BY node),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM und e1
+           JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+           JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         corners AS (
+           SELECT x AS node FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri),
+         tc AS (SELECT node, count(*) AS triangles FROM corners
+                GROUP BY node)
+         SELECT d.node,
+           CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles
+         FROM deg d LEFT JOIN tc USING (node)
+         ORDER BY node""",
+
+    // label propagation replay: the identical fixed rounds — neighbor
+    // label histogram, (count DESC, label ASC) argmax — all integer,
+    // so the trajectory is in lockstep round for round
+    "q167_communities" -> lpOracle(iters = 4),
+
+    // xml roundtrip: the oracle aggregates the parquet base — matching
+    // means the write→read text serialization preserved every value
+    "q166_xml_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+         CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM supplier GROUP BY 1 ORDER BY 1"""
   )
+
+  /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over
+    * the supplier co-occurrence graph: `iters` chained rounds of the
+    * neighbor-label histogram + (count DESC, label ASC) argmax.
+    */
+  private def lpOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""cnt_$i AS (
+            SELECT u.node, l.label, count(*) AS c
+            FROM und u JOIN lab_${i - 1} l ON u.nbr = l.node
+            GROUP BY 1, 2),
+          lab_$i AS MATERIALIZED (
+            SELECT node, label FROM (
+              SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, label) AS rn
+              FROM cnt_$i)
+            WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH os AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+          FROM lineitem),
+        und AS MATERIALIZED (
+          SELECT DISTINCT a.sk AS node, b.sk AS nbr
+          FROM os a JOIN os b ON a.ok = b.ok AND a.sk <> b.sk),
+        lab_0 AS (
+          SELECT DISTINCT node, node AS label FROM und),
+        $rounds
+        SELECT CAST(node AS BIGINT) AS node,
+          CAST(label AS BIGINT) AS label
+        FROM lab_$iters ORDER BY node"""
+  }
 
   /** q153's register build + estimate chain as CTEs parameterized by a
     * (key, v) source relation: emits `<p>h`, `<p>regs`, `<p>est` —
@@ -4533,12 +4656,17 @@ object SparkEntry {
     * the corpus relation (must carry doc_id, text) — the q164
     * composition clusters its CURATED corpus, not `documents`.
     */
-  private def dupComponentsCtesFor(src: String): String =
-    // sh/p/e carry AS MATERIALIZED deliberately: DuckDB inlines CTEs
-    // by default, and `e` is referenced from the RECURSIVE reach —
-    // inlined, every fixpoint iteration re-executed the full shingle +
-    // all-pairs-Jaccard chain down to the parquet scan (observed as fd
-    // exhaustion when this builder was composed into q164's long chain)
+  /** The exact-Jaccard near-dup pair relation `p(doc_a, doc_b)` (with
+    * its shingle CTE `sh`) — the oracle twin of
+    * [[graft.operators.Dedup.minhashDupPairs]] at threshold 0.7,
+    * shared by the components chain and the q165 triangle oracle.
+    */
+  private def jaccardPairsCtes(src: String): String =
+    // sh/p carry AS MATERIALIZED deliberately: DuckDB inlines CTEs by
+    // default and both are multiply referenced downstream — inlined,
+    // consumers re-execute the full shingle + all-pairs-Jaccard chain
+    // down to the parquet scan (observed as fd exhaustion when composed
+    // into q164's long chain)
     s"""sh AS MATERIALIZED (
           SELECT doc_id,
             list_distinct(list_transform(
@@ -4552,7 +4680,12 @@ object SparkEntry {
                 / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
                   AS DOUBLE), 4) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          WHERE jaccard >= 0.7),
+          WHERE jaccard >= 0.7)"""
+
+  private def dupComponentsCtesFor(src: String): String =
+    // e is MATERIALIZED for the same reason as sh/p: it feeds the
+    // RECURSIVE reach, and inlined it would re-execute per iteration
+    s"""${jaccardPairsCtes(src)},
         e AS MATERIALIZED (
           SELECT doc_a AS a, doc_b AS b FROM p
           UNION SELECT doc_b, doc_a FROM p),

@@ -156,4 +156,125 @@ object Graph {
         .select(lit(name).as("direction"), col("degree"), col("n_nodes"))
     side("src", "out").union(side("dst", "in"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation over an
+    * undirected view of the edge list, run for a FIXED `iters` rounds
+    * (the pageRank/k-means convention: fixed rounds keep the result
+    * deterministic and oracle-replayable where convergence stopping
+    * would tie it to oscillation noise). Every node starts labeled
+    * with itself; each round every node adopts its neighbors' MOST
+    * FREQUENT label, ties to the smallest label — both the count and
+    * the tie-break are integers, so rounds replay identically on any
+    * engine and any partitioning. Nodes must be integral (the argmax
+    * is `max(struct(count, −label))` — a numeric total order).
+    *
+    * Scale shape: one symmetrized edge materialization, then per round
+    * ONE edges⋈labels join + two integer aggregates whose output is
+    * node-count-sized; rounds are materialized to truncate lineage
+    * (localCheckpoint by default, parquet rounds under
+    * `checkpointDir`). Nothing all-pairs, no global window, no driver
+    * state beyond the round counter.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters > 0, "labelPropagation: iters must be positive")
+    val materialize = graft.core.Rounds.materializer(checkpointDir)
+    val und = materialize(
+      edges.select(col("src").cast("long").as("node"),
+          col("dst").cast("long").as("nbr"))
+        .filter(col("node") =!= col("nbr"))
+        .union(edges.select(col("dst").cast("long").as("node"),
+          col("src").cast("long").as("nbr")))
+        .distinct(), "lp_edges")
+    var labels = und.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    (1 to iters).foreach { i =>
+      // neighbor-label histogram, then integer argmax (count desc,
+      // label asc). Every node of `und` has >= 1 neighbor by
+      // construction (symmetrized, self-loops dropped), so the argmax
+      // covers the full node set each round.
+      val next = und
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
+        .select(col("node"), (-col("b.nl")).as("label"))
+      labels = materialize(next, s"lp_round_$i")
+    }
+    labels
+  }
+
+  /** Per-node triangle counts over an UNDIRECTED edge list (direction
+    * and duplicates ignored; self-loops dropped) — the local clustering
+    * signal of link analysis, and the canonical example of a join whose
+    * naive form explodes on hubs.
+    *
+    * The scale device is DEGREE ORIENTATION (the node-iterator++ /
+    * Schank–Wagner scheme): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher, so each triangle is
+    * counted exactly once (at its lowest-ranked apex) and — the point —
+    * every node's OUT-degree in the oriented graph is O(√m): a
+    * celebrity node with a million followers has out-degree ~0 because
+    * almost all its neighbors rank below it. The wedge join's fan-out
+    * is Σ outdeg², bounded by m^1.5 total, where the unoriented
+    * Σ deg² is quadratic in the hub degree. Three shuffles: wedge join
+    * on the pivot, closure join on the (a, c) edge key, one aggregate
+    * per corner.
+    *
+    * Output: (node, triangles) for EVERY node of the graph (zero for
+    * triangle-free nodes). Exact, deterministic, oracle-replayable —
+    * counting is integer and orientation's (degree, id) rank is a total
+    * order.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: one row per unordered pair {a, b}.
+    // PERSISTED, as is the oriented set below: each is consumed by
+    // several joins (deg, the two wedge sides, the closure), and the
+    // upstream edge derivation is often a whole pipeline (the q165
+    // near-dup graph) that would otherwise re-execute per consumer —
+    // measured 5× the operator's own cost before materialization
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // orient by (degree, id) rank — lower endpoint points at higher
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges u→v, u→w with v < w (one canonical wedge per pair), then
+    // close on the oriented edge between v and w (orientation between
+    // v and w is by THEIR ranks — check both directions via the
+    // canonical min/max key of the oriented edge set)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u"))
+      .filter(col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"),
+        col("e2.v").as("z"))
+    val closing = oriented.select(
+      least(col("u"), col("v")).as("y"),
+      greatest(col("u"), col("v")).as("z"))
+    val tris = wedges.join(closing, Seq("y", "z"))
+    val corners = tris.select(col("x").as("node"))
+      .union(tris.select(col("y").as("node")))
+      .union(tris.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.select("node")
+      .join(corners, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -111,6 +111,19 @@ object Ingest {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** XML scan — Spark 4's NATIVE xml data source (no external package):
+    * one row per `rowTag` element. Schema optional but recommended —
+    * like JSON, inference costs a full extra pass and types everything
+    * it can't prove; an explicit StructType casts each element's text
+    * back to the written types in the single read.
+    */
+  def readXml(spark: SparkSession, path: String,
+      rowTag: String = "row",
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).format("xml").load(path)
+  }
+
   /** S8 helper: parse an in-flight string column as CSV against a schema
     * (from_csv) — the programmatic-StructType path without touching disk.
     */

@@ -40,6 +40,14 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** XML sink — Spark 4's native xml data source: one `rowTag` element
+    * per row, values XML-escaped (numeric types serialize via
+    * Java toString, which round-trips doubles exactly).
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("rowTag", rowTag).format("xml").save(path)
+
   /** Parquet sink with per-column bloom filters — the point-lookup
     * complement to min/max stats and Z-ordering: on a random
     * high-cardinality key every row group's min/max spans the domain and

@@ -92,4 +92,54 @@ class GraphSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Graph.pageRank(edges, damping = 1.0)
   }
+
+  test("triangleCounts equals the brute-force triple enumeration") {
+    // deterministic pseudo-random graph with a genuine hub (node 0
+    // links everything — the degree-orientation stress case), plus
+    // duplicates, reversed edges, and self-loops to exercise
+    // canonicalization
+    val raw = (1L to 40L).map(i => (0L, i)) ++
+      (1L to 40L).flatMap(i => (i + 1 to 40L).filter(j =>
+        (i * 31 + j * 17) % 5 == 0).map(j => (i, j)))
+    val edges = (raw ++ raw.map(_.swap) ++ raw.take(10) ++
+      Seq((7L, 7L))).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: canonical pair set, then all closed triples
+    val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val expected = nodes.map { n =>
+      n -> nodes.combinations(2).count { case Seq(x, y) =>
+        val tri = Seq(n, x, y).sorted
+        tri.distinct.size == 3 &&
+          tri.combinations(2).forall { case Seq(p, q) => und((p, q)) }
+      }.toLong
+    }.toMap
+    expected.values.sum should be > 0L // the graph really has triangles
+    got shouldBe expected
+    // every node appears, triangle-free ones at zero
+    got.keySet shouldBe nodes.toSet
+  }
+
+  test("labelPropagation: disjoint cliques converge to per-clique min label") {
+    // two 5-cliques + a 3-chain; within a clique every node sees every
+    // label equally often after round 1, so the min-label tie-break
+    // drives each clique to its smallest member
+    def clique(ids: Seq[Long]) =
+      ids.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val edges = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
+      clique(Seq(10L, 11L, 12L, 13L, 14L)) ++
+      Seq((20L, 21L), (21L, 22L))).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(n => labels(n) shouldBe 1L)
+    Seq(10L, 11L, 12L, 13L, 14L).foreach(n => labels(n) shouldBe 10L)
+    // deterministic: a rerun with different partitioning is identical
+    val again = Graph.labelPropagation(edges.repartition(7), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe labels
+    an[IllegalArgumentException] should be thrownBy
+      Graph.labelPropagation(edges, iters = 0)
+  }
 }
