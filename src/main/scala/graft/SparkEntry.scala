@@ -1541,6 +1541,12 @@ object SparkEntry {
     // ---- community detection: synchronous label propagation (fixed
     // rounds, most-frequent-neighbor-label argmax with min-label
     // tie-break) over the same supplier co-occurrence graph ----------
+    // ---- semi-structured VARIANT path (Spark 4): parse_json once →
+    // variant_get fields — the parse-once/extract-many scale shape
+    "q168_variant_props" -> ((s, d) =>
+      Relational.eventPropStatsVariant(Tables(s, d).events)
+        .orderBy("event_type")),
+
     "q167_communities" -> ((s, d) => {
       val pairs = Tables(s, d).lineitem
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
@@ -4147,6 +4153,17 @@ object SparkEntry {
          FROM deg d LEFT JOIN tc USING (node)
          ORDER BY node""",
 
+    // variant-path replay: the extraction result is the same integer
+    // whichever engine path produced it
+    "q168_variant_props" ->
+      """SELECT event_type, count(k) AS n,
+         CAST(sum(k) AS BIGINT) AS sum_k,
+         min(k) AS min_k, max(k) AS max_k
+         FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         GROUP BY 1 ORDER BY 1""",
+
     // label propagation replay: the identical fixed rounds — neighbor
     // label histogram, (count DESC, label ASC) argmax — all integer,
     // so the trajectory is in lockstep round for round
@@ -4652,10 +4669,6 @@ object SparkEntry {
   private def DupComponentsCte: String =
     "WITH RECURSIVE " + dupComponentsCtesFor("documents")
 
-  /** [[DupComponentsCte]] without the WITH prefix and parameterized by
-    * the corpus relation (must carry doc_id, text) — the q164
-    * composition clusters its CURATED corpus, not `documents`.
-    */
   /** The exact-Jaccard near-dup pair relation `p(doc_a, doc_b)` (with
     * its shingle CTE `sh`) — the oracle twin of
     * [[graft.operators.Dedup.minhashDupPairs]] at threshold 0.7,
@@ -4682,6 +4695,10 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.7)"""
 
+  /** [[DupComponentsCte]] without the WITH prefix and parameterized by
+    * the corpus relation (must carry doc_id, text) — the q164
+    * composition clusters its CURATED corpus, not `documents`.
+    */
   private def dupComponentsCtesFor(src: String): String =
     // e is MATERIALIZED for the same reason as sh/p: it feeds the
     // RECURSIVE reach, and inlined it would re-execute per iteration

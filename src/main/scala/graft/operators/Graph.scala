@@ -182,9 +182,11 @@ object Graph {
     val und = materialize(
       edges.select(col("src").cast("long").as("node"),
           col("dst").cast("long").as("nbr"))
-        .filter(col("node") =!= col("nbr"))
         .union(edges.select(col("dst").cast("long").as("node"),
           col("src").cast("long").as("nbr")))
+        // AFTER the union: filtering only the forward branch would let
+        // a self-loop survive through the reversed one
+        .filter(col("node") =!= col("nbr"))
         .distinct(), "lp_edges")
     var labels = und.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -268,13 +270,20 @@ object Graph {
       least(col("u"), col("v")).as("y"),
       greatest(col("u"), col("v")).as("z"))
     val tris = wedges.join(closing, Seq("y", "z"))
-    val corners = tris.select(col("x").as("node"))
-      .union(tris.select(col("y").as("node")))
-      .union(tris.select(col("z").as("node")))
+    // ONE pass over the triangle relation (an explode, not a 3-branch
+    // union that would re-run the wedge + closure joins per branch)
+    val corners = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-    deg.select("node")
+    // materialize the node-count-sized result, then release the cached
+    // intermediates — returned lazily they would pin three edge-sized
+    // datasets in the block manager for the session's lifetime
+    val result = deg.select("node")
       .join(corners, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint(true)
+    und.unpersist(); deg.unpersist(); oriented.unpersist()
+    result
   }
 }

@@ -950,4 +950,24 @@ object Relational {
         sum("k").as("sum_k"),
         max("k").as("max_k"),
         count(col("k")).as("n_with_k"))
+
+  /** [[eventPropStats]] on Spark 4's VARIANT path: the JSON text is
+    * parsed ONCE into the binary variant encoding (`parse_json`) and
+    * fields are then extracted with `variant_get` — the
+    * parse-once/extract-many split that matters at scale, where
+    * `get_json_object` re-tokenizes the JSON text for EVERY extracted
+    * field and a variant column persisted to parquet makes ingestion a
+    * pay-once cost. Same per-type aggregate gate, different engine path
+    * (q47 keeps the string-function form under its own oracle).
+    */
+  def eventPropStatsVariant(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
 }

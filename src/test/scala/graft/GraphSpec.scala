@@ -128,11 +128,15 @@ class GraphSpec extends SparkSpec {
     // drives each clique to its smallest member
     def clique(ids: Seq[Long]) =
       ids.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    // self-loops must be dropped in BOTH union branches: (5,5) must not
+    // bias node 5's neighbor histogram, and a node with ONLY self-loops
+    // (30,30) must not appear in the output at all
     val edges = (clique(Seq(1L, 2L, 3L, 4L, 5L)) ++
       clique(Seq(10L, 11L, 12L, 13L, 14L)) ++
-      Seq((20L, 21L), (21L, 22L))).toDF("src", "dst")
+      Seq((20L, 21L), (21L, 22L), (5L, 5L), (30L, 30L))).toDF("src", "dst")
     val labels = Graph.labelPropagation(edges, iters = 6)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.keySet should not contain 30L
     Seq(1L, 2L, 3L, 4L, 5L).foreach(n => labels(n) shouldBe 1L)
     Seq(10L, 11L, 12L, 13L, 14L).foreach(n => labels(n) shouldBe 10L)
     // deterministic: a rerun with different partitioning is identical
