@@ -1547,6 +1547,20 @@ object SparkEntry {
       Relational.eventPropStatsVariant(Tables(s, d).events)
         .orderBy("event_type")),
 
+    // ---- cluster-safe train/val/test split: the split unit is the
+    // NEAR-DUP COMPONENT, not the document — a near-duplicate of a
+    // train doc can never land in test (the leakage q123 audits is
+    // impossible by construction here). Composition of q74's
+    // components with q113's content-addressed group split.
+    "q169_cluster_safe_split" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val comp = Dedup.resolveCanonical(docs,
+          Dedup.dupComponents(Dedup.minhashDupPairs(docs,
+            threshold = 0.7, k = 64, bands = 32)))
+        .select("doc_id", "component")
+      Curation.groupSplit(comp, "component").orderBy("doc_id")
+    }),
+
     "q167_communities" -> ((s, d) => {
       val pairs = Tables(s, d).lineitem
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
@@ -4152,6 +4166,21 @@ object SparkEntry {
            CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles
          FROM deg d LEFT JOIN tc USING (node)
          ORDER BY node""",
+
+    // cluster-safe split replay: q74's component closure + q113's md5
+    // threshold CASE over the component key
+    "q169_cluster_safe_split" ->
+      s"""$DupComponentsCte,
+          wc AS (
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+          SELECT doc_id, component,
+            CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8)
+                   < 'cccccccc' THEN 'train'
+                 WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM wc ORDER BY doc_id""",
 
     // variant-path replay: the extraction result is the same integer
     // whichever engine path produced it

@@ -162,4 +162,22 @@ class CurationSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Curation.groupSplit(df, "g", Seq("all" -> 1.0))
   }
+
+  test("cluster-safe split: no near-dup pair straddles a split boundary") {
+    import graft.operators.Dedup
+    val docs = tables.documents
+    val pairs = Dedup.minhashDupPairs(docs, threshold = 0.7, k = 64,
+      bands = 32).select("doc_a", "doc_b")
+    pairs.count() should be > 0L // the corpus really has near-dups
+    val split = Curation.groupSplit(
+      Dedup.resolveCanonical(docs, Dedup.dupComponents(pairs))
+        .select("doc_id", "component"), "component")
+    val sa = split.select(col("doc_id").as("doc_a"),
+      col("split").as("split_a"))
+    val sb = split.select(col("doc_id").as("doc_b"),
+      col("split").as("split_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count() shouldBe 0L // leakage impossible by construction
+  }
 }
