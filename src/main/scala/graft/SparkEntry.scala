@@ -1541,26 +1541,6 @@ object SparkEntry {
     // ---- community detection: synchronous label propagation (fixed
     // rounds, most-frequent-neighbor-label argmax with min-label
     // tie-break) over the same supplier co-occurrence graph ----------
-    // ---- semi-structured VARIANT path (Spark 4): parse_json once →
-    // variant_get fields — the parse-once/extract-many scale shape
-    "q168_variant_props" -> ((s, d) =>
-      Relational.eventPropStatsVariant(Tables(s, d).events)
-        .orderBy("event_type")),
-
-    // ---- cluster-safe train/val/test split: the split unit is the
-    // NEAR-DUP COMPONENT, not the document — a near-duplicate of a
-    // train doc can never land in test (the leakage q123 audits is
-    // impossible by construction here). Composition of q74's
-    // components with q113's content-addressed group split.
-    "q169_cluster_safe_split" -> ((s, d) => {
-      val docs = Tables(s, d).documents
-      val comp = Dedup.resolveCanonical(docs,
-          Dedup.dupComponents(Dedup.minhashDupPairs(docs,
-            threshold = 0.7, k = 64, bands = 32)))
-        .select("doc_id", "component")
-      Curation.groupSplit(comp, "component").orderBy("doc_id")
-    }),
-
     "q167_communities" -> ((s, d) => {
       val pairs = Tables(s, d).lineitem
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
@@ -1588,6 +1568,28 @@ object SparkEntry {
           sum(col("s_acctbal").cast("decimal(12,2)")).cast("double")
             .as("sum_bal"))
         .orderBy("s_nationkey")
+    }),
+
+    // ---- semi-structured VARIANT path (Spark 4): parse_json once →
+    // variant_get fields — the parse-once/extract-many scale shape
+    "q168_variant_props" -> ((s, d) =>
+      Relational.eventPropStatsVariant(Tables(s, d).events)
+        .orderBy("event_type")),
+
+    // ---- cluster-safe train/val/test split: the split unit is the
+    // NEAR-DUP COMPONENT, not the document — a near-duplicate of a
+    // train doc can never land in test (the leakage q123 audits is
+    // impossible by construction here). Composition of q74's
+    // components with q113's content-addressed group split; singleton
+    // docs are their own component (the oracle's coalesce twin).
+    "q169_cluster_safe_split" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val comp = docs.select("doc_id")
+        .join(Dedup.dupComponents(Dedup.minhashDupPairs(docs,
+          threshold = 0.7, k = 64, bands = 32)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      Curation.groupSplit(comp, "component").orderBy("doc_id")
     })
   )
 

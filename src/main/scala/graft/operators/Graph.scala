@@ -241,10 +241,28 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try triangleCountsOn(und)
+    finally und.unpersist()
+  }
+
+  /** [[triangleCounts]] body over the persisted canonical edge set —
+    * split out so the caller's try/finally releases `und` even when a
+    * job here fails (an explicit persist is unreachable to the
+    * ContextCleaner; without the finally a failed run would pin the
+    * edge-sized buffer for the session's lifetime). `deg`/`oriented`
+    * get the same treatment inside.
+    */
+  private def triangleCountsOn(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try triangleCountsWith(und, deg)
+    finally deg.unpersist()
+  }
+
+  private def triangleCountsWith(und: DataFrame,
+      deg: DataFrame): DataFrame = {
     // orient by (degree, id) rank — lower endpoint points at higher
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
@@ -257,6 +275,7 @@ object Graph {
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // wedges u→v, u→w with v < w (one canonical wedge per pair), then
     // close on the oriented edge between v and w (orientation between
     // v and w is by THEIR ranks — check both directions via the
@@ -275,15 +294,13 @@ object Graph {
     val corners = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-    // materialize the node-count-sized result, then release the cached
-    // intermediates — returned lazily they would pin three edge-sized
-    // datasets in the block manager for the session's lifetime
-    val result = deg.select("node")
+    // materialize the node-count-sized result eagerly — returned lazily
+    // it would depend on the cached intermediates the finally releases
+    deg.select("node")
       .join(corners, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .localCheckpoint(true)
-    und.unpersist(); deg.unpersist(); oriented.unpersist()
-    result
+    } finally oriented.unpersist()
   }
 }

@@ -963,7 +963,10 @@ object Relational {
   def eventPropStatsVariant(events: DataFrame): DataFrame =
     events
       .select(col("event_type"),
-        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        // try_parse_json, not parse_json: the lenient contract of the
+        // get_json_object sibling — one malformed props row must
+        // null-skip, not kill the whole aggregate
+        variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
       .groupBy("event_type")
       .agg(
         count(col("k")).as("n"),

@@ -170,8 +170,11 @@ class CurationSpec extends SparkSpec {
       bands = 32).select("doc_a", "doc_b")
     pairs.count() should be > 0L // the corpus really has near-dups
     val split = Curation.groupSplit(
-      Dedup.resolveCanonical(docs, Dedup.dupComponents(pairs))
-        .select("doc_id", "component"), "component")
+      docs.select("doc_id")
+        .join(Dedup.dupComponents(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component")),
+      "component")
     val sa = split.select(col("doc_id").as("doc_a"),
       col("split").as("split_a"))
     val sb = split.select(col("doc_id").as("doc_b"),
