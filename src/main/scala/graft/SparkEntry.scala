@@ -4185,13 +4185,19 @@ object SparkEntry {
           FROM wc ORDER BY doc_id""",
 
     // variant-path replay: the extraction result is the same integer
-    // whichever engine path produced it
+    // whichever engine path produced it. The oracle mirrors the
+    // engine's LENIENT contract (try_parse_json null-skips malformed
+    // props; non-integer $.k extracts null) via a json_valid guard +
+    // TRY_CAST — a dataset exercising the lenient path must MISMATCH
+    // on divergence, not crash the replay
     "q168_variant_props" ->
       """SELECT event_type, count(k) AS n,
          CAST(sum(k) AS BIGINT) AS sum_k,
          min(k) AS min_k, max(k) AS max_k
          FROM (SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CASE WHEN json_valid(props) THEN
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
            FROM events)
          GROUP BY 1 ORDER BY 1""",
 

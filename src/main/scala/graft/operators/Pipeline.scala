@@ -48,6 +48,16 @@ import org.apache.spark.sql.functions._
   * BPE vocab argmax rows (numMerges), mix thresholds (#groups), pack
   * partition totals (#partitions), shard count (total tokens /
   * packTokens / re-bin).
+  *
+  * Cache lifecycle: every persist here is released in a `finally`
+  * before the call returns — explicit persists are unreachable to the
+  * ContextCleaner, so without the release a failed OR completed build
+  * would pin three corpus-sized relations in executor storage for the
+  * session's lifetime (the [[Graph.triangleCounts]] pattern). The
+  * returned DataFrame is eagerly materialized (`localCheckpoint(true)`
+  * — it is chunk-row-sized, the bounded OUTPUT of the build, not a
+  * corpus-sized intermediate) so the caller's lazy plan does not
+  * depend on the released caches.
   */
 object Pipeline {
 
@@ -70,6 +80,24 @@ object Pipeline {
     val curatedDocs = documents
       .join(curated.select("doc_id"), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try corpusBuildOnCurated(curatedDocs, mixBudgetTokens, chunkTokens,
+      packTokens, numMerges, nShards, neardupThreshold)
+    finally curatedDocs.unpersist()
+  }
+
+  /** [[corpusBuild]] stages 2–7 over the persisted curated corpus —
+    * split out so the caller's finally releases `curatedDocs` even
+    * when a downstream job fails (the [[Graph.triangleCounts]]
+    * convention); `selDocs` and `chunks` get the same treatment here.
+    */
+  private def corpusBuildOnCurated(
+      curatedDocs: DataFrame,
+      mixBudgetTokens: Long,
+      chunkTokens: Int,
+      packTokens: Long,
+      numMerges: Int,
+      nShards: Int,
+      neardupThreshold: Double): DataFrame = {
 
     // 2. canonical near-dup resolution OVER THE CURATED CORPUS (the
     //    exact-dup tier already ran inside curate; this is the fuzzy
@@ -88,6 +116,19 @@ object Pipeline {
         col("lang"), size(TextAnalysis.tokens(col("text"))),
         mixBudgetTokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try corpusBuildOnSelection(selDocs, chunkTokens, packTokens,
+      numMerges, nShards)
+    finally selDocs.unpersist()
+  }
+
+  /** Stages 4–7 over the persisted mixed selection (see
+    * [[corpusBuildOnCurated]] for why the body is split). */
+  private def corpusBuildOnSelection(
+      selDocs: DataFrame,
+      chunkTokens: Int,
+      packTokens: Long,
+      numMerges: Int,
+      nShards: Int): DataFrame = {
 
     // 4. tokenizer trained on the SELECTED corpus (what a real pipeline
     //    trains on — the tokenizer depends on every upstream stage),
@@ -118,6 +159,7 @@ object Pipeline {
             lit(", chunk_idx="), col("chunk_idx").cast("string"),
             lit(") — need doc_id >= 0 and < 100000 chunks/doc")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // 6. pack chunks into fixed token-budget bins (two-pass prefix sum)
     val bins = Relational.packSized(
@@ -131,6 +173,8 @@ object Pipeline {
         bins.select("bin_id").distinct(), "bin_id", nShards)
       .select("bin_id", "shard")
 
+    // materialize the chunk-level OUTPUT eagerly — returned lazily it
+    // would depend on the cached intermediates the finally releases
     chunks
       .join(bins, Seq("ckey"))
       .join(F.broadcast(shards), Seq("bin_id"))
@@ -142,5 +186,7 @@ object Pipeline {
           .as("ids_digest"),
         col("bin_id"),
         col("shard"))
+      .localCheckpoint(true)
+    } finally chunks.unpersist()
   }
 }

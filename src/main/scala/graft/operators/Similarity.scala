@@ -815,8 +815,8 @@ object Similarity {
     val first = embeddings.orderBy("vec_id").limit(1)
       .select(col("vec_id"), col("embedding")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
-        s"requirement failed: corpus has fewer than $k vectors " +
-        "(k-means|| seeding needs a non-empty embeddings input)"))
+        "requirement failed: embeddings corpus is empty " +
+        "(k-means|| seeding needs a non-empty input)"))
     var cands: Array[Array[Double]] =
       Array(first.getSeq[Float](1).map(_.toDouble).toArray)
     var candIds: Seq[Long] = Seq(first.getLong(0))

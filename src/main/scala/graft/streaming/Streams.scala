@@ -1014,7 +1014,7 @@ object Streams {
     // would join nothing against the stored hashes and lose the whole
     // screen silently); the stamp itself lands after the write below
     assertWinnowGeometry(spark, fpDir, k, w, "winnowIngestBatch",
-      stamp = false)
+      stamp = false, ownBatch = Some(batchId))
     val fpCol = "__fp_ingest"
     val self = selfDedupBatch(batch, fpCol, "winnowIngestBatch").drop(fpCol)
     val myFps = graft.operators.Dedup
@@ -1065,7 +1065,7 @@ object Streams {
       .partitionBy("batch_id")
       .parquet(fpDir)
     assertWinnowGeometry(spark, fpDir, k, w, "winnowIngestBatch",
-      stamp = true)
+      stamp = true, ownBatch = Some(batchId))
   }
 
   /** Streaming winnowing-tier ingest — [[startDedupedIngest]] with the
@@ -1092,7 +1092,8 @@ object Streams {
     * be a loud restart with a fresh store, never a silent screen loss.
     */
   private def assertWinnowGeometry(spark: SparkSession, fpDir: String,
-      k: Int, w: Int, caller: String, stamp: Boolean): Unit = {
+      k: Int, w: Int, caller: String, stamp: Boolean,
+      ownBatch: Option[Long] = None): Unit = {
     val dir = new org.apache.hadoop.fs.Path(fpDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mine = s"_winnow_k${k}_w$w"
@@ -1104,6 +1105,24 @@ object Streams {
     val markers = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("_winnow_k"))
     if (markers.isEmpty) {
+      // marker-less rows have UNPROVEN geometry. The only partition a
+      // caller may vouch for is the one it itself (re)writes at this
+      // (k, w) — the ingest's own batch, which dynamic partition
+      // overwrite replaces wholesale on replay, so a crash between its
+      // write and its stamp stays recoverable. Anything else (a
+      // pre-marker-era store, or a crash at a DIFFERENT geometry
+      // followed by other batches) must refuse rather than let the
+      // caller stamp its own (k, w) over foreign hashes, which would
+      // fold/join permanently unmatchable fingerprints — the exact
+      // silent screen loss the marker exists to prevent.
+      val foreign = storeBatchIds(fs, dir)
+        .filterNot(id => ownBatch.contains(id))
+      require(foreign.isEmpty,
+        s"$caller: fingerprint store $fpDir has batch partitions " +
+          s"${foreign.toSeq.sorted.mkString(",")} but no geometry " +
+          s"marker — refusing to assume they were winnowed at $mine; " +
+          "re-ingest into a fresh store, or restore the marker by " +
+          "hand if the rows' (k, w) is known")
       if (stamp)
         fs.create(new org.apache.hadoop.fs.Path(dir, mine), true).close()
     } else require(markers == Seq(mine),
@@ -1130,9 +1149,12 @@ object Streams {
     if (parts.size <= 1) return Nil
     // the store stamp proves the ROWS' geometry, the index spec proves
     // the TARGET's — both must equal this call's (k, w) or folded
-    // history becomes permanently unmatchable in the index
+    // history becomes permanently unmatchable in the index. The fold
+    // NEVER stamps: it wrote none of the rows, so a marker-less store
+    // refuses (assertWinnowGeometry's foreign-partition guard) instead
+    // of adopting this call's (k, w) as the store's geometry
     assertWinnowGeometry(spark, fpDir, k, w, "foldWinnowStore",
-      stamp = true)
+      stamp = false)
     val keep = parts.max
     val foldable = parts.filter(_ != keep)
     graft.operators.Dedup.ensureWinnowIndex(spark, indexTable, k, w)

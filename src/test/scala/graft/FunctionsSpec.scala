@@ -53,4 +53,26 @@ class FunctionsSpec extends SparkSpec {
     r("error") shouldBe 10442L
     r("purchase") shouldBe 9664L
   }
+
+  test("variant path null-skips malformed and non-integer props rows") {
+    // the lenient contract the q168 scaladoc documents: a malformed
+    // JSON row (try_parse_json → null variant) or a missing $.k must
+    // drop out of the aggregate, never kill the job. 87 + "42"-as-text
+    // survive (variant string→long cast parses numeric strings — the
+    // same rows DuckDB's json_extract_string + TRY_CAST keeps, so the
+    // oracle twin stays aligned on lenient data)
+    val events = Seq(
+      ("click", """{"k": 87}"""),
+      ("click", """{"k": "42"}"""),
+      ("click", """{broken"""),
+      ("click", """{"other": 1}""")
+    ).toDF("event_type", "props")
+    val out = Relational.eventPropStatsVariant(events).collect()
+    out.length shouldBe 1
+    val row = out(0)
+    row.getAs[Long]("n") shouldBe 2L
+    row.getAs[Long]("sum_k") shouldBe 129L
+    row.getAs[Long]("min_k") shouldBe 42L
+    row.getAs[Long]("max_k") shouldBe 87L
+  }
 }

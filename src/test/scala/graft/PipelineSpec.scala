@@ -59,4 +59,40 @@ class PipelineSpec extends SparkSpec {
     val again = Pipeline.corpusBuild(tables.documents)
     rowSet(again) shouldBe rowSet(out)
   }
+
+  // explicit-persist ids only: localCheckpoint buffers (the BPE round
+  // materializer, the build's own output — all eager, so their RDDs
+  // report isCheckpointed) are ContextCleaner-reachable by design and
+  // linger in getPersistentRDDs only until the next GC — counting them
+  // would make this assertion timing-dependent. The leak class these
+  // tests pin is the EXPLICIT persist, which no GC ever frees without
+  // an unpersist call.
+  private def pinnedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs
+      .collect { case (id, rdd) if !rdd.isCheckpointed => id }.toSet
+
+  test("corpus-sized intermediates are released on the success path") {
+    val before = pinnedIds
+    val built = Pipeline.corpusBuild(tables.documents)
+    built.count() should be > 0L
+    val leaked = pinnedIds -- before
+    assert(leaked.isEmpty,
+      s"corpusBuild leaked persisted intermediates: rdd ids $leaked")
+  }
+
+  test("corpus-sized intermediates are released on the failure path") {
+    // negative doc_ids trip the ckey packing-bound raise_error when the
+    // chunk relation first materializes (packSized's eager partition
+    // totals) — mid-build, with all three stage persists live, so this
+    // exercises every finally in the release chain.
+    val before = pinnedIds
+    val negDocs = tables.documents
+      .withColumn("doc_id", -col("doc_id") - 1)
+    intercept[Exception] {
+      Pipeline.corpusBuild(negDocs).count()
+    }
+    val leaked = pinnedIds -- before
+    assert(leaked.isEmpty,
+      s"failed corpusBuild left persisted intermediates: rdd ids $leaked")
+  }
 }

@@ -1468,4 +1468,51 @@ class StreamingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Streams.foldWinnowStore(spark, fps, idx, k = 5, w = 9)
   }
+
+  test("winnow-tier marker-less store: own-batch replay recovers, all else refuses") {
+    import graft.operators.Dedup
+    val (textA, _) = passageTexts
+    val (out, fps) = (tmp("wn-nomark-out"), tmp("wn-nomark-fp"))
+    Seq(out, fps).foreach(d => new java.io.File(d).delete())
+    val b0 = Seq((1L, textA)).toDF("doc_id", "text")
+    Streams.winnowIngestBatch(b0, 0L, out, fps)
+    val marker = new java.io.File(fps, "_winnow_k4_w5")
+    marker.exists() shouldBe true
+    // crash between batch 0's write and its stamp, simulated: rows
+    // present, marker gone. A DIFFERENT batch must refuse — partition
+    // 0's geometry is unproven, and stamping would adopt this call's
+    // (k, w) over rows that may have been winnowed at another
+    assert(marker.delete())
+    an[IllegalArgumentException] should be thrownBy
+      Streams.winnowIngestBatch(
+        Seq((2L, "next " + (0 until 50).map(i => s"n$i").mkString(" ")))
+          .toDF("doc_id", "text"), 1L, out, fps)
+    // ...but the checkpoint REPLAY of batch 0 itself recovers: dynamic
+    // partition overwrite rewrites the whole partition at this call's
+    // geometry, so the post-write stamp is proven, not assumed
+    Streams.winnowIngestBatch(b0, 0L, out, fps)
+    marker.exists() shouldBe true
+    // two stamped partitions, then lose the marker: the FOLD must
+    // refuse (it wrote none of the rows — folding would plant
+    // permanently unmatchable hashes in the index), and own-batch
+    // replay no longer vouches for the OTHER partition either
+    Streams.winnowIngestBatch(
+      Seq((3L, "more " + (0 until 50).map(i => s"m$i").mkString(" ")))
+        .toDF("doc_id", "text"), 1L, out, fps)
+    val idx = s"wn_nomark_idx_${System.nanoTime()}"
+    Dedup.ensureWinnowIndex(spark, idx)
+    assert(marker.delete())
+    an[IllegalArgumentException] should be thrownBy
+      Streams.foldWinnowStore(spark, fps, idx)
+    an[IllegalArgumentException] should be thrownBy
+      Streams.winnowIngestBatch(
+        Seq((4L, "even " + (0 until 50).map(i => s"e$i").mkString(" ")))
+          .toDF("doc_id", "text"), 2L, out, fps)
+    // the documented operator remedy: restore the marker by hand when
+    // the rows' geometry IS known — everything proceeds
+    marker.createNewFile() shouldBe true
+    Streams.foldWinnowStore(spark, fps, idx) shouldBe Seq(0L)
+    spark.table(idx).select("corpus_id").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(1L)
+  }
 }
