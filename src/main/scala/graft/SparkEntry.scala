@@ -1590,6 +1590,25 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
       Curation.groupSplit(comp, "component").orderBy("doc_id")
+    }),
+
+    // ---- INCREMENTAL corpus maintenance: build(v1) persists its state
+    // family (snapshot/standing/band-index/frozen mix/frozen
+    // tokenizer), then the crawlV2 delta folds in at cost ∝ the
+    // CHANGED SLICE — diff exits unchanged docs before any text work,
+    // the standing screen is a bucketed index probe, mix membership
+    // and tokenizer are frozen (no corpus rescan, no retrain), and new
+    // bins append strictly above v1's max_bin. Output = tombstones +
+    // delta chunks; the oracle replays build(v1) AND the delta chain.
+    // The spec commit marker gates reuse: Bench re-runs skip the v1
+    // rebuild (fresh warehouse per JVM, so never stale across runs).
+    "q170_corpus_delta" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val p = s"graft_corpus_state_${dirTag(d)}"
+      if (!s.catalog.tableExists(graft.sources.IndexSpec.specTable(p)))
+        Pipeline.corpusBuildWithState(docs, p)
+      Pipeline.corpusDelta(crawlV2(docs), docs, p)
+        .orderBy("doc_id", "op", "chunk_idx")
     })
   )
 
@@ -4211,7 +4230,203 @@ object SparkEntry {
     "q166_xml_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
          CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
-         FROM supplier GROUP BY 1 ORDER BY 1"""
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+
+    // incremental corpus delta: the oracle replays build(v1) — the
+    // ENTIRE q164 chain, to reconstruct the frozen state (thresholds
+    // mth, tokenizer vocab_8/ids, standing canondocs, snapshot ofp,
+    // max_bin) — then the delta chain over crawlV2: fingerprint diff,
+    // curate the changed slice, exact screen vs non-tombstoned
+    // snapshot fps, exact-Jaccard screen vs still-standing canonical
+    // docs (≡ the engine's LSH probe at these parameters, the q31/q89
+    // equivalence), canonical resolution WITHIN the delta, frozen-mix
+    // membership, frozen-vocab encode (merge replay on NEW words),
+    // chunk, pack offset past v1's max bin, shard the new bins. Output
+    // = tombstones (sentinel chunk fields) + delta chunks.
+    "q170_corpus_delta" ->
+      s"""WITH RECURSIVE
+          ${curateCtesFor("documents", "c_")},
+          curdocs AS MATERIALIZED (SELECT d.* FROM documents d
+            JOIN c_cur USING (doc_id)),
+          ${dupComponentsCtesFor("curdocs")},
+          wc AS (
+            SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS component,
+              CAST(d.n_chars AS BIGINT) AS score
+            FROM curdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          best AS (SELECT component, max(score) AS best_score
+                   FROM wc GROUP BY 1),
+          canon AS (
+            SELECT wc.component, min(wc.doc_id) AS canonical_id
+            FROM wc JOIN best ON wc.component = best.component
+              AND wc.score = best.best_score
+            GROUP BY 1),
+          canondocs AS MATERIALIZED (
+            SELECT d.* FROM curdocs d
+            JOIN wc ON d.doc_id = wc.doc_id
+            JOIN canon ON wc.component = canon.component
+            WHERE d.doc_id = canon.canonical_id),
+          mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
+          mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
+          msv AS (
+            SELECT lang, t,
+              CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                AS s
+            FROM mtot),
+          mssv AS (SELECT sum(s) AS ss FROM msv),
+          mth AS (
+            SELECT lang,
+              CAST(floor(least(1.0,
+                CASE WHEN t > 0 THEN
+                  CAST(20000 AS DOUBLE) * s / ss / t
+                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
+            FROM msv, mssv),
+          seldocs AS MATERIALIZED (
+            SELECT d.* FROM canondocs d JOIN mth USING (lang)
+            WHERE ('0x' || substr(md5('smp_' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                  < thresh),
+          ${bpeTrainCtesFor(8, "seldocs")},
+          ${bpeEncodeCtesFor("seldocs")},
+          encall AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+            FROM seldocs d LEFT JOIN enc e USING (doc_id)),
+          ch AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+              ids[(ci*32+1):(ci*32+32)] AS cids
+            FROM (SELECT doc_id, ids,
+                unnest(generate_series(0,
+                  CAST(greatest(ceil(len(ids)/32.0) - 1, 0) AS BIGINT)))
+                  AS ci
+              FROM encall)),
+          chn AS MATERIALIZED (
+            SELECT doc_id, chunk_idx,
+              CAST(len(cids) AS BIGINT) AS n_tokens,
+              doc_id * 100000 + chunk_idx AS ckey
+            FROM ch),
+          pk AS (
+            SELECT ckey,
+              CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512 AS BIGINT) AS bin_id
+            FROM chn),
+          v1mb AS (SELECT CAST(coalesce(max(bin_id), -1) AS BIGINT)
+                     AS mb FROM pk),
+          $CrawlV2Sql,
+          nfp AS MATERIALIZED (SELECT doc_id, $Fp AS fp FROM v2),
+          ofp AS MATERIALIZED (
+            SELECT doc_id, $Fp AS fp FROM documents),
+          tomb AS MATERIALIZED (
+            SELECT o.doc_id FROM ofp o
+            LEFT JOIN nfp n ON o.doc_id = n.doc_id
+            WHERE n.doc_id IS NULL OR n.fp <> o.fp),
+          deltadocs AS MATERIALIZED (
+            SELECT v.doc_id, v.text, v.lang, v.source, v.n_chars
+            FROM v2 v JOIN nfp n ON v.doc_id = n.doc_id
+            LEFT JOIN ofp o ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR o.fp <> n.fp),
+          ${curateCtesFor("deltadocs", "dc_")},
+          keptfp AS MATERIALIZED (
+            SELECT DISTINCT fp FROM ofp
+            WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                              WHERE t.doc_id = ofp.doc_id)),
+          dx AS MATERIALIZED (
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM deltadocs d
+            JOIN dc_cur USING (doc_id)
+            JOIN dc_t t ON d.doc_id = t.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM keptfp k
+                              WHERE k.fp = t.fp)),
+          stnow AS MATERIALIZED (
+            SELECT doc_id FROM canondocs
+            WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                              WHERE t.doc_id = canondocs.doc_id)),
+          dxsh AS MATERIALIZED (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM dx)),
+          xhit AS MATERIALIZED (
+            SELECT DISTINCT d.doc_id
+            FROM dxsh d
+            JOIN sh s
+              ON round(CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(d.sh, s.sh)))
+                  AS DOUBLE), 4) >= 0.7
+            JOIN stnow st ON st.doc_id = s.doc_id),
+          ds2 AS MATERIALIZED (
+            SELECT * FROM dx
+            WHERE NOT EXISTS (SELECT 1 FROM xhit x
+                              WHERE x.doc_id = dx.doc_id)),
+          ${dupComponentsCtesFor("ds2", "dd_")},
+          ddwc AS (
+            SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS component,
+              CAST(d.n_chars AS BIGINT) AS score
+            FROM ds2 d LEFT JOIN dd_comp c ON d.doc_id = c.doc_id),
+          ddbest AS (SELECT component, max(score) AS best_score
+                     FROM ddwc GROUP BY 1),
+          ddcanon AS (
+            SELECT ddwc.component, min(ddwc.doc_id) AS canonical_id
+            FROM ddwc JOIN ddbest ON ddwc.component = ddbest.component
+              AND ddwc.score = ddbest.best_score
+            GROUP BY 1),
+          dsurv AS MATERIALIZED (
+            SELECT d.* FROM ds2 d
+            JOIN ddwc ON d.doc_id = ddwc.doc_id
+            JOIN ddcanon ON ddwc.component = ddcanon.component
+            WHERE d.doc_id = ddcanon.canonical_id),
+          dsel AS MATERIALIZED (
+            SELECT d.* FROM dsurv d JOIN mth USING (lang)
+            WHERE ('0x' || substr(md5('smp_' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                  < thresh),
+          ${bpeFrozenEncodeCtesFor(8, "dsel", "d_")},
+          d_encall AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+            FROM dsel d LEFT JOIN d_enc e USING (doc_id)),
+          d_ch AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+              ids[(ci*32+1):(ci*32+32)] AS cids
+            FROM (SELECT doc_id, ids,
+                unnest(generate_series(0,
+                  CAST(greatest(ceil(len(ids)/32.0) - 1, 0) AS BIGINT)))
+                  AS ci
+              FROM d_encall)),
+          d_chn AS MATERIALIZED (
+            SELECT doc_id, chunk_idx,
+              CAST(len(cids) AS BIGINT) AS n_tokens,
+              md5(array_to_string(cids, ' ')) AS ids_digest,
+              doc_id * 100000 + chunk_idx AS ckey
+            FROM d_ch),
+          d_pk AS (
+            SELECT ckey,
+              (SELECT mb + 1 FROM v1mb)
+                + CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 512 AS BIGINT) AS bin_id
+            FROM d_chn),
+          d_bs AS (
+            SELECT bin_id,
+              (row_number() OVER (
+                ORDER BY md5(CAST(bin_id AS VARCHAR)), bin_id) - 1) % 8
+                AS shard
+            FROM (SELECT DISTINCT bin_id FROM d_pk))
+          SELECT * FROM (
+            SELECT 'del' AS op, doc_id,
+              CAST(-1 AS BIGINT) AS chunk_idx,
+              CAST(0 AS BIGINT) AS n_tokens, '' AS ids_digest,
+              CAST(-1 AS BIGINT) AS bin_id, CAST(-1 AS BIGINT) AS shard
+            FROM tomb
+            UNION ALL
+            SELECT 'add', c.doc_id, c.chunk_idx, c.n_tokens,
+              c.ids_digest, p.bin_id, CAST(b.shard AS BIGINT)
+            FROM d_chn c JOIN d_pk p USING (ckey)
+            JOIN d_bs b USING (bin_id))
+          ORDER BY doc_id, op, chunk_idx"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over
@@ -4711,46 +4926,49 @@ object SparkEntry {
     * [[graft.operators.Dedup.minhashDupPairs]] at threshold 0.7,
     * shared by the components chain and the q165 triangle oracle.
     */
-  private def jaccardPairsCtes(src: String): String =
+  private def jaccardPairsCtes(src: String, cp: String = ""): String =
     // sh/p carry AS MATERIALIZED deliberately: DuckDB inlines CTEs by
     // default and both are multiply referenced downstream — inlined,
     // consumers re-execute the full shingle + all-pairs-Jaccard chain
     // down to the parquet scan (observed as fd exhaustion when composed
-    // into q164's long chain)
-    s"""sh AS MATERIALIZED (
+    // into q164's long chain). `cp` prefixes the CTE names so two pair
+    // relations can coexist in one chain (the q170 delta oracle runs
+    // the v1 closure AND a delta-slice closure).
+    s"""${cp}sh AS MATERIALIZED (
           SELECT doc_id,
             list_distinct(list_transform(
               generate_series(1, greatest(len(toks) - 2, 0)),
               i -> array_to_string(toks[i:i+2], ' '))) AS sh
           FROM (SELECT doc_id, $Toks AS toks FROM $src)),
-        p AS MATERIALIZED (
+        ${cp}p AS MATERIALIZED (
           SELECT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
                   AS DOUBLE), 4) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            FROM ${cp}sh a JOIN ${cp}sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.7)"""
 
   /** [[DupComponentsCte]] without the WITH prefix and parameterized by
     * the corpus relation (must carry doc_id, text) — the q164
     * composition clusters its CURATED corpus, not `documents`.
     */
-  private def dupComponentsCtesFor(src: String): String =
+  private def dupComponentsCtesFor(src: String, cp: String = ""): String =
     // e is MATERIALIZED for the same reason as sh/p: it feeds the
     // RECURSIVE reach, and inlined it would re-execute per iteration
-    s"""${jaccardPairsCtes(src)},
-        e AS MATERIALIZED (
-          SELECT doc_a AS a, doc_b AS b FROM p
-          UNION SELECT doc_b, doc_a FROM p),
-        reach(a, b) AS (
-          SELECT a, b FROM e
+    s"""${jaccardPairsCtes(src, cp)},
+        ${cp}e AS MATERIALIZED (
+          SELECT doc_a AS a, doc_b AS b FROM ${cp}p
+          UNION SELECT doc_b, doc_a FROM ${cp}p),
+        ${cp}reach(a, b) AS (
+          SELECT a, b FROM ${cp}e
           UNION
-          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        nodes AS (SELECT DISTINCT a FROM e),
-        comp AS (
+          SELECT r.a, e.b FROM ${cp}reach r JOIN ${cp}e e ON r.b = e.a),
+        ${cp}nodes AS (SELECT DISTINCT a FROM ${cp}e),
+        ${cp}comp AS (
           SELECT a AS doc_id, least(a, min(b)) AS component
-          FROM (SELECT a, b FROM reach UNION SELECT a, a FROM nodes)
+          FROM (SELECT a, b FROM ${cp}reach
+                UNION SELECT a, a FROM ${cp}nodes)
           GROUP BY a)"""
 
   private val ZxSql = "((user_id % 1024) + 1024) % 1024"
@@ -4859,6 +5077,52 @@ object SparkEntry {
                 FROM $src)
           GROUP BY word),
         $rounds"""
+  }
+
+  /** FROZEN-tokenizer encode chain for the q170 delta oracle: tokenize
+    * `src`'s words by REPLAYING the already-trained `merge_1..merge_n`
+    * CTEs (the padded-rep single-`replace` fold — exactly
+    * [[graft.operators.Bpe.tokens]], so words the training corpus never
+    * saw tokenize identically), then assemble ids from the TRAINING
+    * vocabulary's `ids` CTE — the frozen id space
+    * ([[graft.operators.Bpe.encodeDocsFrozen]]'s contract). Emits
+    * `<cp>wt`/`<cp>dw`/`<cp>dt`/`<cp>enc`; requires `merge_k` and `ids`
+    * upstream (from [[bpeTrainCtesFor]] + [[bpeEncodeCtesFor]]).
+    */
+  private def bpeFrozenEncodeCtesFor(n: Int, src: String,
+      cp: String): String = {
+    val folds = (1 to n).map { k =>
+      s"""${cp}rep_$k AS (
+            SELECT word,
+              replace(rep, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                      ' ' || m.lhs || m.rhs || ' ') AS rep
+            FROM ${cp}rep_${k - 1} CROSS JOIN merge_$k m)"""
+    }.mkString(",\n")
+    s"""${cp}rep_0 AS (
+          SELECT DISTINCT word,
+            regexp_replace(word, '(.)', ' \\1 ', 'g') AS rep
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS word
+                FROM $src)),
+        $folds,
+        ${cp}wt AS MATERIALIZED (
+          SELECT word, string_split(trim(rep), '  ') AS toks
+          FROM ${cp}rep_$n),
+        ${cp}dw AS (
+          SELECT doc_id, unnest(words) AS word,
+            generate_subscripts(words, 1) AS wpos
+          FROM (SELECT doc_id,
+              regexp_extract_all(lower(text), '[a-z]+') AS words
+            FROM $src)),
+        ${cp}dt AS (
+          SELECT d.doc_id, d.wpos, unnest(w.toks) AS token,
+            generate_subscripts(w.toks, 1) AS tpos
+          FROM ${cp}dw d JOIN ${cp}wt w USING (word)),
+        ${cp}enc AS (
+          SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
+          FROM (SELECT t.doc_id, t.wpos, t.tpos, i.id
+                FROM ${cp}dt t JOIN ids i USING (token))
+          GROUP BY doc_id)"""
   }
 
   /** The duplicated-span CTE chain shared by the q138/q139 oracles:

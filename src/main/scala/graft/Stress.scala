@@ -120,6 +120,26 @@ object Stress {
       spark.read.parquet(s"$ingDir/in")
     }
 
+    // one-time state build for the incremental-delta lines (lazy: a
+    // filtered run that skips all three corpus-state ops never pays it;
+    // rows counted so the corpusBuildState line reports chunk volume)
+    lazy val stressCorpusStateReady: Long =
+      Pipeline.corpusBuildWithState(docs, "stress_corpus",
+        mixBudgetTokens = 400000L).count()
+    // synthetic crawl deltas over the 20× corpus: drop %removeMod, edit
+    // %editMod, add %addMod under shifted ids — the q108 mutation
+    // classes at a controlled fraction of the corpus
+    def mutateCrawl(base: DataFrame, removeMod: Int, editMod: Int,
+        addMod: Int): DataFrame =
+      base.filter(col("doc_id") % removeMod =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % editMod === 0,
+            concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % addMod === 0).select(
+          (col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+
     val results = Seq(
       time("curate")(Curation.curate(docs)),
       time("exactDedup")(Dedup.exactDedup(docs)),
@@ -520,7 +540,28 @@ object Stress {
       // matters, since every stage is individually timed above.
       // Budget scaled so the mix keeps a real selection (not all/none).
       time("corpusBuild")(Pipeline.corpusBuild(docs,
-        mixBudgetTokens = 400000L)))
+        mixBudgetTokens = 400000L)),
+      // INCREMENTAL maintenance at 20×: the state build is the one-time
+      // cost; the deltas are what a recurring crawl pays. Two delta
+      // sizes (~2% and ~20% of the corpus changed) pin the claim that
+      // delta cost tracks DELTA size, not corpus size — the small
+      // delta must sit far below the full build, and the 10× delta
+      // must cost well under 10× the small one (the fixed floor is the
+      // fingerprint diff + index probe, both cheap scans).
+      timeAction("corpusBuildState") {
+        stressCorpusStateReady
+      },
+      {
+        if (want("corpusDeltaSmall") || want("corpusDeltaBig")) {
+          stressCorpusStateReady; ()
+        }
+        time("corpusDeltaSmall")(graft.operators.Pipeline.corpusDelta(
+          mutateCrawl(docs, removeMod = 151, editMod = 157,
+            addMod = 149), docs, "stress_corpus"))
+      },
+      time("corpusDeltaBig")(graft.operators.Pipeline.corpusDelta(
+        mutateCrawl(docs, removeMod = 15, editMod = 16, addMod = 14),
+        docs, "stress_corpus")))
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")

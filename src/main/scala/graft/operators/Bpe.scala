@@ -259,16 +259,26 @@ object Bpe {
     */
   def buildMergesTable(docs: DataFrame, table: String, numMerges: Int,
       textCol: String = "text"): Seq[Merge] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val merges = trainMerges(docs, numMerges, textCol)
+    saveMerges(docs.sparkSession, merges, table, numMerges)
+    merges
+  }
+
+  /** Persist an ALREADY-TRAINED merge list under the same
+    * spec-then-table contract as [[buildMergesTable]] — for pipelines
+    * that trained the tokenizer as one stage of a larger build and only
+    * need the persistence half (the incremental corpus build freezes
+    * its v1 tokenizer this way). [[loadMerges]] round-trips it.
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], table: String,
+      numMerges: Int): Unit = {
+    import spark.implicits._
     graft.sources.IndexSpec.write(
       Seq((numMerges, merges.size)).toDF("num_merges", "trained_merges"),
       table)
     graft.sources.Sinks.saveTable(
       merges.map(m => (m.rank, m.lhs, m.rhs)).toDF("rank", "lhs", "rhs"),
       table)
-    merges
   }
 
   /** Load a persisted merge list, spec-guarded: a table whose spec is
@@ -366,16 +376,46 @@ object Bpe {
     * by (word position, token position) inside a per-doc aggregate.
     * Docs with no `[a-z]+` words encode to the empty sequence.
     */
-  def encodeDocs(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val ids = tokenIds(docs, merges)
+  def encodeDocs(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    assembleEncoding(docs, merges, tokenIds(docs, merges),
+      frozenVocab = false)
+
+  /** [[encodeDocs]] under a FROZEN tokenizer: both the merge list AND
+    * the token-id table come from a previously-trained vocabulary
+    * instead of being re-derived from `docs` — the incremental corpus
+    * build's contract, where a delta crawl must encode into the SAME id
+    * space as the standing corpus (re-ranking ids over the delta would
+    * silently renumber every token). New words are tokenized by
+    * applying the frozen merges (a pure function of the word); a token
+    * with no id in the frozen table — a character the training corpus
+    * never saw, or a merge output later merges fully consumed there —
+    * raises per row rather than dropping tokens silently. Remedy:
+    * retrain (full [[Pipeline.corpusBuildWithState]]).
+    */
+  def encodeDocsFrozen(docs: DataFrame, merges: Seq[Merge],
+      ids: DataFrame): DataFrame =
+    assembleEncoding(docs, merges, ids.select("token", "id"),
+      frozenVocab = true)
+
+  private def assembleEncoding(docs: DataFrame, merges: Seq[Merge],
+      ids: DataFrame, frozenVocab: Boolean): DataFrame = {
     // per-DISTINCT-WORD id sequence first (vocabulary-sized): the
     // token-level explode+join never touches per-occurrence rows, so
     // the per-occurrence stage below is one word-keyed join + a flatten
     // — ~5× fewer shuffled rows than token-level assembly on real BPE
-    val wordIds = wordVocab(docs)
+    val wordTokens = wordVocab(docs)
       .select(col("word"),
         posexplode(tokens(col("word"), merges)).as(Seq("tpos", "token")))
-      .join(ids, Seq("token"))
+    val withIds =
+      if (frozenVocab)
+        wordTokens.join(ids, Seq("token"), "left")
+          .withColumn("id", coalesce(col("id"), raise_error(concat(
+            lit("encodeDocsFrozen: token '"), col("token"),
+            lit("' (in word '"), col("word"),
+            lit("') has no id in the frozen vocabulary — the training " +
+              "corpus never produced it; retrain the tokenizer")))))
+      else wordTokens.join(ids, Seq("token"))
+    val wordIds = withIds
       .groupBy("word")
       .agg(transform(
         array_sort(collect_list(struct(col("tpos"), col("id")))),

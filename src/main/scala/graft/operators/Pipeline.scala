@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-build composition — the proof that the engine's
@@ -58,8 +58,66 @@ import org.apache.spark.sql.functions._
   * — it is chunk-row-sized, the bounded OUTPUT of the build, not a
   * corpus-sized intermediate) so the caller's lazy plan does not
   * depend on the released caches.
+  *
+  * == Incremental maintenance ==
+  *
+  * [[corpusBuildWithState]] additionally persists the BUILD STATE a
+  * later crawl needs to update the corpus at DELTA cost instead of a
+  * full rebuild — the operating mode at 100 TB, where a daily crawl
+  * touches a fraction of a percent of the corpus and re-running the
+  * seven-stage build over everything would dominate the pipeline. The
+  * state family under prefix `p`:
+  *
+  *   - `p_snapshot`  (doc_id, fp)  — content fingerprint of the RAW
+  *                   crawl, the diff base ([[Dedup.snapshotDiff]]'s
+  *                   semantics without rescanning old text)
+  *   - `p_standing`  (doc_id)      — the canonical curated doc set
+  *                   currently IN the corpus universe
+  *   - `p_neardup`                 — [[Dedup.buildNearDupIndex]] over
+  *                   the standing docs (band-bucketed, own spec table)
+  *   - `p_mix`       (grp, thresh) — the frozen temperature-mix
+  *                   thresholds ([[Relational.temperatureThresholds]])
+  *   - `p_merges`                  — the frozen BPE tokenizer
+  *                   ([[Bpe.saveMerges]], own spec table)
+  *   - `p_vocab`     (token, id)   — the frozen token-id space
+  *                   ([[Bpe.tokenIds]] over the v1 selection)
+  *   - `p__spec`                   — one row of build parameters +
+  *                   `max_bin`, written LAST as the state's commit
+  *                   marker: [[corpusDelta]] refuses half-built state
+  *                   via [[graft.sources.IndexSpec.readRequired]]
+  *
+  * [[corpusDelta]] then turns a new crawl into (tombstones + new
+  * chunks); [[applyCorpusDelta]] folds them into a chunk relation.
   */
 object Pipeline {
+
+  // near-dup LSH geometry shared by the build's self-pass, the
+  // persisted index, and the delta's probe — one definition so the
+  // three can never drift (the index spec additionally guards the
+  // persisted half at probe time)
+  private val NdNgram = 3
+  private val NdK = 64
+  private val NdBands = 32
+
+  private def snapshotTable(p: String) = s"${p}_snapshot"
+  private def standingTable(p: String) = s"${p}_standing"
+  private def neardupTable(p: String) = s"${p}_neardup"
+  private def mixTable(p: String) = s"${p}_mix"
+  private def mergesTable(p: String) = s"${p}_merges"
+  private def vocabTable(p: String) = s"${p}_vocab"
+
+  /** Mutable per-build state sink: `None` fields until the stage that
+    * derives them runs. Internal to the build; the persisted form is
+    * the table family documented on the object.
+    */
+  private final case class BuildParams(
+      mixBudgetTokens: Long,
+      chunkTokens: Int,
+      packTokens: Long,
+      numMerges: Int,
+      nShards: Int,
+      neardupThreshold: Double,
+      statePrefix: Option[String])
 
   /** Build a training corpus from raw documents; see the object doc.
     * `documents` must carry (doc_id, text, lang, source, n_chars) —
@@ -72,7 +130,44 @@ object Pipeline {
       packTokens: Long = 512L,
       numMerges: Int = 8,
       nShards: Int = 8,
+      neardupThreshold: Double = 0.7): DataFrame =
+    corpusBuildImpl(documents, BuildParams(mixBudgetTokens, chunkTokens,
+      packTokens, numMerges, nShards, neardupThreshold, None))
+
+  /** [[corpusBuild]] that ALSO persists the incremental-maintenance
+    * state family under `statePrefix` (see the object doc) so
+    * [[corpusDelta]] can later fold a new crawl in at delta cost. The
+    * `p__spec` commit marker is written last: a crash mid-build leaves
+    * state that [[corpusDelta]] loudly refuses, never half-trusts.
+    * Re-running overwrites every state table, so the build is
+    * re-entrant.
+    */
+  def corpusBuildWithState(
+      documents: DataFrame,
+      statePrefix: String,
+      mixBudgetTokens: Long = 20000L,
+      chunkTokens: Int = 32,
+      packTokens: Long = 512L,
+      numMerges: Int = 8,
+      nShards: Int = 8,
       neardupThreshold: Double = 0.7): DataFrame = {
+    require(statePrefix.nonEmpty, "corpusBuildWithState: empty statePrefix")
+    corpusBuildImpl(documents, BuildParams(mixBudgetTokens, chunkTokens,
+      packTokens, numMerges, nShards, neardupThreshold, Some(statePrefix)))
+  }
+
+  private def corpusBuildImpl(documents: DataFrame,
+      params: BuildParams): DataFrame = {
+    // snapshot of the RAW crawl — the delta's diff base covers every
+    // crawl doc (also curation-rejected ones: a future crawl doc equal
+    // to a rejected one is "unchanged" and skips reprocessing — the
+    // same gates would reject it again)
+    params.statePrefix.foreach { p =>
+      graft.sources.Sinks.saveTable(
+        documents.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp")),
+        snapshotTable(p))
+    }
 
     // 1. curate: keep-list of doc_ids, then re-attach text (curate's
     //    q52-stable output schema drops the text column)
@@ -80,44 +175,71 @@ object Pipeline {
     val curatedDocs = documents
       .join(curated.select("doc_id"), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try corpusBuildOnCurated(curatedDocs, mixBudgetTokens, chunkTokens,
-      packTokens, numMerges, nShards, neardupThreshold)
-    finally curatedDocs.unpersist()
+    val out =
+      try corpusBuildOnCurated(curatedDocs, params)
+      finally curatedDocs.unpersist()
+
+    // spec LAST — the state family's commit marker (max_bin is read
+    // off the materialized output, which is chunk-row-sized)
+    params.statePrefix.foreach { p =>
+      val spark = documents.sparkSession
+      import spark.implicits._
+      val maxBin = Option(out.agg(max("bin_id")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
+      graft.sources.IndexSpec.write(
+        Seq((params.mixBudgetTokens, params.chunkTokens,
+          params.packTokens, params.numMerges, params.nShards,
+          params.neardupThreshold, maxBin))
+          .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
+            "num_merges", "n_shards", "neardup_threshold", "max_bin"),
+        p)
+    }
+    out
   }
 
-  /** [[corpusBuild]] stages 2–7 over the persisted curated corpus —
-    * split out so the caller's finally releases `curatedDocs` even
-    * when a downstream job fails (the [[Graph.triangleCounts]]
-    * convention); `selDocs` and `chunks` get the same treatment here.
+  /** Stages 2–7 over the persisted curated corpus — split out so the
+    * caller's finally releases `curatedDocs` even when a downstream
+    * job fails (the [[Graph.triangleCounts]] convention); `selDocs`
+    * and `chunks` get the same treatment here.
     */
   private def corpusBuildOnCurated(
       curatedDocs: DataFrame,
-      mixBudgetTokens: Long,
-      chunkTokens: Int,
-      packTokens: Long,
-      numMerges: Int,
-      nShards: Int,
-      neardupThreshold: Double): DataFrame = {
+      params: BuildParams): DataFrame = {
 
     // 2. canonical near-dup resolution OVER THE CURATED CORPUS (the
     //    exact-dup tier already ran inside curate; this is the fuzzy
     //    tier). keep=1 rows ARE the near-dup-deduplicated corpus.
     val canon = Dedup.resolveCanonical(curatedDocs,
         Dedup.dupComponents(Dedup.minhashDupPairs(curatedDocs,
-          threshold = neardupThreshold, k = 64, bands = 32)))
+          threshold = params.neardupThreshold, k = NdK, bands = NdBands)))
       .filter(col("keep") === 1L)
       .select("doc_id")
     val canonDocs = curatedDocs.join(canon, Seq("doc_id"))
 
+    // state: the standing corpus universe (canonical curated docs) +
+    // the near-dup index a delta probes against it. Both writes are
+    // actions over the still-persisted curatedDocs.
+    params.statePrefix.foreach { p =>
+      graft.sources.Sinks.saveTable(
+        canonDocs.select("doc_id"), standingTable(p))
+      Dedup.buildNearDupIndex(canonDocs, neardupTable(p),
+        ngram = NdNgram, k = NdK, bands = NdBands)
+    }
+
     // 3. temperature mix to the token budget (α = 0.5 √-share
     //    flattening; content-addressed membership, so the selection
-    //    replays bit-for-bit in the oracle)
-    val selDocs = Relational.temperatureMix(canonDocs, col("doc_id"),
-        col("lang"), size(TextAnalysis.tokens(col("text"))),
-        mixBudgetTokens)
+    //    replays bit-for-bit in the oracle — and, frozen, replays
+    //    bit-for-bit against a LATER crawl's docs)
+    val thresholds = Relational.temperatureThresholds(canonDocs,
+      col("lang"), size(TextAnalysis.tokens(col("text"))),
+      params.mixBudgetTokens)
+    params.statePrefix.foreach { p =>
+      graft.sources.Sinks.saveTable(thresholds, mixTable(p))
+    }
+    val selDocs = Relational.mixtureApplyThresholds(canonDocs,
+        col("doc_id"), col("lang"), thresholds)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try corpusBuildOnSelection(selDocs, chunkTokens, packTokens,
-      numMerges, nShards)
+    try corpusBuildOnSelection(selDocs, params)
     finally selDocs.unpersist()
   }
 
@@ -125,16 +247,22 @@ object Pipeline {
     * [[corpusBuildOnCurated]] for why the body is split). */
   private def corpusBuildOnSelection(
       selDocs: DataFrame,
-      chunkTokens: Int,
-      packTokens: Long,
-      numMerges: Int,
-      nShards: Int): DataFrame = {
+      params: BuildParams): DataFrame = {
 
     // 4. tokenizer trained on the SELECTED corpus (what a real pipeline
     //    trains on — the tokenizer depends on every upstream stage),
     //    then encode. trainMerges is eager driver-side argmax over
     //    vocabulary aggregates (bounded), the q133 contract.
-    val merges = Bpe.trainMerges(selDocs, numMerges)
+    val merges = Bpe.trainMerges(selDocs, params.numMerges)
+    params.statePrefix.foreach { p =>
+      Bpe.saveMerges(selDocs.sparkSession, merges, mergesTable(p),
+        params.numMerges)
+      // the token-id TABLE freezes with the merges: a delta crawl must
+      // encode into the v1 id space (re-ranking ids over delta docs
+      // would silently renumber every token — see encodeDocsFrozen)
+      graft.sources.Sinks.saveTable(
+        Bpe.tokenIds(selDocs, merges), vocabTable(p))
+    }
     val enc = Bpe.encodeDocs(selDocs, merges)
 
     // 5. chunk to the context window. Persisted because THREE jobs
@@ -144,28 +272,46 @@ object Pipeline {
     //    would otherwise replay the whole BPE encode join chain
     //    (packSized's scaladoc: persist the sized projection when the
     //    upstream is expensive).
-    val chunks = Bpe.chunkEncoded(enc, chunkTokens)
-      // a single synthetic long key gives the packer its total order
-      // (doc_id, chunk_idx); the packing bound is asserted per row —
-      // a >= 100k-chunk document (3.2M tokens at the default window)
-      // or a negative doc_id would silently collide keys, corrupting
-      // pack order and fanning out the join back
-      .withColumn("ckey",
-        when(col("chunk_idx") < 100000 && col("doc_id") >= 0,
-          col("doc_id") * 100000L + col("chunk_idx"))
-          .otherwise(raise_error(concat(
-            lit("corpusBuild: chunk key packing bound exceeded "),
-            lit("(doc_id="), col("doc_id").cast("string"),
-            lit(", chunk_idx="), col("chunk_idx").cast("string"),
-            lit(") — need doc_id >= 0 and < 100000 chunks/doc")))))
+    val chunks = withChunkKey(Bpe.chunkEncoded(enc, params.chunkTokens))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try packShardEmit(chunks, params.packTokens, params.nShards,
+      binBase = 0L)
+    finally chunks.unpersist()
+  }
 
+  /** The (doc_id, chunk_idx) → ckey synthetic packing key shared by the
+    * full build and the delta: a single long gives the packer its total
+    * order. The bound is asserted per row — a >= 100k-chunk document
+    * (3.2M tokens at the default window) or a negative doc_id would
+    * silently collide keys, corrupting pack order and fanning out the
+    * join back.
+    */
+  private def withChunkKey(chunks: DataFrame): DataFrame =
+    chunks.withColumn("ckey",
+      when(col("chunk_idx") < 100000 && col("doc_id") >= 0,
+        col("doc_id") * 100000L + col("chunk_idx"))
+        .otherwise(raise_error(concat(
+          lit("corpusBuild: chunk key packing bound exceeded "),
+          lit("(doc_id="), col("doc_id").cast("string"),
+          lit(", chunk_idx="), col("chunk_idx").cast("string"),
+          lit(") — need doc_id >= 0 and < 100000 chunks/doc")))))
+
+  /** Stages 6–7 (+ final projection) over a persisted chunk relation:
+    * pack into fixed token-budget bins offset by `binBase` (0 for a
+    * full build; the standing corpus's max_bin + 1 for a delta, so
+    * delta bins append after the existing ones), shard the new bins
+    * content-addressed, and emit the chunk rows. The result is
+    * materialized eagerly — returned lazily it would depend on the
+    * cached intermediates the callers' finally blocks release.
+    */
+  private def packShardEmit(chunks: DataFrame, packTokens: Long,
+      nShards: Int, binBase: Long): DataFrame = {
     // 6. pack chunks into fixed token-budget bins (two-pass prefix sum)
     val bins = Relational.packSized(
         chunks.select(col("ckey").as("doc_id"), col("n_tokens")),
         packTokens)
-      .select(col("doc_id").as("ckey"), col("bin_id"))
+      .select(col("doc_id").as("ckey"),
+        (col("bin_id") + lit(binBase)).as("bin_id"))
 
     // 7. shard the BINS (the export unit) content-addressed; the bin
     //    relation is total-tokens/packTokens rows — broadcast-sized
@@ -173,8 +319,6 @@ object Pipeline {
         bins.select("bin_id").distinct(), "bin_id", nShards)
       .select("bin_id", "shard")
 
-    // materialize the chunk-level OUTPUT eagerly — returned lazily it
-    // would depend on the cached intermediates the finally releases
     chunks
       .join(bins, Seq("ckey"))
       .join(F.broadcast(shards), Seq("bin_id"))
@@ -187,6 +331,265 @@ object Pipeline {
         col("bin_id"),
         col("shard"))
       .localCheckpoint(true)
-    } finally chunks.unpersist()
+  }
+
+  /** Fold a NEW CRAWL into a corpus built by [[corpusBuildWithState]],
+    * at cost proportional to the CHANGE, not the corpus. Returns a
+    * changeset — one relation of
+    * (op, doc_id, chunk_idx, n_tokens, ids_digest, bin_id, shard):
+    *
+    *   - `op = 'del'` (tombstones): doc_ids REMOVED from or CHANGED in
+    *     the new crawl — a reader drops their chunks (chunk fields are
+    *     the -1/0/'' sentinels). Emitted snapshot-level, without
+    *     consulting the chunk store: a tombstone for a doc that never
+    *     had chunks is a harmless no-op under [[applyCorpusDelta]].
+    *   - `op = 'add'`: training chunks (the [[corpusBuild]] schema) for
+    *     the delta docs that survive the full gate chain, packed into
+    *     bins STRICTLY ABOVE the standing corpus's max_bin (append-only
+    *     placement — existing bins and shards are immutable).
+    *
+    * The delta replays the build's stages over the CHANGED SLICE under
+    * frozen v1 decisions:
+    *
+    *   1. diff      — new crawl fingerprints vs the `p_snapshot` table
+    *                  ([[Dedup.snapshotDiff]] semantics); unchanged
+    *                  docs exit here, which is what makes everything
+    *                  downstream delta-sized
+    *   2. curate    — [[Curation.curate]] over added ∪ changed only
+    *   3. screen    — exact: fp ∈ snapshot of non-tombstoned docs;
+    *                  near-dup: [[Dedup.probeNearDupIndex]] against the
+    *                  persisted band index, hits filtered to corpus
+    *                  docs still standing (a near-dup of a doc being
+    *                  removed THIS round does not screen)
+    *   4. self-dedup— canonical resolution WITHIN the screened delta
+    *                  (standing-screen first, then self: a delta doc
+    *                  whose only dup was itself screened away survives)
+    *   5. mix       — the FROZEN `p_mix` thresholds; content-addressed
+    *                  membership needs no corpus rescan. A delta group
+    *                  with no frozen threshold fails loudly (a frozen
+    *                  mix cannot place an unseen group).
+    *   6. tokenize  — the FROZEN `p_merges` tokenizer; no retrain
+    *   7. chunk/pack/shard — bins offset past `max_bin`
+    *
+    * `corpusDocs` is the relation holding the STANDING corpus's text
+    * (the previous crawl): it is touched only by the probe's verify
+    * semi-join — candidate-sized, never a full-corpus pass.
+    *
+    * Known semantic edge (inherent to crawl-diff incrementality, shared
+    * by every delta-maintenance design that doesn't track dup groups):
+    * when a standing doc is removed, crawl twins that were SUPPRESSED
+    * as its duplicates in earlier rounds are not re-evaluated — they
+    * diff as "unchanged". A periodic full rebuild reconciles; the
+    * DuckDB oracle replays the same rule, so the behavior is pinned,
+    * not accidental.
+    *
+    * `commit = true` additionally advances the state family to the new
+    * crawl (snapshot ← new fingerprints; standing ← survivors folded
+    * in, tombstones out; band index ← delta survivors appended;
+    * `p__spec.max_bin` ← new max bin, written LAST), enabling a THIRD
+    * crawl to delta against this one. The updates run after the
+    * changeset is fully materialized and all inputs they read are
+    * checkpointed, so no write ever overwrites a table its own plan
+    * still reads. A crash PART-WAY through the commit leaves mixed-
+    * generation state — re-run the full [[corpusBuildWithState]] to
+    * reconcile (the streaming tiers' batch_id replay machinery is the
+    * tool for exactly-once ingestion; a corpus delta is a maintenance
+    * transaction, run it like one).
+    */
+  def corpusDelta(newCrawl: DataFrame, corpusDocs: DataFrame,
+      statePrefix: String, commit: Boolean = false): DataFrame = {
+    val spark = newCrawl.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    val chunkTokens = spec.getAs[Int]("chunk_tokens")
+    val packTokens = spec.getAs[Long]("pack_tokens")
+    val nShards = spec.getAs[Int]("n_shards")
+    val threshold = spec.getAs[Double]("neardup_threshold")
+    val binBase = spec.getAs[Long]("max_bin") + 1L
+
+    val snap = spark.table(snapshotTable(statePrefix))
+    val newFps = newCrawl.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("new_fp"))
+    // the diff joins fingerprint relations (16-byte rows), never text;
+    // only the changed slice flows on
+    val diff = snap.select(col("doc_id"), col("fp").as("old_fp"))
+      .join(newFps, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try corpusDeltaOnDiff(newCrawl, corpusDocs, statePrefix, commit,
+      diff, chunkTokens, packTokens, nShards, threshold, binBase)
+    finally diff.unpersist()
+  }
+
+  private def corpusDeltaOnDiff(newCrawl: DataFrame,
+      corpusDocs: DataFrame, statePrefix: String, commit: Boolean,
+      diff: DataFrame, chunkTokens: Int, packTokens: Long, nShards: Int,
+      threshold: Double, binBase: Long): DataFrame = {
+    val spark = newCrawl.sparkSession
+    val snap = spark.table(snapshotTable(statePrefix))
+    val tombstones = diff
+      .filter(col("status").isin("removed", "changed")).select("doc_id")
+    val deltaIds = diff
+      .filter(col("status").isin("added", "changed")).select("doc_id")
+
+    // Lineage discipline for everything below: each stage's output is
+    // DELTA-sized and the next stage references it SEVERAL times (the
+    // probe reads its batch thrice, the LSH self-join more) — left
+    // lazy, those references re-execute the whole upstream chain
+    // multiplicatively (measured: the 2%-delta run cost MORE than the
+    // full 20× build before these cuts, ~86 s of repeated curation/
+    // probe subtrees and driver re-planning — the plan-explosion class
+    // trainMerges' round materializer exists for). Each waist is
+    // eagerly localCheckpoint'd: delta-sized data, one execution per
+    // stage, leaf-sized plans downstream.
+
+    // 2. curate the delta slice (text re-attached, curate's contract)
+    val deltaDocs = newCrawl.join(deltaIds, Seq("doc_id"))
+    val deltaCurDocs = deltaDocs
+      .join(Curation.curate(deltaDocs).select("doc_id"), Seq("doc_id"))
+      .localCheckpoint(true)
+
+    // 3a. exact screen: a delta doc whose content already exists in a
+    //     NON-tombstoned snapshot doc is a re-upload, not new content.
+    //     (Snapshot fps, not curated fps: any snapshot doc with equal
+    //     text passes/fails the curation gates identically, so the fp
+    //     sets coincide for docs that reach this screen.)
+    val fpCol = "__fp_delta"
+    val keptFps = snap.join(tombstones, Seq("doc_id"), "left_anti")
+      .select("fp").distinct()
+    val afterExact = deltaCurDocs
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+      .join(keptFps.withColumnRenamed("fp", fpCol), Seq(fpCol),
+        "left_anti")
+      .drop(fpCol)
+      .localCheckpoint(true)
+
+    // 3b. near-dup screen against the STANDING corpus via the persisted
+    //     band index: bucketed probe + candidate-slice verify, the q130
+    //     family's cost shape. Hits on docs leaving the corpus THIS
+    //     round don't screen (standing minus tombstones).
+    val standingNow = spark.table(standingTable(statePrefix))
+      .join(tombstones, Seq("doc_id"), "left_anti")
+    val ndHits = Dedup.probeNearDupIndex(afterExact, corpusDocs,
+        neardupTable(statePrefix), threshold, NdNgram, NdK, NdBands)
+      .join(standingNow.select(col("doc_id").as("corpus_id")),
+        Seq("corpus_id"))
+      .select(col("new_id").as("doc_id")).distinct()
+    val screened = afterExact.join(ndHits, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 4. canonical resolution WITHIN the screened delta (the build's
+    //    stage-2 machinery over the delta slice)
+    val selfKeep = Dedup.resolveCanonical(screened,
+        Dedup.dupComponents(Dedup.minhashDupPairs(screened,
+          threshold = threshold, k = NdK, bands = NdBands)))
+      .filter(col("keep") === 1L)
+      .select("doc_id")
+    val survivors = screened.join(selfKeep, Seq("doc_id"))
+      .localCheckpoint(true)
+
+    // 5. frozen mix. Coverage check first — group-cardinality-bounded
+    //    collect, same bound as the threshold broadcast itself.
+    val thresholds = spark.table(mixTable(statePrefix))
+    val missing = survivors
+      .select(col("lang").cast("string").as("grp")).distinct()
+      .join(thresholds.select("grp"), Seq("grp"), "left_anti")
+      .collect().map(_.getString(0)).sorted
+    require(missing.isEmpty,
+      s"corpusDelta: group(s) ${missing.mkString(", ")} have no " +
+        s"frozen mix threshold in ${mixTable(statePrefix)} — a " +
+        "frozen mix cannot place an unseen group; re-run " +
+        "corpusBuildWithState to re-derive thresholds (or insert an " +
+        "explicit threshold row for the new group)")
+    val sel = Relational.mixtureApplyThresholds(survivors,
+      col("doc_id"), col("lang"), thresholds)
+
+    // 6. frozen tokenizer (merges AND token-id space from v1);
+    // 7. chunk/pack/shard above the standing bins
+    val merges = Bpe.loadMerges(spark, mergesTable(statePrefix))
+    val chunks = withChunkKey(
+        Bpe.chunkEncoded(Bpe.encodeDocsFrozen(sel, merges,
+          spark.table(vocabTable(statePrefix))), chunkTokens))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adds =
+      try packShardEmit(chunks, packTokens, nShards, binBase)
+      finally chunks.unpersist()
+
+    val out = tombstones
+      .select(lit("del").as("op"), col("doc_id"),
+        lit(-1L).as("chunk_idx"), lit(0L).as("n_tokens"),
+        lit("").as("ids_digest"), lit(-1L).as("bin_id"),
+        lit(-1L).as("shard"))
+      .unionByName(adds.select(lit("add").as("op"), col("doc_id"),
+        col("chunk_idx"), col("n_tokens"), col("ids_digest"),
+        col("bin_id"), col("shard")))
+      .localCheckpoint(true)
+
+    if (commit)
+      commitDelta(spark, statePrefix, newFpsOf(newCrawl), survivors,
+        standingNow, out, spec = (chunkTokens, packTokens, nShards,
+          threshold, binBase))
+    out
+  }
+
+  private def newFpsOf(crawl: DataFrame): DataFrame =
+    crawl.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  /** The state advance of a committed delta (see [[corpusDelta]]).
+    * Every input that reads a state table is checkpointed BEFORE the
+    * first overwrite, so no write consumes a table it is replacing.
+    * The spec (with the new max_bin) is written last — the same
+    * commit-marker role it plays in the initial build.
+    */
+  private def commitDelta(spark: SparkSession, statePrefix: String,
+      newFps: DataFrame, survivors: DataFrame, standingNow: DataFrame,
+      out: DataFrame,
+      spec: (Int, Long, Int, Double, Long)): Unit = {
+    import spark.implicits._
+    val (chunkTokens, packTokens, nShards, threshold, binBase) = spec
+    // materialize everything that still reads the old state tables
+    // (survivors arrives already checkpointed — the delta's waist)
+    val survivorsCk = survivors
+    val newStanding = standingNow
+      .unionByName(survivorsCk.select("doc_id"))
+      .localCheckpoint(true)
+    val newSnapshot = newFps.localCheckpoint(true)
+
+    graft.sources.Sinks.saveTable(newSnapshot,
+      snapshotTable(statePrefix))
+    graft.sources.Sinks.saveTable(newStanding,
+      standingTable(statePrefix))
+    Dedup.appendNearDupIndex(survivorsCk, neardupTable(statePrefix),
+      ngram = NdNgram, k = NdK, bands = NdBands)
+    val newMaxBin = Option(out.filter(col("op") === "add")
+        .agg(max("bin_id")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(binBase - 1L)
+    val old = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    graft.sources.IndexSpec.write(
+      Seq((old.getAs[Long]("mix_budget_tokens"), chunkTokens,
+        packTokens, old.getAs[Int]("num_merges"), nShards, threshold,
+        newMaxBin))
+        .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
+          "num_merges", "n_shards", "neardup_threshold", "max_bin"),
+      statePrefix)
+  }
+
+  /** Fold a [[corpusDelta]] changeset into a chunk relation: drop every
+    * chunk of a tombstoned doc, then append the delta's chunks — the
+    * [[Relational.mergeChangeset]] shape specialized to the corpus
+    * schema (delete-then-add per doc, so a CHANGED doc's old chunks
+    * never coexist with its new ones). One anti-join + one union; at
+    * scale both sides stay partitioned by doc_id.
+    */
+  def applyCorpusDelta(chunks: DataFrame, delta: DataFrame): DataFrame = {
+    val dels = delta.filter(col("op") === "del")
+      .select("doc_id").distinct()
+    val adds = delta.filter(col("op") === "add").drop("op")
+    chunks.join(dels, Seq("doc_id"), "left_anti").unionByName(adds)
   }
 }

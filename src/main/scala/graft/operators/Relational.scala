@@ -566,12 +566,25 @@ object Relational {
     */
   def temperatureMix(df: DataFrame, keyCol: Column, groupCol: Column,
       weightCol: Column, totalBudget: Long,
-      salt: String = "smp_"): DataFrame = {
+      salt: String = "smp_"): DataFrame =
+    mixtureApplyThresholds(df, keyCol, groupCol,
+      temperatureThresholds(df, groupCol, weightCol, totalBudget), salt)
+
+  /** [[temperatureMix]]'s per-group threshold derivation, exposed so a
+    * pipeline can PERSIST the thresholds and replay the exact selection
+    * against later data (the incremental corpus build's frozen-mix
+    * contract): membership is content-addressed — a pure function of
+    * (key hash, group threshold) — so a doc's selection decision never
+    * depends on what else is in the batch once the thresholds are
+    * fixed. Output: (grp STRING, thresh LONG in [0, 1e6] micro-units).
+    */
+  def temperatureThresholds(df: DataFrame, groupCol: Column,
+      weightCol: Column, totalBudget: Long): DataFrame = {
     require(totalBudget >= 0L,
-      s"temperatureMix: totalBudget must be >= 0, got $totalBudget")
+      s"temperatureThresholds: totalBudget must be >= 0, got $totalBudget")
     val m = SampleModulus
     val totals = df
-      .groupBy(groupCol.cast("string").as("__g"))
+      .groupBy(groupCol.cast("string").as("grp"))
       .agg(sum(weightCol.cast("long")).as("__t"))
       .withColumn("__s",
         round(sqrt(col("__t").cast("double")) * m).cast("long"))
@@ -587,15 +600,28 @@ object Relational {
         lit(totalBudget).cast("double") * col("__s") /
           lit(ss).cast("double") / col("__t"))
         .otherwise(lit(1.0)))
-    val thresholds = totals
-      .withColumn("__thresh", floor(frac * m).cast("long"))
-      .select("__g", "__thresh")
+    totals
+      .withColumn("thresh", floor(frac * m).cast("long"))
+      .select("grp", "thresh")
+  }
+
+  /** Apply a (grp, thresh) threshold relation — [[temperatureThresholds]]'
+    * output, fresh or loaded from a persisted table — as the
+    * content-addressed membership filter: keep a row iff
+    * md5(salt ∥ key) mod 1e6 < thresh(group). Groups absent from
+    * `thresholds` select NOTHING (coalesce to 0) — callers replaying
+    * frozen thresholds against new data should check group coverage
+    * first if silent exclusion of an unseen group is not acceptable.
+    */
+  def mixtureApplyThresholds(df: DataFrame, keyCol: Column,
+      groupCol: Column, thresholds: DataFrame,
+      salt: String = "smp_"): DataFrame =
     df.withColumn("__g", groupCol.cast("string"))
-      .join(broadcast(thresholds), Seq("__g"), "left")
+      .join(broadcast(thresholds.select(col("grp").as("__g"),
+        col("thresh").as("__thresh"))), Seq("__g"), "left")
       .filter(memberBucket(keyCol, salt) <
         coalesce(col("__thresh"), lit(0L)))
       .drop("__g", "__thresh")
-  }
 
   /** P11: contiguous 0-based positional index (the RDD `zipWithIndex`
     * semantic, `301-solutions.scala:56`). zipWithIndex is the

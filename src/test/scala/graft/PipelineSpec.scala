@@ -80,6 +80,133 @@ class PipelineSpec extends SparkSpec {
       s"corpusBuild leaked persisted intermediates: rdd ids $leaked")
   }
 
+  // ------------------------------------------------ incremental delta
+
+  private val statePrefix = s"pipe_state_${System.nanoTime()}"
+  private lazy val v1 =
+    Pipeline.corpusBuildWithState(tables.documents, statePrefix).cache()
+
+  /** The q108-style synthetic second crawl: drop %17, edit %13, re-add
+    * %19 under shifted ids — every mutation class the delta must
+    * classify.
+    */
+  private def mutateV2(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" edited v2"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 19 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+
+  test("delta of an unchanged crawl is empty") {
+    v1.count() should be > 0L
+    Pipeline.corpusDelta(tables.documents, tables.documents,
+      statePrefix).count() shouldBe 0L
+  }
+
+  test("delta classifies tombstones exactly; new bins append above v1's") {
+    v1.count() should be > 0L
+    val docs = tables.documents
+    val delta = Pipeline.corpusDelta(mutateV2(docs), docs, statePrefix)
+    // tombstones = removed (%17) ∪ changed (%13 not also removed)
+    val expectedDels = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 17 == 0 || id % 13 == 0).toSet
+    delta.filter(col("op") === "del").select("doc_id").collect()
+      .map(_.getLong(0)).toSet shouldBe expectedDels
+    // append-only placement: every delta bin is strictly above v1's max
+    val v1MaxBin = v1.agg(max("bin_id")).head().getLong(0)
+    delta.filter(col("op") === "add").agg(min("bin_id")).head()
+      .getLong(0) should be > v1MaxBin
+    // the folded corpus carries no EFFECTIVELY-deleted doc (a changed
+    // doc is tombstoned AND re-added — only docs with no add row must
+    // vanish) and carries every add verbatim
+    val applied = Pipeline.applyCorpusDelta(v1, delta)
+    val goneForGood = delta.filter(col("op") === "del").select("doc_id")
+      .join(delta.filter(col("op") === "add").select("doc_id")
+        .distinct(), Seq("doc_id"), "left_anti")
+    applied.join(goneForGood, Seq("doc_id")).count() shouldBe 0L
+    val adds = delta.filter(col("op") === "add").drop("op")
+    rowSet(applied.join(adds.select("doc_id").distinct(),
+      Seq("doc_id"))) shouldBe rowSet(adds)
+    // docs untouched by the crawl keep their v1 rows bit for bit
+    val unchanged = v1.select("doc_id").distinct()
+      .join(delta.select("doc_id").distinct(), Seq("doc_id"),
+        "left_anti")
+    rowSet(applied.join(unchanged, Seq("doc_id"))) shouldBe
+      rowSet(v1.join(unchanged, Seq("doc_id")))
+  }
+
+  test("delta is deterministic run to run") {
+    v1.count() should be > 0L
+    val docs = tables.documents
+    val v2 = mutateV2(docs)
+    rowSet(Pipeline.corpusDelta(v2, docs, statePrefix)) shouldBe
+      rowSet(Pipeline.corpusDelta(v2, docs, statePrefix))
+  }
+
+  test("delta releases every persisted intermediate") {
+    v1.count() should be > 0L
+    val before = pinnedIds
+    Pipeline.corpusDelta(mutateV2(tables.documents), tables.documents,
+      statePrefix).count()
+    val leaked = pinnedIds -- before
+    assert(leaked.isEmpty,
+      s"corpusDelta leaked persisted intermediates: rdd ids $leaked")
+  }
+
+  test("committed delta advances the state: same crawl re-deltas empty, a third crawl chains") {
+    v1.count() should be > 0L
+    val docs = tables.documents
+    val v2 = mutateV2(docs)
+    val d2 = Pipeline.corpusDelta(v2, docs, statePrefix, commit = true)
+      .cache()
+    d2.filter(col("op") === "add").count() should be > 0L
+    // state is now AT v2: the identical crawl has no delta
+    Pipeline.corpusDelta(v2, v2, statePrefix).count() shouldBe 0L
+    // third crawl (drop %23, edit %11) deltas against the COMMITTED
+    // state — its new bins append above the v2 delta's
+    val v3 = v2.filter(col("doc_id") % 23 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" edited v3"))).otherwise(col("text")))
+    val d3 = Pipeline.corpusDelta(v3, v2, statePrefix)
+    val d2MaxBin = d2.filter(col("op") === "add")
+      .agg(max("bin_id")).head().getLong(0)
+    d3.filter(col("op") === "add").agg(min("bin_id")).head()
+      .getLong(0) should be > d2MaxBin
+    // folding both rounds leaves no EFFECTIVELY-deleted doc: a doc
+    // tombstoned in a round can legitimately return via the SAME
+    // round's re-add (changed doc) or a LATER round's
+    val corpus = Pipeline.applyCorpusDelta(
+      Pipeline.applyCorpusDelta(v1, d2), d3)
+    def ids(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.filter(col("op") === op).select("doc_id").distinct()
+    val goneForGood =
+      ids(d2, "del").join(ids(d2, "add"), Seq("doc_id"), "left_anti")
+        .unionByName(ids(d3, "del")).distinct()
+        .join(ids(d3, "add"), Seq("doc_id"), "left_anti")
+    corpus.join(goneForGood, Seq("doc_id")).count() shouldBe 0L
+    d2.unpersist()
+  }
+
+  test("a delta group with no frozen mix threshold fails loudly") {
+    // runs against the v2-committed state from the previous test; the
+    // alien doc passes curation (40 unknown-language tokens) and both
+    // screens, then hits the frozen-mix coverage guard
+    val v2 = mutateV2(tables.documents)
+    val alien = v2.limit(1)
+      .withColumn("doc_id", lit(999999L))
+      .withColumn("text",
+        lit((1 to 40).map(i => s"zq$i").mkString(" ")))
+      .withColumn("lang", lit("xx"))
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.corpusDelta(v2.unionByName(alien), v2, statePrefix)
+    }
+    ex.getMessage should include("no frozen mix threshold")
+    ex.getMessage should include("xx")
+  }
+
   test("corpus-sized intermediates are released on the failure path") {
     // negative doc_ids trip the ckey packing-bound raise_error when the
     // chunk relation first materializes (packSized's eager partition
