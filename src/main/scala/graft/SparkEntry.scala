@@ -1609,7 +1609,18 @@ object SparkEntry {
         Pipeline.corpusBuildWithState(docs, p)
       Pipeline.corpusDelta(crawlV2(docs), docs, p)
         .orderBy("doc_id", "op", "chunk_idx")
-    })
+    }),
+
+    // ---- q164 at an adversarial second parameter point (see the
+    // oracle comment): same composition, every knob moved — including
+    // a merge count past the default and a non-power-of-two shard
+    // count — so the determinism machinery is proven parameter-
+    // independent, not tuned to one constant set
+    "q171_corpus_build_sweep" -> ((s, d) =>
+      Pipeline.corpusBuild(Tables(s, d).documents,
+          mixBudgetTokens = 9000L, chunkTokens = 24, packTokens = 384L,
+          numMerges = 12, nShards = 5)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -4078,84 +4089,18 @@ object SparkEntry {
     // fragments) → 32-token chunks (q147's slice convention) →
     // 512-budget prefix-sum pack (q144) → md5-order bin shard (q103)
     "q164_corpus_build" ->
-      s"""WITH RECURSIVE
-          ${curateCtesFor("documents", "c_")},
-          curdocs AS MATERIALIZED (SELECT d.* FROM documents d
-            JOIN c_cur USING (doc_id)),
-          ${dupComponentsCtesFor("curdocs")},
-          wc AS (
-            SELECT d.doc_id,
-              coalesce(c.component, d.doc_id) AS component,
-              CAST(d.n_chars AS BIGINT) AS score
-            FROM curdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-          best AS (SELECT component, max(score) AS best_score
-                   FROM wc GROUP BY 1),
-          canon AS (
-            SELECT wc.component, min(wc.doc_id) AS canonical_id
-            FROM wc JOIN best ON wc.component = best.component
-              AND wc.score = best.best_score
-            GROUP BY 1),
-          canondocs AS MATERIALIZED (
-            SELECT d.* FROM curdocs d
-            JOIN wc ON d.doc_id = wc.doc_id
-            JOIN canon ON wc.component = canon.component
-            WHERE d.doc_id = canon.canonical_id),
-          mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
-          mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
-          msv AS (
-            SELECT lang, t,
-              CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
-                AS s
-            FROM mtot),
-          mssv AS (SELECT sum(s) AS ss FROM msv),
-          mth AS (
-            SELECT lang,
-              CAST(floor(least(1.0,
-                CASE WHEN t > 0 THEN
-                  CAST(20000 AS DOUBLE) * s / ss / t
-                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
-            FROM msv, mssv),
-          seldocs AS MATERIALIZED (
-            SELECT d.* FROM canondocs d JOIN mth USING (lang)
-            WHERE ('0x' || substr(md5('smp_' ||
-                    CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
-                  < thresh),
-          ${bpeTrainCtesFor(8, "seldocs")},
-          ${bpeEncodeCtesFor("seldocs")},
-          encall AS (
-            SELECT d.doc_id,
-              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
-            FROM seldocs d LEFT JOIN enc e USING (doc_id)),
-          ch AS (
-            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
-              ids[(ci*32+1):(ci*32+32)] AS cids
-            FROM (SELECT doc_id, ids,
-                unnest(generate_series(0,
-                  CAST(greatest(ceil(len(ids)/32.0) - 1, 0) AS BIGINT)))
-                  AS ci
-              FROM encall)),
-          chn AS MATERIALIZED (
-            SELECT doc_id, chunk_idx,
-              CAST(len(cids) AS BIGINT) AS n_tokens,
-              md5(array_to_string(cids, ' ')) AS ids_digest,
-              doc_id * 100000 + chunk_idx AS ckey
-            FROM ch),
-          pk AS (
-            SELECT ckey,
-              CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                // 512 AS BIGINT) AS bin_id
-            FROM chn),
-          bs AS (
-            SELECT bin_id,
-              (row_number() OVER (
-                ORDER BY md5(CAST(bin_id AS VARCHAR)), bin_id) - 1) % 8
-                AS shard
-            FROM (SELECT DISTINCT bin_id FROM pk))
-          SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.ids_digest,
-            p.bin_id, CAST(b.shard AS BIGINT) AS shard
-          FROM chn c JOIN pk p USING (ckey) JOIN bs b USING (bin_id)
-          ORDER BY doc_id, chunk_idx""",
+      corpusBuildOracle(budget = 20000L, chunk = 32, pack = 512L,
+        merges = 8, shards = 8),
+
+    // the q164 chain at an ADVERSARIAL second parameter point (smaller
+    // budget, narrower context window, different pack budget, MORE
+    // merges, non-power-of-two shard count): proves the determinism
+    // machinery — content-addressed thresholds, the ckey bound, the
+    // DECIMAL threshold replay, the digest conventions — is not tuned
+    // to one constant set
+    "q171_corpus_build_sweep" ->
+      corpusBuildOracle(budget = 9000L, chunk = 24, pack = 384L,
+        merges = 12, shards = 5),
 
     // triangle counting replay over the exact-Jaccard pair graph
     // (minhash ≡ exact at these parameters, the q31 gate): the oracle
@@ -5014,12 +4959,13 @@ object SparkEntry {
 
   /** [[bpeEncodeCtes]] parameterized by the corpus relation the doc
     * side reads — the q164 composition encodes the SELECTED corpus,
-    * not `documents`.
+    * not `documents` — and by the trained vocab round `n` (the q171
+    * parameter sweep trains a different merge count).
     */
-  private def bpeEncodeCtesFor(src: String): String =
+  private def bpeEncodeCtesFor(src: String, n: Int = 8): String =
     s"""wt AS MATERIALIZED (
             SELECT word, freq, string_split(trim(rep), '  ') AS toks
-            FROM vocab_8),
+            FROM vocab_$n),
           tc AS (
             SELECT tok AS token, sum(freq) AS cnt
             FROM (SELECT unnest(toks) AS tok, freq FROM wt)
@@ -5078,6 +5024,94 @@ object SparkEntry {
           GROUP BY word),
         $rounds"""
   }
+
+  /** The full q164 corpus-build replay parameterized by every build
+    * knob — curate → components → canonical resolution → temperature
+    * mix at `budget` → BPE train (`merges`) + encode → `chunk`-token
+    * windows → `pack`-token bins → `shards` shards. One generator
+    * serves q164 (the default point) and q171 (the adversarial sweep
+    * point), so the two oracles cannot drift from each other.
+    */
+  private def corpusBuildOracle(budget: Long, chunk: Int, pack: Long,
+      merges: Int, shards: Int): String =
+    s"""WITH RECURSIVE
+        ${curateCtesFor("documents", "c_")},
+        curdocs AS MATERIALIZED (SELECT d.* FROM documents d
+          JOIN c_cur USING (doc_id)),
+        ${dupComponentsCtesFor("curdocs")},
+        wc AS (
+          SELECT d.doc_id,
+            coalesce(c.component, d.doc_id) AS component,
+            CAST(d.n_chars AS BIGINT) AS score
+          FROM curdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        best AS (SELECT component, max(score) AS best_score
+                 FROM wc GROUP BY 1),
+        canon AS (
+          SELECT wc.component, min(wc.doc_id) AS canonical_id
+          FROM wc JOIN best ON wc.component = best.component
+            AND wc.score = best.best_score
+          GROUP BY 1),
+        canondocs AS MATERIALIZED (
+          SELECT d.* FROM curdocs d
+          JOIN wc ON d.doc_id = wc.doc_id
+          JOIN canon ON wc.component = canon.component
+          WHERE d.doc_id = canon.canonical_id),
+        mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
+        mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
+        msv AS (
+          SELECT lang, t,
+            CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+              AS s
+          FROM mtot),
+        mssv AS (SELECT sum(s) AS ss FROM msv),
+        mth AS (
+          SELECT lang,
+            CAST(floor(least(1.0,
+              CASE WHEN t > 0 THEN
+                CAST($budget AS DOUBLE) * s / ss / t
+              ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
+          FROM msv, mssv),
+        seldocs AS MATERIALIZED (
+          SELECT d.* FROM canondocs d JOIN mth USING (lang)
+          WHERE ('0x' || substr(md5('smp_' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                < thresh),
+        ${bpeTrainCtesFor(merges, "seldocs")},
+        ${bpeEncodeCtesFor("seldocs", merges)},
+        encall AS (
+          SELECT d.doc_id,
+            coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+          FROM seldocs d LEFT JOIN enc e USING (doc_id)),
+        ch AS (
+          SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+            ids[(ci*$chunk+1):(ci*$chunk+$chunk)] AS cids
+          FROM (SELECT doc_id, ids,
+              unnest(generate_series(0,
+                CAST(greatest(ceil(len(ids)/$chunk.0) - 1, 0) AS BIGINT)))
+                AS ci
+            FROM encall)),
+        chn AS MATERIALIZED (
+          SELECT doc_id, chunk_idx,
+            CAST(len(cids) AS BIGINT) AS n_tokens,
+            md5(array_to_string(cids, ' ')) AS ids_digest,
+            doc_id * 100000 + chunk_idx AS ckey
+          FROM ch),
+        pk AS (
+          SELECT ckey,
+            CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // $pack AS BIGINT) AS bin_id
+          FROM chn),
+        bs AS (
+          SELECT bin_id,
+            (row_number() OVER (
+              ORDER BY md5(CAST(bin_id AS VARCHAR)), bin_id) - 1)
+              % $shards AS shard
+          FROM (SELECT DISTINCT bin_id FROM pk))
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.ids_digest,
+          p.bin_id, CAST(b.shard AS BIGINT) AS shard
+        FROM chn c JOIN pk p USING (ckey) JOIN bs b USING (bin_id)
+        ORDER BY doc_id, chunk_idx"""
 
   /** FROZEN-tokenizer encode chain for the q170 delta oracle: tokenize
     * `src`'s words by REPLAYING the already-trained `merge_1..merge_n`

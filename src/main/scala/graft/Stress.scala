@@ -120,6 +120,74 @@ object Stress {
       spark.read.parquet(s"$ingDir/in")
     }
 
+    // HUB-SKEW graph: one node of degree 30,000 (every spoke), a spoke
+    // ring, and pseudo-random chords — the shape where the naive
+    // (unoriented) wedge join fans out C(deg, 2) per center (~450M
+    // wedges through the hub alone) while degree orientation bounds
+    // per-node fan-out by C(outdeg, 2) with outdeg = O(√m).
+    // Materialized to parquet once so both triangle shapes and LPA
+    // time the algorithm, not the generator.
+    lazy val hubEdges = {
+      val spokes = spark.range(1, 30001)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val ring = spark.range(1, 30000)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      val chords = spark.range(1, 30001)
+        .select(col("id").as("src"),
+          (pmod(col("id") * 7919L + 13L, lit(30000L)) + 1L).as("dst"))
+      spokes.unionByName(ring).unionByName(chords)
+        .write.mode("overwrite").parquet(s"$ccDir/hub")
+      val e = spark.read.parquet(s"$ccDir/hub")
+      // one-off wedge accounting for BASELINE.md: the numbers that
+      // explain the wall-time gap between the two triangle shapes
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val naiveW = deg
+        .agg(sum((col("deg") * (col("deg") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      val oriented = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("od"))
+      val orientedW = oriented
+        .agg(sum((col("od") * (col("od") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      val hubDeg = deg.agg(max("deg")).head().getLong(0)
+      val nEdges = und.count()
+      println(s"[stress] hubGraph: edges=$nEdges hubDeg=$hubDeg " +
+        s"naiveWedges=$naiveW orientedWedges=$orientedW")
+      e
+    }
+    // the naive unoriented triangle shape — the CONTRAST workload the
+    // degree orientation is measured against; deliberately not in the
+    // library
+    def naiveTriangles(edges: DataFrame): DataFrame = {
+      val und = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val nb = und.select(col("a").as("c"), col("b").as("n"))
+        .union(und.select(col("b").as("c"), col("a").as("n")))
+      val wedges = nb.as("x").join(nb.as("y"),
+          col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+        .select(col("x.c").as("c"), col("x.n").as("y"),
+          col("y.n").as("z"))
+      val closed = wedges.join(
+        und.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      closed.select(explode(array(col("c"), col("y"), col("z")))
+          .as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+    }
+
     // one-time state build for the incremental-delta lines (lazy: a
     // filtered run that skips all three corpus-state ops never pays it;
     // rows counted so the corpusBuildState line reports chunk volume)
@@ -561,7 +629,13 @@ object Stress {
       },
       time("corpusDeltaBig")(graft.operators.Pipeline.corpusDelta(
         mutateCrawl(docs, removeMod = 15, editMod = 16, addMod = 14),
-        docs, "stress_corpus")))
+        docs, "stress_corpus")),
+      // hub-skew graph family (see hubEdges): the oriented operator vs
+      // the naive wedge shape on the same 10k-degree-hub graph, plus
+      // LPA whose per-round cost is edge-linear regardless of skew
+      time("hubTriangles")(Graph.triangleCounts(hubEdges)),
+      time("hubTrianglesNaive")(naiveTriangles(hubEdges)),
+      time("hubLPA")(Graph.labelPropagation(hubEdges, iters = 4)))
     val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
       s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")

@@ -122,6 +122,44 @@ class GraphSpec extends SparkSpec {
     got.keySet shouldBe nodes.toSet
   }
 
+  test("degree orientation bounds hub wedge fan-out mechanically") {
+    // the scaladoc's O(√m) claim, asserted rather than argued: on a
+    // 1000-degree hub with a spoke ring, the UNORIENTED wedge count is
+    // dominated by C(hubDeg, 2) while the oriented count — wedges at
+    // each node's C(outdeg, 2) under the operator's (degree, id) rank —
+    // collapses, because the hub (max degree) ranks above all its
+    // neighbors and gets out-degree ~0. The 20x Stress twin measures
+    // the same ratio at hubDeg 30,000: 450M naive vs 100k oriented
+    // wedges, 38.3 s vs 7.8 s wall (graft.Stress hubTriangles*).
+    import SparkSpec.spark.implicits._
+    val edges = ((1L to 1000L).map(i => (0L, i)) ++
+      (1L to 999L).map(i => (i, i + 1))).toDF("src", "dst")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    def wedgeSum(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.agg(sum((col(c) * (col(c) - 1) / 2).cast("long")))
+        .head().getLong(0)
+    val naive = wedgeSum(deg, "deg")
+    val orientedOut = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("od"))
+    val oriented = wedgeSum(orientedOut, "od")
+    naive should be >= 499500L // C(1000, 2) from the hub alone
+    oriented should be < naive / 100
+    // and the operator still answers exactly on this graph: each ring
+    // edge (i, i+1) closes one triangle with the hub
+    val tri = Graph.triangleCounts(edges)
+      .agg(sum("triangles")).head().getLong(0)
+    tri shouldBe 3L * 999L // 999 triangles, counted at 3 corners each
+  }
+
   test("labelPropagation: disjoint cliques converge to per-clique min label") {
     // two 5-cliques + a 3-chain; within a clique every node sees every
     // label equally often after round 1, so the min-label tie-break

@@ -80,6 +80,47 @@ class PipelineSpec extends SparkSpec {
       s"corpusBuild leaked persisted intermediates: rdd ids $leaked")
   }
 
+  test("build invariants hold across a parameter grid (q171's property form)") {
+    // the q164/q171 oracles pin two parameter points exactly; this case
+    // sweeps a grid at tiny scale and asserts the STRUCTURAL contract
+    // at every point — chunk geometry bounded by the window, contiguous
+    // chunk indices, bins contiguous from 0, shards in range and
+    // bin-functional, rerun-identical output
+    val docs = tables.documents.filter(col("doc_id") % 3 === 0)
+    val grid = Seq(
+      (5000L, 16, 256L, 4, 3),
+      (9000L, 24, 384L, 12, 5),
+      (50000L, 48, 1024L, 6, 2))
+    for ((budget, chunk, pack, merges, shards) <- grid) {
+      val tag = s"(budget=$budget chunk=$chunk pack=$pack " +
+        s"merges=$merges shards=$shards)"
+      val out = Pipeline.corpusBuild(docs, budget, chunk, pack, merges,
+        shards).cache()
+      withClue(tag) {
+        out.count() should be > 0L
+        out.filter(col("n_tokens") > chunk).count() shouldBe 0L
+        val badIdx = out.groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), max("chunk_idx").as("mx"),
+            min("chunk_idx").as("mn"),
+            countDistinct("chunk_idx").as("nd"))
+          .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+            col("nd") =!= col("n"))
+        badIdx.count() shouldBe 0L
+        val bins = out.select("bin_id").distinct()
+          .collect().map(_.getLong(0)).sorted
+        bins.head shouldBe 0L
+        bins shouldBe (0L until bins.length).toArray
+        out.filter(col("shard") < 0 || col("shard") >= shards)
+          .count() shouldBe 0L
+        out.groupBy("bin_id").agg(countDistinct("shard").as("n"))
+          .filter(col("n") =!= 1).count() shouldBe 0L
+        rowSet(Pipeline.corpusBuild(docs, budget, chunk, pack, merges,
+          shards)) shouldBe rowSet(out)
+      }
+      out.unpersist()
+    }
+  }
+
   // ------------------------------------------------ incremental delta
 
   private val statePrefix = s"pipe_state_${System.nanoTime()}"
