@@ -1469,6 +1469,103 @@ class StreamingSpec extends SparkSpec {
       Streams.foldWinnowStore(spark, fps, idx, k = 5, w = 9)
   }
 
+  test("streaming→batch promotion: screened store feeds corpusBuild ≡ batch-equivalent screens") {
+    import graft.operators.{Dedup, Pipeline}
+    val docs = tables.documents
+    val batches = (0 until 4).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(4L)) === i))
+
+    // --- STREAM side: each crawl batch flows exact → minhash → winnow;
+    // each tier lands its survivors (outN) and grows its own store;
+    // stores fold into index tables MID-stream (probe-both keeps the
+    // screen set identical through a fold)
+    val (out1, fp1) = (tmp("promo-e-out"), tmp("promo-e-fp"))
+    val (out2, band2) = (tmp("promo-m-out"), tmp("promo-m-band"))
+    val (out3, fp3) = (tmp("promo-w-out"), tmp("promo-w-fp"))
+    Seq(out1, fp1, out2, band2, out3, fp3)
+      .foreach(d => new java.io.File(d).delete())
+    val eIdx = s"promo_fp_idx_${System.nanoTime()}"
+    val mIdx = s"promo_band_idx_${System.nanoTime()}"
+    val wIdx = s"promo_winnow_idx_${System.nanoTime()}"
+    Dedup.ensureFingerprintIndex(spark, eIdx)
+    Dedup.ensureNearDupIndex(spark, mIdx)
+    Dedup.ensureWinnowIndex(spark, wIdx)
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      Streams.dedupIngestBatch(b, id, out1, fp1, Some(eIdx))
+      val s1 = spark.read.parquet(out1)
+        .filter(col("batch_id") === id).drop("batch_id")
+      Streams.minhashIngestBatch(s1, id, out2, band2,
+        Some((mIdx, emptyCorpus)))
+      val s2 = spark.read.parquet(out2)
+        .filter(col("batch_id") === id).drop("batch_id")
+      Streams.winnowIngestBatch(s2, id, out3, fp3, Some(wIdx))
+    }
+    ingest(batches(0), 0L)
+    ingest(batches(1), 1L)
+    // crash replay of batch 1 through ALL tiers: partition overwrite +
+    // own-batch-excluded store reads make the rerun idempotent
+    ingest(batches(1), 1L)
+    // fold every tier's store into its index mid-stream
+    Streams.foldFingerprintStore(spark, fp1, eIdx) shouldBe Seq(0L)
+    Streams.foldBandStore(spark, band2, mIdx) shouldBe Seq(0L)
+    Streams.foldWinnowStore(spark, fp3, wIdx) shouldBe Seq(0L)
+    ingest(batches(2), 2L)
+    ingest(batches(3), 3L)
+    val streamCorpus = spark.read.parquet(out3).drop("batch_id")
+
+    // --- BATCH side: the same screens as fold-left batch operators,
+    // each tier keeping its OWN accepted history (exactly what each
+    // stream tier's store+index holds)
+    def selfExact(b: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__fp").orderBy(col("doc_id"))
+      b.withColumn("__fp",
+          graft.operators.TextAnalysis.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__fp")
+    }
+    def winnowScreen(b: org.apache.spark.sql.DataFrame,
+        acc: org.apache.spark.sql.DataFrame) = {
+      val newFps = Dedup.winnowingFingerprints(b, 4, 5)
+        .select(col("doc_id").as("new_id"), col("fp")).distinct()
+      val priorFps = Dedup.winnowingFingerprints(acc, 4, 5)
+        .select(col("doc_id").as("prior_id"), col("fp")).distinct()
+      val hits = newFps.join(priorFps, Seq("fp"))
+        .dropDuplicates("new_id", "prior_id", "fp")
+      val keepFp = hits.groupBy("fp")
+        .agg(countDistinct("prior_id").as("df"))
+        .filter(col("df") <= 64).select("fp")
+      val dropped = hits.join(keepFp, Seq("fp"))
+        .groupBy("new_id", "prior_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("new_id").as("doc_id")).distinct()
+      b.join(dropped, Seq("doc_id"), "left_anti")
+    }
+    var acc1 = docs.limit(0)
+    var acc2 = docs.limit(0)
+    var acc3 = docs.limit(0)
+    for (b <- batches) {
+      val s1 = Dedup.incrementalExactDedup(selfExact(b), acc1)
+      acc1 = acc1.unionByName(s1).localCheckpoint(true)
+      val mHits = Dedup.incrementalNearDup(s1, acc2)
+        .select(col("new_id").as("doc_id")).distinct()
+      val s2 = s1.join(mHits, Seq("doc_id"), "left_anti")
+      acc2 = acc2.unionByName(s2).localCheckpoint(true)
+      val s3 = winnowScreen(s2, acc3)
+      acc3 = acc3.unionByName(s3).localCheckpoint(true)
+    }
+
+    // the two screened corpora are identical...
+    streamCorpus.select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      acc3.select("doc_id").as[Long].collect().sorted.toSeq
+    // ...and the batch build runs END TO END over the streamed store,
+    // chunk-for-chunk equal to building over the batch-screened corpus
+    val builtFromStream = Pipeline.corpusBuild(streamCorpus)
+    builtFromStream.count() should be > 0L
+    rowSet(builtFromStream) shouldBe rowSet(Pipeline.corpusBuild(acc3))
+  }
+
   test("winnow-tier marker-less store: own-batch replay recovers, all else refuses") {
     import graft.operators.Dedup
     val (textA, _) = passageTexts
