@@ -5119,7 +5119,11 @@ object SparkEntry {
     * [[graft.operators.Bpe.tokens]], so words the training corpus never
     * saw tokenize identically), then assemble ids from the TRAINING
     * vocabulary's `ids` CTE — the frozen id space
-    * ([[graft.operators.Bpe.encodeDocsFrozen]]'s contract). Emits
+    * ([[graft.operators.Bpe.encodeDocsFrozen]]'s contract, including
+    * its failure mode: a token absent from the frozen vocab hits a
+    * LEFT JOIN + `error()` here, mirroring the engine's raise_error,
+    * so both sides fail LOUDLY rather than one silently shortening
+    * its id sequence). Emits
     * `<cp>wt`/`<cp>dw`/`<cp>dt`/`<cp>enc`; requires `merge_k` and `ids`
     * upstream (from [[bpeTrainCtesFor]] + [[bpeEncodeCtesFor]]).
     */
@@ -5154,8 +5158,11 @@ object SparkEntry {
           FROM ${cp}dw d JOIN ${cp}wt w USING (word)),
         ${cp}enc AS (
           SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
-          FROM (SELECT t.doc_id, t.wpos, t.tpos, i.id
-                FROM ${cp}dt t JOIN ids i USING (token))
+          FROM (SELECT t.doc_id, t.wpos, t.tpos,
+                  CASE WHEN i.id IS NULL THEN
+                    error('frozen-vocab replay: unseen token ' || t.token)
+                  ELSE i.id END AS id
+                FROM ${cp}dt t LEFT JOIN ids i USING (token))
           GROUP BY doc_id)"""
   }
 

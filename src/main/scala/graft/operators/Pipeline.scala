@@ -106,9 +106,10 @@ object Pipeline {
   private def mergesTable(p: String) = s"${p}_merges"
   private def vocabTable(p: String) = s"${p}_vocab"
 
-  /** Mutable per-build state sink: `None` fields until the stage that
-    * derives them runs. Internal to the build; the persisted form is
-    * the table family documented on the object.
+  /** Immutable bundle of the build knobs shared by [[corpusBuild]] and
+    * [[corpusBuildWithState]]; `statePrefix = Some(p)` selects the
+    * state-persisting variant (state is written table-by-table as the
+    * stages that derive it run).
     */
   private final case class BuildParams(
       mixBudgetTokens: Long,
@@ -158,11 +159,19 @@ object Pipeline {
 
   private def corpusBuildImpl(documents: DataFrame,
       params: BuildParams): DataFrame = {
-    // snapshot of the RAW crawl — the delta's diff base covers every
-    // crawl doc (also curation-rejected ones: a future crawl doc equal
-    // to a rejected one is "unchanged" and skips reprocessing — the
-    // same gates would reject it again)
     params.statePrefix.foreach { p =>
+      // invalidate FIRST on a re-build: the spec is the commit marker,
+      // and a crash after the state tables start overwriting must not
+      // leave a previous generation's marker vouching for mixed state
+      // (corpusDelta would silently diff against the new snapshot but
+      // encode with the old tokenizer) — dropping it re-establishes
+      // the marker-written-last invariant for re-runs
+      documents.sparkSession.sql(
+        s"DROP TABLE IF EXISTS ${graft.sources.IndexSpec.specTable(p)}")
+      // snapshot of the RAW crawl — the delta's diff base covers every
+      // crawl doc (also curation-rejected ones: a future crawl doc
+      // equal to a rejected one is "unchanged" and skips reprocessing
+      // — the same gates would reject it again)
       graft.sources.Sinks.saveTable(
         documents.select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp")),
@@ -211,7 +220,8 @@ object Pipeline {
     //    tier). keep=1 rows ARE the near-dup-deduplicated corpus.
     val canon = Dedup.resolveCanonical(curatedDocs,
         Dedup.dupComponents(Dedup.minhashDupPairs(curatedDocs,
-          threshold = params.neardupThreshold, k = NdK, bands = NdBands)))
+          threshold = params.neardupThreshold, ngram = NdNgram,
+          k = NdK, bands = NdBands)))
       .filter(col("keep") === 1L)
       .select("doc_id")
     val canonDocs = curatedDocs.join(canon, Seq("doc_id"))
@@ -420,12 +430,12 @@ object Pipeline {
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try corpusDeltaOnDiff(newCrawl, corpusDocs, statePrefix, commit,
-      diff, chunkTokens, packTokens, nShards, threshold, binBase)
+    try corpusDeltaOnDiff(newCrawl, newFps, corpusDocs, statePrefix,
+      commit, diff, chunkTokens, packTokens, nShards, threshold, binBase)
     finally diff.unpersist()
   }
 
-  private def corpusDeltaOnDiff(newCrawl: DataFrame,
+  private def corpusDeltaOnDiff(newCrawl: DataFrame, newFps: DataFrame,
       corpusDocs: DataFrame, statePrefix: String, commit: Boolean,
       diff: DataFrame, chunkTokens: Int, packTokens: Long, nShards: Int,
       threshold: Double, binBase: Long): DataFrame = {
@@ -486,7 +496,8 @@ object Pipeline {
     //    stage-2 machinery over the delta slice)
     val selfKeep = Dedup.resolveCanonical(screened,
         Dedup.dupComponents(Dedup.minhashDupPairs(screened,
-          threshold = threshold, k = NdK, bands = NdBands)))
+          threshold = threshold, ngram = NdNgram, k = NdK,
+          bands = NdBands)))
       .filter(col("keep") === 1L)
       .select("doc_id")
     val survivors = screened.join(selfKeep, Seq("doc_id"))
@@ -530,15 +541,15 @@ object Pipeline {
       .localCheckpoint(true)
 
     if (commit)
-      commitDelta(spark, statePrefix, newFpsOf(newCrawl), survivors,
-        standingNow, out, spec = (chunkTokens, packTokens, nShards,
-          threshold, binBase))
+      // the same full-crawl fingerprint projection the diff consumed —
+      // reused so a committed delta pays ONE corpus-sized fp scan, not
+      // a second re-derivation for the snapshot advance
+      commitDelta(spark, statePrefix,
+        newFps.select(col("doc_id"), col("new_fp").as("fp")),
+        survivors, standingNow, out, spec = (chunkTokens, packTokens,
+          nShards, threshold, binBase))
     out
   }
-
-  private def newFpsOf(crawl: DataFrame): DataFrame =
-    crawl.select(col("doc_id"),
-      TextAnalysis.fingerprint(col("text")).as("fp"))
 
   /** The state advance of a committed delta (see [[corpusDelta]]).
     * Every input that reads a state table is checkpointed BEFORE the
@@ -554,9 +565,8 @@ object Pipeline {
     val (chunkTokens, packTokens, nShards, threshold, binBase) = spec
     // materialize everything that still reads the old state tables
     // (survivors arrives already checkpointed — the delta's waist)
-    val survivorsCk = survivors
     val newStanding = standingNow
-      .unionByName(survivorsCk.select("doc_id"))
+      .unionByName(survivors.select("doc_id"))
       .localCheckpoint(true)
     val newSnapshot = newFps.localCheckpoint(true)
 
@@ -564,7 +574,7 @@ object Pipeline {
       snapshotTable(statePrefix))
     graft.sources.Sinks.saveTable(newStanding,
       standingTable(statePrefix))
-    Dedup.appendNearDupIndex(survivorsCk, neardupTable(statePrefix),
+    Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
       ngram = NdNgram, k = NdK, bands = NdBands)
     val newMaxBin = Option(out.filter(col("op") === "add")
         .agg(max("bin_id")).head().get(0))

@@ -232,9 +232,12 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("a delta group with no frozen mix threshold fails loudly") {
-    // runs against the v2-committed state from the previous test; the
-    // alien doc passes curation (40 unknown-language tokens) and both
-    // screens, then hits the frozen-mix coverage guard
+    // the alien doc passes curation (40 unknown-language tokens) and
+    // both screens, then hits the frozen-mix coverage guard. Works at
+    // either state generation (v1 if run in isolation — hence the v1
+    // force — or v2 after the previous test's commit): the alien doc
+    // is "added" against both snapshots.
+    v1.count() should be > 0L
     val v2 = mutateV2(tables.documents)
     val alien = v2.limit(1)
       .withColumn("doc_id", lit(999999L))
