@@ -630,6 +630,11 @@ object Stress {
       time("corpusDeltaBig")(graft.operators.Pipeline.corpusDelta(
         mutateCrawl(docs, removeMod = 15, editMod = 16, addMod = 14),
         docs, "stress_corpus")),
+      // the unchanged-crawl delta: zero changeset rows, so this line IS
+      // the per-delta fixed floor (full-crawl fingerprint scan + diff
+      // against the snapshot) that the Small/Big lines sit on top of
+      time("corpusDeltaNoop")(graft.operators.Pipeline.corpusDelta(
+        docs, docs, "stress_corpus")),
       // hub-skew graph family (see hubEdges): the oriented operator vs
       // the naive wedge shape on the same 30k-degree-hub graph, plus
       // LPA whose per-round cost is edge-linear regardless of skew.
