@@ -171,11 +171,17 @@ object Pipeline {
       // snapshot of the RAW crawl — the delta's diff base covers every
       // crawl doc (also curation-rejected ones: a future crawl doc
       // equal to a rejected one is "unchanged" and skips reprocessing
-      // — the same gates would reject it again)
-      graft.sources.Sinks.saveTable(
+      // — the same gates would reject it again). Bucketed by doc_id,
+      // the delta's join key: the diff's full-outer join and the
+      // tombstone anti-joins are the only corpus-sized joins on the
+      // delta path, and bucketing makes the snapshot side
+      // exchange-free on every one of them (the q48/q130 layout
+      // discipline) — only the crawl side shuffles, once.
+      graft.sources.Sinks.saveTablePartitioned(
         documents.select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp")),
-        snapshotTable(p))
+        snapshotTable(p),
+        bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
     }
 
     // 1. curate: keep-list of doc_ids, then re-attach text (curate's
@@ -230,8 +236,11 @@ object Pipeline {
     // the near-dup index a delta probes against it. Both writes are
     // actions over the still-persisted curatedDocs.
     params.statePrefix.foreach { p =>
-      graft.sources.Sinks.saveTable(
-        canonDocs.select("doc_id"), standingTable(p))
+      // bucketed by doc_id like the snapshot (same rationale: every
+      // standing-set join in the delta keys on doc_id)
+      graft.sources.Sinks.saveTablePartitioned(
+        canonDocs.select("doc_id"), standingTable(p),
+        bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
       Dedup.buildNearDupIndex(canonDocs, neardupTable(p),
         ngram = NdNgram, k = NdK, bands = NdBands)
     }
@@ -570,10 +579,14 @@ object Pipeline {
       .localCheckpoint(true)
     val newSnapshot = newFps.localCheckpoint(true)
 
-    graft.sources.Sinks.saveTable(newSnapshot,
-      snapshotTable(statePrefix))
-    graft.sources.Sinks.saveTable(newStanding,
-      standingTable(statePrefix))
+    // same bucketed layout the build writes, so the NEXT delta's joins
+    // stay snapshot-side exchange-free
+    graft.sources.Sinks.saveTablePartitioned(newSnapshot,
+      snapshotTable(statePrefix),
+      bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+    graft.sources.Sinks.saveTablePartitioned(newStanding,
+      standingTable(statePrefix),
+      bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
     Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
       ngram = NdNgram, k = NdK, bands = NdBands)
     val newMaxBin = Option(out.filter(col("op") === "add")

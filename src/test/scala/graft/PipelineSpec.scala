@@ -140,6 +140,21 @@ class PipelineSpec extends SparkSpec {
         (col("doc_id") + 100000L).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")))
 
+  test("state tables are bucketed: the diff's snapshot side joins exchange-free") {
+    // the diff's full-outer join is the only corpus×corpus join on the
+    // delta path; the snapshot is written bucketed by doc_id so ITS
+    // side never re-shuffles — exactly one Exchange (the crawl side)
+    v1.count() should be > 0L
+    val snap = spark.table(s"${statePrefix}_snapshot")
+    val probe = tables.documents
+      .select(col("doc_id"), md5(col("text")).as("new_fp"))
+    val p = plan(snap.join(probe, Seq("doc_id"), "full_outer"))
+    "Exchange".r.findAllMatchIn(p).size shouldBe 1
+    val p2 = plan(spark.table(s"${statePrefix}_standing")
+      .join(probe.select("doc_id"), Seq("doc_id"), "left_anti"))
+    "Exchange".r.findAllMatchIn(p2).size shouldBe 1
+  }
+
   test("delta of an unchanged crawl is empty") {
     v1.count() should be > 0L
     Pipeline.corpusDelta(tables.documents, tables.documents,
