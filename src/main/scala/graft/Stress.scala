@@ -620,7 +620,8 @@ object Stress {
         stressCorpusStateReady
       },
       {
-        if (want("corpusDeltaSmall") || want("corpusDeltaBig")) {
+        if (want("corpusDeltaSmall") || want("corpusDeltaBig") ||
+            want("corpusDeltaNoop")) {
           stressCorpusStateReady; ()
         }
         time("corpusDeltaSmall")(graft.operators.Pipeline.corpusDelta(

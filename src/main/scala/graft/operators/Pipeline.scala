@@ -323,7 +323,13 @@ object Pipeline {
     * materialized eagerly — returned lazily it would depend on the
     * cached intermediates the callers' finally blocks release.
     */
-  private def packShardEmit(chunks: DataFrame, packTokens: Long,
+  /** Bin + shard assignment over a ckey-keyed chunk relation — the
+    * pack/shard halves of stages 6–7, shared by the build/delta emit
+    * (which also digests the token ids) and [[compactCorpus]] (whose
+    * input already carries digests). Returns the input columns plus
+    * (bin_id, shard).
+    */
+  private def packShardAssign(chunks: DataFrame, packTokens: Long,
       nShards: Int, binBase: Long): DataFrame = {
     // 6. pack chunks into fixed token-budget bins (two-pass prefix sum)
     val bins = Relational.packSized(
@@ -341,6 +347,13 @@ object Pipeline {
     chunks
       .join(bins, Seq("ckey"))
       .join(F.broadcast(shards), Seq("bin_id"))
+  }
+
+  private def packShardEmit(chunks: DataFrame, packTokens: Long,
+      nShards: Int, binBase: Long,
+      mat: (DataFrame, String) => DataFrame =
+        graft.core.Rounds.materializer(None)): DataFrame = {
+    mat(packShardAssign(chunks, packTokens, nShards, binBase)
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
@@ -348,8 +361,8 @@ object Pipeline {
         md5(array_join(transform(col("ids"), _.cast("string")), " "))
           .as("ids_digest"),
         col("bin_id"),
-        col("shard"))
-      .localCheckpoint(true)
+        col("shard")),
+      "pack_shard_emit")
   }
 
   /** Fold a NEW CRAWL into a corpus built by [[corpusBuildWithState]],
@@ -414,9 +427,19 @@ object Pipeline {
     * reconcile (the streaming tiers' batch_id replay machinery is the
     * tool for exactly-once ingestion; a corpus delta is a maintenance
     * transaction, run it like one).
+    *
+    * `checkpointDir` selects the materializer for the delta's stage
+    * waists ([[graft.core.Rounds]]'s contract): `None` (default) uses
+    * `localCheckpoint` — fastest, but the buffers live in executor
+    * block-manager memory and die with an executor, failing the
+    * transaction; `Some(dir)` writes each waist as parquet under `dir`
+    * so a cluster run survives executor loss mid-delta. Waists are
+    * DELTA-sized either way, so the reliable form's extra I/O is
+    * proportional to the change, not the corpus.
     */
   def corpusDelta(newCrawl: DataFrame, corpusDocs: DataFrame,
-      statePrefix: String, commit: Boolean = false): DataFrame = {
+      statePrefix: String, commit: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = newCrawl.sparkSession
     val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
     val chunkTokens = spec.getAs[Int]("chunk_tokens")
@@ -426,8 +449,22 @@ object Pipeline {
     val binBase = spec.getAs[Long]("max_bin") + 1L
 
     val snap = spark.table(snapshotTable(statePrefix))
-    val newFps = newCrawl.select(col("doc_id"),
+    val newFpsPlan = newCrawl.select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("new_fp"))
+    // A committed delta consumes the full-crawl fingerprint projection
+    // TWICE — the diff here, then the snapshot advance in
+    // [[commitDelta]] — and the projection's input is the crawl TEXT,
+    // the dominant corpus-sized pass of the whole delta. Persisting the
+    // fp rows (doc_id + 16-byte digest, tiny next to the text) makes
+    // the crawl scan run ONCE: the diff's materialization fills the
+    // cache as a side effect and the commit reads it back. Uncommitted
+    // deltas read the projection once and skip the cache. Released in
+    // the same finally as the diff.
+    val newFps =
+      if (commit)
+        newFpsPlan.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else newFpsPlan
     // the diff joins fingerprint relations (16-byte rows), never text;
     // only the changed slice flows on
     val diff = snap.select(col("doc_id"), col("fp").as("old_fp"))
@@ -439,15 +476,27 @@ object Pipeline {
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-invocation nonce in the waist names: a LATER delta against
+    // the same checkpointDir must not overwrite parquet a still-held
+    // earlier changeset reads (Rounds' distinct-names contract)
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val matBase = graft.core.Rounds.materializer(checkpointDir)
+    val mat = (df: DataFrame, name: String) =>
+      matBase(df, s"${name}_$nonce")
     try corpusDeltaOnDiff(newCrawl, newFps, corpusDocs, statePrefix,
-      commit, diff, chunkTokens, packTokens, nShards, threshold, binBase)
-    finally diff.unpersist()
+      commit, diff, chunkTokens, packTokens, nShards, threshold, binBase,
+      mat)
+    finally {
+      diff.unpersist()
+      if (commit) newFps.unpersist()
+    }
   }
 
   private def corpusDeltaOnDiff(newCrawl: DataFrame, newFps: DataFrame,
       corpusDocs: DataFrame, statePrefix: String, commit: Boolean,
       diff: DataFrame, chunkTokens: Int, packTokens: Long, nShards: Int,
-      threshold: Double, binBase: Long): DataFrame = {
+      threshold: Double, binBase: Long,
+      mat: (DataFrame, String) => DataFrame): DataFrame = {
     val spark = newCrawl.sparkSession
     val snap = spark.table(snapshotTable(statePrefix))
     val tombstones = diff
@@ -463,29 +512,23 @@ object Pipeline {
     // full 20× build before these cuts, ~86 s of repeated curation/
     // probe subtrees and driver re-planning — the plan-explosion class
     // trainMerges' round materializer exists for). Each waist is
-    // eagerly localCheckpoint'd: delta-sized data, one execution per
-    // stage, leaf-sized plans downstream.
+    // eagerly materialized through `mat` (localCheckpoint by default,
+    // reliable parquet under `checkpointDir`): delta-sized data, one
+    // execution per stage, leaf-sized plans downstream.
 
     // 2. curate the delta slice (text re-attached, curate's contract)
     val deltaDocs = newCrawl.join(deltaIds, Seq("doc_id"))
-    val deltaCurDocs = deltaDocs
-      .join(Curation.curate(deltaDocs).select("doc_id"), Seq("doc_id"))
-      .localCheckpoint(true)
+    val deltaCurDocs = mat(deltaDocs
+      .join(Curation.curate(deltaDocs).select("doc_id"), Seq("doc_id")),
+      "delta_curated")
 
     // 3a. exact screen: a delta doc whose content already exists in a
     //     NON-tombstoned snapshot doc is a re-upload, not new content.
     //     (Snapshot fps, not curated fps: any snapshot doc with equal
     //     text passes/fails the curation gates identically, so the fp
     //     sets coincide for docs that reach this screen.)
-    val fpCol = "__fp_delta"
-    val keptFps = snap.join(tombstones, Seq("doc_id"), "left_anti")
-      .select("fp").distinct()
-    val afterExact = deltaCurDocs
-      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
-      .join(keptFps.withColumnRenamed("fp", fpCol), Seq(fpCol),
-        "left_anti")
-      .drop(fpCol)
-      .localCheckpoint(true)
+    val afterExact = mat(exactScreen(deltaCurDocs, snap, tombstones),
+      "delta_after_exact")
 
     // 3b. near-dup screen against the STANDING corpus via the persisted
     //     band index: bucketed probe + candidate-slice verify, the q130
@@ -498,8 +541,8 @@ object Pipeline {
       .join(standingNow.select(col("doc_id").as("corpus_id")),
         Seq("corpus_id"))
       .select(col("new_id").as("doc_id")).distinct()
-    val screened = afterExact.join(ndHits, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    val screened = mat(afterExact.join(ndHits, Seq("doc_id"), "left_anti"),
+      "delta_screened")
 
     // 4. canonical resolution WITHIN the screened delta (the build's
     //    stage-2 machinery over the delta slice)
@@ -509,8 +552,8 @@ object Pipeline {
           bands = NdBands)))
       .filter(col("keep") === 1L)
       .select("doc_id")
-    val survivors = screened.join(selfKeep, Seq("doc_id"))
-      .localCheckpoint(true)
+    val survivors = mat(screened.join(selfKeep, Seq("doc_id")),
+      "delta_survivors")
 
     // 5. frozen mix. Coverage check first — group-cardinality-bounded
     //    collect, same bound as the threshold broadcast itself.
@@ -536,32 +579,62 @@ object Pipeline {
           spark.table(vocabTable(statePrefix))), chunkTokens))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
-      try packShardEmit(chunks, packTokens, nShards, binBase)
+      try packShardEmit(chunks, packTokens, nShards, binBase, mat)
       finally chunks.unpersist()
 
-    val out = tombstones
+    val out = mat(tombstones
       .select(lit("del").as("op"), col("doc_id"),
         lit(-1L).as("chunk_idx"), lit(0L).as("n_tokens"),
         lit("").as("ids_digest"), lit(-1L).as("bin_id"),
         lit(-1L).as("shard"))
       .unionByName(adds.select(lit("add").as("op"), col("doc_id"),
         col("chunk_idx"), col("n_tokens"), col("ids_digest"),
-        col("bin_id"), col("shard")))
-      .localCheckpoint(true)
+        col("bin_id"), col("shard"))),
+      "delta_changeset")
 
     if (commit)
-      // the same full-crawl fingerprint projection the diff consumed —
-      // reused so a committed delta pays ONE corpus-sized fp scan, not
-      // a second re-derivation for the snapshot advance
+      // the CACHED full-crawl fingerprint rows the diff already
+      // materialized (see corpusDelta's persist) — the snapshot
+      // advance reads the cache, so a committed delta pays ONE
+      // corpus-sized fp scan, not a second re-derivation
       commitDelta(spark, statePrefix,
         newFps.select(col("doc_id"), col("new_fp").as("fp")),
         survivors, standingNow, out, spec = (chunkTokens, packTokens,
-          nShards, threshold, binBase))
+          nShards, threshold, binBase), mat)
     out
   }
 
+  /** The delta's exact-dup screen: drop every delta doc whose content
+    * fingerprint already exists in a snapshot doc that is NOT being
+    * tombstoned this round. The corpus side NEVER shuffles — the
+    * snapshot is consumed as one shuffle-free bucketed scan filtered
+    * through a broadcast of the delta's (small) fp set, then the
+    * bounded hit set flows back as a broadcast into a delta-side
+    * anti-join. The only shuffle exchanges in the plan are the two
+    * fp-distincts, both over DELTA-sized (or hit-set-sized) rows —
+    * gated by PipelineSpec's plan test. If a delta's fp set ever
+    * outgrew the broadcast budget (a crawl churning a double-digit
+    * percentage of a 100-TB corpus is a rebuild, not a delta), the
+    * fallback is a persisted fp-bucketed twin of the snapshot.
+    */
+  private[graft] def exactScreen(deltaCurDocs: DataFrame,
+      snap: DataFrame, tombstones: DataFrame): DataFrame = {
+    val fpCol = "__fp_delta"
+    val withFp = deltaCurDocs
+      .withColumn(fpCol, TextAnalysis.fingerprint(col("text")))
+    val hitFps = snap
+      .join(F.broadcast(withFp.select(col(fpCol).as("fp")).distinct()),
+        Seq("fp"), "left_semi")
+      .join(F.broadcast(tombstones), Seq("doc_id"), "left_anti")
+      .select("fp").distinct()
+    withFp
+      .join(F.broadcast(hitFps.withColumnRenamed("fp", fpCol)),
+        Seq(fpCol), "left_anti")
+      .drop(fpCol)
+  }
+
   /** The state advance of a committed delta (see [[corpusDelta]]).
-    * Every input that reads a state table is checkpointed BEFORE the
+    * Every input that reads a state table is materialized BEFORE the
     * first overwrite, so no write consumes a table it is replacing.
     * The spec (with the new max_bin) is written last — the same
     * commit-marker role it plays in the initial build.
@@ -569,19 +642,22 @@ object Pipeline {
   private def commitDelta(spark: SparkSession, statePrefix: String,
       newFps: DataFrame, survivors: DataFrame, standingNow: DataFrame,
       out: DataFrame,
-      spec: (Int, Long, Int, Double, Long)): Unit = {
+      spec: (Int, Long, Int, Double, Long),
+      mat: (DataFrame, String) => DataFrame): Unit = {
     import spark.implicits._
     val (chunkTokens, packTokens, nShards, threshold, binBase) = spec
     // materialize everything that still reads the old state tables
-    // (survivors arrives already checkpointed — the delta's waist)
-    val newStanding = standingNow
-      .unionByName(survivors.select("doc_id"))
-      .localCheckpoint(true)
-    val newSnapshot = newFps.localCheckpoint(true)
+    // (survivors arrives already checkpointed — the delta's waist).
+    // newFps needs NO barrier: it reads only the caller's crawl (never
+    // a state table) and arrives cache-materialized by the diff — the
+    // snapshot write below is the committed delta's SECOND and last
+    // consumer of the one fp scan.
+    val newStanding = mat(standingNow
+      .unionByName(survivors.select("doc_id")), "commit_standing")
 
     // same bucketed layout the build writes, so the NEXT delta's joins
     // stay snapshot-side exchange-free
-    graft.sources.Sinks.saveTablePartitioned(newSnapshot,
+    graft.sources.Sinks.saveTablePartitioned(newFps,
       snapshotTable(statePrefix),
       bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
     graft.sources.Sinks.saveTablePartitioned(newStanding,
@@ -614,5 +690,79 @@ object Pipeline {
       .select("doc_id").distinct()
     val adds = delta.filter(col("op") === "add").drop("op")
     chunks.join(dels, Seq("doc_id"), "left_anti").unionByName(adds)
+  }
+
+  /** Close the delta loop: squash a chunk relation maintained through N
+    * [[applyCorpusDelta]] folds into a FRESH corpus table. After N
+    * committed deltas a reader pays N chained anti-joins and the bin
+    * space / tombstone set grow monotonically (delta bins are
+    * append-only and never reclaim the holes deletions leave);
+    * compaction resets both: the folded chunks are RE-PACKED into
+    * contiguous bins from 0 (same pack_tokens budget and shard count
+    * the state's spec froze — chunk content, ids_digest and geometry
+    * are untouched, only bin/shard placement changes) and written as a
+    * doc_id-bucketed table, so subsequent reads are one shuffle-free
+    * scan in the q48 layout.
+    *
+    * The state family needs no other reconciliation — snapshot,
+    * standing set, band index, mix thresholds and tokenizer describe
+    * DOC content, which compaction does not touch. Only the spec's
+    * `max_bin` advances (shrinks), written LAST: until it lands, a
+    * concurrent-crash window leaves deltas appending above the OLD
+    * max_bin, which stays collision-free against both the folded and
+    * the compacted relation (compacted bins are ≤ the old max). The
+    * operator is re-entrant — re-running overwrites the output table
+    * and rewrites the spec.
+    *
+    * NOT run here: re-evaluation of crawl twins suppressed as
+    * duplicates of since-removed docs (the [[corpusDelta]] semantic
+    * edge) — that requires the crawl TEXT, not the chunk relation; a
+    * periodic full [[corpusBuildWithState]] reconciles it, and
+    * PipelineSpec pins that the reconciliation diff is EXACTLY the
+    * suppressed-twin set.
+    */
+  def compactCorpus(chunks: DataFrame, statePrefix: String,
+      saveAs: String): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    val packTokens = spec.getAs[Long]("pack_tokens")
+    val nShards = spec.getAs[Int]("n_shards")
+
+    // re-key and persist: the pack's two-pass prefix sum, the shard
+    // map, and the final join all re-read the folded relation, whose
+    // own plan may be N anti-joins deep — exactly the cost compaction
+    // exists to stop paying
+    val keyed = withChunkKey(chunks.select(
+        col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("ids_digest")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out =
+      try {
+        val assigned = packShardAssign(keyed, packTokens, nShards,
+            binBase = 0L)
+          .select(col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            col("n_tokens"), col("ids_digest"), col("bin_id"),
+            col("shard"))
+        graft.sources.Sinks.saveTablePartitioned(assigned, saveAs,
+          bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+        spark.table(saveAs)
+      } finally keyed.unpersist()
+
+    // spec advance LAST (max_bin only ever shrinks here) — the
+    // compacted table is durable before any delta can place bins
+    // against the new, smaller bin space
+    val maxBin = Option(out.agg(max("bin_id")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    graft.sources.IndexSpec.write(
+      Seq((spec.getAs[Long]("mix_budget_tokens"),
+        spec.getAs[Int]("chunk_tokens"), packTokens,
+        spec.getAs[Int]("num_merges"), nShards,
+        spec.getAs[Double]("neardup_threshold"), maxBin))
+        .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
+          "num_merges", "n_shards", "neardup_threshold", "max_bin"),
+      statePrefix)
+    out
   }
 }

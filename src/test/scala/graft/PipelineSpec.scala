@@ -201,6 +201,69 @@ class PipelineSpec extends SparkSpec {
       rowSet(Pipeline.corpusDelta(v2, docs, statePrefix))
   }
 
+  test("delta waists can materialize through reliable parquet checkpoints") {
+    // checkpointDir = Some(dir) routes every stage waist through
+    // parquet instead of executor-local localCheckpoint buffers (the
+    // cluster form that survives executor loss mid-transaction); the
+    // changeset must be bit-identical to the default path
+    v1.count() should be > 0L
+    val docs = tables.documents
+    val v2 = mutateV2(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-delta-ckpt").toString
+    val reliable = Pipeline.corpusDelta(v2, docs, statePrefix,
+      checkpointDir = Some(dir))
+    reliable.count() should be > 0L
+    rowSet(reliable) shouldBe
+      rowSet(Pipeline.corpusDelta(v2, docs, statePrefix))
+  }
+
+  test("exact screen: the snapshot side never shuffles") {
+    // the corpus-sized side of the exact-dup screen must be ONE
+    // shuffle-free bucketed scan filtered through broadcasts; the only
+    // shuffle exchanges are the two fp-distincts over delta-sized /
+    // hit-set-sized rows
+    v1.count() should be > 0L
+    val snap = spark.table(s"${statePrefix}_snapshot")
+    val deltaDocs = tables.documents.limit(40).localCheckpoint(true)
+    val tomb = tables.documents.select("doc_id").limit(5)
+      .localCheckpoint(true)
+    val p = plan(Pipeline.exactScreen(deltaDocs, snap, tomb))
+    val shuffles = "Exchange".r.findAllMatchIn(p).size -
+      "BroadcastExchange".r.findAllMatchIn(p).size
+    withClue(p) {
+      // at most the two fp-distinct re-keys (delta set + hit set);
+      // every join is a broadcast — a SortMergeJoin would mean the
+      // corpus-sized snapshot got shuffled
+      shuffles should be <= 2
+      p should not include "SortMergeJoin"
+      p should include("Bucketed: true")
+    }
+  }
+
+  test("a committed delta pays ONE full-crawl fingerprint scan") {
+    // route the crawl text through a counting UDF: the commit's
+    // snapshot advance must read the fp rows the diff already cached,
+    // never re-derive them — so a committed delta evaluates the text
+    // column exactly as often as an uncommitted one
+    val p = s"pipe_fp_${System.nanoTime()}"
+    Pipeline.corpusBuildWithState(tables.documents, p).count() should
+      be > 0L
+    val acc = spark.sparkContext.longAccumulator("text_evals")
+    val countText = udf { (s: String) => acc.add(1); s }
+    val crawl = tables.documents
+      .withColumn("text", countText(col("text")))
+    Pipeline.corpusDelta(crawl, tables.documents, p).count()
+    val uncommitted = acc.value.longValue
+    uncommitted should be > 0L
+    acc.reset()
+    Pipeline.corpusDelta(crawl, tables.documents, p, commit = true)
+      .count()
+    withClue("commit re-derived the crawl fingerprints: ") {
+      acc.value.longValue shouldBe uncommitted
+    }
+  }
+
   test("delta releases every persisted intermediate") {
     v1.count() should be > 0L
     val before = pinnedIds
@@ -264,6 +327,120 @@ class PipelineSpec extends SparkSpec {
     }
     ex.getMessage should include("no frozen mix threshold")
     ex.getMessage should include("xx")
+  }
+
+  test("compaction squashes folded deltas: same chunks, fresh bins, deltas chain above") {
+    val p = s"pipe_compact_${System.nanoTime()}"
+    val docs = tables.documents
+    val v1c = Pipeline.corpusBuildWithState(docs, p)
+    val v2 = mutateV2(docs)
+    val d2 = Pipeline.corpusDelta(v2, docs, p, commit = true)
+    val folded = Pipeline.applyCorpusDelta(v1c, d2)
+    val table = s"${p}_chunks"
+    val compacted = Pipeline.compactCorpus(folded, p, table)
+    val compactedRows = rowSet(compacted)
+
+    // chunk content (docs, geometry, token streams) is untouched —
+    // only bin/shard placement changes
+    rowSet(compacted.drop("bin_id", "shard")) shouldBe
+      rowSet(folded.drop("bin_id", "shard"))
+    // bins are contiguous from 0 again (the folded relation's bin space
+    // has deletion holes and the delta's appended range)
+    val bins = compacted.select("bin_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    bins.head shouldBe 0L
+    bins shouldBe (0L until bins.length).toArray
+    bins.length.toLong should be <=
+      folded.select("bin_id").distinct().count()
+    // shards stay in range and bin-functional
+    compacted.filter(col("shard") < 0 || col("shard") >= 8)
+      .count() shouldBe 0L
+    compacted.groupBy("bin_id").agg(countDistinct("shard").as("n"))
+      .filter(col("n") =!= 1).count() shouldBe 0L
+    // the spec's commit marker advanced to the compacted max_bin —
+    // written LAST, after the table is durable
+    graft.sources.IndexSpec.readRequired(spark, p)
+      .getAs[Long]("max_bin") shouldBe bins.last
+    // the compacted table reads back as one bucketed scan: a doc_id
+    // join against it needs no table-side Exchange (the q48 layout)
+    val probe = docs.select("doc_id").limit(10).localCheckpoint(true)
+    val pj = plan(spark.table(table).join(probe, Seq("doc_id")))
+    ("Exchange".r.findAllMatchIn(pj).size -
+      "BroadcastExchange".r.findAllMatchIn(pj).size) should be <= 1
+    // a delta AFTER compaction appends strictly above the compacted
+    // (smaller) bin space
+    val v3 = v2.filter(col("doc_id") % 23 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" edited v3"))).otherwise(col("text")))
+    val d3 = Pipeline.corpusDelta(v3, v2, p)
+    d3.filter(col("op") === "add").agg(min("bin_id")).head()
+      .getLong(0) should be > bins.last
+    // re-entrant: re-running overwrites table + spec with identical content
+    rowSet(Pipeline.compactCorpus(folded, p, table)) shouldBe compactedRows
+  }
+
+  test("rebuild after deltas equals a fresh build MODULO exactly the suppressed twins") {
+    // The corpusDelta scaladoc documents ONE semantic edge: crawl twins
+    // suppressed as duplicates of a since-removed doc diff as
+    // "unchanged" and are never re-evaluated — "a periodic full rebuild
+    // reconciles". This gate pins the edge's SIZE: the doc-set diff
+    // between rebuild-after-delta and the folded corpus is EXACTLY the
+    // suppressed-twin set, in one direction only.
+    //
+    // Construction: restrict the base corpus to docs in no near-dup
+    // pair and with a unique fingerprint, so every dup cluster in the
+    // test crawl is exactly {original, twin} and the expected set is
+    // analytic. Budget is far above the corpus so the frozen-vs-rederived
+    // mix can't confound doc membership.
+    val p1 = s"pipe_rec1_${System.nanoTime()}"
+    val p2 = s"pipe_rec2_${System.nanoTime()}"
+    val base0 = tables.documents
+    val ndPairs = graft.operators.Dedup.minhashDupPairs(base0,
+      threshold = 0.7, ngram = 3, k = 64, bands = 32)
+    val touched = ndPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(ndPairs.select(col("doc_b").as("doc_id"))).distinct()
+    val fps = base0.select(col("doc_id"),
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val dupFpIds = fps
+      .join(fps.groupBy("fp").count().filter(col("count") > 1), Seq("fp"))
+      .select("doc_id")
+    val docs = base0.join(touched, Seq("doc_id"), "left_anti")
+      .join(dupFpIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    val twins = docs.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val v1crawl = docs.unionByName(twins).localCheckpoint(true)
+    val big = 100000000L
+    val v1chunks = Pipeline.corpusBuildWithState(v1crawl, p1,
+      mixBudgetTokens = big)
+
+    // v2 removes exactly the originals the twins duplicate
+    val v2crawl = v1crawl
+      .filter(!(col("doc_id") % 29 === 0 && col("doc_id") < 500000L))
+      .localCheckpoint(true)
+    val d2 = Pipeline.corpusDelta(v2crawl, v1crawl, p1, commit = true)
+    // the edge in action: the delta only tombstones — the twins diff
+    // as "unchanged" and are not re-admitted
+    d2.filter(col("op") === "add").count() shouldBe 0L
+    val folded = Pipeline.applyCorpusDelta(v1chunks, d2)
+
+    val rebuilt = Pipeline.corpusBuildWithState(v2crawl, p2,
+      mixBudgetTokens = big)
+    val foldedDocs = folded.select("doc_id").distinct()
+    val rebuiltDocs = rebuilt.select("doc_id").distinct()
+
+    // direction 1: the folded corpus never holds a doc the rebuild drops
+    foldedDocs.except(rebuiltDocs).count() shouldBe 0L
+    // direction 2: the reconciliation diff is EXACTLY the suppressed
+    // twins — twins whose original passed curation (was in the corpus)
+    val expected = Curation.curate(v1crawl).select("doc_id")
+      .filter(col("doc_id") % 29 === 0 && col("doc_id") < 500000L)
+      .select((col("doc_id") + 500000L).as("doc_id"))
+    rowSet(rebuiltDocs.except(foldedDocs)) shouldBe rowSet(expected)
+    expected.count() should be > 0L
   }
 
   test("corpus-sized intermediates are released on the failure path") {
