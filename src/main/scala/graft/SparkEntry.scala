@@ -1620,7 +1620,31 @@ object SparkEntry {
       Pipeline.corpusBuild(Tables(s, d).documents,
           mixBudgetTokens = 9000L, chunkTokens = 24, packTokens = 384L,
           numMerges = 12, nShards = 5)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ---- the OPERATIONAL LOOP closed: fold a crawl delta into the v1
+    // chunk relation ([[Pipeline.applyCorpusDelta]]), then
+    // [[Pipeline.compactCorpus]] squashes the folded view into a fresh
+    // doc_id-bucketed table — bins re-packed contiguous from 0, chunk
+    // content untouched, spec.max_bin reset so later deltas append
+    // above the COMPACTED space instead of growing the bin range
+    // forever. Own state prefix (compaction ADVANCES the spec, which
+    // must not disturb q170's placement); the v1 chunk table doubles
+    // as the within-JVM rebuild guard. Re-run-stable by construction:
+    // post-compaction bin/shard placement depends only on the folded
+    // chunk CONTENT, never on where the delta's bins happened to land.
+    "q172_corpus_compact" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val p = s"graft_corpus_cstate_${dirTag(d)}"
+      val v1Table = s"${p}_v1chunks"
+      if (!s.catalog.tableExists(v1Table))
+        graft.sources.Sinks.saveTable(
+          Pipeline.corpusBuildWithState(docs, p), v1Table)
+      val folded = Pipeline.applyCorpusDelta(s.table(v1Table),
+        Pipeline.corpusDelta(crawlV2(docs), docs, p))
+      Pipeline.compactCorpus(folded, p, s"${p}_compacted")
+        .orderBy("doc_id", "chunk_idx")
+    })
   )
 
   /** Deterministic synthetic "second crawl" shared by q108/q109/q110:
@@ -4371,7 +4395,191 @@ object SparkEntry {
               c.ids_digest, p.bin_id, CAST(b.shard AS BIGINT)
             FROM d_chn c JOIN d_pk p USING (ckey)
             JOIN d_bs b USING (bin_id))
-          ORDER BY doc_id, op, chunk_idx"""
+          ORDER BY doc_id, op, chunk_idx""",
+
+    // full replay of q172: build(v1) chunks WITH digests, the delta's
+    // surviving chunks (same chain as q170 through d_chn — the delta's
+    // own bin placement is irrelevant: compaction re-packs from chunk
+    // content), fold = tombstone anti-join + union, then the re-pack =
+    // ckey-ordered prefix sum from bin 0 + content-addressed shards —
+    // the same pack/shard SQL as the q164 build, applied to the folded
+    // set
+    "q172_corpus_compact" ->
+      s"""WITH RECURSIVE
+          ${curateCtesFor("documents", "c_")},
+          curdocs AS MATERIALIZED (SELECT d.* FROM documents d
+            JOIN c_cur USING (doc_id)),
+          ${dupComponentsCtesFor("curdocs")},
+          wc AS (
+            SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS component,
+              CAST(d.n_chars AS BIGINT) AS score
+            FROM curdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          best AS (SELECT component, max(score) AS best_score
+                   FROM wc GROUP BY 1),
+          canon AS (
+            SELECT wc.component, min(wc.doc_id) AS canonical_id
+            FROM wc JOIN best ON wc.component = best.component
+              AND wc.score = best.best_score
+            GROUP BY 1),
+          canondocs AS MATERIALIZED (
+            SELECT d.* FROM curdocs d
+            JOIN wc ON d.doc_id = wc.doc_id
+            JOIN canon ON wc.component = canon.component
+            WHERE d.doc_id = canon.canonical_id),
+          mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
+          mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
+          msv AS (
+            SELECT lang, t,
+              CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+                AS s
+            FROM mtot),
+          mssv AS (SELECT sum(s) AS ss FROM msv),
+          mth AS (
+            SELECT lang,
+              CAST(floor(least(1.0,
+                CASE WHEN t > 0 THEN
+                  CAST(20000 AS DOUBLE) * s / ss / t
+                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
+            FROM msv, mssv),
+          seldocs AS MATERIALIZED (
+            SELECT d.* FROM canondocs d JOIN mth USING (lang)
+            WHERE ('0x' || substr(md5('smp_' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                  < thresh),
+          ${bpeTrainCtesFor(8, "seldocs")},
+          ${bpeEncodeCtesFor("seldocs")},
+          encall AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+            FROM seldocs d LEFT JOIN enc e USING (doc_id)),
+          ch AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+              ids[(ci*32+1):(ci*32+32)] AS cids
+            FROM (SELECT doc_id, ids,
+                unnest(generate_series(0,
+                  CAST(greatest(ceil(len(ids)/32.0) - 1, 0) AS BIGINT)))
+                  AS ci
+              FROM encall)),
+          chn AS MATERIALIZED (
+            SELECT doc_id, chunk_idx,
+              CAST(len(cids) AS BIGINT) AS n_tokens,
+              md5(array_to_string(cids, ' ')) AS ids_digest,
+              doc_id * 100000 + chunk_idx AS ckey
+            FROM ch),
+          $CrawlV2Sql,
+          nfp AS MATERIALIZED (SELECT doc_id, $Fp AS fp FROM v2),
+          ofp AS MATERIALIZED (
+            SELECT doc_id, $Fp AS fp FROM documents),
+          tomb AS MATERIALIZED (
+            SELECT o.doc_id FROM ofp o
+            LEFT JOIN nfp n ON o.doc_id = n.doc_id
+            WHERE n.doc_id IS NULL OR n.fp <> o.fp),
+          deltadocs AS MATERIALIZED (
+            SELECT v.doc_id, v.text, v.lang, v.source, v.n_chars
+            FROM v2 v JOIN nfp n ON v.doc_id = n.doc_id
+            LEFT JOIN ofp o ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR o.fp <> n.fp),
+          ${curateCtesFor("deltadocs", "dc_")},
+          keptfp AS MATERIALIZED (
+            SELECT DISTINCT fp FROM ofp
+            WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                              WHERE t.doc_id = ofp.doc_id)),
+          dx AS MATERIALIZED (
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM deltadocs d
+            JOIN dc_cur USING (doc_id)
+            JOIN dc_t t ON d.doc_id = t.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM keptfp k
+                              WHERE k.fp = t.fp)),
+          stnow AS MATERIALIZED (
+            SELECT doc_id FROM canondocs
+            WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                              WHERE t.doc_id = canondocs.doc_id)),
+          dxsh AS MATERIALIZED (
+            SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 0)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+            FROM (SELECT doc_id, $Toks AS toks FROM dx)),
+          xhit AS MATERIALIZED (
+            SELECT DISTINCT d.doc_id
+            FROM dxsh d
+            JOIN sh s
+              ON round(CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(d.sh, s.sh)))
+                  AS DOUBLE), 4) >= 0.7
+            JOIN stnow st ON st.doc_id = s.doc_id),
+          ds2 AS MATERIALIZED (
+            SELECT * FROM dx
+            WHERE NOT EXISTS (SELECT 1 FROM xhit x
+                              WHERE x.doc_id = dx.doc_id)),
+          ${dupComponentsCtesFor("ds2", "dd_")},
+          ddwc AS (
+            SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS component,
+              CAST(d.n_chars AS BIGINT) AS score
+            FROM ds2 d LEFT JOIN dd_comp c ON d.doc_id = c.doc_id),
+          ddbest AS (SELECT component, max(score) AS best_score
+                     FROM ddwc GROUP BY 1),
+          ddcanon AS (
+            SELECT ddwc.component, min(ddwc.doc_id) AS canonical_id
+            FROM ddwc JOIN ddbest ON ddwc.component = ddbest.component
+              AND ddwc.score = ddbest.best_score
+            GROUP BY 1),
+          dsurv AS MATERIALIZED (
+            SELECT d.* FROM ds2 d
+            JOIN ddwc ON d.doc_id = ddwc.doc_id
+            JOIN ddcanon ON ddwc.component = ddcanon.component
+            WHERE d.doc_id = ddcanon.canonical_id),
+          dsel AS MATERIALIZED (
+            SELECT d.* FROM dsurv d JOIN mth USING (lang)
+            WHERE ('0x' || substr(md5('smp_' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                  < thresh),
+          ${bpeFrozenEncodeCtesFor(8, "dsel", "d_")},
+          d_encall AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+            FROM dsel d LEFT JOIN d_enc e USING (doc_id)),
+          d_ch AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+              ids[(ci*32+1):(ci*32+32)] AS cids
+            FROM (SELECT doc_id, ids,
+                unnest(generate_series(0,
+                  CAST(greatest(ceil(len(ids)/32.0) - 1, 0) AS BIGINT)))
+                  AS ci
+              FROM d_encall)),
+          d_chn AS MATERIALIZED (
+            SELECT doc_id, chunk_idx,
+              CAST(len(cids) AS BIGINT) AS n_tokens,
+              md5(array_to_string(cids, ' ')) AS ids_digest,
+              doc_id * 100000 + chunk_idx AS ckey
+            FROM d_ch),
+          folded AS MATERIALIZED (
+            SELECT doc_id, chunk_idx, n_tokens, ids_digest, ckey
+            FROM chn
+            WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                              WHERE t.doc_id = chn.doc_id)
+            UNION ALL
+            SELECT doc_id, chunk_idx, n_tokens, ids_digest, ckey
+            FROM d_chn),
+          cpk AS (
+            SELECT ckey,
+              CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512 AS BIGINT) AS bin_id
+            FROM folded),
+          cbs AS (
+            SELECT bin_id,
+              (row_number() OVER (
+                ORDER BY md5(CAST(bin_id AS VARCHAR)), bin_id) - 1) % 8
+                AS shard
+            FROM (SELECT DISTINCT bin_id FROM cpk))
+          SELECT f.doc_id, f.chunk_idx, f.n_tokens, f.ids_digest,
+            p.bin_id, CAST(b.shard AS BIGINT) AS shard
+          FROM folded f JOIN cpk p USING (ckey) JOIN cbs b USING (bin_id)
+          ORDER BY doc_id, chunk_idx"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over

@@ -190,10 +190,37 @@ object Stress {
 
     // one-time state build for the incremental-delta lines (lazy: a
     // filtered run that skips all three corpus-state ops never pays it;
-    // rows counted so the corpusBuildState line reports chunk volume)
-    lazy val stressCorpusStateReady: Long =
+    // rows counted so the corpusBuildState line reports chunk volume).
+    // The chunk relation itself is kept for the fold/compaction lines.
+    lazy val stressCorpusChunks: DataFrame =
       Pipeline.corpusBuildWithState(docs, "stress_corpus",
-        mixBudgetTokens = 400000L).count()
+        mixBudgetTokens = 400000L)
+    lazy val stressCorpusStateReady: Long = stressCorpusChunks.count()
+
+    // the operational loop's read-cost story: three COMMITTED ~1%-churn
+    // deltas folded into the v1 chunks leave a reader paying 3 chained
+    // anti-joins + unions per scan; compaction squashes that into one
+    // bucketed table. Committed (so the deltas chain) and therefore
+    // ordered AFTER the uncommitted delta lines below, which must see
+    // pristine v1 state.
+    lazy val stressFoldedCorpus: DataFrame = {
+      stressCorpusStateReady
+      var cur = stressCorpusChunks
+      var crawl = docs
+      for ((r, e, a) <- Seq((401, 409, 419), (421, 431, 433),
+          (439, 443, 449))) {
+        val next = mutateCrawl(crawl, removeMod = r, editMod = e,
+          addMod = a)
+        cur = Pipeline.applyCorpusDelta(cur,
+          Pipeline.corpusDelta(next, crawl, "stress_corpus",
+            commit = true))
+        crawl = next
+      }
+      cur
+    }
+    def chunkReader(chunks: DataFrame): DataFrame =
+      chunks.groupBy("shard")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
     // synthetic crawl deltas over the 20× corpus: drop %removeMod, edit
     // %editMod, add %addMod under shifted ids — the q108 mutation
     // classes at a controlled fraction of the corpus
@@ -636,6 +663,28 @@ object Stress {
       // against the snapshot) that the Small/Big lines sit on top of
       time("corpusDeltaNoop")(graft.operators.Pipeline.corpusDelta(
         docs, docs, "stress_corpus")),
+      // operational-loop lines: the fold chain's commit cost, a reader
+      // over the 3-deep anti-join view, the compaction squash, and the
+      // same reader over the compacted bucketed table — the last two
+      // lines are the flat-read-after-compaction claim, measured
+      timeAction("corpusFoldCommits") {
+        stressFoldedCorpus; -1L
+      },
+      time("corpusFoldedRead")(chunkReader(stressFoldedCorpus)),
+      timeAction("corpusCompact")(Pipeline.compactCorpus(
+        stressFoldedCorpus, "stress_corpus",
+        "stress_corpus_compacted").count()),
+      {
+        // a filtered run that skips the corpusCompact line still needs
+        // the compacted table on disk (untimed here in that case)
+        if (want("corpusCompactedRead") &&
+            !spark.catalog.tableExists("stress_corpus_compacted")) {
+          Pipeline.compactCorpus(stressFoldedCorpus, "stress_corpus",
+            "stress_corpus_compacted"); ()
+        }
+        time("corpusCompactedRead")(chunkReader(
+          spark.table("stress_corpus_compacted")))
+      },
       // hub-skew graph family (see hubEdges): the oriented operator vs
       // the naive wedge shape on the same 30k-degree-hub graph, plus
       // LPA whose per-round cost is edge-linear regardless of skew.
