@@ -1644,6 +1644,20 @@ object SparkEntry {
         Pipeline.corpusDelta(crawlV2(docs), docs, p))
       Pipeline.compactCorpus(folded, p, s"${p}_compacted")
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- the suppressed-content audit (the [[Pipeline.reconcileDelta]]
+    // fp tier): crawl docs whose content the corpus no longer carries —
+    // unchanged against the snapshot, not standing, fingerprint on no
+    // standing doc. Read-only against q170's state family (shares the
+    // marker-guarded v1 build); fp rows only, never text — the
+    // rebuild-pressure metric a delta-maintained corpus watches.
+    "q173_reconcile_audit" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val p = s"graft_corpus_state_${dirTag(d)}"
+      if (!s.catalog.tableExists(graft.sources.IndexSpec.specTable(p)))
+        Pipeline.corpusBuildWithState(docs, p)
+      Pipeline.reconcileCandidates(docs, p).orderBy("doc_id")
     })
   )
 
@@ -4579,7 +4593,43 @@ object SparkEntry {
           SELECT f.doc_id, f.chunk_idx, f.n_tokens, f.ids_digest,
             p.bin_id, CAST(b.shard AS BIGINT) AS shard
           FROM folded f JOIN cpk p USING (ckey) JOIN cbs b USING (bin_id)
-          ORDER BY doc_id, chunk_idx"""
+          ORDER BY doc_id, chunk_idx""",
+
+    // suppressed-content audit replay: standing = the v1 build's
+    // canonical curated docs; a candidate is any crawl doc not standing
+    // whose fingerprint no standing doc carries (against the SAME crawl
+    // the snapshot was committed from, every doc is "unchanged")
+    "q173_reconcile_audit" ->
+      s"""WITH RECURSIVE
+          ${curateCtesFor("documents", "c_")},
+          curdocs AS MATERIALIZED (SELECT d.* FROM documents d
+            JOIN c_cur USING (doc_id)),
+          ${dupComponentsCtesFor("curdocs")},
+          wc AS (
+            SELECT d.doc_id,
+              coalesce(c.component, d.doc_id) AS component,
+              CAST(d.n_chars AS BIGINT) AS score
+            FROM curdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          best AS (SELECT component, max(score) AS best_score
+                   FROM wc GROUP BY 1),
+          canon AS (
+            SELECT wc.component, min(wc.doc_id) AS canonical_id
+            FROM wc JOIN best ON wc.component = best.component
+              AND wc.score = best.best_score
+            GROUP BY 1),
+          canondocs AS MATERIALIZED (
+            SELECT d.* FROM curdocs d
+            JOIN wc ON d.doc_id = wc.doc_id
+            JOIN canon ON wc.component = canon.component
+            WHERE d.doc_id = canon.canonical_id),
+          standingfp AS MATERIALIZED (SELECT $Fp AS fp FROM canondocs),
+          crawlfp AS (SELECT doc_id, $Fp AS fp FROM documents)
+          SELECT a.doc_id FROM crawlfp a
+          WHERE NOT EXISTS (SELECT 1 FROM canondocs c
+                            WHERE c.doc_id = a.doc_id)
+            AND NOT EXISTS (SELECT 1 FROM standingfp s
+                            WHERE s.fp = a.fp)
+          ORDER BY doc_id"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over

@@ -530,57 +530,13 @@ object Pipeline {
     val afterExact = mat(exactScreen(deltaCurDocs, snap, tombstones),
       "delta_after_exact")
 
-    // 3b. near-dup screen against the STANDING corpus via the persisted
-    //     band index: bucketed probe + candidate-slice verify, the q130
-    //     family's cost shape. Hits on docs leaving the corpus THIS
-    //     round don't screen (standing minus tombstones).
+    // 3b–7. the shared admission chain (near-dup screen vs standing,
+    //        self-dedup, frozen mix/encode, pack/shard above binBase)
     val standingNow = spark.table(standingTable(statePrefix))
       .join(tombstones, Seq("doc_id"), "left_anti")
-    val ndHits = Dedup.probeNearDupIndex(afterExact, corpusDocs,
-        neardupTable(statePrefix), threshold, NdNgram, NdK, NdBands)
-      .join(standingNow.select(col("doc_id").as("corpus_id")),
-        Seq("corpus_id"))
-      .select(col("new_id").as("doc_id")).distinct()
-    val screened = mat(afterExact.join(ndHits, Seq("doc_id"), "left_anti"),
-      "delta_screened")
-
-    // 4. canonical resolution WITHIN the screened delta (the build's
-    //    stage-2 machinery over the delta slice)
-    val selfKeep = Dedup.resolveCanonical(screened,
-        Dedup.dupComponents(Dedup.minhashDupPairs(screened,
-          threshold = threshold, ngram = NdNgram, k = NdK,
-          bands = NdBands)))
-      .filter(col("keep") === 1L)
-      .select("doc_id")
-    val survivors = mat(screened.join(selfKeep, Seq("doc_id")),
-      "delta_survivors")
-
-    // 5. frozen mix. Coverage check first — group-cardinality-bounded
-    //    collect, same bound as the threshold broadcast itself.
-    val thresholds = spark.table(mixTable(statePrefix))
-    val missing = survivors
-      .select(col("lang").cast("string").as("grp")).distinct()
-      .join(thresholds.select("grp"), Seq("grp"), "left_anti")
-      .collect().map(_.getString(0)).sorted
-    require(missing.isEmpty,
-      s"corpusDelta: group(s) ${missing.mkString(", ")} have no " +
-        s"frozen mix threshold in ${mixTable(statePrefix)} — a " +
-        "frozen mix cannot place an unseen group; re-run " +
-        "corpusBuildWithState to re-derive thresholds (or insert an " +
-        "explicit threshold row for the new group)")
-    val sel = Relational.mixtureApplyThresholds(survivors,
-      col("doc_id"), col("lang"), thresholds)
-
-    // 6. frozen tokenizer (merges AND token-id space from v1);
-    // 7. chunk/pack/shard above the standing bins
-    val merges = Bpe.loadMerges(spark, mergesTable(statePrefix))
-    val chunks = withChunkKey(
-        Bpe.chunkEncoded(Bpe.encodeDocsFrozen(sel, merges,
-          spark.table(vocabTable(statePrefix))), chunkTokens))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val adds =
-      try packShardEmit(chunks, packTokens, nShards, binBase, mat)
-      finally chunks.unpersist()
+    val (survivors, adds) = admitScreened(afterExact, corpusDocs,
+      statePrefix, standingNow, chunkTokens, packTokens, nShards,
+      threshold, binBase, mat)
 
     val out = mat(tombstones
       .select(lit("del").as("op"), col("doc_id"),
@@ -631,6 +587,196 @@ object Pipeline {
       .join(F.broadcast(hitFps.withColumnRenamed("fp", fpCol)),
         Seq(fpCol), "left_anti")
       .drop(fpCol)
+  }
+
+  /** Stages 3b–7 of the delta admission chain over an exact-screened
+    * candidate slice: near-dup screen against `standingNow` via the
+    * persisted band index (bucketed probe + candidate-slice verify,
+    * the q130 cost shape), canonical resolution WITHIN the slice (a
+    * candidate whose only dup was itself screened away survives),
+    * frozen mix (loud refusal on an unseen group), frozen tokenizer,
+    * chunk/pack/shard above `binBase`. Returns (survivors, adds):
+    * survivors feed a commit's standing/index advance, adds are the
+    * new chunk rows. Shared by [[corpusDelta]] (candidates = the
+    * crawl's changed slice) and [[reconcileDelta]] (candidates =
+    * suppressed content re-surfacing after removals).
+    */
+  private def admitScreened(afterExact: DataFrame, corpusDocs: DataFrame,
+      statePrefix: String, standingNow: DataFrame, chunkTokens: Int,
+      packTokens: Long, nShards: Int, threshold: Double, binBase: Long,
+      mat: (DataFrame, String) => DataFrame): (DataFrame, DataFrame) = {
+    val spark = afterExact.sparkSession
+    val ndHits = Dedup.probeNearDupIndex(afterExact, corpusDocs,
+        neardupTable(statePrefix), threshold, NdNgram, NdK, NdBands)
+      .join(standingNow.select(col("doc_id").as("corpus_id")),
+        Seq("corpus_id"))
+      .select(col("new_id").as("doc_id")).distinct()
+    val screened = mat(afterExact.join(ndHits, Seq("doc_id"), "left_anti"),
+      "delta_screened")
+
+    // canonical resolution WITHIN the screened slice (the build's
+    // stage-2 machinery over the candidate slice)
+    val selfKeep = Dedup.resolveCanonical(screened,
+        Dedup.dupComponents(Dedup.minhashDupPairs(screened,
+          threshold = threshold, ngram = NdNgram, k = NdK,
+          bands = NdBands)))
+      .filter(col("keep") === 1L)
+      .select("doc_id")
+    val survivors = mat(screened.join(selfKeep, Seq("doc_id")),
+      "delta_survivors")
+
+    // frozen mix. Coverage check first — group-cardinality-bounded
+    // collect, same bound as the threshold broadcast itself.
+    val thresholds = spark.table(mixTable(statePrefix))
+    val missing = survivors
+      .select(col("lang").cast("string").as("grp")).distinct()
+      .join(thresholds.select("grp"), Seq("grp"), "left_anti")
+      .collect().map(_.getString(0)).sorted
+    require(missing.isEmpty,
+      s"corpusDelta: group(s) ${missing.mkString(", ")} have no " +
+        s"frozen mix threshold in ${mixTable(statePrefix)} — a " +
+        "frozen mix cannot place an unseen group; re-run " +
+        "corpusBuildWithState to re-derive thresholds (or insert an " +
+        "explicit threshold row for the new group)")
+    val sel = Relational.mixtureApplyThresholds(survivors,
+      col("doc_id"), col("lang"), thresholds)
+
+    // frozen tokenizer (merges AND token-id space from v1), then
+    // chunk/pack/shard above the standing bins
+    val merges = Bpe.loadMerges(spark, mergesTable(statePrefix))
+    val chunks = withChunkKey(
+        Bpe.chunkEncoded(Bpe.encodeDocsFrozen(sel, merges,
+          spark.table(vocabTable(statePrefix))), chunkTokens))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adds =
+      try packShardEmit(chunks, packTokens, nShards, binBase, mat)
+      finally chunks.unpersist()
+    (survivors, adds)
+  }
+
+  /** Re-admission candidates for [[reconcileDelta]] — the fp-tier
+    * audit of the suppressed-twin edge. A crawl doc is a candidate
+    * when it is UNCHANGED against the snapshot (changed/added docs
+    * belong to [[corpusDelta]]), NOT standing, and its content
+    * fingerprint exists on NO standing doc — content the crawl still
+    * carries that the corpus no longer does, which a fresh rebuild
+    * would re-evaluate but the crawl diff never re-surfaces (the
+    * [[corpusDelta]] semantic edge). The count is the engine's
+    * REBUILD-PRESSURE metric; note it includes curation-rejected docs
+    * whose content never stood — [[reconcileDelta]]'s admission chain
+    * re-applies those gates before anything is re-admitted.
+    *
+    * Cost shape: fp rows only, never text. The doc_id joins are
+    * snapshot-side exchange-free (bucketed layout); the fp anti-join
+    * re-keys both sides by fp — a corpus-sized shuffle of 16-byte
+    * rows, the irreducible cost of asking "which content is absent",
+    * and the reason this is an occasional maintenance pass rather
+    * than part of every crawl's delta.
+    */
+  def reconcileCandidates(newCrawl: DataFrame,
+      statePrefix: String): DataFrame = {
+    val spark = newCrawl.sparkSession
+    graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    val snap = spark.table(snapshotTable(statePrefix))
+    val standing = spark.table(standingTable(statePrefix))
+    val newFps = newCrawl.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val unchanged = snap.join(newFps, Seq("doc_id", "fp"), "left_semi")
+    val standingFps = snap.join(standing, Seq("doc_id"), "left_semi")
+      .select("fp")
+    unchanged
+      .join(standing, Seq("doc_id"), "left_anti")
+      .join(standingFps, Seq("fp"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** Close the [[corpusDelta]] semantic edge WITHOUT a full rebuild:
+    * re-evaluate the [[reconcileCandidates]] (suppressed or rejected
+    * crawl content whose standing counterpart has since been removed)
+    * through the delta's own admission chain — curation, near-dup
+    * screen against the standing corpus, self canonical resolution,
+    * frozen mix, frozen tokenizer — and emit their chunks as an
+    * add-only changeset packed above the standing `max_bin`
+    * (foldable by [[applyCorpusDelta]] like any delta).
+    *
+    * `newCrawl` must be the crawl the state's snapshot was committed
+    * from: candidates are restricted to docs UNCHANGED against the
+    * snapshot, so a stale or mutated crawl simply contributes fewer
+    * candidates, never wrong ones.
+    *
+    * `commit = true` advances standing/band-index/spec exactly like a
+    * committed delta; the snapshot is NOT rewritten — every candidate
+    * is already in it. After a commit the operator is IDEMPOTENT: the
+    * re-admitted docs are standing, so a second pass emits an empty
+    * changeset (curation-rejected docs legitimately remain fp-tier
+    * [[reconcileCandidates]] — the admission chain re-drops them).
+    * PipelineSpec gates this, and gates that a fold of delta +
+    * reconcile reaches the REBUILD's doc set exactly on the
+    * suppressed-twin construction.
+    *
+    * What still needs a periodic rebuild: re-TRAINING — the frozen mix
+    * thresholds and tokenizer drift from the corpus distribution as
+    * deltas accumulate; reconciliation re-admits content but never
+    * re-derives decisions. Policy note: where a fresh rebuild might
+    * elect a re-surfacing twin as its cluster's canonical (e.g. a
+    * longer duplicate), reconciliation — like the delta screen —
+    * always keeps the doc already standing.
+    */
+  def reconcileDelta(newCrawl: DataFrame, corpusDocs: DataFrame,
+      statePrefix: String, commit: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = newCrawl.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    val chunkTokens = spec.getAs[Int]("chunk_tokens")
+    val packTokens = spec.getAs[Long]("pack_tokens")
+    val nShards = spec.getAs[Int]("n_shards")
+    val threshold = spec.getAs[Double]("neardup_threshold")
+    val binBase = spec.getAs[Long]("max_bin") + 1L
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val matBase = graft.core.Rounds.materializer(checkpointDir)
+    val mat = (df: DataFrame, name: String) =>
+      matBase(df, s"${name}_$nonce")
+
+    // candidate slice, curated (the candidates' fps are all IN the
+    // snapshot by construction, so the delta's snapshot-fp exact
+    // screen would reject every one of them — the standing-fp absence
+    // test inside reconcileCandidates IS this path's exact screen;
+    // curate's own fp window dedups within the slice)
+    val candDocs = newCrawl
+      .join(reconcileCandidates(newCrawl, statePrefix), Seq("doc_id"))
+    val candCur = mat(candDocs
+      .join(Curation.curate(candDocs).select("doc_id"), Seq("doc_id")),
+      "reconcile_curated")
+
+    val standing = spark.table(standingTable(statePrefix))
+    val (survivors, adds) = admitScreened(candCur, corpusDocs,
+      statePrefix, standing, chunkTokens, packTokens, nShards,
+      threshold, binBase, mat)
+
+    val out = mat(adds.select(lit("add").as("op"), col("doc_id"),
+      col("chunk_idx"), col("n_tokens"), col("ids_digest"),
+      col("bin_id"), col("shard")), "reconcile_changeset")
+
+    if (commit) {
+      import spark.implicits._
+      val newStanding = mat(standing
+        .unionByName(survivors.select("doc_id")), "reconcile_standing")
+      graft.sources.Sinks.saveTablePartitioned(newStanding,
+        standingTable(statePrefix),
+        bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+      Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
+        ngram = NdNgram, k = NdK, bands = NdBands)
+      val newMaxBin = Option(out.agg(max("bin_id")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(binBase - 1L)
+      graft.sources.IndexSpec.write(
+        Seq((spec.getAs[Long]("mix_budget_tokens"), chunkTokens,
+          packTokens, spec.getAs[Int]("num_merges"), nShards, threshold,
+          newMaxBin))
+          .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
+            "num_merges", "n_shards", "neardup_threshold", "max_bin"),
+        statePrefix)
+    }
+    out
   }
 
   /** The state advance of a committed delta (see [[corpusDelta]]).

@@ -441,6 +441,29 @@ class PipelineSpec extends SparkSpec {
       .select((col("doc_id") + 500000L).as("doc_id"))
     rowSet(rebuiltDocs.except(foldedDocs)) shouldBe rowSet(expected)
     expected.count() should be > 0L
+
+    // reconcileDelta closes the edge WITHOUT a rebuild: it re-admits
+    // exactly the suppressed twins, and folding its changeset reaches
+    // the rebuild's doc set
+    val recon = Pipeline.reconcileDelta(v2crawl, v2crawl, p1,
+      commit = true)
+    recon.filter(col("op") =!= "add").count() shouldBe 0L
+    rowSet(recon.select("doc_id").distinct()) shouldBe rowSet(expected)
+    val reconciled = Pipeline.applyCorpusDelta(folded, recon)
+    rowSet(reconciled.select("doc_id").distinct()) shouldBe
+      rowSet(rebuiltDocs)
+    // re-admitted bins append above the standing max_bin
+    recon.agg(min("bin_id")).head().getLong(0) should be >
+      folded.agg(max("bin_id")).head().getLong(0)
+    // committed re-admission is idempotent: the ADMITTED twins are
+    // standing now, so the only twins left in the fp-tier audit are
+    // those of curation-REJECTED originals (inadmissible content the
+    // admission chain re-drops — exactly twins ∖ expected), and a
+    // second pass emits an empty changeset
+    rowSet(Pipeline.reconcileCandidates(v2crawl, p1)
+      .filter(col("doc_id") >= 500000L)) shouldBe
+      rowSet(twins.select("doc_id").except(expected))
+    Pipeline.reconcileDelta(v2crawl, v2crawl, p1).count() shouldBe 0L
   }
 
   test("corpus-sized intermediates are released on the failure path") {
