@@ -334,7 +334,12 @@ class PipelineSpec extends SparkSpec {
     val docs = tables.documents
     val v1c = Pipeline.corpusBuildWithState(docs, p)
     val v2 = mutateV2(docs)
-    val d2 = Pipeline.corpusDelta(v2, docs, p, commit = true)
+    // committed AND through the reliable parquet waists — the full
+    // cluster-mode transaction shape, so every downstream assertion
+    // here also gates that path end to end
+    val d2 = Pipeline.corpusDelta(v2, docs, p, commit = true,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("graft-commit-ckpt").toString))
     val folded = Pipeline.applyCorpusDelta(v1c, d2)
     val table = s"${p}_chunks"
     val compacted = Pipeline.compactCorpus(folded, p, table)
