@@ -88,6 +88,13 @@ import org.apache.spark.sql.functions._
   *
   * [[corpusDelta]] then turns a new crawl into (tombstones + new
   * chunks); [[applyCorpusDelta]] folds them into a chunk relation.
+  * The operational loop closes with [[compactCorpus]] (squash N folded
+  * changesets into a fresh bucketed table with a reset bin space) and
+  * [[reconcileCandidates]]/[[reconcileDelta]] (audit + re-admission of
+  * suppressed content whose standing counterpart was later removed —
+  * the crawl-diff semantic edge — at delta cost). After those, the
+  * only job left for a periodic full rebuild is re-TRAINING the frozen
+  * mix thresholds and tokenizer against the drifted corpus.
   */
 object Pipeline {
 
