@@ -663,6 +663,17 @@ object Stress {
       // against the snapshot) that the Small/Big lines sit on top of
       time("corpusDeltaNoop")(graft.operators.Pipeline.corpusDelta(
         docs, docs, "stress_corpus")),
+      // the same small delta with RELIABLE parquet waists (the
+      // cluster-mode transaction form): measures what surviving
+      // executor loss costs vs executor-local localCheckpoint buffers
+      {
+        if (want("corpusDeltaReliable")) { stressCorpusStateReady; () }
+        time("corpusDeltaReliable")(graft.operators.Pipeline.corpusDelta(
+          mutateCrawl(docs, removeMod = 151, editMod = 157,
+            addMod = 149), docs, "stress_corpus",
+          checkpointDir = Some(s"${System.getProperty("java.io.tmpdir")}" +
+            s"/graft-stress-delta-ckpt-${System.nanoTime()}")))
+      },
       // operational-loop lines: the fold chain's commit cost, a reader
       // over the 3-deep anti-join view, the compaction squash, and the
       // same reader over the compacted bucketed table — the last two
