@@ -706,6 +706,38 @@ object Dedup {
       sortBy = Seq("band_idx", "band_hash"))
   }
 
+  /** Vacuum a near-dup band index: rewrite it keeping only rows whose
+    * doc_id is in `keep` (one column, `doc_id`). The index only ever
+    * grows — [[appendNearDupIndex]] adds survivors, nothing removes the
+    * entries of docs that later left the corpus — so probe cost drifts
+    * upward with garbage even though correctness holds (probe hits are
+    * filtered against the standing set). This reclaims it: after the
+    * vacuum, bucket sizes and probe cost are proportional to the LIVE
+    * corpus again. Spec and bucketed layout are preserved.
+    *
+    * Implementation writes the filtered rows to a `__vacuum` side table
+    * and swaps it in by rename — no plan ever reads the table it is
+    * replacing, and nothing corpus-sized is pinned in executor memory.
+    * A crash between the drop and the rename leaves the data intact
+    * under `<table>__vacuum` (the index table absent, so probes refuse
+    * loudly rather than miss); re-point or rebuild via
+    * [[buildNearDupIndex]] over the standing docs to reconcile.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: DataFrame): Unit = {
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val buckets = spec.getAs[Int]("buckets")
+    val tmp = s"${table}__vacuum"
+    graft.sources.Sinks.saveTablePartitioned(
+      spark.table(table)
+        .join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
+      tmp,
+      bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
+      sortBy = Seq("band_idx", "band_hash"))
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** The (doc_id, band_idx, band_hash) band-bucket relation of a
     * document frame, public for callers that manage their own band
     * stores — the streaming minhash-tier ingest writes exactly these

@@ -857,8 +857,13 @@ object Pipeline {
     * doc_id-bucketed table, so subsequent reads are one shuffle-free
     * scan in the q48 layout.
     *
-    * The state family needs no other reconciliation — snapshot,
-    * standing set, band index, mix thresholds and tokenizer describe
+    * Compaction also VACUUMS the band index
+    * ([[graft.operators.Dedup.compactNearDupIndex]] against the
+    * standing set): append-only growth leaves entries for docs that
+    * have since left the corpus, and while probes stay correct (hits
+    * are standing-filtered), their cost drifts upward with the
+    * garbage. The rest of the state family needs no reconciliation —
+    * snapshot, standing set, mix thresholds and tokenizer describe
     * DOC content, which compaction does not touch. Only the spec's
     * `max_bin` advances (shrinks), written LAST: until it lands, a
     * concurrent-crash window leaves deltas appending above the OLD
@@ -902,6 +907,14 @@ object Pipeline {
           bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
         spark.table(saveAs)
       } finally keyed.unpersist()
+
+    // vacuum the band index: appendNearDupIndex only ever grows it, so
+    // entries of docs that have since left the corpus accumulate and
+    // probe cost drifts upward with garbage (correct — hits are
+    // standing-filtered — but paid on every delta). Compaction is the
+    // natural reclaim point: keep exactly the standing docs' rows.
+    Dedup.compactNearDupIndex(spark, neardupTable(statePrefix),
+      spark.table(standingTable(statePrefix)))
 
     // spec advance LAST (max_bin only ever shrinks here) — the
     // compacted table is durable before any delta can place bins

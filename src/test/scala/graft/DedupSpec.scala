@@ -528,6 +528,26 @@ class DedupSpec extends SparkSpec {
     out.map(_.getLong(0)).toSet shouldBe Set(9201L)
   }
 
+  test("near-dup index vacuum equals a fresh build over the kept docs") {
+    val base = tables.documents.filter(col("doc_id") < 400)
+    val kept = base.filter(col("doc_id") % 3 =!= 0)
+    Dedup.buildNearDupIndex(base, "neardup_idx_vac")
+    Dedup.compactNearDupIndex(SparkSpec.spark, "neardup_idx_vac",
+      kept.select("doc_id"))
+    Dedup.buildNearDupIndex(kept, "neardup_idx_vac_fresh")
+    rowSet(SparkSpec.spark.table("neardup_idx_vac")) shouldBe
+      rowSet(SparkSpec.spark.table("neardup_idx_vac_fresh"))
+    // spec survived the swap, and the rename preserved the bucketed
+    // layout: the probe's index-side scan still reports its buckets
+    graft.sources.IndexSpec.readRequired(SparkSpec.spark,
+      "neardup_idx_vac").getAs[Int]("buckets") shouldBe 32
+    val probe = Dedup.probeNearDupIndex(
+      kept.limit(1).select(lit(9301L).as("doc_id"), col("text")),
+      kept, "neardup_idx_vac")
+    plan(probe) should include("Bucketed: true")
+    probe.collect().map(_.getLong(0)).toSet shouldBe Set(9301L)
+  }
+
   test("near-dup index append/probe with mismatched spec fails loudly") {
     val corpus = tables.documents.filter(col("doc_id") < 100)
     Dedup.buildNearDupIndex(corpus, "neardup_idx_guard",

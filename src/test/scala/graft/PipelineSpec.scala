@@ -372,6 +372,14 @@ class PipelineSpec extends SparkSpec {
     val pj = plan(spark.table(table).join(probe, Seq("doc_id")))
     ("Exchange".r.findAllMatchIn(pj).size -
       "BroadcastExchange".r.findAllMatchIn(pj).size) should be <= 1
+    // the band index was vacuumed to the standing set: no entry for a
+    // doc that left the corpus survives compaction, and its spec is
+    // intact (the next delta's probe — d3 below — runs against it live)
+    spark.table(s"${p}_neardup").select("doc_id").distinct()
+      .join(spark.table(s"${p}_standing"), Seq("doc_id"), "left_anti")
+      .count() shouldBe 0L
+    graft.sources.IndexSpec.readRequired(spark, s"${p}_neardup")
+      .getAs[Int]("bands") shouldBe 32
     // a delta AFTER compaction appends strictly above the compacted
     // (smaller) bin space
     val v3 = v2.filter(col("doc_id") % 23 =!= 0)
