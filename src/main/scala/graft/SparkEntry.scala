@@ -58,7 +58,8 @@ object SparkEntry {
     "q135_bpe_vocab", "q136_bloom_probe", "q140_bpe_encode",
     "q142_semantic_probe", "q144_pack_bpe", "q146_packed_export",
     "q147_chunk_encoded", "q149_classifier_store", "q150_lm_store",
-    "q156_quantile_store", "q162_winnow_probe")
+    "q156_quantile_store", "q162_winnow_probe",
+    "q174_retrain_pressure", "q175_corpus_retrain")
 
   private def annQueries(t: Tables): DataFrame =
     t.embeddings.filter(col("vec_id") < 5)
@@ -1658,6 +1659,41 @@ object SparkEntry {
       if (!s.catalog.tableExists(graft.sources.IndexSpec.specTable(p)))
         Pipeline.corpusBuildWithState(docs, p)
       Pipeline.reconcileCandidates(docs, p).orderBy("doc_id")
+    }),
+
+    // ---- the RETRAIN-PRESSURE audit ([[Pipeline.retrainPressure]]):
+    // after a COMMITTED crawlV2 delta, how far have the FROZEN
+    // decisions drifted from the standing corpus they now govern —
+    // frozen vs freshly-derived mix thresholds per group, plus the
+    // frozen tokenizer's fertility and OOV over the standing text.
+    // Own prefix (the commit ADVANCES state — never point a committing
+    // query at q170's). Re-runs are stable: the second commit diffs an
+    // unchanged crawl (noop), so the audit reads the same fixpoint.
+    "q174_retrain_pressure" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val p = s"graft_corpus_astate_${dirTag(d)}"
+      if (!s.catalog.tableExists(graft.sources.IndexSpec.specTable(p)))
+        Pipeline.corpusBuildWithState(docs, p)
+      val v2 = crawlV2(docs)
+      Pipeline.corpusDelta(v2, docs, p, commit = true)
+      Pipeline.retrainPressure(v2, p).orderBy("lang")
+    }),
+
+    // ---- state RETRAIN as a new generation
+    // ([[Pipeline.retrainState]]): after the committed crawlV2 delta,
+    // re-derive mix thresholds + tokenizer + token-id space ON the
+    // standing corpus and re-encode/re-pack every standing doc from
+    // bin 0 — the full decision refresh that previously required a
+    // rebuild. Deterministic at any generation number (re-runs train
+    // g+1 with identical content), so the oracle replays it once.
+    "q175_corpus_retrain" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val p = s"graft_corpus_rstate_${dirTag(d)}"
+      if (!s.catalog.tableExists(graft.sources.IndexSpec.specTable(p)))
+        Pipeline.corpusBuildWithState(docs, p)
+      val v2 = crawlV2(docs)
+      Pipeline.corpusDelta(v2, docs, p, commit = true)
+      Pipeline.retrainState(v2, p).orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -4629,7 +4665,105 @@ object SparkEntry {
                             WHERE c.doc_id = a.doc_id)
             AND NOT EXISTS (SELECT 1 FROM standingfp s
                             WHERE s.fp = a.fp)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // retrain-pressure replay: the committed-delta state (v1 decisions
+    // + delta survivors → standingdocs, the shared committedStateCtes
+    // chain), then per lang: word volume, the FROZEN tokenizer's token
+    // count over the standing words (merge replay, the q170 frozen
+    // convention — only `a_wt` is referenced, so the replay's
+    // error()-on-OOV encode CTE is never evaluated and OOV is COUNTED
+    // via the LEFT JOIN against the frozen `ids` instead), and frozen
+    // (`mth`) vs fresh (`r_mth`, re-derived on standingdocs) mix
+    // thresholds
+    "q174_retrain_pressure" ->
+      s"""WITH RECURSIVE
+          $committedStateCtes,
+          af AS MATERIALIZED (
+            SELECT lang, word, count(*) AS freq
+            FROM (SELECT lang,
+                    unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS word
+                  FROM standingdocs)
+            GROUP BY lang, word),
+          ${bpeFrozenEncodeCtesFor(8, "standingdocs", "a_")},
+          atok AS (
+            SELECT lang, CAST(sum(freq) AS BIGINT) AS n_tokens,
+              CAST(coalesce(sum(CASE WHEN i.id IS NULL THEN freq END),
+                0) AS BIGINT) AS oov_tokens
+            FROM (SELECT f.lang, f.freq, unnest(w.toks) AS token
+                  FROM af f JOIN a_wt w USING (word))
+            LEFT JOIN ids i USING (token)
+            GROUP BY lang),
+          awrd AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words
+                   FROM af GROUP BY lang),
+          adoc AS (SELECT lang, count(*) AS n_docs
+                   FROM standingdocs GROUP BY lang),
+          ${mixThresholdCtes("standingdocs", 20000L, "r_")}
+          SELECT d.lang, d.n_docs,
+            coalesce(w.n_words, 0) AS n_words,
+            coalesce(t.n_tokens, 0) AS n_tokens,
+            coalesce(t.oov_tokens, 0) AS oov_tokens,
+            coalesce(m.thresh, -1) AS frozen_thresh,
+            r.thresh AS fresh_thresh
+          FROM adoc d
+          LEFT JOIN awrd w USING (lang)
+          LEFT JOIN atok t USING (lang)
+          LEFT JOIN mth m USING (lang)
+          LEFT JOIN r_mth r USING (lang)
+          ORDER BY lang""",
+
+    // retrain replay: the same committed-delta state, then the FULL
+    // build tail re-derived ON the standing corpus — fresh thresholds
+    // (r_mth), fresh selection, fresh BPE train/encode (r_-prefixed,
+    // the v2 generation's id space), chunk, pack from bin 0, shard —
+    // exactly Pipeline.retrainState's contract
+    "q175_corpus_retrain" ->
+      s"""WITH RECURSIVE
+          $committedStateCtes,
+          ${mixThresholdCtes("standingdocs", 20000L, "r_")},
+          rseldocs AS MATERIALIZED (
+            SELECT d.* FROM standingdocs d JOIN r_mth USING (lang)
+            WHERE ('0x' || substr(md5('smp_' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                  < thresh),
+          ${bpeTrainCtesFor(8, "rseldocs", "r_")},
+          ${bpeEncodeCtesFor("rseldocs", 8, "r_")},
+          r_encall AS (
+            SELECT d.doc_id,
+              coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+            FROM rseldocs d LEFT JOIN r_enc e USING (doc_id)),
+          r_ch AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+              ids[(ci*32+1):(ci*32+32)] AS cids
+            FROM (SELECT doc_id, ids,
+                unnest(generate_series(0,
+                  CAST(greatest(ceil(len(ids)/32.0) - 1, 0) AS BIGINT)))
+                  AS ci
+              FROM r_encall)),
+          r_chn AS MATERIALIZED (
+            SELECT doc_id, chunk_idx,
+              CAST(len(cids) AS BIGINT) AS n_tokens,
+              md5(array_to_string(cids, ' ')) AS ids_digest,
+              doc_id * 100000 + chunk_idx AS ckey
+            FROM r_ch),
+          r_pk AS (
+            SELECT ckey,
+              CAST(coalesce(sum(n_tokens) OVER (ORDER BY ckey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 512 AS BIGINT) AS bin_id
+            FROM r_chn),
+          r_bs AS (
+            SELECT bin_id,
+              (row_number() OVER (
+                ORDER BY md5(CAST(bin_id AS VARCHAR)), bin_id) - 1) % 8
+                AS shard
+            FROM (SELECT DISTINCT bin_id FROM r_pk))
+          SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.ids_digest,
+            p.bin_id, CAST(b.shard AS BIGINT) AS shard
+          FROM r_chn c JOIN r_pk p USING (ckey)
+          JOIN r_bs b USING (bin_id)
+          ORDER BY doc_id, chunk_idx"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over
@@ -5220,32 +5354,33 @@ object SparkEntry {
     * not `documents` — and by the trained vocab round `n` (the q171
     * parameter sweep trains a different merge count).
     */
-  private def bpeEncodeCtesFor(src: String, n: Int = 8): String =
-    s"""wt AS MATERIALIZED (
+  private def bpeEncodeCtesFor(src: String, n: Int = 8,
+      cp: String = ""): String =
+    s"""${cp}wt AS MATERIALIZED (
             SELECT word, freq, string_split(trim(rep), '  ') AS toks
-            FROM vocab_$n),
-          tc AS (
+            FROM ${cp}vocab_$n),
+          ${cp}tc AS (
             SELECT tok AS token, sum(freq) AS cnt
-            FROM (SELECT unnest(toks) AS tok, freq FROM wt)
+            FROM (SELECT unnest(toks) AS tok, freq FROM ${cp}wt)
             GROUP BY tok),
-          ids AS (
+          ${cp}ids AS (
             SELECT token,
               row_number() OVER (ORDER BY cnt DESC, token) AS id
-            FROM tc),
-          dw AS (
+            FROM ${cp}tc),
+          ${cp}dw AS (
             SELECT doc_id, unnest(words) AS word,
               generate_subscripts(words, 1) AS wpos
             FROM (SELECT doc_id,
                 regexp_extract_all(lower(text), '[a-z]+') AS words
               FROM $src)),
-          dt AS (
+          ${cp}dt AS (
             SELECT d.doc_id, d.wpos, unnest(w.toks) AS token,
               generate_subscripts(w.toks, 1) AS tpos
-            FROM dw d JOIN wt w USING (word)),
-          enc AS (
+            FROM ${cp}dw d JOIN ${cp}wt w USING (word)),
+          ${cp}enc AS (
             SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
             FROM (SELECT t.doc_id, t.wpos, t.tpos, i.id
-                  FROM dt t JOIN ids i USING (token))
+                  FROM ${cp}dt t JOIN ${cp}ids i USING (token))
             GROUP BY doc_id)"""
 
   private def bpeTrainCtes(n: Int): String =
@@ -5255,25 +5390,26 @@ object SparkEntry {
     * training-corpus relation — the q164 composition trains the
     * tokenizer on its mixed selection inside a larger CTE chain.
     */
-  private def bpeTrainCtesFor(n: Int, src: String): String = {
+  private def bpeTrainCtesFor(n: Int, src: String,
+      cp: String = ""): String = {
     val rounds = (1 to n).map { k =>
-      s"""pairs_$k AS (
+      s"""${cp}pairs_$k AS (
             SELECT t[i] AS lhs, t[i + 1] AS rhs, sum(freq) AS cnt
             FROM (SELECT unnest(generate_series(1, len(t) - 1)) AS i,
                     t, freq
                   FROM (SELECT string_split(trim(rep), '  ') AS t, freq
-                        FROM vocab_${k - 1}))
+                        FROM ${cp}vocab_${k - 1}))
             GROUP BY lhs, rhs),
-          merge_$k AS (
-            SELECT lhs, rhs FROM pairs_$k
+          ${cp}merge_$k AS (
+            SELECT lhs, rhs FROM ${cp}pairs_$k
             ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-          vocab_$k AS (
+          ${cp}vocab_$k AS (
             SELECT word, freq,
               replace(rep, ' ' || lhs || '  ' || rhs || ' ',
                       ' ' || lhs || rhs || ' ') AS rep
-            FROM vocab_${k - 1} CROSS JOIN merge_$k)"""
+            FROM ${cp}vocab_${k - 1} CROSS JOIN ${cp}merge_$k)"""
     }.mkString(",\n")
-    s"""vocab_0 AS (
+    s"""${cp}vocab_0 AS (
           SELECT word, count(*) AS freq,
             regexp_replace(word, '(.)', ' \\1 ', 'g') AS rep
           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
@@ -5423,6 +5559,143 @@ object SparkEntry {
                 FROM ${cp}dt t LEFT JOIN ids i USING (token))
           GROUP BY doc_id)"""
   }
+
+  /** Temperature-mix threshold CTEs over `src` at `budget`,
+    * name-prefixed by `cp` — the mw→mth chain of [[corpusBuildOracle]]
+    * factored out so the q174/q175 oracles can derive a SECOND
+    * threshold set (fresh, over the standing corpus) alongside the
+    * frozen one without CTE-name collisions. Emits `<cp>mth(lang,
+    * thresh)`.
+    */
+  private def mixThresholdCtes(src: String, budget: Long,
+      cp: String): String =
+    s"""${cp}mw AS (SELECT doc_id, lang, len($Toks) AS w FROM $src),
+        ${cp}mtot AS (SELECT lang, sum(w) AS t FROM ${cp}mw
+          GROUP BY lang),
+        ${cp}msv AS (
+          SELECT lang, t,
+            CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+              AS s
+          FROM ${cp}mtot),
+        ${cp}mssv AS (SELECT sum(s) AS ss FROM ${cp}msv),
+        ${cp}mth AS (
+          SELECT lang,
+            CAST(floor(least(1.0,
+              CASE WHEN t > 0 THEN
+                CAST($budget AS DOUBLE) * s / ss / t
+              ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
+          FROM ${cp}msv, ${cp}mssv)"""
+
+  /** Replay of the COMMITTED-delta state shared by the q174/q175
+    * oracles: the v1 build's decisions (curate → canonical corpus
+    * `canondocs` → frozen mix `mth` → frozen tokenizer
+    * `merge_1..merge_8`/`ids` trained on `seldocs`) followed by the
+    * crawlV2 delta chain through its SURVIVORS `dsurv` (the q170
+    * chain minus the chunk emission — standing membership is decided
+    * before the frozen mix), ending with `standingdocs`: the
+    * committed standing corpus carrying v2 text — exactly the state
+    * `Pipeline.retrainPressure`/`retrainState` run against after
+    * `corpusDelta(crawlV2, commit = true)`.
+    */
+  private val committedStateCtes: String =
+    s"""${curateCtesFor("documents", "c_")},
+        curdocs AS MATERIALIZED (SELECT d.* FROM documents d
+          JOIN c_cur USING (doc_id)),
+        ${dupComponentsCtesFor("curdocs")},
+        wc AS (
+          SELECT d.doc_id,
+            coalesce(c.component, d.doc_id) AS component,
+            CAST(d.n_chars AS BIGINT) AS score
+          FROM curdocs d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        best AS (SELECT component, max(score) AS best_score
+                 FROM wc GROUP BY 1),
+        canon AS (
+          SELECT wc.component, min(wc.doc_id) AS canonical_id
+          FROM wc JOIN best ON wc.component = best.component
+            AND wc.score = best.best_score
+          GROUP BY 1),
+        canondocs AS MATERIALIZED (
+          SELECT d.* FROM curdocs d
+          JOIN wc ON d.doc_id = wc.doc_id
+          JOIN canon ON wc.component = canon.component
+          WHERE d.doc_id = canon.canonical_id),
+        ${mixThresholdCtes("canondocs", 20000L, "")},
+        seldocs AS MATERIALIZED (
+          SELECT d.* FROM canondocs d JOIN mth USING (lang)
+          WHERE ('0x' || substr(md5('smp_' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                < thresh),
+        ${bpeTrainCtesFor(8, "seldocs")},
+        ${bpeEncodeCtesFor("seldocs")},
+        $CrawlV2Sql,
+        nfp AS MATERIALIZED (SELECT doc_id, $Fp AS fp FROM v2),
+        ofp AS MATERIALIZED (
+          SELECT doc_id, $Fp AS fp FROM documents),
+        tomb AS MATERIALIZED (
+          SELECT o.doc_id FROM ofp o
+          LEFT JOIN nfp n ON o.doc_id = n.doc_id
+          WHERE n.doc_id IS NULL OR n.fp <> o.fp),
+        deltadocs AS MATERIALIZED (
+          SELECT v.doc_id, v.text, v.lang, v.source, v.n_chars
+          FROM v2 v JOIN nfp n ON v.doc_id = n.doc_id
+          LEFT JOIN ofp o ON o.doc_id = n.doc_id
+          WHERE o.doc_id IS NULL OR o.fp <> n.fp),
+        ${curateCtesFor("deltadocs", "dc_")},
+        keptfp AS MATERIALIZED (
+          SELECT DISTINCT fp FROM ofp
+          WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                            WHERE t.doc_id = ofp.doc_id)),
+        dx AS MATERIALIZED (
+          SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+          FROM deltadocs d
+          JOIN dc_cur USING (doc_id)
+          JOIN dc_t t ON d.doc_id = t.doc_id
+          WHERE NOT EXISTS (SELECT 1 FROM keptfp k
+                            WHERE k.fp = t.fp)),
+        stnow AS MATERIALIZED (
+          SELECT doc_id FROM canondocs
+          WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                            WHERE t.doc_id = canondocs.doc_id)),
+        dxsh AS MATERIALIZED (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id, $Toks AS toks FROM dx)),
+        xhit AS MATERIALIZED (
+          SELECT DISTINCT d.doc_id
+          FROM dxsh d
+          JOIN sh s
+            ON round(CAST(len(list_intersect(d.sh, s.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(d.sh, s.sh)))
+                AS DOUBLE), 4) >= 0.7
+          JOIN stnow st ON st.doc_id = s.doc_id),
+        ds2 AS MATERIALIZED (
+          SELECT * FROM dx
+          WHERE NOT EXISTS (SELECT 1 FROM xhit x
+                            WHERE x.doc_id = dx.doc_id)),
+        ${dupComponentsCtesFor("ds2", "dd_")},
+        ddwc AS (
+          SELECT d.doc_id,
+            coalesce(c.component, d.doc_id) AS component,
+            CAST(d.n_chars AS BIGINT) AS score
+          FROM ds2 d LEFT JOIN dd_comp c ON d.doc_id = c.doc_id),
+        ddbest AS (SELECT component, max(score) AS best_score
+                   FROM ddwc GROUP BY 1),
+        ddcanon AS (
+          SELECT ddwc.component, min(ddwc.doc_id) AS canonical_id
+          FROM ddwc JOIN ddbest ON ddwc.component = ddbest.component
+            AND ddwc.score = ddbest.best_score
+          GROUP BY 1),
+        dsurv AS MATERIALIZED (
+          SELECT d.* FROM ds2 d
+          JOIN ddwc ON d.doc_id = ddwc.doc_id
+          JOIN ddcanon ON ddwc.component = ddcanon.component
+          WHERE d.doc_id = ddcanon.canonical_id),
+        standingdocs AS MATERIALIZED (
+          SELECT v.* FROM v2 v
+          JOIN (SELECT doc_id FROM stnow
+                UNION SELECT doc_id FROM dsurv) st USING (doc_id))"""
 
   /** The duplicated-span CTE chain shared by the q138/q139 oracles:
     * positional `w`-token windows, distinct-doc df, gaps-and-islands

@@ -221,6 +221,23 @@ object Stress {
     def chunkReader(chunks: DataFrame): DataFrame =
       chunks.groupBy("shard")
         .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+
+    // ten materialized changeset slices for the N≈10 read-amplification
+    // lines: one ~20%-churn delta split by doc_id%10 — each slice keeps
+    // every doc's del+add together, so the ten slices form a valid
+    // changeset CHAIN whose sequential fold equals folding the original
+    // once. Built lazily (a filtered run that skips both lines never
+    // pays it), each slice eagerly checkpointed so the timed lines
+    // measure FOLD cost, never delta recompute. Runs after the
+    // fold/compact lines by construction, so the delta diffs against
+    // the committed v3 state — content is irrelevant to the
+    // amplification measurement, only slice count and size are.
+    lazy val stressDeltaPieces: Seq[DataFrame] = {
+      val d = Pipeline.corpusDelta(mutateCrawl(docs, removeMod = 15,
+        editMod = 16, addMod = 14), docs, "stress_corpus")
+      (0 until 10).map(i =>
+        d.filter(col("doc_id") % 10 === i).localCheckpoint(true))
+    }
     // synthetic crawl deltas over the 20× corpus: drop %removeMod, edit
     // %editMod, add %addMod under shifted ids — the q108 mutation
     // classes at a controlled fraction of the corpus
@@ -678,8 +695,17 @@ object Stress {
       // over the 3-deep anti-join view, the compaction squash, and the
       // same reader over the compacted bucketed table — the last two
       // lines are the flat-read-after-compaction claim, measured
-      timeAction("corpusFoldCommits") {
-        stressFoldedCorpus; -1L
+      {
+        // pre-force OUTSIDE the timers for filtered runs (the
+        // stressCorpusStateReady pattern): a run keeping only a
+        // downstream line must not execute the three committed delta
+        // builds inside that line's timed block
+        if (want("corpusFoldedRead") || want("corpusCompact") ||
+            want("corpusCompactedRead") || want("corpusFolded10Read") ||
+            want("corpusManaged10Read")) { stressFoldedCorpus; () }
+        timeAction("corpusFoldCommits") {
+          stressFoldedCorpus; -1L
+        }
       },
       time("corpusFoldedRead")(chunkReader(stressFoldedCorpus)),
       timeAction("corpusCompact")(Pipeline.compactCorpus(
@@ -696,6 +722,23 @@ object Stress {
         time("corpusCompactedRead")(chunkReader(
           spark.table("stress_corpus_compacted")))
       },
+      // the N≈10 read-amplification curve: the SAME ten outstanding
+      // changesets read through (a) ten chained applyCorpusDelta
+      // anti-joins — the cost that grows with N — and (b) the one-pass
+      // applyCorpusDeltas fold corpusTableRead uses, whose plan is one
+      // anti-join + one latest-changeset pass at ANY N. The pair pins
+      // the bounded-read claim behind the managed table's design.
+      {
+        if (want("corpusFolded10Read") || want("corpusManaged10Read")) {
+          stressFoldedCorpus; stressDeltaPieces; ()
+        }
+        time("corpusFolded10Read")(chunkReader(
+          stressDeltaPieces.foldLeft(stressFoldedCorpus)(
+            Pipeline.applyCorpusDelta)))
+      },
+      time("corpusManaged10Read")(chunkReader(
+        Pipeline.applyCorpusDeltas(stressFoldedCorpus,
+          stressDeltaPieces))),
       // hub-skew graph family (see hubEdges): the oriented operator vs
       // the naive wedge shape on the same 30k-degree-hub graph, plus
       // LPA whose per-round cost is edge-linear regardless of skew.

@@ -716,26 +716,71 @@ object Dedup {
     * corpus again. Spec and bucketed layout are preserved.
     *
     * Implementation writes the filtered rows to a `__vacuum` side table
-    * and swaps it in by rename — no plan ever reads the table it is
-    * replacing, and nothing corpus-sized is pinned in executor memory.
-    * A crash between the drop and the rename leaves the data intact
-    * under `<table>__vacuum` (the index table absent, so probes refuse
-    * loudly rather than miss); re-point or rebuild via
-    * [[buildNearDupIndex]] over the standing docs to reconcile.
+    * and swaps it in with a CRASH-ORDERED rename pair — no plan ever
+    * reads the table it is replacing, nothing corpus-sized is pinned in
+    * executor memory, and at every instant between the catalog ops the
+    * index is recoverable WITHOUT a rebuild: the live table is renamed
+    * aside to `<table>__old` before the vacuumed table takes its name,
+    * and the old generation is dropped only once the swap is complete
+    * (the write-then-marker discipline of the state-family specs,
+    * applied to a catalog swap). [[healNearDupSwap]] runs first and
+    * adopts whatever a previously-crashed vacuum left behind — a
+    * dangling `__vacuum` with the index gone is renamed into place, a
+    * dangling `__old` is restored or dropped — so a crashed vacuum
+    * self-heals on the next one instead of demanding manual recovery.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, keep: DataFrame): Unit = {
+    healNearDupSwap(spark, table)
     val spec = graft.sources.IndexSpec.readRequired(spark, table)
     val buckets = spec.getAs[Int]("buckets")
     val tmp = s"${table}__vacuum"
+    val old = s"${table}__old"
     graft.sources.Sinks.saveTablePartitioned(
       spark.table(table)
         .join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
       tmp,
       bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
       sortBy = Seq("band_idx", "band_hash"))
-    spark.sql(s"DROP TABLE $table")
+    // rename-before-drop: the index's name is table-less only between
+    // the two RENAMEs, and BOTH generations survive a crash there —
+    // healNearDupSwap prefers the vacuumed one on recovery
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Recover a [[compactNearDupIndex]] swap a crash left half-done —
+    * called on every vacuum entry, and public so an operator who hit
+    * the (tiny) availability window can heal the index directly. The
+    * possible crash states and their resolution:
+    *
+    *   - index present, `__vacuum` dangling (crashed before the first
+    *     RENAME): the tmp is stale — drop it; the next vacuum rewrites.
+    *   - index ABSENT, `__vacuum` present (crashed between the RENAMEs):
+    *     the vacuumed rows are complete — rename them into place; a
+    *     dangling `__old` is then the superseded generation, dropped.
+    *   - index ABSENT, only `__old` present (cannot happen in the
+    *     current ordering, kept for safety): restore the old
+    *     generation — a stale-but-correct index beats none.
+    *   - index present, `__old` dangling (crashed before the final
+    *     DROP): the swap completed — drop the superseded generation.
+    */
+  def healNearDupSwap(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val tmp = s"${table}__vacuum"
+    val old = s"${table}__old"
+    val cat = spark.catalog
+    if (!cat.tableExists(table)) {
+      if (cat.tableExists(tmp))
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      else if (cat.tableExists(old))
+        spark.sql(s"ALTER TABLE $old RENAME TO $table")
+    }
+    if (cat.tableExists(old) && cat.tableExists(table))
+      spark.sql(s"DROP TABLE $old")
+    if (cat.tableExists(tmp) && cat.tableExists(table))
+      spark.sql(s"DROP TABLE $tmp")
   }
 
   /** The (doc_id, band_idx, band_hash) band-bucket relation of a

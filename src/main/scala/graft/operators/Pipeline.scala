@@ -109,9 +109,43 @@ object Pipeline {
   private def snapshotTable(p: String) = s"${p}_snapshot"
   private def standingTable(p: String) = s"${p}_standing"
   private def neardupTable(p: String) = s"${p}_neardup"
-  private def mixTable(p: String) = s"${p}_mix"
-  private def mergesTable(p: String) = s"${p}_merges"
-  private def vocabTable(p: String) = s"${p}_vocab"
+
+  // The TRAINED state (mix thresholds, tokenizer merges, token-id
+  // vocabulary) is GENERATION-VERSIONED: generation 1 is the build's
+  // unsuffixed table, [[retrainState]] writes generation g under
+  // `_g<g>`-suffixed names and flips the spec's `generation` column
+  // LAST. Old generations are never overwritten — shards encoded under
+  // v1 ids stay decodable via the v1 vocab table after a v2 retrain —
+  // and which generation a delta encodes into is decided by the spec,
+  // atomically with the max_bin it packs against. Content state
+  // (snapshot/standing/neardup) is generation-independent: retraining
+  // re-derives DECISIONS, not documents.
+  private def genSuffix(gen: Int) = if (gen <= 1) "" else s"_g$gen"
+  private def mixTable(p: String, gen: Int = 1) =
+    s"${p}_mix${genSuffix(gen)}"
+  private def mergesTable(p: String, gen: Int = 1) =
+    s"${p}_merges${genSuffix(gen)}"
+  private def vocabTable(p: String, gen: Int = 1) =
+    s"${p}_vocab${genSuffix(gen)}"
+
+  /** The state family's spec row — build parameters + `max_bin` (the
+    * bin-space high-water mark deltas append above) + `generation`
+    * (which trained-state tables are live). ALWAYS written last by
+    * every state transaction: it is the commit marker.
+    */
+  private def writeSpec(spark: SparkSession, p: String,
+      mixBudgetTokens: Long, chunkTokens: Int, packTokens: Long,
+      numMerges: Int, nShards: Int, neardupThreshold: Double,
+      maxBin: Long, generation: Int): Unit = {
+    import spark.implicits._
+    graft.sources.IndexSpec.write(
+      Seq((mixBudgetTokens, chunkTokens, packTokens, numMerges, nShards,
+        neardupThreshold, maxBin, generation))
+        .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
+          "num_merges", "n_shards", "neardup_threshold", "max_bin",
+          "generation"),
+      p)
+  }
 
   /** Immutable bundle of the build knobs shared by [[corpusBuild]] and
     * [[corpusBuildWithState]]; `statePrefix = Some(p)` selects the
@@ -205,16 +239,11 @@ object Pipeline {
     // off the materialized output, which is chunk-row-sized)
     params.statePrefix.foreach { p =>
       val spark = documents.sparkSession
-      import spark.implicits._
       val maxBin = Option(out.agg(max("bin_id")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(-1L)
-      graft.sources.IndexSpec.write(
-        Seq((params.mixBudgetTokens, params.chunkTokens,
-          params.packTokens, params.numMerges, params.nShards,
-          params.neardupThreshold, maxBin))
-          .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
-            "num_merges", "n_shards", "neardup_threshold", "max_bin"),
-        p)
+      writeSpec(spark, p, params.mixBudgetTokens, params.chunkTokens,
+        params.packTokens, params.numMerges, params.nShards,
+        params.neardupThreshold, maxBin, generation = 1)
     }
     out
   }
@@ -442,7 +471,14 @@ object Pipeline {
     * transaction; `Some(dir)` writes each waist as parquet under `dir`
     * so a cluster run survives executor loss mid-delta. Waists are
     * DELTA-sized either way, so the reliable form's extra I/O is
-    * proportional to the change, not the corpus.
+    * proportional to the change, not the corpus. GC of `dir` is the
+    * CALLER's: each invocation writes its waists under fresh
+    * nonce-suffixed names (a later delta must never overwrite parquet a
+    * still-held earlier changeset reads), so the directory grows by one
+    * delta-sized waist set per call until the caller prunes it — safe
+    * to delete wholesale once every changeset returned against it has
+    * been consumed (folded, committed, or discarded), and not before:
+    * the returned changeset READS those files.
     */
   def corpusDelta(newCrawl: DataFrame, corpusDocs: DataFrame,
       statePrefix: String, commit: Boolean = false,
@@ -454,6 +490,7 @@ object Pipeline {
     val nShards = spec.getAs[Int]("n_shards")
     val threshold = spec.getAs[Double]("neardup_threshold")
     val binBase = spec.getAs[Long]("max_bin") + 1L
+    val generation = spec.getAs[Int]("generation")
 
     val snap = spark.table(snapshotTable(statePrefix))
     val newFpsPlan = newCrawl.select(col("doc_id"),
@@ -492,7 +529,7 @@ object Pipeline {
       matBase(df, s"${name}_$nonce")
     try corpusDeltaOnDiff(newCrawl, newFps, corpusDocs, statePrefix,
       commit, diff, chunkTokens, packTokens, nShards, threshold, binBase,
-      mat)
+      generation, mat)
     finally {
       diff.unpersist()
       if (commit) newFps.unpersist()
@@ -502,7 +539,7 @@ object Pipeline {
   private def corpusDeltaOnDiff(newCrawl: DataFrame, newFps: DataFrame,
       corpusDocs: DataFrame, statePrefix: String, commit: Boolean,
       diff: DataFrame, chunkTokens: Int, packTokens: Long, nShards: Int,
-      threshold: Double, binBase: Long,
+      threshold: Double, binBase: Long, generation: Int,
       mat: (DataFrame, String) => DataFrame): DataFrame = {
     val spark = newCrawl.sparkSession
     val snap = spark.table(snapshotTable(statePrefix))
@@ -543,7 +580,7 @@ object Pipeline {
       .join(tombstones, Seq("doc_id"), "left_anti")
     val (survivors, adds) = admitScreened(afterExact, corpusDocs,
       statePrefix, standingNow, chunkTokens, packTokens, nShards,
-      threshold, binBase, mat)
+      threshold, binBase, generation, mat)
 
     val out = mat(tombstones
       .select(lit("del").as("op"), col("doc_id"),
@@ -563,7 +600,7 @@ object Pipeline {
       commitDelta(spark, statePrefix,
         newFps.select(col("doc_id"), col("new_fp").as("fp")),
         survivors, standingNow, out, spec = (chunkTokens, packTokens,
-          nShards, threshold, binBase), mat)
+          nShards, threshold, binBase), generation, mat)
     out
   }
 
@@ -611,6 +648,7 @@ object Pipeline {
   private def admitScreened(afterExact: DataFrame, corpusDocs: DataFrame,
       statePrefix: String, standingNow: DataFrame, chunkTokens: Int,
       packTokens: Long, nShards: Int, threshold: Double, binBase: Long,
+      generation: Int,
       mat: (DataFrame, String) => DataFrame): (DataFrame, DataFrame) = {
     val spark = afterExact.sparkSession
     val ndHits = Dedup.probeNearDupIndex(afterExact, corpusDocs,
@@ -634,26 +672,27 @@ object Pipeline {
 
     // frozen mix. Coverage check first — group-cardinality-bounded
     // collect, same bound as the threshold broadcast itself.
-    val thresholds = spark.table(mixTable(statePrefix))
+    val thresholds = spark.table(mixTable(statePrefix, generation))
     val missing = survivors
       .select(col("lang").cast("string").as("grp")).distinct()
       .join(thresholds.select("grp"), Seq("grp"), "left_anti")
       .collect().map(_.getString(0)).sorted
     require(missing.isEmpty,
       s"corpusDelta: group(s) ${missing.mkString(", ")} have no " +
-        s"frozen mix threshold in ${mixTable(statePrefix)} — a " +
-        "frozen mix cannot place an unseen group; re-run " +
-        "corpusBuildWithState to re-derive thresholds (or insert an " +
-        "explicit threshold row for the new group)")
+        s"frozen mix threshold in ${mixTable(statePrefix, generation)} " +
+        "— a frozen mix cannot place an unseen group; re-run " +
+        "corpusBuildWithState (or retrainState) to re-derive " +
+        "thresholds, or insert an explicit threshold row for the new " +
+        "group")
     val sel = Relational.mixtureApplyThresholds(survivors,
       col("doc_id"), col("lang"), thresholds)
 
-    // frozen tokenizer (merges AND token-id space from v1), then
-    // chunk/pack/shard above the standing bins
-    val merges = Bpe.loadMerges(spark, mergesTable(statePrefix))
+    // frozen tokenizer (merges AND token-id space from the spec's live
+    // generation), then chunk/pack/shard above the standing bins
+    val merges = Bpe.loadMerges(spark, mergesTable(statePrefix, generation))
     val chunks = withChunkKey(
         Bpe.chunkEncoded(Bpe.encodeDocsFrozen(sel, merges,
-          spark.table(vocabTable(statePrefix))), chunkTokens))
+          spark.table(vocabTable(statePrefix, generation))), chunkTokens))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adds =
       try packShardEmit(chunks, packTokens, nShards, binBase, mat)
@@ -721,13 +760,16 @@ object Pipeline {
     * reconcile reaches the REBUILD's doc set exactly on the
     * suppressed-twin construction.
     *
-    * What still needs a periodic rebuild: re-TRAINING — the frozen mix
-    * thresholds and tokenizer drift from the corpus distribution as
-    * deltas accumulate; reconciliation re-admits content but never
-    * re-derives decisions. Policy note: where a fresh rebuild might
-    * elect a re-surfacing twin as its cluster's canonical (e.g. a
-    * longer duplicate), reconciliation — like the delta screen —
-    * always keeps the doc already standing.
+    * Re-TRAINING is the one decision class this operator does not
+    * touch — reconciliation re-admits content but never re-derives
+    * decisions; [[retrainPressure]] measures that drift and
+    * [[retrainState]] re-derives mix + tokenizer as a new state
+    * generation, closing the last reason for a periodic full rebuild.
+    * Policy note: where a fresh rebuild might elect a re-surfacing
+    * twin as its cluster's canonical (e.g. a longer duplicate),
+    * reconciliation — like the delta screen — always keeps the doc
+    * already standing. `checkpointDir` follows [[corpusDelta]]'s
+    * contract, including caller-owned GC of the nonce-suffixed waists.
     */
   def reconcileDelta(newCrawl: DataFrame, corpusDocs: DataFrame,
       statePrefix: String, commit: Boolean = false,
@@ -739,6 +781,7 @@ object Pipeline {
     val nShards = spec.getAs[Int]("n_shards")
     val threshold = spec.getAs[Double]("neardup_threshold")
     val binBase = spec.getAs[Long]("max_bin") + 1L
+    val generation = spec.getAs[Int]("generation")
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val matBase = graft.core.Rounds.materializer(checkpointDir)
     val mat = (df: DataFrame, name: String) =>
@@ -758,32 +801,218 @@ object Pipeline {
     val standing = spark.table(standingTable(statePrefix))
     val (survivors, adds) = admitScreened(candCur, corpusDocs,
       statePrefix, standing, chunkTokens, packTokens, nShards,
-      threshold, binBase, mat)
+      threshold, binBase, generation, mat)
 
     val out = mat(adds.select(lit("add").as("op"), col("doc_id"),
       col("chunk_idx"), col("n_tokens"), col("ids_digest"),
       col("bin_id"), col("shard")), "reconcile_changeset")
 
     if (commit) {
-      import spark.implicits._
       val newStanding = mat(standing
         .unionByName(survivors.select("doc_id")), "reconcile_standing")
+      // band index FIRST (same ordering as commitDelta): a crash after
+      // the standing overwrite but before the index append would leave
+      // the re-admitted docs standing-but-unindexed — and since they
+      // are standing, no re-run ever re-appends their bands, a
+      // PERMANENT silent near-dup recall gap. The reverse crash merely
+      // orphans index entries, which probes standing-filter and the
+      // next vacuum reclaims.
+      Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
+        ngram = NdNgram, k = NdK, bands = NdBands)
       graft.sources.Sinks.saveTablePartitioned(newStanding,
         standingTable(statePrefix),
         bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
-      Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
-        ngram = NdNgram, k = NdK, bands = NdBands)
       val newMaxBin = Option(out.agg(max("bin_id")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(binBase - 1L)
-      graft.sources.IndexSpec.write(
-        Seq((spec.getAs[Long]("mix_budget_tokens"), chunkTokens,
-          packTokens, spec.getAs[Int]("num_merges"), nShards, threshold,
-          newMaxBin))
-          .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
-            "num_merges", "n_shards", "neardup_threshold", "max_bin"),
-        statePrefix)
+      writeSpec(spark, statePrefix, spec.getAs[Long]("mix_budget_tokens"),
+        chunkTokens, packTokens, spec.getAs[Int]("num_merges"), nShards,
+        threshold, newMaxBin, generation)
     }
     out
+  }
+
+  /** The RETRAIN-PRESSURE audit — the drift twin of
+    * [[reconcileCandidates]]: where that operator measures content the
+    * corpus lost, this one measures how far the FROZEN DECISIONS (mix
+    * thresholds, tokenizer, token-id space) have drifted from the
+    * corpus they now govern. Deltas re-use v1's thresholds and merges
+    * verbatim ([[corpusDelta]] stages 5–6), so as committed deltas
+    * accumulate, the standing corpus's distribution walks away from
+    * the one the decisions were trained on; this audit is the cheap
+    * query an operator watches to decide when [[retrainState]] is due.
+    *
+    * One row per mix group (lang) of the STANDING corpus:
+    *
+    *   - `n_docs` / `n_words`   — standing volume ([a-z]+ word
+    *     occurrences, the tokenizer's input unit)
+    *   - `n_tokens`             — tokens the FROZEN merges produce over
+    *     those words; `n_tokens / n_words` is the frozen tokenizer's
+    *     fertility on today's corpus (rising fertility = the merges no
+    *     longer fit the text)
+    *   - `oov_tokens`           — of those, tokens with NO id in the
+    *     frozen vocabulary: content [[Bpe.encodeDocsFrozen]] would
+    *     REFUSE (its raise_error path). Nonzero OOV is the hard signal:
+    *     some admissible delta doc cannot be encoded at all.
+    *   - `frozen_thresh` vs `fresh_thresh` — the mix threshold the
+    *     state family froze vs the one
+    *     [[Relational.temperatureThresholds]] would derive on the
+    *     standing corpus today at the spec's budget; their gap is the
+    *     mix-staleness measure (a group that grew under deltas is
+    *     over-sampled by the frozen threshold, a shrunken one
+    *     under-sampled). `frozen_thresh` is −1 for a group with no
+    *     frozen row (possible only for state families mutated outside
+    *     the delta chain — the commit path's coverage guard refuses
+    *     unseen groups).
+    *
+    * `corpusDocs` must carry the standing docs' text (the crawl the
+    * state was last committed from). Cost shape: one pass over the
+    * standing text into a per-(lang, word) vocabulary — the
+    * [[Bpe.encodeDocs]] discipline where all merge work happens per
+    * DISTINCT word — plus vocabulary-sized joins; no index probe, no
+    * all-pairs anything. Output is group-cardinality-sized.
+    */
+  def retrainPressure(corpusDocs: DataFrame,
+      statePrefix: String): DataFrame = {
+    val spark = corpusDocs.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    val gen = spec.getAs[Int]("generation")
+    val budget = spec.getAs[Long]("mix_budget_tokens")
+    val standingDocs = corpusDocs
+      .join(spark.table(standingTable(statePrefix)), Seq("doc_id"),
+        "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = Bpe.loadMerges(spark, mergesTable(statePrefix, gen))
+      val ids = spark.table(vocabTable(statePrefix, gen))
+      val langWords = standingDocs
+        .select(col("lang"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      val tokStats = langWords
+        .select(col("lang"), col("freq"),
+          explode(Bpe.tokens(col("word"), merges)).as("token"))
+        .join(ids.select("token", "id"), Seq("token"), "left")
+        .groupBy("lang")
+        .agg(sum("freq").as("n_tokens"),
+          sum(when(col("id").isNull, col("freq")).otherwise(0L))
+            .as("oov_tokens"))
+      val wordStats = langWords.groupBy("lang")
+        .agg(sum("freq").as("n_words"))
+      val docStats = standingDocs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val fresh = Relational.temperatureThresholds(standingDocs,
+          col("lang"), size(TextAnalysis.tokens(col("text"))), budget)
+        .select(col("grp").as("lang"), col("thresh").as("fresh_thresh"))
+      val frozen = spark.table(mixTable(statePrefix, gen))
+        .select(col("grp").as("lang"), col("thresh").as("frozen_thresh"))
+      // eager: the result is group-cardinality-sized and must not
+      // depend on the standingDocs persist the finally releases
+      docStats
+        .join(wordStats, Seq("lang"), "left")
+        .join(tokStats, Seq("lang"), "left")
+        .join(frozen, Seq("lang"), "left")
+        .join(fresh, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+          coalesce(col("frozen_thresh"), lit(-1L)).as("frozen_thresh"),
+          col("fresh_thresh"))
+        .localCheckpoint(true)
+    } finally standingDocs.unpersist()
+  }
+
+  /** Re-derive the frozen decisions on the STANDING corpus as a NEW
+    * STATE GENERATION — the operation [[retrainPressure]] tells you is
+    * due, and the one thing the delta/reconcile/compact loop could not
+    * do without a full rebuild (`reconciliation re-admits content but
+    * never re-derives decisions` — the scaladoc contract above). Mix
+    * thresholds, BPE merges, and the token-id vocabulary are re-trained
+    * on the standing docs exactly as [[corpusBuildWithState]] stages
+    * 3–6 train them on a fresh build's canonical corpus, then every
+    * standing doc is re-encoded and re-packed into bins from 0 — the
+    * returned chunks REPLACE the v1 chunk relation wholesale (v1 token
+    * ids and the v2 id space must never mix in one corpus).
+    *
+    * Generation migration, not overwrite: the new tables land under
+    * `_g<gen+1>`-suffixed names and the spec's `generation` column
+    * flips LAST, atomically with the reset `max_bin` — so
+    *
+    *   - a crash anywhere mid-retrain leaves the OLD generation fully
+    *     live (orphaned v2 tables are overwritten by the re-run);
+    *   - shards already exported under v1 ids remain decodable forever
+    *     (the v1 vocab/merges tables are never touched — readers of old
+    *     exports resolve ids against the generation they were encoded
+    *     under, the [[Bpe.readEncodedTable]] spec-guard discipline);
+    *   - the next [[corpusDelta]] reads the flipped spec and encodes
+    *     into v2 automatically — deltas chain against the new
+    *     generation with no caller change.
+    *
+    * Content state (snapshot/standing/band index) is untouched:
+    * retraining changes decisions, not documents. `corpusDocs` must
+    * cover every standing doc's text (the crawl the state was last
+    * committed from) — checked loudly, since a silent partial retrain
+    * would silently shrink the corpus. Deterministic end to end (the
+    * q175 oracle replays it), and re-entrant: re-running trains
+    * generation g+2 with identical content.
+    */
+  def retrainState(corpusDocs: DataFrame,
+      statePrefix: String): DataFrame = {
+    val spark = corpusDocs.sparkSession
+    val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    val budget = spec.getAs[Long]("mix_budget_tokens")
+    val chunkTokens = spec.getAs[Int]("chunk_tokens")
+    val packTokens = spec.getAs[Long]("pack_tokens")
+    val numMerges = spec.getAs[Int]("num_merges")
+    val nShards = spec.getAs[Int]("n_shards")
+    val threshold = spec.getAs[Double]("neardup_threshold")
+    val gen2 = spec.getAs[Int]("generation") + 1
+
+    val standing = spark.table(standingTable(statePrefix))
+    val standingDocs = corpusDocs
+      .join(standing, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nCovered = standingDocs.count() // also fills the persist
+      val nStanding = standing.count()
+      require(nCovered == nStanding,
+        s"retrainState: corpusDocs covers $nCovered of $nStanding " +
+          s"standing docs in $statePrefix — a partial (or duplicated) " +
+          "text relation would silently retrain on the wrong corpus; " +
+          "pass the crawl the state was last committed from")
+
+      // stages 3–6 of the build, trained on the standing corpus, state
+      // written under the NEW generation's names (v1 tables untouched)
+      val thresholds = Relational.temperatureThresholds(standingDocs,
+        col("lang"), size(TextAnalysis.tokens(col("text"))), budget)
+      graft.sources.Sinks.saveTable(thresholds,
+        mixTable(statePrefix, gen2))
+      val selDocs = Relational.mixtureApplyThresholds(standingDocs,
+          col("doc_id"), col("lang"), thresholds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out =
+        try {
+          val merges = Bpe.trainMerges(selDocs, numMerges)
+          Bpe.saveMerges(spark, merges, mergesTable(statePrefix, gen2),
+            numMerges)
+          graft.sources.Sinks.saveTable(Bpe.tokenIds(selDocs, merges),
+            vocabTable(statePrefix, gen2))
+          val chunks = withChunkKey(Bpe.chunkEncoded(
+              Bpe.encodeDocs(selDocs, merges), chunkTokens))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try packShardEmit(chunks, packTokens, nShards, binBase = 0L)
+          finally chunks.unpersist()
+        } finally selDocs.unpersist()
+
+      // spec LAST — the generation flip (with the reset bin space) IS
+      // the retrain's commit marker
+      val maxBin = Option(out.agg(max("bin_id")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
+      writeSpec(spark, statePrefix, budget, chunkTokens, packTokens,
+        numMerges, nShards, threshold, maxBin, gen2)
+      out
+    } finally standingDocs.unpersist()
   }
 
   /** The state advance of a committed delta (see [[corpusDelta]]).
@@ -795,9 +1024,8 @@ object Pipeline {
   private def commitDelta(spark: SparkSession, statePrefix: String,
       newFps: DataFrame, survivors: DataFrame, standingNow: DataFrame,
       out: DataFrame,
-      spec: (Int, Long, Int, Double, Long),
+      spec: (Int, Long, Int, Double, Long), generation: Int,
       mat: (DataFrame, String) => DataFrame): Unit = {
-    import spark.implicits._
     val (chunkTokens, packTokens, nShards, threshold, binBase) = spec
     // materialize everything that still reads the old state tables
     // (survivors arrives already checkpointed — the delta's waist).
@@ -808,6 +1036,15 @@ object Pipeline {
     val newStanding = mat(standingNow
       .unionByName(survivors.select("doc_id")), "commit_standing")
 
+    // band index FIRST, before any table the commit overwrites: a crash
+    // after the standing/snapshot advance but before the append would
+    // leave the survivors standing-but-unindexed — standing docs never
+    // re-enter the fp tier, so no re-run would ever append their bands
+    // (a permanent silent near-dup recall gap). The reverse crash only
+    // orphans index entries: probes standing-filter hits, and the next
+    // [[Dedup.compactNearDupIndex]] vacuum reclaims the rows.
+    Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
+      ngram = NdNgram, k = NdK, bands = NdBands)
     // same bucketed layout the build writes, so the NEXT delta's joins
     // stay snapshot-side exchange-free
     graft.sources.Sinks.saveTablePartitioned(newFps,
@@ -816,19 +1053,13 @@ object Pipeline {
     graft.sources.Sinks.saveTablePartitioned(newStanding,
       standingTable(statePrefix),
       bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
-    Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
-      ngram = NdNgram, k = NdK, bands = NdBands)
     val newMaxBin = Option(out.filter(col("op") === "add")
         .agg(max("bin_id")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(binBase - 1L)
     val old = graft.sources.IndexSpec.readRequired(spark, statePrefix)
-    graft.sources.IndexSpec.write(
-      Seq((old.getAs[Long]("mix_budget_tokens"), chunkTokens,
-        packTokens, old.getAs[Int]("num_merges"), nShards, threshold,
-        newMaxBin))
-        .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
-          "num_merges", "n_shards", "neardup_threshold", "max_bin"),
-      statePrefix)
+    writeSpec(spark, statePrefix, old.getAs[Long]("mix_budget_tokens"),
+      chunkTokens, packTokens, old.getAs[Int]("num_merges"), nShards,
+      threshold, newMaxBin, generation)
   }
 
   /** Fold a [[corpusDelta]] changeset into a chunk relation: drop every
@@ -882,31 +1113,8 @@ object Pipeline {
   def compactCorpus(chunks: DataFrame, statePrefix: String,
       saveAs: String): DataFrame = {
     val spark = chunks.sparkSession
-    import spark.implicits._
     val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
-    val packTokens = spec.getAs[Long]("pack_tokens")
-    val nShards = spec.getAs[Int]("n_shards")
-
-    // re-key and persist: the pack's two-pass prefix sum, the shard
-    // map, and the final join all re-read the folded relation, whose
-    // own plan may be N anti-joins deep — exactly the cost compaction
-    // exists to stop paying
-    val keyed = withChunkKey(chunks.select(
-        col("doc_id"), col("chunk_idx"), col("n_tokens"),
-        col("ids_digest")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out =
-      try {
-        val assigned = packShardAssign(keyed, packTokens, nShards,
-            binBase = 0L)
-          .select(col("doc_id"),
-            col("chunk_idx").cast("long").as("chunk_idx"),
-            col("n_tokens"), col("ids_digest"), col("bin_id"),
-            col("shard"))
-        graft.sources.Sinks.saveTablePartitioned(assigned, saveAs,
-          bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
-        spark.table(saveAs)
-      } finally keyed.unpersist()
+    val out = compactInto(chunks, spec, saveAs)
 
     // vacuum the band index: appendNearDupIndex only ever grows it, so
     // entries of docs that have since left the corpus accumulate and
@@ -921,14 +1129,235 @@ object Pipeline {
     // against the new, smaller bin space
     val maxBin = Option(out.agg(max("bin_id")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    graft.sources.IndexSpec.write(
-      Seq((spec.getAs[Long]("mix_budget_tokens"),
-        spec.getAs[Int]("chunk_tokens"), packTokens,
-        spec.getAs[Int]("num_merges"), nShards,
-        spec.getAs[Double]("neardup_threshold"), maxBin))
-        .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
-          "num_merges", "n_shards", "neardup_threshold", "max_bin"),
-      statePrefix)
+    writeSpec(spark, statePrefix, spec.getAs[Long]("mix_budget_tokens"),
+      spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
+      spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
+      spec.getAs[Double]("neardup_threshold"), maxBin,
+      spec.getAs[Int]("generation"))
     out
+  }
+
+  /** One-pass equivalent of folding an ORDERED list of
+    * [[corpusDelta]]/[[reconcileDelta]] changesets with
+    * [[applyCorpusDelta]] — the read path that keeps a delta-maintained
+    * corpus's scan cost BOUNDED in the number of outstanding
+    * changesets. Sequential folding chains one anti-join + union per
+    * changeset (read amplification grows with N — the curve
+    * [[compactCorpus]] resets); this computes the same relation with
+    * exactly ONE anti-join and ONE per-doc latest-changeset selection,
+    * whatever N is:
+    *
+    *   - a base doc touched by ANY changeset is superseded (dropped
+    *     from the base scan);
+    *   - the add rows that stand are those of each doc's LATEST
+    *     changeset (a changed doc's del+add arrive in the same
+    *     changeset, so "latest adds" is exactly what sequential
+    *     folding leaves; a doc whose latest changeset only tombstones
+    *     has no add rows and vanishes).
+    *
+    * Equivalence holds for changesets obeying the delta contract
+    * (delete-then-add: an `add` for a doc alive in the base is always
+    * accompanied by that doc's `del`) — which [[corpusDelta]] and
+    * [[reconcileDelta]] guarantee by construction; PipelineSpec gates
+    * the equivalence on real chained crawls.
+    */
+  def applyCorpusDeltas(chunks: DataFrame,
+      deltas: Seq[DataFrame]): DataFrame = {
+    if (deltas.isEmpty) return chunks
+    val log = deltas.zipWithIndex
+      .map { case (d, i) => d.withColumn("__seq", lit(i.toLong)) }
+      .reduce(_ unionByName _)
+    foldChangeLog(chunks, log)
+  }
+
+  /** The one-pass fold of [[applyCorpusDeltas]] over an already-stacked
+    * change log carrying a `__seq` changeset-order column — shared with
+    * [[corpusTableRead]], whose log arrives from the persisted
+    * changelog table (doc_id-bucketed, so the groupBy and join below
+    * plan without a log-side exchange there).
+    */
+  private def foldChangeLog(chunks: DataFrame, log: DataFrame): DataFrame = {
+    val latest = log.groupBy("doc_id").agg(max("__seq").as("__mx"))
+    val adds = log.filter(col("op") === "add")
+      .join(latest, Seq("doc_id"))
+      .filter(col("__seq") === col("__mx"))
+      .drop("op", "__seq", "__mx")
+    chunks
+      .join(log.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .unionByName(adds)
+  }
+
+  /** The re-pack core of [[compactCorpus]]: squash a (possibly
+    * N-folds-deep) chunk relation into a fresh doc_id-bucketed table
+    * with bins re-packed contiguous from 0 under the spec's frozen
+    * pack/shard parameters. No state-family table is touched — the
+    * caller owns vacuum + spec ordering ([[compactCorpus]] for the
+    * standalone form, [[corpusTableFold]]'s auto-compaction for the
+    * managed one, where the chunks-spec epoch flip must land BEFORE
+    * the corpus spec's max_bin advance).
+    */
+  private def compactInto(chunks: DataFrame,
+      spec: org.apache.spark.sql.Row, saveAs: String): DataFrame = {
+    val spark = chunks.sparkSession
+    val packTokens = spec.getAs[Long]("pack_tokens")
+    val nShards = spec.getAs[Int]("n_shards")
+    // re-key and persist: the pack's two-pass prefix sum, the shard
+    // map, and the final join all re-read the folded relation, whose
+    // own plan may be N anti-joins deep — exactly the cost compaction
+    // exists to stop paying
+    val keyed = withChunkKey(chunks.select(
+        col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("ids_digest")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val assigned = packShardAssign(keyed, packTokens, nShards,
+          binBase = 0L)
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_tokens"), col("ids_digest"), col("bin_id"),
+          col("shard"))
+      graft.sources.Sinks.saveTablePartitioned(assigned, saveAs,
+        bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+      spark.table(saveAs)
+    } finally keyed.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // Managed corpus table: the fold/compaction POLICY closed over the
+  // state family, so the read-amplification curve never silently grows.
+  // ------------------------------------------------------------------
+
+  private def chunksSpecKey(p: String) = s"${p}_chunks"
+  private def chunksBase(p: String, epoch: Long) = s"${p}_chunks_e$epoch"
+  private def changelogTable(p: String) = s"${p}_changelog"
+
+  private def emptyChangelog(like: DataFrame): DataFrame =
+    like.select(col("op").cast("string").as("op"), col("doc_id"),
+      col("chunk_idx"), col("n_tokens"), col("ids_digest"),
+      col("bin_id"), col("shard"), lit(0L).as("epoch"),
+      lit(0L).as("__seq")).limit(0)
+
+  private def writeChunksEpoch(spark: SparkSession, p: String,
+      epoch: Long): Unit = {
+    import spark.implicits._
+    graft.sources.IndexSpec.write(Seq(epoch).toDF("epoch"),
+      chunksSpecKey(p))
+  }
+
+  /** Stand up the MANAGED corpus table for a freshly built chunk
+    * relation: the base table (doc_id-bucketed, epoch 0), an empty
+    * change log, and the epoch marker — after which
+    * [[corpusTableFold]]/[[corpusTableRead]] run the operational loop
+    * with an auto-compaction policy instead of the caller chaining
+    * [[applyCorpusDelta]] and remembering to [[compactCorpus]].
+    * Layout: `p_chunks_e<epoch>` is the compacted base generation,
+    * `p_changelog` stacks committed changesets (each stamped with the
+    * epoch it extends and its sequence inside it), and
+    * `p_chunks__spec.epoch` — written LAST, the family's commit
+    * marker — selects which (base, log-slice) pair is live. Both
+    * tables are doc_id-bucketed, so the read's anti-join, its per-doc
+    * latest-changeset group, and any downstream doc_id probe plan
+    * without a corpus-side exchange (the q48 discipline).
+    */
+  def corpusTableInit(chunks: DataFrame, statePrefix: String): Unit = {
+    val spark = chunks.sparkSession
+    graft.sources.Sinks.saveTablePartitioned(
+      chunks.select("doc_id", "chunk_idx", "n_tokens", "ids_digest",
+        "bin_id", "shard"),
+      chunksBase(statePrefix, 0L),
+      bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+    graft.sources.Sinks.saveTablePartitioned(
+      emptyChangelog(chunks.withColumn("op", lit("add"))),
+      changelogTable(statePrefix),
+      bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+    writeChunksEpoch(spark, statePrefix, 0L)
+  }
+
+  /** Fold a committed changeset into the managed corpus table, and
+    * COMPACT automatically once `compactEvery` changesets have stacked
+    * since the last base generation — the policy closure the stream
+    * stores' `foldEvery` gives their index folds, applied to the corpus
+    * loop: without it, read amplification (one anti-join + union per
+    * outstanding changeset under sequential folding; measured 1.5–1.9×
+    * at N=3 on the 20× stress corpus) grows until someone remembers to
+    * compact. Here the reader's cost is bounded twice over — the
+    * one-pass [[applyCorpusDeltas]] fold keeps the VIEW flat at any N,
+    * and the auto-compaction keeps the log short and re-packs the bin
+    * space.
+    *
+    * Crash ordering (every step idempotent under re-run): the changeset
+    * appends first; compaction then writes the NEXT epoch's base table,
+    * flips the epoch marker (the read path switches atomically — until
+    * then every reader sees the old base + full log), and only after
+    * the flip vacuums the band index, advances the corpus spec's
+    * `max_bin` to the re-packed space, drops the superseded base and
+    * clears the log. A crash between flip and cleanup leaves stale
+    * rows the epoch filter already ignores and at most one orphaned
+    * base table, reclaimed at the next fold's entry sweep. The flip
+    * lands BEFORE the corpus spec's max_bin shrink on purpose: the
+    * reverse order would let a delta pack new bins into a range the
+    * still-live old view already occupies.
+    */
+  def corpusTableFold(delta: DataFrame, statePrefix: String,
+      compactEvery: Int): Unit = {
+    require(compactEvery >= 1,
+      s"corpusTableFold: compactEvery must be >= 1, got $compactEvery")
+    val spark = delta.sparkSession
+    val cspec = graft.sources.IndexSpec.readRequired(spark,
+      chunksSpecKey(statePrefix))
+    val epoch = cspec.getAs[Long]("epoch")
+    // entry sweep: reclaim the base a crashed compaction failed to drop
+    if (epoch > 0L)
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${chunksBase(statePrefix, epoch - 1)}")
+    val nextSeq = Option(spark.table(changelogTable(statePrefix))
+        .filter(col("epoch") === epoch)
+        .agg(max("__seq")).head().get(0))
+      .map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    graft.sources.Sinks.appendTablePartitioned(
+      delta.select(col("op"), col("doc_id"), col("chunk_idx"),
+        col("n_tokens"), col("ids_digest"), col("bin_id"), col("shard"),
+        lit(epoch).as("epoch"), lit(nextSeq).as("__seq")),
+      changelogTable(statePrefix),
+      bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+
+    if (nextSeq + 1L >= compactEvery) {
+      val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+      val folded = corpusTableRead(spark, statePrefix)
+      compactInto(folded, spec, chunksBase(statePrefix, epoch + 1))
+      writeChunksEpoch(spark, statePrefix, epoch + 1) // reader flip
+      Dedup.compactNearDupIndex(spark, neardupTable(statePrefix),
+        spark.table(standingTable(statePrefix)))
+      val maxBin = Option(spark.table(chunksBase(statePrefix, epoch + 1))
+          .agg(max("bin_id")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
+      writeSpec(spark, statePrefix, spec.getAs[Long]("mix_budget_tokens"),
+        spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
+        spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
+        spec.getAs[Double]("neardup_threshold"), maxBin,
+        spec.getAs[Int]("generation"))
+      // cleanup: superseded base + folded log entries (readers already
+      // filter them out by epoch, so this is reclamation, not safety)
+      spark.sql(s"DROP TABLE IF EXISTS ${chunksBase(statePrefix, epoch)}")
+      graft.sources.Sinks.saveTablePartitioned(emptyChangelog(delta),
+        changelogTable(statePrefix),
+        bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))
+    }
+  }
+
+  /** The managed corpus table's read path: the live base generation
+    * with the current epoch's changesets folded on in ONE pass
+    * (see [[applyCorpusDeltas]]) — cost bounded regardless of how many
+    * changesets are outstanding, both scans bucket-aligned on doc_id.
+    */
+  def corpusTableRead(spark: SparkSession,
+      statePrefix: String): DataFrame = {
+    val cspec = graft.sources.IndexSpec.readRequired(spark,
+      chunksSpecKey(statePrefix))
+    val epoch = cspec.getAs[Long]("epoch")
+    foldChangeLog(
+      spark.table(chunksBase(statePrefix, epoch)),
+      spark.table(changelogTable(statePrefix))
+        .filter(col("epoch") === epoch).drop("epoch"))
   }
 }

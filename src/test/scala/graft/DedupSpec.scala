@@ -548,6 +548,56 @@ class DedupSpec extends SparkSpec {
     probe.collect().map(_.getLong(0)).toSet shouldBe Set(9301L)
   }
 
+  test("vacuum swap self-heals from every crash window") {
+    val spark = SparkSpec.spark
+    val base = tables.documents.filter(col("doc_id") < 300)
+    val kept = base.filter(col("doc_id") % 3 =!= 0)
+    val t = "neardup_idx_heal"
+    Dedup.buildNearDupIndex(base, t)
+    Dedup.compactNearDupIndex(spark, t, kept.select("doc_id"))
+    val want = rowSet(spark.table(t))
+
+    // window 1 — crashed BETWEEN the two renames: the vacuumed rows sit
+    // under __vacuum, the live generation under __old, the index name
+    // vacant. Simulate the exact catalog state, then heal: the VACUUMED
+    // generation must win, both leftovers reclaimed.
+    spark.table(t).write.mode("overwrite")
+      .saveAsTable(s"${t}__old_src")
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+    graft.sources.Sinks.saveTablePartitioned(
+      spark.table(s"${t}__old_src"), s"${t}__vacuum",
+      bucketBy = Some((32, Seq("band_idx", "band_hash"))),
+      sortBy = Seq("band_idx", "band_hash"))
+    Dedup.healNearDupSwap(spark, t)
+    rowSet(spark.table(t)) shouldBe want
+    spark.catalog.tableExists(s"${t}__vacuum") shouldBe false
+    spark.catalog.tableExists(s"${t}__old") shouldBe false
+
+    // window 2 — crashed before the first rename: stale __vacuum with
+    // the index live. Heal drops the stale tmp, index untouched.
+    spark.table(s"${t}__old_src").write.mode("overwrite")
+      .saveAsTable(s"${t}__vacuum")
+    Dedup.healNearDupSwap(spark, t)
+    rowSet(spark.table(t)) shouldBe want
+    spark.catalog.tableExists(s"${t}__vacuum") shouldBe false
+
+    // window 3 — crashed before the final drop: dangling __old with the
+    // swap complete. Heal drops the superseded generation.
+    spark.table(s"${t}__old_src").write.mode("overwrite")
+      .saveAsTable(s"${t}__old")
+    Dedup.healNearDupSwap(spark, t)
+    rowSet(spark.table(t)) shouldBe want
+    spark.catalog.tableExists(s"${t}__old") shouldBe false
+
+    // and a re-entrant vacuum (which heals on entry) stays correct and
+    // probe-able end to end
+    Dedup.compactNearDupIndex(spark, t, kept.select("doc_id"))
+    rowSet(spark.table(t)) shouldBe want
+    graft.sources.IndexSpec.readRequired(spark, t)
+      .getAs[Int]("buckets") shouldBe 32
+    spark.sql(s"DROP TABLE ${t}__old_src")
+  }
+
   test("near-dup index append/probe with mismatched spec fails loudly") {
     val corpus = tables.documents.filter(col("doc_id") < 100)
     Dedup.buildNearDupIndex(corpus, "neardup_idx_guard",

@@ -477,6 +477,171 @@ class PipelineSpec extends SparkSpec {
       .filter(col("doc_id") >= 500000L)) shouldBe
       rowSet(twins.select("doc_id").except(expected))
     Pipeline.reconcileDelta(v2crawl, v2crawl, p1).count() shouldBe 0L
+
+    // --- retrainState closes the LAST rebuild reason: decisions
+    // re-derived on the reconciled standing corpus as generation 2
+    // reproduce the fresh rebuild's chunks bit for bit (same docs —
+    // pinned above — same budget, so same thresholds, same merges,
+    // same ids, same bins)
+    val retrained = Pipeline.retrainState(v2crawl, p1)
+    rowSet(retrained) shouldBe rowSet(rebuilt)
+    graft.sources.IndexSpec.readRequired(spark, p1)
+      .getAs[Int]("generation") shouldBe 2
+    // generation MIGRATION, not overwrite: the v1 trained tables are
+    // untouched, so shards exported under v1 token ids stay decodable
+    spark.catalog.tableExists(s"${p1}_merges") shouldBe true
+    spark.catalog.tableExists(s"${p1}_vocab") shouldBe true
+    spark.catalog.tableExists(s"${p1}_merges_g2") shouldBe true
+    spark.catalog.tableExists(s"${p1}_vocab_g2") shouldBe true
+    // deltas CHAIN against the retrained generation with no caller
+    // change: a third crawl deltas identically against the
+    // maintained+retrained state and against the fresh v2 build
+    val v3crawl = v2crawl.filter(col("doc_id") % 31 =!= 0)
+      .withColumn("text", when(col("doc_id") % 37 === 0,
+        concat(col("text"), lit(" edited v3"))).otherwise(col("text")))
+      .localCheckpoint(true)
+    rowSet(Pipeline.corpusDelta(v3crawl, v2crawl, p1)) shouldBe
+      rowSet(Pipeline.corpusDelta(v3crawl, v2crawl, p2))
+  }
+
+  test("retrainPressure: zero drift on a fresh state, committed deltas move it, retrain resets it") {
+    val p = s"pipe_drift_${System.nanoTime()}"
+    val docs = tables.documents
+    Pipeline.corpusBuildWithState(docs, p).count() should be > 0L
+    val audit0 = Pipeline.retrainPressure(docs, p).cache()
+    // decisions were trained on exactly this corpus: a fresh
+    // re-derivation of the mix thresholds matches the frozen ones
+    audit0.filter(col("frozen_thresh") =!= col("fresh_thresh"))
+      .count() shouldBe 0L
+    // the audit covers the whole standing corpus, and fertility is
+    // sane (BPE emits at least one token per word)
+    audit0.agg(sum("n_docs")).head().getLong(0) shouldBe
+      spark.table(s"${p}_standing").count()
+    audit0.filter(col("n_tokens") < col("n_words")).count() shouldBe 0L
+    audit0.filter(col("oov_tokens") > col("n_tokens")).count() shouldBe 0L
+
+    // a committed delta drifts the standing corpus away from the
+    // frozen decisions — the audit must move
+    val v2 = mutateV2(docs)
+    Pipeline.corpusDelta(v2, docs, p, commit = true).count()
+    val audit1 = Pipeline.retrainPressure(v2, p)
+    audit1.filter(col("frozen_thresh") =!= col("fresh_thresh"))
+      .count() should be > 0L
+
+    // retrain re-derives the decisions on the drifted corpus: the
+    // pressure resets to zero under the new generation
+    Pipeline.retrainState(v2, p).count() should be > 0L
+    Pipeline.retrainPressure(v2, p)
+      .filter(col("frozen_thresh") =!= col("fresh_thresh"))
+      .count() shouldBe 0L
+    audit0.unpersist()
+  }
+
+  test("retrainState refuses a text relation that does not cover the standing corpus") {
+    val p = s"pipe_cover_${System.nanoTime()}"
+    Pipeline.corpusBuildWithState(tables.documents, p).count() should
+      be > 0L
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.retrainState(
+        tables.documents.filter(col("doc_id") % 2 === 0), p)
+    }
+    ex.getMessage should include("standing docs")
+  }
+
+  test("orphaned band-index entries are harmless (the commit-ordering contract)") {
+    // commitDelta appends to the band index BEFORE overwriting the
+    // standing table, so the only crash artifact is an orphaned index
+    // entry for a never-committed survivor. Pin that the orphan is
+    // inert: probes standing-filter their hits, so a delta against an
+    // index polluted with non-standing docs is bit-identical.
+    val p = s"pipe_orphan_${System.nanoTime()}"
+    val docs = tables.documents
+    Pipeline.corpusBuildWithState(docs, p).count() should be > 0L
+    val v2 = mutateV2(docs)
+    val before = rowSet(Pipeline.corpusDelta(v2, docs, p))
+    // pollute: append docs that are NOT standing (the crashed-commit
+    // artifact — fresh ids, never in the corpus)
+    graft.operators.Dedup.appendNearDupIndex(
+      docs.limit(20).select((col("doc_id") + 900000L).as("doc_id"),
+        col("text")),
+      s"${p}_neardup", ngram = 3, k = 64, bands = 32)
+    rowSet(Pipeline.corpusDelta(v2, docs, p)) shouldBe before
+  }
+
+  /** [[mutateV2]] generalized to arbitrary mutation moduli — the
+    * managed-table test chains five distinct crawls with it.
+    */
+  private def mutateCrawl(base: org.apache.spark.sql.DataFrame,
+      removeMod: Int, editMod: Int, addMod: Int, tag: String) =
+    base.filter(col("doc_id") % removeMod =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % editMod === 0,
+          concat(col("text"), lit(s" edited $tag")))
+          .otherwise(col("text")))
+      .unionByName(base.filter(col("doc_id") % addMod === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(s" fresh $tag")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+
+  test("managed corpus table: auto-compaction bounds the log; reads equal the sequential fold") {
+    val p = s"pipe_mgd_${System.nanoTime()}"
+    val docs = tables.documents
+    val v1c = Pipeline.corpusBuildWithState(docs, p)
+    Pipeline.corpusTableInit(v1c, p)
+
+    // five committed crawls folded through the managed table at
+    // compactEvery = 2 — two auto-compactions fire along the way
+    var crawl: org.apache.spark.sql.DataFrame = docs
+    var expected: org.apache.spark.sql.DataFrame = v1c
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val mods = Seq((17, 13, 19), (23, 11, 29), (31, 37, 41),
+      (43, 47, 53), (59, 61, 67))
+    for (((r, e, a), i) <- mods.zipWithIndex) {
+      val next = mutateCrawl(crawl, r, e, a, s"r$i")
+        .localCheckpoint(true)
+      val d = Pipeline.corpusDelta(next, crawl, p, commit = true)
+      Pipeline.corpusTableFold(d, p, compactEvery = 2)
+      deltas += d
+      expected = Pipeline.applyCorpusDelta(expected, d)
+        .localCheckpoint(true)
+      crawl = next
+      // the auto-compaction POLICY holds: never compactEvery changesets
+      // outstanding after a fold returns
+      val cspec = graft.sources.IndexSpec.readRequired(spark,
+        s"${p}_chunks")
+      spark.table(s"${p}_changelog")
+        .filter(col("epoch") === cspec.getAs[Long]("epoch"))
+        .select("__seq").distinct().count() should be < 2L
+    }
+
+    // the one-pass multi-fold is EXACTLY the sequential fold (bins
+    // included — no compaction inside applyCorpusDeltas)
+    rowSet(Pipeline.applyCorpusDeltas(v1c, deltas.toSeq)) shouldBe
+      rowSet(expected)
+
+    // the managed read carries the same corpus CONTENT (doc set, chunk
+    // geometry, token streams); bin/shard placement is re-packed by the
+    // compactions, gated by the q172-shape invariants below
+    val view = Pipeline.corpusTableRead(spark, p)
+    rowSet(view.drop("bin_id", "shard")) shouldBe
+      rowSet(expected.drop("bin_id", "shard"))
+
+    // epoch advanced (at least two compactions at compactEvery=2 over
+    // five folds), superseded bases dropped, base bins contiguous
+    // from 0, spec max_bin consistent with the base
+    val cspec = graft.sources.IndexSpec.readRequired(spark, s"${p}_chunks")
+    val epoch = cspec.getAs[Long]("epoch")
+    epoch should be >= 2L
+    spark.catalog.tableExists(s"${p}_chunks_e0") shouldBe false
+    val baseBins = spark.table(s"${p}_chunks_e$epoch")
+      .select("bin_id").distinct().collect().map(_.getLong(0)).sorted
+    baseBins.head shouldBe 0L
+    baseBins shouldBe (0L until baseBins.length).toArray
+    // the read plans as ONE base scan + ONE log pass at any N: no
+    // chained anti-joins (bounded read cost, the point of the design)
+    val pv = plan(view)
+    "LeftAnti".r.findAllMatchIn(pv).size shouldBe 1
   }
 
   test("corpus-sized intermediates are released on the failure path") {
