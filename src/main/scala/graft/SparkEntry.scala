@@ -1694,6 +1694,28 @@ object SparkEntry {
       val v2 = crawlV2(docs)
       Pipeline.corpusDelta(v2, docs, p, commit = true)
       Pipeline.retrainState(v2, p).orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- IVF REBUILD-PRESSURE audit ([[Similarity.ivfRebuildPressure]]):
+    // the semantic index's member of the drift trio (content q173,
+    // decisions q174, quantizer here). Quantizer trained on 3/4 of the
+    // corpus, the held-out quarter APPENDED under the frozen centroids
+    // (appendIvfIndex's documented drift case), then the per-cell
+    // audit: occupancy, member-to-centroid cosine, and the frozen
+    // centroid's cosine to the cell's current mean. Rebuilt from
+    // scratch every call (overwrite + one append) so re-runs compare
+    // identical computations; own tables — q51's index must never see
+    // this append.
+    "q176_ivf_rebuild_pressure" -> ((s, d) => {
+      val t = Tables(s, d)
+      val tag = dirTag(d)
+      val (idx, cents) =
+        (s"graft_ivf_audit_idx_$tag", s"graft_ivf_audit_cents_$tag")
+      val base = t.embeddings.filter(col("vec_id") % 4 =!= 3)
+      val appended = t.embeddings.filter(col("vec_id") % 4 === 3)
+      Similarity.buildIvfIndexQuantized(base, idx, cents)
+      Similarity.appendIvfIndex(s, appended, idx, cents)
+      Similarity.ivfRebuildPressure(s, idx, cents).orderBy("cell")
     })
   )
 
@@ -4763,7 +4785,88 @@ object SparkEntry {
             p.bin_id, CAST(b.shard AS BIGINT) AS shard
           FROM r_chn c JOIN r_pk p USING (ckey)
           JOIN r_bs b USING (bin_id)
-          ORDER BY doc_id, chunk_idx"""
+          ORDER BY doc_id, chunk_idx""",
+
+    // IVF rebuild-pressure replay, exact end to end — the q34
+    // quantized-BIGINT discipline throughout: centroids from the 3/4
+    // base slice as floor-of-mean over 10⁻⁶-quantized components
+    // (order-free integer sums; the decimal-avg q51 form has a latent
+    // float→DECIMAL cast fragility the audit cannot tolerate — see
+    // Similarity.quantizedLabelCentroids), published as
+    // float(m / 10⁶); frozen-centroid assignment as q51 (sim DESC /
+    // cell DESC argmax — the greatest(struct) tie-break); the audit's
+    // integer dots and norms via per-dimension explode, one double
+    // sqrt/divide per value, exact DECIMAL mean of the 6-dp cosines,
+    // floor-of-mean quantized drift vector (floor has no cross-engine
+    // tie cases)
+    "q176_ivf_rebuild_pressure" ->
+      """WITH base AS (
+           SELECT * FROM embeddings WHERE vec_id % 4 != 3),
+         cc AS (
+           SELECT label, pos,
+             CAST(CAST(CAST(floor(
+                 CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*)) AS BIGINT) / 1000000.0 AS FLOAT) AS DOUBLE)
+               AS c
+           FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS pos FROM base)
+           GROUP BY 1, 2),
+         cents AS (
+           SELECT label AS cell, list(c ORDER BY pos) AS cvec
+           FROM cc GROUP BY 1),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         assigned AS (
+           SELECT vec_id, emb, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(emb, cvec)
+                 / (sqrt(list_dot_product(emb, emb))
+                    * sqrt(list_dot_product(cvec, cvec))) DESC,
+               cell DESC) AS crnk
+           FROM e CROSS JOIN cents),
+         corpus AS (SELECT vec_id, emb, cell FROM assigned WHERE crnk = 1),
+         vd AS (
+           SELECT vec_id, cell,
+             CAST(round(x * 1000000) AS BIGINT) AS x, d
+           FROM (SELECT vec_id, cell, unnest(emb) AS x,
+                 generate_subscripts(emb, 1) AS d FROM corpus)),
+         cd AS (
+           SELECT cell, CAST(round(c * 1000000) AS BIGINT) AS c, d
+           FROM (SELECT cell, unnest(cvec) AS c,
+                 generate_subscripts(cvec, 1) AS d FROM cents)),
+         dots AS (
+           SELECT vec_id, cell,
+             sum(x * c) AS dp, sum(x * x) AS nx, sum(c * c) AS nc
+           FROM vd JOIN cd USING (cell, d) GROUP BY 1, 2),
+         wc AS (
+           SELECT cell,
+             round(CAST(dp AS DOUBLE)
+               / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))),
+               6) AS cos
+           FROM dots),
+         stats AS (
+           SELECT cell, count(*) AS n_vecs,
+             round(CAST(sum(CAST(cos AS DECIMAL(20,10))) AS DOUBLE)
+               / count(*), 6) AS mean_cos,
+             min(cos) AS min_cos
+           FROM wc GROUP BY 1),
+         mvd AS (
+           SELECT cell, d,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           FROM vd GROUP BY 1, 2),
+         mdots AS (
+           SELECT cell,
+             sum(m * c) AS dp, sum(m * m) AS nm, sum(c * c) AS nc
+           FROM mvd JOIN cd USING (cell, d) GROUP BY 1),
+         dr AS (
+           SELECT cell,
+             round(CAST(dp AS DOUBLE)
+               / (sqrt(CAST(nm AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))),
+               6) AS drift_cos
+           FROM mdots)
+         SELECT cell, n_vecs, mean_cos, min_cos, drift_cos
+         FROM stats JOIN dr USING (cell)
+         ORDER BY cell"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over

@@ -541,6 +541,137 @@ object Similarity {
       k)
   }
 
+  /** The REBUILD-PRESSURE audit of a persisted IVF index — the semantic
+    * family's member of the drift-audit trio ([[graft.operators.Pipeline.reconcileCandidates]]
+    * measures content the corpus lost, [[graft.operators.Pipeline.retrainPressure]]
+    * measures frozen-decision drift, and this measures how far the
+    * frozen coarse quantizer has drifted from the vectors it now
+    * routes). [[appendIvfIndex]]'s contract says drifting corpora
+    * should schedule periodic rebuilds; this is the cheap query that
+    * says WHEN, so the rebuild is a measured decision instead of a
+    * cron guess.
+    *
+    * One row per cell of the index:
+    *
+    *   - `n_vecs`    — current occupancy (appends included). Occupancy
+    *     skew across rows is the probe-cost-imbalance signal: a probe
+    *     reads whole cells, so one bloated cell makes every query that
+    *     probes it pay its size.
+    *   - `mean_cos` / `min_cos` — cosine of each member to its FROZEN
+    *     centroid, averaged / worst-case. Falling mean = members the
+    *     quantizer routes poorly = recall loss at fixed nprobe (the
+    *     verify step only sees candidates whose cells are probed).
+    *   - `drift_cos` — cosine between the frozen centroid and the
+    *     cell's CURRENT mean vector: 1.0 means the appends left the
+    *     cell where it was trained; falling drift_cos means the cell's
+    *     true center has moved and the frozen centroid no longer
+    *     represents it (queries aimed at the new mass probe the wrong
+    *     cells first).
+    *
+    * Cost shape: one cell-keyed pass over the index (both aggregates
+    * are map-side-combinable; the per-dimension mean explodes dim×rows
+    * but reduces to #cells×dim before any join), a broadcast of the
+    * tiny centroid table, output bounded by #cells.
+    *
+    * Determinism — the [[lshSignaturePortable]] / q34 discipline, NOT
+    * the raw-double q33 one: an IEEE dot product is summation-order
+    * sensitive, and a min/mean over thousands of 6-dp-rounded cosines
+    * WILL eventually catch a value within one ulp of a rounding
+    * boundary where engines disagree (observed in testing: one cell's
+    * min_cos off by 1e-6 against DuckDB). So every vector is quantized
+    * to 10⁻⁶-unit BIGINTs first; dots and norms are then exact
+    * order-free integer sums, and the single double sqrt/divide at the
+    * end is IEEE-identical on identical inputs. The drift comparison
+    * uses the cell's floor-of-mean quantized vector — cosine is
+    * scale-invariant, so flooring sum/count only perturbs direction by
+    * ≤1 quantization unit per dimension, and floor (unlike round) has
+    * no cross-engine tie cases. Hash-gated against DuckDB (q176), not
+    * rows-only.
+    */
+  def ivfRebuildPressure(spark: SparkSession, indexTable: String,
+      centroidTable: String): DataFrame = {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    def icos(a: Column, b: Column): Column =
+      round(idot(a, b).cast("double") /
+        (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double"))), 6)
+    val cq = spark.table(centroidTable)
+      .select(col("label").as("cell"), quantize(col("centroid")).as("cvq"))
+    val iq = spark.table(indexTable)
+      .select(col("cell"), quantize(col("embedding")).as("vq"))
+    val withCos = iq.join(broadcast(cq), "cell")
+      .select(col("cell"), icos(col("vq"), col("cvq")).as("cos"))
+    val cosStats = withCos.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)), 6).as("mean_cos"),
+        min("cos").as("min_cos"))
+    // per-dimension exact integer sums (≤2^53 at any realistic cell),
+    // floored to the mean's quantization grid so norms stay in LONG
+    // range regardless of cell size
+    val meanVec = iq
+      .select(col("cell"), posexplode(col("vq")).as(Seq("p", "v")))
+      .groupBy(col("cell"), col("p"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("p"), col("m")))),
+        s => s.getField("m")).as("mvq"))
+    val drift = meanVec.join(broadcast(cq), "cell")
+      .select(col("cell"), icos(col("mvq"), col("cvq")).as("drift_cos"))
+    cosStats.join(drift, Seq("cell"))
+      .select(col("cell"), col("n_vecs"), col("mean_cos"),
+        col("min_cos"), col("drift_cos"))
+  }
+
+  /** [[labelCentroids]] in exact integer arithmetic: components are
+    * 10⁻⁶-quantized, summed order-free, floored to the mean, and
+    * published as `float(m / 10⁶)` — every step either exact or an
+    * IEEE-defined conversion of identical inputs, so two engines
+    * CANNOT disagree. The decimal-avg [[labelCentroidComponents]] form
+    * is kept for the established q51 family, but it harbors a latent
+    * cross-engine fragility this derivation exists to avoid: casting
+    * FLOAT to DECIMAL(20,10) rounds the value's binary expansion at
+    * the 10th decimal, engines disagree there at the ulp level, and an
+    * average sitting within 5·10⁻⁷ of a 6-dp rounding boundary then
+    * flips the published component (observed on real test data —
+    * label 4, pos 12 of the sf0.01 embeddings). At corpus scale the
+    * two derivations are equally good quantizers (both are the cell
+    * mean to ~10⁻⁶); the audit family standardizes on the order-free
+    * one so its oracle can be exact end to end. The float publication
+    * round-trips through [[quantize]] losslessly: |m| ≤ ~2·10⁶ means
+    * float error < 0.25 quantization units.
+    */
+  def quantizedLabelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(quantize(col("embedding")))
+        .as(Seq("p", "v")))
+      .groupBy(col("label"), col("p"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("p"), col("m")))),
+        s => (s.getField("m").cast("double") / lit(1000000d))
+          .cast("float")).as("centroid"))
+
+  /** [[buildIvfIndex]] with the [[quantizedLabelCentroids]] quantizer —
+    * the build the audit family (q176) runs on, so the whole
+    * build → append → [[ivfRebuildPressure]] chain is deterministic
+    * across engines. Index layout and probe behavior are identical to
+    * [[buildIvfIndex]]; only the centroid derivation differs (by
+    * < 10⁻⁶ per component).
+    */
+  def buildIvfIndexQuantized(embeddings: DataFrame, indexTable: String,
+      centroidTable: String): Unit = {
+    Sinks.saveTable(quantizedLabelCentroids(embeddings), centroidTable)
+    val cents = collectCentroids(
+      embeddings.sparkSession.table(centroidTable))
+    Sinks.saveTablePartitioned(cellAssigned(embeddings, cents), indexTable,
+      partitionBy = Seq("cell"))
+  }
+
   /** Incremental SEMANTIC dedup of a new embedding batch against a
     * persisted IVF corpus index ([[buildIvfIndex]]) — the embedding-tier
     * member of the per-crawl probe family (exact [[Dedup.probeFingerprintIndex]],

@@ -555,4 +555,54 @@ class SimilaritySpec extends SparkSpec {
     q(1L) shouldBe Seq[Byte](127, 0)
     q(2L) shouldBe Seq[Byte](-127, 127)
   }
+
+  test("ivfRebuildPressure: drifted appends lower drift_cos; rebuild restores it") {
+    def auditStats(): (Long, Double, Double) = {
+      val rows = Similarity.ivfRebuildPressure(spark,
+        "test_ivf_audit", "test_ivf_audit_cents").collect()
+      rows.length shouldBe 10
+      (rows.map(_.getAs[Long]("n_vecs")).sum,
+        rows.map(_.getAs[Double]("drift_cos")).sum / rows.length,
+        rows.map(_.getAs[Double]("mean_cos")).sum / rows.length)
+    }
+    val base = tables.embeddings.select("vec_id", "embedding", "label")
+    Similarity.buildIvfIndexQuantized(base, "test_ivf_audit",
+      "test_ivf_audit_cents")
+    val (n0, drift0, mc0) = auditStats()
+    n0 shouldBe base.count()
+
+    // a hard distribution shift: every appended vector is offset toward
+    // the all-ones direction, so the cells that absorb the appends see
+    // their current mean walk away from the frozen centroid
+    val drifted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"), x => (x + lit(1.0f)).cast("float"))
+        .as("embedding"), col("label"))
+    Similarity.appendIvfIndex(spark, drifted, "test_ivf_audit",
+      "test_ivf_audit_cents")
+    val (n1, drift1, mc1) = auditStats()
+    n1 shouldBe 2L * n0
+    drift1 should be < drift0       // centroids no longer sit on their cells
+    mc1 should be < mc0             // members fit the frozen quantizer worse
+
+    // the rebuild the audit tells you to run: retrain the quantizer on
+    // the CURRENT content — the audit returns to fresh-build shape
+    Similarity.buildIvfIndexQuantized(base.unionByName(drifted),
+      "test_ivf_audit", "test_ivf_audit_cents")
+    val (n2, drift2, _) = auditStats()
+    n2 shouldBe 2L * n0
+    drift2 should be > drift1
+    // and the fresh-build invariant itself: per-cell current mean is the
+    // trained mean again, up to assignment-vs-label membership skew
+    drift2 should be > (drift0 - 0.05)
+  }
+
+  test("quantizedLabelCentroids agrees with the decimal form to one quantization unit") {
+    val dec = Similarity.labelCentroids(tables.embeddings).collect()
+      .map(r => r.getAs[Int]("label") -> r.getSeq[Float](1)).toMap
+    val qnt = Similarity.quantizedLabelCentroids(tables.embeddings)
+      .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Float](1)).toMap
+    qnt.keySet shouldBe dec.keySet
+    for ((lab, qs) <- qnt; (q, d) <- qs.zip(dec(lab)))
+      math.abs(q - d) should be <= 2e-6f  // floor vs round + decimal cast
+  }
 }
