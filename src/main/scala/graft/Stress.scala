@@ -439,6 +439,11 @@ object Stress {
         Similarity.buildIvfIndex(embs, "stress_ivf", "stress_ivf_cents")),
       time("ivfIndexQuery")(Similarity.queryIvfIndex(spark, "stress_ivf",
         "stress_ivf_cents", queries, 10, 5)),
+      // rebuild-pressure audit over the persisted index just built:
+      // one cell-keyed pass + a #cells-sized broadcast — must price
+      // like a scan of the index, far under the build it advises on
+      time("ivfRebuildPressure")(Similarity.ivfRebuildPressure(spark,
+        "stress_ivf", "stress_ivf_cents")),
       time("bruteForceTopK")(Similarity.bruteForceTopK(embs, queries, 10)),
       time("asofJoin")(Temporal.viewsWithLastPurchase(evs)),
       time("intervalJoin")(Temporal.purchaseWindowViews(evs)),
