@@ -1716,6 +1716,24 @@ object SparkEntry {
       Similarity.buildIvfIndexQuantized(base, idx, cents)
       Similarity.appendIvfIndex(s, appended, idx, cents)
       Similarity.ivfRebuildPressure(s, idx, cents).orderBy("cell")
+    }),
+
+    // ---- index VACUUM through the crash-ordered swap
+    // ([[Dedup.compactFingerprintIndex]]): build over the full corpus,
+    // vacuum to the live (2/3) fingerprint set, return the swapped-in
+    // table itself. End-to-end oracle over the post-swap relation —
+    // this gate fails loudly on the whole stale-metadata bug class
+    // (a swap whose renamed table reads empty, or whose superseded
+    // generation's drop deletes live partitions). Rebuilt every call
+    // (overwrite + vacuum), so re-runs compare identical computations.
+    "q177_fp_index_vacuum" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val idx = s"graft_fp_vac_${dirTag(d)}"
+      Dedup.buildFingerprintIndex(docs, idx)
+      Dedup.compactFingerprintIndex(s, idx,
+        TextAnalysis.fingerprints(docs.filter(col("doc_id") % 3 =!= 0))
+          .select("fp"))
+      s.table(idx).orderBy("fp")
     })
   )
 
@@ -4866,7 +4884,17 @@ object SparkEntry {
            FROM mdots)
          SELECT cell, n_vecs, mean_cos, min_cos, drift_cos
          FROM stats JOIN dr USING (cell)
-         ORDER BY cell"""
+         ORDER BY cell""",
+
+    // fp-index vacuum replay: the vacuumed index IS the intersection of
+    // the full corpus's distinct fingerprint set with the live (2/3)
+    // set — which, kept ⊆ corpus, reduces to the live set itself. The
+    // value of the oracle is the Spark side: it must produce this
+    // through the actual build + crash-ordered swap machinery.
+    "q177_fp_index_vacuum" ->
+      s"""SELECT DISTINCT $Fp AS fp FROM documents
+          WHERE doc_id % 3 <> 0
+          ORDER BY fp"""
   )
 
   /** DuckDB replay of [[graft.operators.Graph.labelPropagation]] over

@@ -331,6 +331,24 @@ object Stress {
       time("bloomIndexProbeBig")(Dedup.probeBloomIndex(
         bigDocs.filter(col("doc_id") % 100 === 0),
         "stress_bloom_big", "stress_fp_big")),
+      // crash-ordered vacuum of the big fp index down to a half-live
+      // corpus (runs LAST in the fp family — it mutates the table).
+      // The keep set arrives PRE-MATERIALIZED (the corpus-state
+      // snapshot shape — the recommended caller), so the line prices
+      // the vacuum itself: semi-join rewrite + rename swap. A caller
+      // deriving liveness from text pays one fp scan on top (=
+      // fpIndexBuildBig's cost shape).
+      locally {
+        // pre-force OUTSIDE the clock (the filtered-run guard pattern)
+        val liveFps = if (want("fpIndexVacuumBig"))
+          TextAnalysis.fingerprints(
+              bigDocs.filter(col("doc_id") % 100 =!= 0)
+                .filter(col("doc_id") % 2 =!= 0)).select("fp")
+            .localCheckpoint(true)
+        else null
+        timed("fpIndexVacuumBig")(
+          Dedup.compactFingerprintIndex(spark, "stress_fp_big", liveFps))
+      },
       // semantic dedup at n x 500 embeddings: every vector sits in a
       // ~n-clone clique (the mutated copies), the per-cell join's
       // realistic worst case

@@ -723,7 +723,7 @@ object Dedup {
     * aside to `<table>__old` before the vacuumed table takes its name,
     * and the old generation is dropped only once the swap is complete
     * (the write-then-marker discipline of the state-family specs,
-    * applied to a catalog swap). [[healNearDupSwap]] runs first and
+    * applied to a catalog swap). [[healIndexSwap]] runs first and
     * adopts whatever a previously-crashed vacuum left behind — a
     * dangling `__vacuum` with the index gone is renamed into place, a
     * dangling `__old` is restored or dropped — so a crashed vacuum
@@ -731,29 +731,140 @@ object Dedup {
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, keep: DataFrame): Unit = {
-    healNearDupSwap(spark, table)
     val spec = graft.sources.IndexSpec.readRequired(spark, table)
     val buckets = spec.getAs[Int]("buckets")
+    swapIndexTable(spark, table) { tmp =>
+      graft.sources.Sinks.saveTablePartitioned(
+        spark.table(table)
+          .join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
+        tmp,
+        bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
+        sortBy = Seq("band_idx", "band_hash"))
+    }
+  }
+
+  /** The crash-ordered vacuum swap shared by every persisted-index
+    * compaction ([[compactNearDupIndex]], [[compactFingerprintIndex]],
+    * [[compactSimhashIndex]], [[compactWinnowIndex]],
+    * [[Similarity.compactIvfIndex]]): heal any previously-crashed
+    * swap, have `write` materialize the vacuumed rows under the
+    * `__vacuum` side name, then swap with rename-before-drop — the
+    * index's name is table-less only between the two RENAMEs, BOTH
+    * generations survive a crash there, and [[healIndexSwap]] prefers
+    * the vacuumed one on recovery.
+    */
+  private[operators] def swapIndexTable(
+      spark: org.apache.spark.sql.SparkSession, table: String)(
+      write: String => Unit): Unit = {
+    healIndexSwap(spark, table)
     val tmp = s"${table}__vacuum"
     val old = s"${table}__old"
-    graft.sources.Sinks.saveTablePartitioned(
-      spark.table(table)
-        .join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
-      tmp,
-      bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
-      sortBy = Seq("band_idx", "band_hash"))
-    // rename-before-drop: the index's name is table-less only between
-    // the two RENAMEs, and BOTH generations survive a crash there —
-    // healNearDupSwap prefers the vacuumed one on recovery
+    write(tmp)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    repairIfPartitioned(spark, old)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    repairIfPartitioned(spark, table)
+    // the session's relation cache can still hold the pre-swap file
+    // index (observed: a renamed partitioned table serving the tmp
+    // location's now-empty paths); refresh makes the swap visible
+    spark.catalog.refreshTable(table)
     spark.sql(s"DROP TABLE $old")
   }
 
-  /** Recover a [[compactNearDupIndex]] swap a crash left half-done —
-    * called on every vacuum entry, and public so an operator who hit
-    * the (tiny) availability window can heal the index directly. The
-    * possible crash states and their resolution:
+  /** RENAME moves a managed table's directory but leaves hive-style
+    * PARTITION catalog entries pointing at the OLD paths — a renamed
+    * partitioned table (the IVF index's cell layout) reads empty, and
+    * far worse, DROPPING it deletes the per-partition dirs at those
+    * stale locations, which after a swap are the NEW table's data
+    * (observed: the vacuumed index emptied by the superseded
+    * generation's drop). MSCK SYNC both drops the stale entries and
+    * re-registers the moved directories, so it must run on EVERY
+    * renamed partitioned name — the one being kept AND the one about
+    * to be dropped. Bucketed tables carry no per-partition entries and
+    * need nothing.
+    */
+  private def repairIfPartitioned(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    if (meta.partitionColumnNames.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+  }
+
+  /** Vacuum a fingerprint index ([[buildFingerprintIndex]]): rewrite
+    * keeping only fingerprints present in `keepFps` (one `fp` column —
+    * the LIVE corpus's fingerprint set). The fp index stores distinct
+    * hashes with no doc ids, so liveness must arrive as fingerprints;
+    * the corpus-state snapshot table (doc_id, fp) provides exactly
+    * that without a text rescan, and a caller holding only documents
+    * derives it with [[TextAnalysis.fingerprints]]. Same crash-ordered
+    * swap + self-heal as every family; bucket layout is read off the
+    * table's own metadata (the [[appendFingerprints]] discipline).
+    * The bloom tier over this index has no row-level vacuum by
+    * construction (a Bloom filter only ORs) — its documented horizon
+    * is a rebuild ([[buildBloomIndex]]/[[appendBloomIndex]] scaladoc),
+    * run AFTER this vacuum so the rebuilt filter sizes to the live set.
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, keepFps: DataFrame): Unit = {
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    swapIndexTable(spark, table) { tmp =>
+      graft.sources.Sinks.saveTablePartitioned(
+        spark.table(table)
+          .join(keepFps.select("fp").distinct(), Seq("fp"), "left_semi"),
+        tmp,
+        bucketBy = bucketSpec.map(b =>
+          (b.numBuckets, b.bucketColumnNames.toSeq)),
+        sortBy = bucketSpec.map(_.sortColumnNames.toSeq)
+          .getOrElse(Seq.empty))
+    }
+  }
+
+  /** Vacuum a simhash index ([[buildSimhashIndex]]): drop the chunk
+    * rows of docs not in `keep` (one `doc_id` column — the standing
+    * set). Spec (portable flag, buckets) and bucketed layout preserved,
+    * same crash-ordered swap + self-heal as every family.
+    */
+  def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: DataFrame): Unit = {
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val buckets = spec.getAs[Int]("buckets")
+    swapIndexTable(spark, table) { tmp =>
+      graft.sources.Sinks.saveTablePartitioned(
+        spark.table(table)
+          .join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
+        tmp, bucketBy = Some((buckets, Seq("chunk_idx", "chunk"))),
+        sortBy = Seq("chunk_idx", "chunk"))
+    }
+  }
+
+  /** Vacuum a winnowing index ([[buildWinnowIndex]]): drop the posting
+    * rows of corpus docs not in `keep` (one `doc_id` column). Note the
+    * probe-side df cut needs no adjustment — [[probeWinnowIndex]]
+    * derives document frequency from the join at probe time, so a
+    * vacuumed index's df reflects the live corpus immediately. Spec
+    * (k, w, buckets) and fp-bucketed layout preserved.
+    */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: DataFrame): Unit = {
+    val spec = graft.sources.IndexSpec.readRequired(spark, table)
+    val buckets = spec.getAs[Int]("buckets")
+    swapIndexTable(spark, table) { tmp =>
+      graft.sources.Sinks.saveTablePartitioned(
+        spark.table(table)
+          .join(keep.select(col("doc_id").as("corpus_id")),
+            Seq("corpus_id"), "left_semi"),
+        tmp, bucketBy = Some((buckets, Seq("fp"))), sortBy = Seq("fp"))
+    }
+  }
+
+  /** Recover an index-vacuum swap ([[swapIndexTable]] — any family) a
+    * crash left half-done — called on every vacuum entry, and public
+    * so an operator who hit the (tiny) availability window can heal
+    * the index directly. The possible crash states and their
+    * resolution:
     *
     *   - index present, `__vacuum` dangling (crashed before the first
     *     RENAME): the tmp is stale — drop it; the next vacuum rewrites.
@@ -766,19 +877,30 @@ object Dedup {
     *   - index present, `__old` dangling (crashed before the final
     *     DROP): the swap completed — drop the superseded generation.
     */
-  def healNearDupSwap(spark: org.apache.spark.sql.SparkSession,
+  def healIndexSwap(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     val tmp = s"${table}__vacuum"
     val old = s"${table}__old"
     val cat = spark.catalog
     if (!cat.tableExists(table)) {
-      if (cat.tableExists(tmp))
+      if (cat.tableExists(tmp)) {
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      else if (cat.tableExists(old))
+        repairIfPartitioned(spark, table)
+      } else if (cat.tableExists(old)) {
         spark.sql(s"ALTER TABLE $old RENAME TO $table")
+        repairIfPartitioned(spark, table)
+      }
     }
-    if (cat.tableExists(old) && cat.tableExists(table))
+    // repair-before-drop: a crash BETWEEN a rename and its repair can
+    // leave this dangling generation's partition entries pointing into
+    // the live table's directory — dropping it then would delete live
+    // data at those stale locations. Re-syncing first confines the
+    // drop to the generation's own directory. (`tmp` needs none: it is
+    // only ever a fresh saveAsTable with self-consistent entries.)
+    if (cat.tableExists(old) && cat.tableExists(table)) {
+      repairIfPartitioned(spark, old)
       spark.sql(s"DROP TABLE $old")
+    }
     if (cat.tableExists(tmp) && cat.tableExists(table))
       spark.sql(s"DROP TABLE $tmp")
   }

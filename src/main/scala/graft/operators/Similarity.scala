@@ -478,6 +478,29 @@ object Similarity {
       partitionBy = Seq("cell"))
   }
 
+  /** Vacuum a persisted IVF index: drop the rows of vectors not in
+    * `keep` (one `vec_id` column — the live vector set), preserving
+    * the cell-partitioned layout and the frozen centroid table. The
+    * index only ever grows ([[appendIvfIndex]]/[[appendIvfVectors]]
+    * add, nothing removes), so probe cost and the
+    * [[ivfRebuildPressure]] occupancy signal drift upward with
+    * departed vectors even though correctness holds (callers filter
+    * hits against their live set). Same crash-ordered `__vacuum`
+    * rename swap + self-heal as the [[Dedup.compactNearDupIndex]]
+    * family ([[Dedup.healIndexSwap]] recovers a crashed swap). Run
+    * [[ivfRebuildPressure]] AFTER a vacuum when deciding on a rebuild:
+    * a vacuum fixes occupancy garbage, but not centroid drift — only a
+    * rebuild re-trains the quantizer.
+    */
+  def compactIvfIndex(spark: SparkSession, indexTable: String,
+      keep: DataFrame): Unit =
+    Dedup.swapIndexTable(spark, indexTable) { tmp =>
+      Sinks.saveTablePartitioned(
+        spark.table(indexTable)
+          .join(keep.select("vec_id"), Seq("vec_id"), "left_semi"),
+        tmp, partitionBy = Seq("cell"))
+    }
+
   /** Create an EMPTY cell-partitioned IVF vector table if absent — the
     * bootstrap for streaming pipelines that fold into the index from
     * day one. The quantizer (centroid table) must already exist; it is

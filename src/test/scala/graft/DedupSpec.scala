@@ -568,7 +568,7 @@ class DedupSpec extends SparkSpec {
       spark.table(s"${t}__old_src"), s"${t}__vacuum",
       bucketBy = Some((32, Seq("band_idx", "band_hash"))),
       sortBy = Seq("band_idx", "band_hash"))
-    Dedup.healNearDupSwap(spark, t)
+    Dedup.healIndexSwap(spark, t)
     rowSet(spark.table(t)) shouldBe want
     spark.catalog.tableExists(s"${t}__vacuum") shouldBe false
     spark.catalog.tableExists(s"${t}__old") shouldBe false
@@ -577,7 +577,7 @@ class DedupSpec extends SparkSpec {
     // the index live. Heal drops the stale tmp, index untouched.
     spark.table(s"${t}__old_src").write.mode("overwrite")
       .saveAsTable(s"${t}__vacuum")
-    Dedup.healNearDupSwap(spark, t)
+    Dedup.healIndexSwap(spark, t)
     rowSet(spark.table(t)) shouldBe want
     spark.catalog.tableExists(s"${t}__vacuum") shouldBe false
 
@@ -585,7 +585,7 @@ class DedupSpec extends SparkSpec {
     // swap complete. Heal drops the superseded generation.
     spark.table(s"${t}__old_src").write.mode("overwrite")
       .saveAsTable(s"${t}__old")
-    Dedup.healNearDupSwap(spark, t)
+    Dedup.healIndexSwap(spark, t)
     rowSet(spark.table(t)) shouldBe want
     spark.catalog.tableExists(s"${t}__old") shouldBe false
 
@@ -596,6 +596,54 @@ class DedupSpec extends SparkSpec {
     graft.sources.IndexSpec.readRequired(spark, t)
       .getAs[Int]("buckets") shouldBe 32
     spark.sql(s"DROP TABLE ${t}__old_src")
+  }
+
+  test("fingerprint/simhash/winnow vacuums equal fresh builds over the kept docs") {
+    val spark = SparkSpec.spark
+    val base = tables.documents.filter(col("doc_id") < 400)
+    val kept = base.filter(col("doc_id") % 3 =!= 0)
+
+    // fingerprint: liveness arrives as the live fp SET (the snapshot-
+    // table shape) — no text rescan of the corpus
+    Dedup.buildFingerprintIndex(base, "fp_idx_vac")
+    Dedup.compactFingerprintIndex(spark, "fp_idx_vac",
+      graft.operators.TextAnalysis.fingerprints(kept).select("fp"))
+    Dedup.buildFingerprintIndex(kept, "fp_idx_vac_fresh")
+    rowSet(spark.table("fp_idx_vac")) shouldBe
+      rowSet(spark.table("fp_idx_vac_fresh"))
+    // the vacuumed index still screens: a kept doc probes as known,
+    // and a dropped doc probes as new again UNLESS its text survives
+    // under a kept duplicate (this corpus is dup-heavy by design, so
+    // the expectation is the fp anti-join, not the raw count)
+    val dropped = base.filter(col("doc_id") % 3 === 0 &&
+      col("doc_id") < 60)
+    Dedup.probeFingerprintIndex(kept.filter(col("doc_id") < 60),
+      "fp_idx_vac").count() shouldBe 0L
+    val expectNew = graft.operators.TextAnalysis.fingerprints(dropped)
+      .join(graft.operators.TextAnalysis.fingerprints(kept).select("fp"),
+        Seq("fp"), "left_anti")
+      .select("doc_id").distinct().count()
+    Dedup.probeFingerprintIndex(dropped, "fp_idx_vac")
+      .count() shouldBe expectNew
+
+    // simhash: per-doc chunk rows, vacuum by doc_id
+    Dedup.buildSimhashIndex(base, "sh_idx_vac")
+    Dedup.compactSimhashIndex(spark, "sh_idx_vac", kept.select("doc_id"))
+    Dedup.buildSimhashIndex(kept, "sh_idx_vac_fresh")
+    rowSet(spark.table("sh_idx_vac")) shouldBe
+      rowSet(spark.table("sh_idx_vac_fresh"))
+    graft.sources.IndexSpec.readRequired(spark, "sh_idx_vac")
+      .getAs[Int]("buckets") shouldBe 32
+
+    // winnow: posting rows keyed corpus_id; probe-time df needs no
+    // adjustment because probeWinnowIndex derives it from the join
+    Dedup.buildWinnowIndex(base, "wn_idx_vac")
+    Dedup.compactWinnowIndex(spark, "wn_idx_vac", kept.select("doc_id"))
+    Dedup.buildWinnowIndex(kept, "wn_idx_vac_fresh")
+    rowSet(spark.table("wn_idx_vac")) shouldBe
+      rowSet(spark.table("wn_idx_vac_fresh"))
+    graft.sources.IndexSpec.readRequired(spark, "wn_idx_vac")
+      .getAs[Int]("k") shouldBe 4
   }
 
   test("near-dup index append/probe with mismatched spec fails loudly") {

@@ -596,6 +596,53 @@ class SimilaritySpec extends SparkSpec {
     drift2 should be > (drift0 - 0.05)
   }
 
+  test("compactIvfIndex: vacuum equals re-assignment of kept vectors under the frozen quantizer") {
+    val all = tables.embeddings.select("vec_id", "embedding", "label")
+    val kept = all.filter(col("vec_id") % 3 =!= 0)
+    Similarity.buildIvfIndex(all, "ivf_vac", "ivf_vac_cents")
+    Similarity.compactIvfIndex(spark, "ivf_vac", kept.select("vec_id"))
+    // the reference: the SAME frozen quantizer over only the kept
+    // vectors (a fresh buildIvfIndex would retrain centroids — that is
+    // a rebuild, not a vacuum)
+    Similarity.ensureIvfIndex(spark, "ivf_vac_fresh")
+    Similarity.appendIvfVectors(spark, kept, "ivf_vac_fresh",
+      "ivf_vac_cents")
+    rowSet(spark.table("ivf_vac")) shouldBe
+      rowSet(spark.table("ivf_vac_fresh"))
+    // occupancy audit now reflects the live set, and the audit still
+    // runs against the vacuumed table
+    Similarity.ivfRebuildPressure(spark, "ivf_vac", "ivf_vac_cents")
+      .agg(sum("n_vecs")).head().getLong(0) shouldBe kept.count()
+    // re-entrant: vacuuming again (heals on entry) changes nothing
+    Similarity.compactIvfIndex(spark, "ivf_vac", kept.select("vec_id"))
+    rowSet(spark.table("ivf_vac")) shouldBe
+      rowSet(spark.table("ivf_vac_fresh"))
+
+    // the PARTITIONED crash window the bucketed heal test cannot see:
+    // a dangling generation whose partition catalog entries still
+    // point into the live table's directory (the state a crash between
+    // a rename and its metadata sync leaves). Healing must re-sync
+    // before dropping it — a naive drop would delete the LIVE table's
+    // partition dirs at those stale locations.
+    val want = rowSet(spark.table("ivf_vac"))
+    spark.table("ivf_vac").write.mode("overwrite")
+      .partitionBy("cell").saveAsTable("ivf_vac__old")
+    // forge staleness: point every __old partition at the live table's
+    // matching partition location
+    val cat = spark.sessionState.catalog
+    val oldId = org.apache.spark.sql.catalyst.TableIdentifier("ivf_vac__old")
+    val liveId = org.apache.spark.sql.catalyst.TableIdentifier("ivf_vac")
+    val livePartDirs = cat.listPartitions(liveId)
+      .map(p => p.spec -> p.location).toMap
+    cat.alterPartitions(oldId, cat.listPartitions(oldId).map(p =>
+      p.copy(storage = p.storage.copy(
+        locationUri = Some(livePartDirs(p.spec))))))
+    graft.operators.Dedup.healIndexSwap(spark, "ivf_vac")
+    spark.catalog.tableExists("ivf_vac__old") shouldBe false
+    spark.catalog.refreshTable("ivf_vac")
+    rowSet(spark.table("ivf_vac")) shouldBe want // live data survived
+  }
+
   test("quantizedLabelCentroids agrees with the decimal form to one quantization unit") {
     val dec = Similarity.labelCentroids(tables.embeddings).collect()
       .map(r => r.getAs[Int]("label") -> r.getSeq[Float](1)).toMap
