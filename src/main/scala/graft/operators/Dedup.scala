@@ -886,9 +886,11 @@ object Dedup {
       if (cat.tableExists(tmp)) {
         spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
         repairIfPartitioned(spark, table)
+        cat.refreshTable(table)
       } else if (cat.tableExists(old)) {
         spark.sql(s"ALTER TABLE $old RENAME TO $table")
         repairIfPartitioned(spark, table)
+        cat.refreshTable(table)
       }
     }
     // repair-before-drop: a crash BETWEEN a rename and its repair can
