@@ -4325,21 +4325,7 @@ object SparkEntry {
             JOIN wc ON d.doc_id = wc.doc_id
             JOIN canon ON wc.component = canon.component
             WHERE d.doc_id = canon.canonical_id),
-          mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
-          mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
-          msv AS (
-            SELECT lang, t,
-              CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
-                AS s
-            FROM mtot),
-          mssv AS (SELECT sum(s) AS ss FROM msv),
-          mth AS (
-            SELECT lang,
-              CAST(floor(least(1.0,
-                CASE WHEN t > 0 THEN
-                  CAST(20000 AS DOUBLE) * s / ss / t
-                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
-            FROM msv, mssv),
+          ${mixThresholdCtes("canondocs", 20000L, "")},
           seldocs AS MATERIALIZED (
             SELECT d.* FROM canondocs d JOIN mth USING (lang)
             WHERE ('0x' || substr(md5('smp_' ||
@@ -4517,21 +4503,7 @@ object SparkEntry {
             JOIN wc ON d.doc_id = wc.doc_id
             JOIN canon ON wc.component = canon.component
             WHERE d.doc_id = canon.canonical_id),
-          mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
-          mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
-          msv AS (
-            SELECT lang, t,
-              CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
-                AS s
-            FROM mtot),
-          mssv AS (SELECT sum(s) AS ss FROM msv),
-          mth AS (
-            SELECT lang,
-              CAST(floor(least(1.0,
-                CASE WHEN t > 0 THEN
-                  CAST(20000 AS DOUBLE) * s / ss / t
-                ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
-            FROM msv, mssv),
+          ${mixThresholdCtes("canondocs", 20000L, "")},
           seldocs AS MATERIALIZED (
             SELECT d.* FROM canondocs d JOIN mth USING (lang)
             WHERE ('0x' || substr(md5('smp_' ||
@@ -5581,21 +5553,7 @@ object SparkEntry {
           JOIN wc ON d.doc_id = wc.doc_id
           JOIN canon ON wc.component = canon.component
           WHERE d.doc_id = canon.canonical_id),
-        mw AS (SELECT doc_id, lang, len($Toks) AS w FROM canondocs),
-        mtot AS (SELECT lang, sum(w) AS t FROM mw GROUP BY lang),
-        msv AS (
-          SELECT lang, t,
-            CAST(round(sqrt(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
-              AS s
-          FROM mtot),
-        mssv AS (SELECT sum(s) AS ss FROM msv),
-        mth AS (
-          SELECT lang,
-            CAST(floor(least(1.0,
-              CASE WHEN t > 0 THEN
-                CAST($budget AS DOUBLE) * s / ss / t
-              ELSE 1.0 END) * 1000000) AS BIGINT) AS thresh
-          FROM msv, mssv),
+        ${mixThresholdCtes("canondocs", budget, "")},
         seldocs AS MATERIALIZED (
           SELECT d.* FROM canondocs d JOIN mth USING (lang)
           WHERE ('0x' || substr(md5('smp_' ||

@@ -734,9 +734,18 @@ object Dedup {
     val spec = graft.sources.IndexSpec.readRequired(spark, table)
     val buckets = spec.getAs[Int]("buckets")
     swapIndexTable(spark, table) { tmp =>
+      // distinct: a commit crashed between its band append and its
+      // standing advance, then re-run, appends the same survivors'
+      // bands twice ([[appendNearDupIndex]] is append-only — an
+      // anti-join on every commit would scan the whole index, the
+      // wrong trade at corpus scale). The duplicates only inflate
+      // probe cost, never correctness, and this rewrite is already a
+      // full shuffle — dedup here is free, and restores the
+      // grown-index ≡ rebuilt-from-union invariant at each compaction.
       graft.sources.Sinks.saveTablePartitioned(
         spark.table(table)
-          .join(keep.select("doc_id"), Seq("doc_id"), "left_semi"),
+          .join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+          .distinct(),
         tmp,
         bucketBy = Some((buckets, Seq("band_idx", "band_hash"))),
         sortBy = Seq("band_idx", "band_hash"))
@@ -806,11 +815,16 @@ object Dedup {
     * run AFTER this vacuum so the rebuilt filter sizes to the live set.
     */
   def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, keepFps: DataFrame): Unit = {
-    val bucketSpec = spark.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      table: String, keepFps: DataFrame): Unit =
     swapIndexTable(spark, table) { tmp =>
+      // metadata read INSIDE the swap closure — swapIndexTable heals a
+      // previously-crashed swap first, and before that heal the index
+      // name can be vacant (rows parked under __vacuum); reading the
+      // bucketSpec earlier would throw and break the documented
+      // crashed-vacuum-self-heals-on-rerun recovery
+      val bucketSpec = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
       graft.sources.Sinks.saveTablePartitioned(
         spark.table(table)
           .join(keepFps.select("fp").distinct(), Seq("fp"), "left_semi"),
@@ -820,7 +834,6 @@ object Dedup {
         sortBy = bucketSpec.map(_.sortColumnNames.toSeq)
           .getOrElse(Seq.empty))
     }
-  }
 
   /** Vacuum a simhash index ([[buildSimhashIndex]]): drop the chunk
     * rows of docs not in `keep` (one `doc_id` column — the standing

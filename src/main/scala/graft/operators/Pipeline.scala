@@ -121,6 +121,18 @@ object Pipeline {
   // (snapshot/standing/neardup) is generation-independent: retraining
   // re-derives DECISIONS, not documents.
   private def genSuffix(gen: Int) = if (gen <= 1) "" else s"_g$gen"
+
+  /** The spec's live generation, defaulting to 1 for a state family
+    * persisted before generations existed (its spec row has no
+    * `generation` column; its trained tables are the unsuffixed
+    * generation-1 names, which is exactly what 1 resolves to) — an
+    * upgrade must not turn a working long-lived state into an obscure
+    * schema error on the first delta.
+    */
+  private def specGeneration(spec: org.apache.spark.sql.Row): Int =
+    if (spec.schema.fieldNames.contains("generation"))
+      spec.getAs[Int]("generation")
+    else 1
   private def mixTable(p: String, gen: Int = 1) =
     s"${p}_mix${genSuffix(gen)}"
   private def mergesTable(p: String, gen: Int = 1) =
@@ -490,7 +502,7 @@ object Pipeline {
     val nShards = spec.getAs[Int]("n_shards")
     val threshold = spec.getAs[Double]("neardup_threshold")
     val binBase = spec.getAs[Long]("max_bin") + 1L
-    val generation = spec.getAs[Int]("generation")
+    val generation = specGeneration(spec)
 
     val snap = spark.table(snapshotTable(statePrefix))
     val newFpsPlan = newCrawl.select(col("doc_id"),
@@ -781,7 +793,7 @@ object Pipeline {
     val nShards = spec.getAs[Int]("n_shards")
     val threshold = spec.getAs[Double]("neardup_threshold")
     val binBase = spec.getAs[Long]("max_bin") + 1L
-    val generation = spec.getAs[Int]("generation")
+    val generation = specGeneration(spec)
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val matBase = graft.core.Rounds.materializer(checkpointDir)
     val mat = (df: DataFrame, name: String) =>
@@ -875,20 +887,25 @@ object Pipeline {
       statePrefix: String): DataFrame = {
     val spark = corpusDocs.sparkSession
     val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
-    val gen = spec.getAs[Int]("generation")
+    val gen = specGeneration(spec)
     val budget = spec.getAs[Long]("mix_budget_tokens")
     val standingDocs = corpusDocs
       .join(spark.table(standingTable(statePrefix)), Seq("doc_id"),
         "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: both tokStats and wordStats consume this, and the
+    // word explosion + (lang, word) shuffle over the standing text is
+    // the audit's most expensive stage — it must run once, not twice.
+    // Vocabulary-sized, released in the finally with standingDocs.
+    val langWords = standingDocs
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val merges = Bpe.loadMerges(spark, mergesTable(statePrefix, gen))
       val ids = spark.table(vocabTable(statePrefix, gen))
-      val langWords = standingDocs
-        .select(col("lang"),
-          explode(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+"), lit(0))).as("word"))
-        .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
       val tokStats = langWords
         .select(col("lang"), col("freq"),
           explode(Bpe.tokens(col("word"), merges)).as("token"))
@@ -920,7 +937,10 @@ object Pipeline {
           coalesce(col("frozen_thresh"), lit(-1L)).as("frozen_thresh"),
           col("fresh_thresh"))
         .localCheckpoint(true)
-    } finally standingDocs.unpersist()
+    } finally {
+      langWords.unpersist()
+      standingDocs.unpersist()
+    }
   }
 
   /** Re-derive the frozen decisions on the STANDING corpus as a NEW
@@ -967,7 +987,7 @@ object Pipeline {
     val numMerges = spec.getAs[Int]("num_merges")
     val nShards = spec.getAs[Int]("n_shards")
     val threshold = spec.getAs[Double]("neardup_threshold")
-    val gen2 = spec.getAs[Int]("generation") + 1
+    val gen2 = specGeneration(spec) + 1
 
     val standing = spark.table(standingTable(statePrefix))
     val standingDocs = corpusDocs
@@ -1042,7 +1062,12 @@ object Pipeline {
     // re-enter the fp tier, so no re-run would ever append their bands
     // (a permanent silent near-dup recall gap). The reverse crash only
     // orphans index entries: probes standing-filter hits, and the next
-    // [[Dedup.compactNearDupIndex]] vacuum reclaims the rows.
+    // [[Dedup.compactNearDupIndex]] vacuum reclaims the rows. If that
+    // crashed commit is RE-RUN (rather than the documented full-build
+    // recovery), the identical diff appends the same survivors' bands
+    // a second time — duplicates, not orphans, once the docs go
+    // standing; correctness holds (band probes are set-semantics) and
+    // the vacuum's distinct reclaims them at the next compaction.
     Dedup.appendNearDupIndex(survivors, neardupTable(statePrefix),
       ngram = NdNgram, k = NdK, bands = NdBands)
     // same bucketed layout the build writes, so the NEXT delta's joins
@@ -1133,7 +1158,7 @@ object Pipeline {
       spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
       spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
       spec.getAs[Double]("neardup_threshold"), maxBin,
-      spec.getAs[Int]("generation"))
+      specGeneration(spec))
     out
   }
 
@@ -1335,7 +1360,7 @@ object Pipeline {
         spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
         spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
         spec.getAs[Double]("neardup_threshold"), maxBin,
-        spec.getAs[Int]("generation"))
+        specGeneration(spec))
       // cleanup: superseded base + folded log entries (readers already
       // filter them out by epoch, so this is reclamation, not safety)
       spark.sql(s"DROP TABLE IF EXISTS ${chunksBase(statePrefix, epoch)}")
