@@ -827,7 +827,9 @@ object Dedup {
           org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
       graft.sources.Sinks.saveTablePartitioned(
         spark.table(table)
-          .join(keepFps.select("fp").distinct(), Seq("fp"), "left_semi"),
+          // no .distinct() on the keep set: semi-join already has set
+          // semantics, and the dedup would add a corpus-scale shuffle
+          .join(keepFps.select("fp"), Seq("fp"), "left_semi"),
         tmp,
         bucketBy = bucketSpec.map(b =>
           (b.numBuckets, b.bucketColumnNames.toSeq)),
@@ -905,6 +907,17 @@ object Dedup {
         repairIfPartitioned(spark, table)
         cat.refreshTable(table)
       }
+    } else if (cat.tableExists(old) || cat.tableExists(tmp)) {
+      // a dangling generation beside a LIVE table means a swap crashed
+      // mid-flight — possibly between the tmp->table rename and its
+      // repair, leaving the live table's partition entries pointing at
+      // the moved __vacuum paths (it would read empty, and the NEXT
+      // vacuum would semi-join that empty read into a permanently
+      // empty index). MSCK SYNC is idempotent and cheap next to a
+      // vacuum, so re-sync the live table unconditionally before any
+      // cleanup.
+      repairIfPartitioned(spark, table)
+      cat.refreshTable(table)
     }
     // repair-before-drop: a crash BETWEEN a rename and its repair can
     // leave this dangling generation's partition entries pointing into

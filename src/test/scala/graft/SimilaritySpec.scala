@@ -643,6 +643,37 @@ class SimilaritySpec extends SparkSpec {
     rowSet(spark.table("ivf_vac")) shouldBe want // live data survived
   }
 
+  test("healIndexSwap: crash between the final rename and its repair leaves a readable index") {
+    // the window the dangling-__old test cannot see: the tmp->table
+    // RENAME completed but its MSCK sync did not, so the LIVE name's
+    // partition entries point at the moved __vacuum paths and the
+    // index reads empty — and a naive next vacuum would semi-join that
+    // empty read into a permanently empty index. Heal must re-sync the
+    // live table, not just clean up the dangling generations.
+    val all = tables.embeddings.select("vec_id", "embedding", "label")
+    val kept = all.filter(col("vec_id") % 3 =!= 0)
+    Similarity.buildIvfIndex(all, "ivf_heal2", "ivf_heal2_cents")
+    // the vacuumed generation, fully written (what a real vacuum's
+    // write closure produces)
+    graft.sources.Sinks.saveTablePartitioned(
+      spark.table("ivf_heal2")
+        .join(kept.select("vec_id"), Seq("vec_id"), "left_semi"),
+      "ivf_heal2__vacuum", partitionBy = Seq("cell"))
+    val want = rowSet(spark.table("ivf_heal2__vacuum"))
+    // replay swapIndexTable's catalog steps, crashing right after the
+    // second RENAME — before repairIfPartitioned(table)/refreshTable
+    spark.sql("ALTER TABLE ivf_heal2 RENAME TO ivf_heal2__old")
+    spark.sql("MSCK REPAIR TABLE ivf_heal2__old SYNC PARTITIONS")
+    spark.sql("ALTER TABLE ivf_heal2__vacuum RENAME TO ivf_heal2")
+    graft.operators.Dedup.healIndexSwap(spark, "ivf_heal2")
+    spark.catalog.tableExists("ivf_heal2__old") shouldBe false
+    spark.catalog.tableExists("ivf_heal2__vacuum") shouldBe false
+    rowSet(spark.table("ivf_heal2")) shouldBe want
+    // and the NEXT vacuum operates on the healed read, not an empty one
+    Similarity.compactIvfIndex(spark, "ivf_heal2", kept.select("vec_id"))
+    rowSet(spark.table("ivf_heal2")) shouldBe want
+  }
+
   test("quantizedLabelCentroids agrees with the decimal form to one quantization unit") {
     val dec = Similarity.labelCentroids(tables.embeddings).collect()
       .map(r => r.getAs[Int]("label") -> r.getSeq[Float](1)).toMap
