@@ -3876,17 +3876,17 @@ object SparkEntry {
           cb AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM cb0),
           per_doc AS (
             SELECT cb.doc_id, count(*) AS n_bigrams,
-              sum(CAST(ln(
+              sum(CAST(round(ln(
                 (CAST(coalesce(cnt.c, 0) AS DOUBLE) + 1.0) /
                 (CAST(coalesce(pref.p, 0) AS DOUBLE) + (SELECT v FROM vv)))
-                AS DECIMAL(30,12))) AS s
+                * 1000000000) AS BIGINT)) AS s
             FROM cb LEFT JOIN cnt USING (w1, w2)
                     LEFT JOIN pref USING (w1)
             GROUP BY cb.doc_id)
           SELECT d.doc_id,
             coalesce(p.n_bigrams, 0) AS n_bigrams,
             CASE WHEN p.n_bigrams > 0 THEN
-              round(-CAST(p.s AS DOUBLE) /
+              round(-CAST(p.s AS DOUBLE) / 1000000000.0 /
                 CAST(p.n_bigrams AS DOUBLE), 6) END AS nll
           FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
           LEFT JOIN per_doc p USING (doc_id)
@@ -3921,17 +3921,17 @@ object SparkEntry {
           cb AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM cb0),
           per_doc AS (
             SELECT cb.doc_id, count(*) AS n_bigrams,
-              sum(CAST(ln(
+              sum(CAST(round(ln(
                 (CAST(coalesce(cnt.c, 0) AS DOUBLE) + 1.0) /
                 (CAST(coalesce(pref.p, 0) AS DOUBLE) + (SELECT v FROM vv)))
-                AS DECIMAL(30,12))) AS s
+                * 1000000000) AS BIGINT)) AS s
             FROM cb LEFT JOIN cnt USING (w1, w2)
                     LEFT JOIN pref USING (w1)
             GROUP BY cb.doc_id)
           SELECT d.doc_id,
             coalesce(p.n_bigrams, 0) AS n_bigrams,
             CASE WHEN p.n_bigrams > 0 THEN
-              round(-CAST(p.s AS DOUBLE) /
+              round(-CAST(p.s AS DOUBLE) / 1000000000.0 /
                 CAST(p.n_bigrams AS DOUBLE), 6) END AS nll
           FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
           LEFT JOIN per_doc p USING (doc_id)
@@ -4784,7 +4784,16 @@ object SparkEntry {
     // float→DECIMAL cast fragility the audit cannot tolerate — see
     // Similarity.quantizedLabelCentroids), published as
     // float(m / 10⁶); frozen-centroid assignment as q51 (sim DESC /
-    // cell DESC argmax — the greatest(struct) tie-break); the audit's
+    // cell DESC argmax — the greatest(struct) tie-break). The
+    // assignment argmax is DELIBERATELY the one raw-double step in the
+    // chain: it must reproduce the production index's own cell
+    // assignment (buildIvfIndex routes on raw-double cosine), so
+    // quantizing it here would audit a partition the index doesn't
+    // have. It is safe cross-engine because both sides fold the same
+    // float-valued inputs (float embeddings, float-published
+    // centroids) left-to-right in IEEE double — identical sequential
+    // folds, no reordering — so the two engines compute bit-identical
+    // doubles, not merely close ones; the audit's
     // integer dots and norms via per-dimension explode, one double
     // sqrt/divide per value, exact DECIMAL mean of the 6-dp cosines,
     // floor-of-mean quantized drift vector (floor has no cross-engine
@@ -5062,11 +5071,10 @@ object SparkEntry {
           SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM ${p}cb0),
         ${p}per_doc AS (
           SELECT ${p}cb.doc_id, count(*) AS n_bigrams,
-            sum(CAST(ln(
+            sum(CAST(round(ln(
               (CAST(coalesce(${p}cnt.c, 0) AS DOUBLE) + 1.0) /
               (CAST(coalesce(${p}pref.p, 0) AS DOUBLE) +
-                (SELECT v FROM ${p}vv)))
-              AS DECIMAL(30,12))) AS s
+                (SELECT v FROM ${p}vv))) * 1000000000) AS BIGINT)) AS s
           FROM ${p}cb LEFT JOIN ${p}cnt USING (w1, w2)
                   LEFT JOIN ${p}pref USING (w1)
           GROUP BY ${p}cb.doc_id),
@@ -5074,7 +5082,7 @@ object SparkEntry {
           SELECT d.doc_id,
             coalesce(pd.n_bigrams, 0) AS n_bigrams,
             CASE WHEN pd.n_bigrams > 0 THEN
-              round(-CAST(pd.s AS DOUBLE) /
+              round(-CAST(pd.s AS DOUBLE) / 1000000000.0 /
                 CAST(pd.n_bigrams AS DOUBLE), 6) END AS nll
           FROM (SELECT doc_id FROM documents WHERE $candWhere) d
           LEFT JOIN ${p}per_doc pd USING (doc_id))"""
@@ -5426,14 +5434,15 @@ object SparkEntry {
   /** DuckDB replay of [[graft.operators.Similarity.kMeans]]: seeds are
     * the k lowest-vec_id vectors, then `iters` chained Lloyd rounds —
     * each an argmin-assignment CTE (distance tie → lower cluster id)
-    * feeding a DECIMAL-exact per-(cluster, dim) mean CTE, empty clusters
+    * feeding a quantized-BIGINT per-(cluster, dim) mean CTE (the q176
+    * discipline: round(v·10⁶) summed order-free as BIGINT,
+    * floor-of-mean, published as m/10⁶ in DOUBLE), empty clusters
     * carried over by LEFT JOIN — and a final assignment pass. Distances
     * fold left-to-right (list_dot_product of the diff list with itself ==
     * Spark's aggregate/zip_with fold, the same IEEE add sequence as
-    * q33/q75), and centroid updates are CAST(sum(DECIMAL(30,12)) AS
-    * DOUBLE)/count — bit-identical to the Spark fit's BigDecimal math,
-    * so all `iters` rounds stay in lockstep and the final (cluster,
-    * dist2) assignment hash-matches.
+    * q33/q75) over bit-identical centroid doubles, so all `iters`
+    * rounds stay in lockstep and the final (cluster, dist2) assignment
+    * hash-matches.
     */
   /** DuckDB replay of [[graft.operators.Bpe.trainMerges]]: `vocab_0` is
     * the `[a-z]+` word-frequency vocabulary with each word in the padded
@@ -5839,8 +5848,8 @@ object SparkEntry {
       s"""${assign(s"assign_$i", s"cents_${i - 1}")},
           upd_$i AS (
             SELECT cluster, pos,
-              CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(*)
-                AS val
+              CAST(floor(CAST(sum(CAST(round(v * 1000000) AS BIGINT))
+                  AS DOUBLE) / count(*)) AS BIGINT) / 1000000.0 AS val
             FROM (SELECT a.cluster, unnest(a.emb) AS v,
                     generate_subscripts(a.emb, 1) AS pos
                   FROM assign_$i a)

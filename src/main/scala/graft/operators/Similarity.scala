@@ -1054,10 +1054,13 @@ object Similarity {
     * lowest-vec_id vectors by default (`seeding = "farthest"` opts into
     * [[farthestPointSeeds]]; `"parallel"` into the k-means||
     * [[parallelSeeds]] whose pass count is independent of k), distance
-    * ties assign to the lower cluster
-    * id, and centroid updates average via exact DECIMAL sums — so
-    * repeated (and resumed) runs produce identical clusterings, the
-    * property that makes a 100-TB clustering job retry-safe.
+    * ties assign to the lower cluster id, and centroid updates average
+    * in the 10⁻⁶-quantized-BIGINT discipline of
+    * [[quantizedLabelCentroids]] (order-free exact integer sums,
+    * floor-of-mean, published as m/10⁶) — so repeated (and resumed)
+    * runs produce identical clusterings, the property that makes a
+    * 100-TB clustering job retry-safe, and a cross-engine replay
+    * (q95's DuckDB oracle) stays in lockstep for every round.
     *
     * Scale shape: centroids are driver state (k × dim doubles, the same
     * bounded coarse-quantizer pattern as IVF); each iteration is ONE
@@ -1098,23 +1101,32 @@ object Similarity {
       var cents = seed
       val objectives = Seq.newBuilder[Double]
       (1 to iters).foreach { _ =>
+        // centroid update in the [[quantizedLabelCentroids]] discipline:
+        // components 10⁻⁶-quantized to LONG, summed order-free (exact
+        // 64-bit integer math — the codegen'd long sum is also much
+        // cheaper than the DECIMAL(30,12) fold it replaces), floored to
+        // the mean's grid, published as m/10⁶ in double. Every step is
+        // either exact or an IEEE-defined conversion of identical
+        // inputs, so DuckDB replays all `iters` rounds in lockstep
+        // without the float→DECIMAL ulp fragility of the decimal-avg
+        // form. The objective rides along as a 10⁻⁶-quantized long sum
+        // (monitoring output — quantization noise is ≤5·10⁻⁷ per row).
         val perDim = assignClusters(fitInput, cents)
           .select(col("cluster"), col("dist2"),
-            posexplode(toDouble(col("embedding"))).as(Seq("pos", "v")))
+            posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
           .groupBy("cluster", "pos")
           .agg(
-            sum(col("v").cast("decimal(30,12)")).as("s"),
-            count(lit(1)).as("n"),
-            sum(col("dist2").cast("decimal(30,12)")).as("sd"))
+            floor(sum(col("v")).cast("double") / count(lit(1)))
+              .cast("long").as("m"),
+            sum(round(col("dist2") * 1000000d).cast("long")).as("sd"))
           .collect()
         val next = cents.map(_.clone()) // empty cluster keeps its centroid
-        var obj = BigDecimal(0)
+        var obj = BigInt(0)
         perDim.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) =
-            r.getDecimal(2).doubleValue() / r.getLong(3)
-          obj += BigDecimal(r.getDecimal(4))
+          next(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / 1e6
+          obj += r.getLong(3)
         }
-        objectives += (obj / dim).toDouble
+        objectives += (BigDecimal(obj) / 1000000 / dim).toDouble
         cents = next
       }
       (cents, objectives.result())
@@ -1147,7 +1159,8 @@ object Similarity {
     * neighbor qualifies — the keep-lowest-id convention of
     * [[Dedup.exactDedup]]/[[Curation.containmentPrune]]), so the output
     * is a pure function of the fitted centroids, which are themselves
-    * partition-order independent (decimal sums in [[kMeansFit]]).
+    * partition-order independent (quantized integer sums in
+    * [[kMeansFit]]).
     *
     * Scale shape: one shuffle on `cluster`, then a per-cluster
     * self-join — quadratic only inside a cell, never across the corpus;

@@ -242,8 +242,9 @@ object TextAnalysis {
     * Plan shape = [[fluencyScores]] with the count tables built from
     * the REFERENCE and the joins LEFT (absent counts read as 0): one
     * explode per side, two keyed aggregates, two keyed joins, one
-    * rollup. V is one bounded driver count. Same DECIMAL(30,12)
-    * quantized-log determinism convention.
+    * rollup. V is one bounded driver count. Log terms follow the
+    * 10⁻⁹-quantized-BIGINT determinism convention (see
+    * [[scoreAgainstLm]]).
     */
   def crossPerplexity(refDocs: DataFrame, candidates: DataFrame,
       k: Double = 1.0): DataFrame = {
@@ -265,10 +266,20 @@ object TextAnalysis {
         "element_at(toks, i + 1) AS w2))")).as("s"))
     .select(col("doc_id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
 
-  /** The scoring tail shared by the inline and persisted-LM paths. */
+  /** The scoring tail shared by the inline and persisted-LM paths.
+    *
+    * Per-bigram log terms are 10⁻⁹-quantized to LONG and summed
+    * order-free — exact 64-bit integer math both engines replay
+    * identically, and a codegen'd long sum in place of the
+    * DECIMAL(30,12) fold it replaces (the same discipline as the
+    * k-means centroid update, on a finer grid: nll is a MEAN rounded
+    * at 6 dp, so per-term quantization noise must stay well under
+    * 10⁻⁶ after averaging — at 10⁻⁹ it is ≤ 5·10⁻¹⁰. Overflow bound:
+    * |ln·10⁹| ≤ ~3·10¹⁰ per bigram leaves headroom for ~3·10⁸ bigrams
+    * per document before a LONG sum could wrap).
+    */
   private def scoreAgainstLm(candidates: DataFrame, cnt: DataFrame,
       pref: DataFrame, v: Long, k: Double): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     require(k > 0, s"crossPerplexity: smoothing k must be > 0, got $k")
     val perDoc = bigramsOf(candidates)
       .join(cnt, Seq("w1", "w2"), "left_outer")
@@ -276,16 +287,16 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        sum(log(
+        sum(round(log(
           (coalesce(col("c"), lit(0L)).cast("double") + k) /
             (coalesce(col("p"), lit(0L)).cast("double") + k * v))
-          .cast(DecimalType(30, 12))).as("s"))
+          * 1000000000d).cast("long")).as("s"))
     candidates.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         when(col("n_bigrams") > 0,
-          round(-col("s").cast("double") /
+          round(-col("s").cast("double") / lit(1000000000d) /
             col("n_bigrams").cast("double"), 6)).as("nll"))
   }
 
