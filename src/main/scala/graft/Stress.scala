@@ -203,7 +203,7 @@ object Stress {
     // bucketed table. Committed (so the deltas chain) and therefore
     // ordered AFTER the uncommitted delta lines below, which must see
     // pristine v1 state.
-    lazy val stressFoldedCorpus: DataFrame = {
+    lazy val stressFoldedCorpusAndCrawl: (DataFrame, DataFrame) = {
       stressCorpusStateReady
       var cur = stressCorpusChunks
       var crawl = docs
@@ -216,8 +216,12 @@ object Stress {
             commit = true))
         crawl = next
       }
-      cur
+      (cur, crawl)
     }
+    lazy val stressFoldedCorpus: DataFrame = stressFoldedCorpusAndCrawl._1
+    // the crawl the state was last committed from — what the retrain
+    // family's corpusDocs contract requires
+    lazy val stressFinalCrawl: DataFrame = stressFoldedCorpusAndCrawl._2
     def chunkReader(chunks: DataFrame): DataFrame =
       chunks.groupBy("shard")
         .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
@@ -762,6 +766,24 @@ object Stress {
       time("corpusManaged10Read")(chunkReader(
         Pipeline.applyCorpusDeltas(stressFoldedCorpus,
           stressDeltaPieces))),
+      // the retrain loop's cost gap at 20×, on a state with a real
+      // committed-delta history (the three stressFoldedCorpus commits):
+      // retrainPressure is the cheap audit (one standing-text
+      // vocabulary pass + vocabulary-sized joins), retrainState the
+      // rebuild-priced migration it advises on — the audit exists so
+      // the retrain is paid rarely, and this pair records that gap as
+      // a number. retrainState runs LAST in the corpus-state family
+      // (it advances the generation; every other stress_corpus line is
+      // ordered before it).
+      {
+        if (want("retrainPressure") || want("retrainState")) {
+          stressFoldedCorpus; ()
+        }
+        time("retrainPressure")(Pipeline.retrainPressure(
+          stressFinalCrawl, "stress_corpus"))
+      },
+      timeAction("retrainState")(Pipeline.retrainState(
+        stressFinalCrawl, "stress_corpus").count()),
       // hub-skew graph family (see hubEdges): the oriented operator vs
       // the naive wedge shape on the same 30k-degree-hub graph, plus
       // LPA whose per-round cost is edge-linear regardless of skew.

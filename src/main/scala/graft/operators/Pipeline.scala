@@ -119,7 +119,9 @@ object Pipeline {
   // and which generation a delta encodes into is decided by the spec,
   // atomically with the max_bin it packs against. Content state
   // (snapshot/standing/neardup) is generation-independent: retraining
-  // re-derives DECISIONS, not documents.
+  // re-derives DECISIONS, not documents. Superseded generations are
+  // reclaimed by [[dropGeneration]] (oldest-first, export-guarded);
+  // the spec's min_generation records the retained window's lower edge.
   private def genSuffix(gen: Int) = if (gen <= 1) "" else s"_g$gen"
 
   /** The spec's live generation, defaulting to 1 for a state family
@@ -132,6 +134,17 @@ object Pipeline {
   private def specGeneration(spec: org.apache.spark.sql.Row): Int =
     if (spec.schema.fieldNames.contains("generation"))
       spec.getAs[Int]("generation")
+    else 1
+
+  /** The oldest RETAINED generation — the other edge of the live
+    * window [[specGeneration]] closes: generations below this were
+    * reclaimed by [[dropGeneration]] and their trained tables no
+    * longer exist. Defaults to 1 for specs written before retention
+    * existed (same upgrade posture as [[specGeneration]]).
+    */
+  private def specMinGeneration(spec: org.apache.spark.sql.Row): Int =
+    if (spec.schema.fieldNames.contains("min_generation"))
+      spec.getAs[Int]("min_generation")
     else 1
   private def mixTable(p: String, gen: Int = 1) =
     s"${p}_mix${genSuffix(gen)}"
@@ -148,14 +161,14 @@ object Pipeline {
   private def writeSpec(spark: SparkSession, p: String,
       mixBudgetTokens: Long, chunkTokens: Int, packTokens: Long,
       numMerges: Int, nShards: Int, neardupThreshold: Double,
-      maxBin: Long, generation: Int): Unit = {
+      maxBin: Long, generation: Int, minGeneration: Int = 1): Unit = {
     import spark.implicits._
     graft.sources.IndexSpec.write(
       Seq((mixBudgetTokens, chunkTokens, packTokens, numMerges, nShards,
-        neardupThreshold, maxBin, generation))
+        neardupThreshold, maxBin, generation, minGeneration))
         .toDF("mix_budget_tokens", "chunk_tokens", "pack_tokens",
           "num_merges", "n_shards", "neardup_threshold", "max_bin",
-          "generation"),
+          "generation", "min_generation"),
       p)
   }
 
@@ -838,7 +851,7 @@ object Pipeline {
         .map(_.asInstanceOf[Long]).getOrElse(binBase - 1L)
       writeSpec(spark, statePrefix, spec.getAs[Long]("mix_budget_tokens"),
         chunkTokens, packTokens, spec.getAs[Int]("num_merges"), nShards,
-        threshold, newMaxBin, generation)
+        threshold, newMaxBin, generation, specMinGeneration(spec))
     }
     out
   }
@@ -1030,9 +1043,147 @@ object Pipeline {
       val maxBin = Option(out.agg(max("bin_id")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(-1L)
       writeSpec(spark, statePrefix, budget, chunkTokens, packTokens,
-        numMerges, nShards, threshold, maxBin, gen2)
+        numMerges, nShards, threshold, maxBin, gen2,
+        specMinGeneration(spec))
       out
     } finally standingDocs.unpersist()
+  }
+
+  /** Reclaim a SUPERSEDED trained-state generation — the retention
+    * endgame of [[retrainState]]'s migration discipline. Each retrain
+    * deliberately leaves the old generation's mix/merges/vocab tables
+    * in place (shards exported under old token ids must stay decodable),
+    * so a long-lived corpus accretes ~3 catalog tables per retrain
+    * without bound; this is the fold/vacuum closing that growth path,
+    * like every other one in the family.
+    *
+    * The live window is recorded IN THE SPEC: `[min_generation,
+    * generation]`. Drops advance the lower edge and must therefore go
+    * OLDEST-FIRST (`gen == min_generation`) — an out-of-order drop
+    * would punch a hole the one-column record cannot represent, and
+    * retention policies are oldest-out anyway. A `gen` below the
+    * window is a completed drop and a NO-OP (idempotent re-run); the
+    * live generation and anything above is refused loudly.
+    *
+    * Export-reference guard: an encoded-corpus artifact
+    * ([[Bpe.buildEncodedTable]]) pins its tokenizer by merges-table
+    * name + digest in its own spec. This refuses to drop while any
+    * `__spec` table in the catalog still references the generation's
+    * merges table — dropping it would turn every future
+    * [[Bpe.readEncodedTable]] of that artifact into a missing-table
+    * error with no recovery path (the ids cannot be re-derived without
+    * the merges). The guard sees only SPEC-CARRYING catalog artifacts:
+    * shards exported as loose files (e.g. [[Bpe.packedSequences]]
+    * output written to a path) are the CALLER's retention
+    * responsibility, exactly like checkpointDir GC in [[corpusDelta]] —
+    * drop a generation only once no live export depends on it. Cost:
+    * a driver loop over catalog names reading one-row specs, plus
+    * three DROPs — a maintenance operation, run beside compaction.
+    *
+    * Crash-ordered: tables drop first, the spec's `min_generation`
+    * advance commits last. A crash between leaves the window claiming
+    * a generation whose tables are gone — reads of it fail loudly on
+    * the missing table (never silently decode with the wrong vocab),
+    * and re-running the drop heals the record.
+    */
+  def dropGeneration(spark: SparkSession, statePrefix: String,
+      gen: Int): Unit = {
+    val spec = graft.sources.IndexSpec.readRequired(spark, statePrefix)
+    val live = specGeneration(spec)
+    val minGen = specMinGeneration(spec)
+    require(gen < live,
+      s"dropGeneration: generation $gen is ${if (gen == live) "the LIVE"
+        else "beyond the live"} generation of $statePrefix (live = " +
+        s"$live) — only superseded generations can be reclaimed")
+    if (gen < minGen) return // already dropped; idempotent
+    require(gen == minGen,
+      s"dropGeneration: generation $gen is not the oldest retained " +
+        s"generation of $statePrefix (min_generation = $minGen) — " +
+        "drop oldest-first so the spec's live window stays exact")
+    val mt = mergesTable(statePrefix, gen)
+    val refs = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.endsWith("__spec"))
+      .filter { st =>
+        val df = spark.table(st)
+        df.columns.contains("merges_table") &&
+          df.select("merges_table").head().getString(0) == mt
+      }
+    require(refs.isEmpty,
+      s"dropGeneration: generation $gen of $statePrefix is still " +
+        s"referenced by encoded-corpus export(s) ${refs.map(
+          _.stripSuffix("__spec")).mkString(", ")} — their token ids " +
+        "are decodable only against this generation's merges table; " +
+        "drop or re-encode the exports first")
+    Seq(mixTable(statePrefix, gen), mergesTable(statePrefix, gen),
+      vocabTable(statePrefix, gen)).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    writeSpec(spark, statePrefix, spec.getAs[Long]("mix_budget_tokens"),
+      spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
+      spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
+      spec.getAs[Double]("neardup_threshold"),
+      spec.getAs[Long]("max_bin"), live, gen + 1)
+  }
+
+  /** Vacuum every persisted index a corpus deployment maintains beside
+    * its state family, deriving each keep-set from the STANDING corpus
+    * — the policy wiring for the per-family vacuums
+    * ([[Dedup.compactFingerprintIndex]]/[[Dedup.compactSimhashIndex]]/
+    * [[Dedup.compactWinnowIndex]]/[[Similarity.compactIvfIndex]]),
+    * which are otherwise caller-invoked one-offs that each need their
+    * keep-set hand-built. Run beside [[compactCorpus]] on the same
+    * maintenance cadence: deltas only ever APPEND to the indexes, so
+    * probe cost drifts upward with departed-doc garbage until this
+    * reclaims it.
+    *
+    * Keep-set derivations (no text rescan — state tables only):
+    *   - band index (always): the standing doc_id set — the vacuum
+    *     [[compactCorpus]] also runs; included here so a deployment
+    *     that never compacts its chunk table still reclaims the probe
+    *     index.
+    *   - fingerprint index: standing ⋉ snapshot fps — the snapshot
+    *     holds the last RAW crawl's (doc_id, fp) including docs that
+    *     were never admitted, so it is cut to standing first (the
+    *     derivation the [[Dedup.compactFingerprintIndex]] scaladoc
+    *     documents). Both sides are doc_id-bucketed: the semi-join is
+    *     exchange-free.
+    *   - simhash / winnow indexes: the standing doc_id set directly
+    *     (both are keyed by the corpus doc_id).
+    *   - semantic (IVF) index: standing doc_ids AS vec_ids — valid
+    *     under the pipeline convention that the embedding store keys a
+    *     document's vector by its doc_id (the [[Similarity
+    *     .probeSemanticIndex]] dedup-tier pairing). A deployment with
+    *     an independent vector id space must vacuum with its own
+    *     mapping instead.
+    *
+    * Each vacuum is the crash-ordered swap + self-heal of its family
+    * ([[Dedup.swapIndexTable]]); this sequences them, so a crash
+    * mid-policy leaves some indexes vacuumed and the rest intact —
+    * re-run to finish (every leg is idempotent). Bloom tiers are
+    * rebuild-only by construction and deliberately NOT here (see
+    * [[Dedup.buildBloomIndex]] — rebuild after the fp vacuum so the
+    * filter sizes to the live set).
+    */
+  def vacuumIndexes(spark: SparkSession, statePrefix: String,
+      fingerprintIndex: Option[String] = None,
+      simhashIndex: Option[String] = None,
+      winnowIndex: Option[String] = None,
+      semanticIndex: Option[String] = None): Unit = {
+    val keepDocs = spark.table(standingTable(statePrefix))
+      .select("doc_id")
+    Dedup.compactNearDupIndex(spark, neardupTable(statePrefix), keepDocs)
+    fingerprintIndex.foreach { t =>
+      val keepFps = spark.table(snapshotTable(statePrefix))
+        .join(keepDocs, Seq("doc_id"), "left_semi")
+        .select("fp")
+      Dedup.compactFingerprintIndex(spark, t, keepFps)
+    }
+    simhashIndex.foreach(t =>
+      Dedup.compactSimhashIndex(spark, t, keepDocs))
+    winnowIndex.foreach(t =>
+      Dedup.compactWinnowIndex(spark, t, keepDocs))
+    semanticIndex.foreach(t =>
+      Similarity.compactIvfIndex(spark, t,
+        keepDocs.select(col("doc_id").as("vec_id"))))
   }
 
   /** The state advance of a committed delta (see [[corpusDelta]]).
@@ -1084,7 +1235,7 @@ object Pipeline {
     val old = graft.sources.IndexSpec.readRequired(spark, statePrefix)
     writeSpec(spark, statePrefix, old.getAs[Long]("mix_budget_tokens"),
       chunkTokens, packTokens, old.getAs[Int]("num_merges"), nShards,
-      threshold, newMaxBin, generation)
+      threshold, newMaxBin, generation, specMinGeneration(old))
   }
 
   /** Fold a [[corpusDelta]] changeset into a chunk relation: drop every
@@ -1158,7 +1309,7 @@ object Pipeline {
       spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
       spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
       spec.getAs[Double]("neardup_threshold"), maxBin,
-      specGeneration(spec))
+      specGeneration(spec), specMinGeneration(spec))
     out
   }
 
@@ -1360,7 +1511,7 @@ object Pipeline {
         spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
         spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
         spec.getAs[Double]("neardup_threshold"), maxBin,
-        specGeneration(spec))
+        specGeneration(spec), specMinGeneration(spec))
       // cleanup: superseded base + folded log entries (readers already
       // filter them out by epoch, so this is reclamation, not safety)
       spark.sql(s"DROP TABLE IF EXISTS ${chunksBase(statePrefix, epoch)}")

@@ -644,6 +644,122 @@ class PipelineSpec extends SparkSpec {
     "LeftAnti".r.findAllMatchIn(pv).size shouldBe 1
   }
 
+  test("dropGeneration: oldest-first reclaim, export-guarded, idempotent, live window exact") {
+    val spark = SparkSpec.spark
+    val p = s"pipe_gen_${System.nanoTime()}"
+    val docs = tables.documents.filter(col("doc_id") < 300)
+      .localCheckpoint(true)
+    Pipeline.corpusBuildWithState(docs, p, mixBudgetTokens = 100000000L)
+    // two retrains: generations 1, 2, 3 all retained
+    Pipeline.retrainState(docs, p).count()
+    Pipeline.retrainState(docs, p).count()
+    val spec0 = graft.sources.IndexSpec.readRequired(spark, p)
+    spec0.getAs[Int]("generation") shouldBe 3
+    spec0.getAs[Int]("min_generation") shouldBe 1
+
+    // the live generation (and beyond) is refused; so is an
+    // out-of-order drop (2 while 1 is still retained)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.dropGeneration(spark, p, 3)
+    an[IllegalArgumentException] should be thrownBy
+      Pipeline.dropGeneration(spark, p, 2)
+
+    // export guard: an encoded corpus pinned to gen-1 merges blocks
+    // the drop — its token ids are decodable only against that table
+    graft.operators.Bpe.buildEncodedTable(docs, s"${p}_merges",
+      s"${p}_export1")
+    val ex = the[IllegalArgumentException] thrownBy
+      Pipeline.dropGeneration(spark, p, 1)
+    ex.getMessage should include(s"${p}_export1")
+    spark.catalog.tableExists(s"${p}_merges") shouldBe true
+
+    // retire the export; the drop proceeds and takes EXACTLY gen 1
+    Seq(s"${p}_export1", s"${p}_export1__spec")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+    Pipeline.dropGeneration(spark, p, 1)
+    Seq(s"${p}_mix", s"${p}_merges", s"${p}_vocab").foreach(t =>
+      withClue(t) { spark.catalog.tableExists(t) shouldBe false })
+    Seq(s"${p}_mix_g2", s"${p}_merges_g2", s"${p}_vocab_g2",
+        s"${p}_mix_g3", s"${p}_merges_g3", s"${p}_vocab_g3").foreach(t =>
+      withClue(t) { spark.catalog.tableExists(t) shouldBe true })
+    val spec1 = graft.sources.IndexSpec.readRequired(spark, p)
+    spec1.getAs[Int]("generation") shouldBe 3
+    spec1.getAs[Int]("min_generation") shouldBe 2
+
+    // reads of a dropped generation fail loudly, never silently decode
+    an[Exception] should be thrownBy
+      graft.operators.Bpe.loadMerges(spark, s"${p}_merges")
+    // idempotent: re-dropping a reclaimed generation is a no-op
+    Pipeline.dropGeneration(spark, p, 1)
+    // and the window keeps advancing in order
+    Pipeline.dropGeneration(spark, p, 2)
+    graft.sources.IndexSpec.readRequired(spark, p)
+      .getAs[Int]("min_generation") shouldBe 3
+    spark.catalog.tableExists(s"${p}_merges_g2") shouldBe false
+    // the live generation still serves: an unchanged crawl deltas empty
+    Pipeline.corpusDelta(docs, docs, p).count() shouldBe 0L
+  }
+
+  test("vacuumIndexes: one policy call reclaims every index family to the live set") {
+    val spark = SparkSpec.spark
+    import graft.operators.{Dedup, Similarity}
+    val p = s"pipe_vac_${System.nanoTime()}"
+    val v1 = tables.documents.filter(col("doc_id") < 400)
+      .localCheckpoint(true)
+    Pipeline.corpusBuildWithState(v1, p, mixBudgetTokens = 100000000L)
+    // the companion indexes a deployment maintains beside the state
+    Dedup.buildFingerprintIndex(v1, s"${p}_fpidx")
+    Dedup.buildSimhashIndex(v1, s"${p}_shidx")
+    Dedup.buildWinnowIndex(v1, s"${p}_wnidx")
+    val embs = tables.embeddings.filter(col("vec_id") < 400)
+      .select("vec_id", "embedding", "label")
+    Similarity.buildIvfIndex(embs, s"${p}_ivf", s"${p}_ivf_cents")
+    // a committed delta tombstones a third of the corpus — the indexes
+    // keep the departed docs' entries (append-only) until the policy runs
+    val v2 = v1.filter(col("doc_id") % 3 =!= 0).localCheckpoint(true)
+    Pipeline.corpusDelta(v2, v1, p, commit = true).count()
+    val standing = spark.table(s"${p}_standing").select("doc_id")
+      .localCheckpoint(true)
+
+    Pipeline.vacuumIndexes(spark, p,
+      fingerprintIndex = Some(s"${p}_fpidx"),
+      simhashIndex = Some(s"${p}_shidx"),
+      winnowIndex = Some(s"${p}_wnidx"),
+      semanticIndex = Some(s"${p}_ivf"))
+
+    // every family equals a fresh build over the LIVE corpus
+    val liveDocs = v2.join(standing, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    Dedup.buildFingerprintIndex(liveDocs, s"${p}_fpidx_ref")
+    rowSet(spark.table(s"${p}_fpidx")) shouldBe
+      rowSet(spark.table(s"${p}_fpidx_ref"))
+    Dedup.buildSimhashIndex(liveDocs, s"${p}_shidx_ref")
+    rowSet(spark.table(s"${p}_shidx")) shouldBe
+      rowSet(spark.table(s"${p}_shidx_ref"))
+    Dedup.buildWinnowIndex(liveDocs, s"${p}_wnidx_ref")
+    rowSet(spark.table(s"${p}_wnidx")) shouldBe
+      rowSet(spark.table(s"${p}_wnidx_ref"))
+    // band index: the standing docs' band rows exactly (the build's
+    // LSH geometry — ngram 3, k 64, bands 32)
+    rowSet(spark.table(s"${p}_neardup")) shouldBe
+      rowSet(Dedup.bandBucketTable(liveDocs, ngram = 3, k = 64,
+        bands = 32))
+    // semantic: re-append of the kept vectors under the FROZEN quantizer
+    // (doc_id-as-vec_id — the pipeline's embedding-store convention)
+    Similarity.ensureIvfIndex(spark, s"${p}_ivf_ref")
+    Similarity.appendIvfVectors(spark,
+      embs.join(standing.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      s"${p}_ivf_ref", s"${p}_ivf_cents")
+    rowSet(spark.table(s"${p}_ivf")) shouldBe
+      rowSet(spark.table(s"${p}_ivf_ref"))
+    // re-entrant: a second policy run changes nothing
+    val again = rowSet(spark.table(s"${p}_fpidx"))
+    Pipeline.vacuumIndexes(spark, p,
+      fingerprintIndex = Some(s"${p}_fpidx"))
+    rowSet(spark.table(s"${p}_fpidx")) shouldBe again
+  }
+
   test("corpus-sized intermediates are released on the failure path") {
     // negative doc_ids trip the ckey packing-bound raise_error when the
     // chunk relation first materializes (packSized's eager partition
