@@ -3411,14 +3411,14 @@ object SparkEntry {
                    FROM cnt GROUP BY w1),
           per_doc AS (
             SELECT bg.doc_id, count(*) AS n_bigrams,
-              sum(CAST(ln(CAST(cnt.c AS DOUBLE) / CAST(pref.p AS DOUBLE))
-                AS DECIMAL(30,12))) AS s
+              sum(CAST(round(ln(CAST(cnt.c AS DOUBLE)
+                / CAST(pref.p AS DOUBLE)) * 1000000000) AS BIGINT)) AS s
             FROM bg JOIN cnt USING (w1, w2) JOIN pref USING (w1)
             GROUP BY bg.doc_id)
           SELECT d.doc_id,
             coalesce(p.n_bigrams, 0) AS n_bigrams,
             CASE WHEN p.n_bigrams > 0 THEN
-              round(CAST(p.s AS DOUBLE) /
+              round(CAST(p.s AS DOUBLE) / 1000000000.0 /
                 CAST(p.n_bigrams AS DOUBLE), 6) END AS fluency
           FROM documents d LEFT JOIN per_doc p USING (doc_id)
           ORDER BY d.doc_id""",
@@ -4845,8 +4845,8 @@ object SparkEntry {
            FROM dots),
          stats AS (
            SELECT cell, count(*) AS n_vecs,
-             round(CAST(sum(CAST(cos AS DECIMAL(20,10))) AS DOUBLE)
-               / count(*), 6) AS mean_cos,
+             round(CAST(sum(CAST(round(cos * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_cos,
              min(cos) AS min_cos
            FROM wc GROUP BY 1),
          mvd AS (
@@ -5090,10 +5090,12 @@ object SparkEntry {
   /** DuckDB replay of [[graft.operators.Classifier.qualityClassifier]]:
     * the q23 feature expressions (4-dp rounded, null-coalesced, capped
     * into [0,1]), then one gradient-aggregate + weight-update CTE pair
-    * per GD round — per-row gradient contributions quantized to
-    * DECIMAL(20,8) and summed exactly, margins spelled strictly
-    * left-to-right, lr fixed at 1.0 (the Spark side's `lr * g` is then
-    * bit-exact `g`). `f` and each weight row are MATERIALIZED (each is
+    * per GD round — per-row gradient contributions 10⁻⁶-quantized to
+    * BIGINT and summed exactly (the q176 discipline; terms are bounded
+    * by 1 so the integer sum has ~9·10¹² rows of headroom), margins
+    * spelled strictly left-to-right, lr fixed at 1.0 (the Spark side's
+    * `lr * g` is then bit-exact `g`). `f` and each weight row are
+    * MATERIALIZED (each is
     * referenced twice per round — inlining would re-expand the whole
     * prior chain, the HITS-oracle lesson).
     */
@@ -5102,11 +5104,11 @@ object SparkEntry {
       "((((b + x_stop * w1) + x_upper * w2) + x_len * w3) + x_tlen * w4)"
     val rounds = (1 to iters).map { i =>
       s"""g$i AS (
-            SELECT sum(CAST(r AS DECIMAL(20,8))) AS g0,
-              sum(CAST(r * x_stop AS DECIMAL(20,8))) AS g1,
-              sum(CAST(r * x_upper AS DECIMAL(20,8))) AS g2,
-              sum(CAST(r * x_len AS DECIMAL(20,8))) AS g3,
-              sum(CAST(r * x_tlen AS DECIMAL(20,8))) AS g4,
+            SELECT sum(CAST(round(r * 1000000) AS BIGINT)) AS g0,
+              sum(CAST(round(r * x_stop * 1000000) AS BIGINT)) AS g1,
+              sum(CAST(round(r * x_upper * 1000000) AS BIGINT)) AS g2,
+              sum(CAST(round(r * x_len * 1000000) AS BIGINT)) AS g3,
+              sum(CAST(round(r * x_tlen * 1000000) AS BIGINT)) AS g4,
               count(*) AS n
             FROM (
               SELECT (1.0 / (1.0 + exp(-$margin)))
@@ -5114,11 +5116,11 @@ object SparkEntry {
                 x_stop, x_upper, x_len, x_tlen
               FROM f CROSS JOIN w${i - 1})),
           w$i AS MATERIALIZED (
-            SELECT b - CAST(g0 AS DOUBLE) / n AS b,
-              w1 - CAST(g1 AS DOUBLE) / n AS w1,
-              w2 - CAST(g2 AS DOUBLE) / n AS w2,
-              w3 - CAST(g3 AS DOUBLE) / n AS w3,
-              w4 - CAST(g4 AS DOUBLE) / n AS w4
+            SELECT b - CAST(g0 AS DOUBLE) / 1000000.0 / n AS b,
+              w1 - CAST(g1 AS DOUBLE) / 1000000.0 / n AS w1,
+              w2 - CAST(g2 AS DOUBLE) / 1000000.0 / n AS w2,
+              w3 - CAST(g3 AS DOUBLE) / 1000000.0 / n AS w3,
+              w4 - CAST(g4 AS DOUBLE) / 1000000.0 / n AS w4
             FROM g$i CROSS JOIN w${i - 1})"""
     }.mkString(",\n")
     s"""WITH f AS MATERIALIZED (

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *   - features arrive 4-dp rounded (the [[TextAnalysis.qualityFeatures]]
   *     convention), so the model inputs are exact decimals in disguise;
   *   - each round's gradient components are quantized per row to
-  *     DECIMAL(20,8) and summed EXACTLY — partition-order independent,
-  *     and coarse enough (1e-8 grid vs ~1e-16 libm noise in exp) that a
-  *     platform's last-ulp sigmoid difference cannot flip a rounding;
-  *   - the weight update w ← w − lr·(Σg)/n happens on the driver in
-  *     double, from those exact sums — bounded state, one row per round;
+  *     10⁻⁶-unit LONGs and summed EXACTLY (order-free integer math —
+  *     the kMeansFit/scoreAgainstLm convention), coarse enough that a
+  *     platform's last-ulp sigmoid difference cannot flip a rounding
+  *     (1e-6 grid vs ~1e-16 libm noise in exp);
+  *   - the weight update w ← w − lr·(Σg/10⁶)/n happens on the driver
+  *     in double, from those exact sums — bounded state, one row per
+  *     round;
   *   - the margin is evaluated strictly left-to-right
   *     (((b + x₁w₁) + x₂w₂) + …), matching the SQL spelling.
   *
@@ -59,14 +61,22 @@ object Classifier {
       var w: Seq[Double] = Seq.fill(featureCols.size + 1)(0.0)
       (1 to iters).foreach { _ =>
         val r = sigmoid(margin(w, featureCols.map(col))) - col("__y")
+        // gradient terms 10⁻⁶-quantized to LONG and summed order-free
+        // (the kMeansFit/scoreAgainstLm discipline — exact 64-bit
+        // integer math both engines replay, and a codegen'd long sum
+        // in place of the DECIMAL(20,8) fold). Terms are bounded by 1
+        // (features capped [0,1], |residual| ≤ 1), so the sum holds
+        // ~9·10¹² rows of headroom at this grid; 10⁻⁶ gradient noise
+        // against 4-dp features and lr 1.0 is far below anything the
+        // 6-dp score rounding can see.
         val gs = (r +: featureCols.map(c => r * col(c))).zipWithIndex.map {
-          case (g, i) => sum(g.cast("decimal(20,8)")).as(s"g$i")
+          case (g, i) => sum(round(g * 1000000d).cast("long")).as(s"g$i")
         }
         val row = fit.agg(gs.head, (gs.tail :+ count(lit(1)).as("n")): _*)
           .head()
         val n = row.getLong(w.size).toDouble
         w = w.zipWithIndex.map { case (wi, i) =>
-          wi - lr * row.getDecimal(i).doubleValue() / n
+          wi - lr * (row.getLong(i).toDouble / 1e6) / n
         }
       }
       w

@@ -624,10 +624,14 @@ object Similarity {
       .select(col("cell"), quantize(col("embedding")).as("vq"))
     val withCos = iq.join(broadcast(cq), "cell")
       .select(col("cell"), icos(col("vq"), col("cvq")).as("cos"))
+    // cos is already 6-dp-rounded, so the 10⁻⁶-LONG quantization is
+    // LOSSLESS — the integer sum replaces the DECIMAL(20,10) fold with
+    // bit-identical results and ~9·10¹² rows/cell of headroom
     val cosStats = withCos.groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("cos").cast("decimal(20,10)")).cast("double") /
-          count(lit(1)), 6).as("mean_cos"),
+        round(sum(round(col("cos") * 1000000d).cast("long"))
+          .cast("double") / lit(1000000d) / count(lit(1)), 6)
+          .as("mean_cos"),
         min("cos").as("min_cos"))
     // per-dimension exact integer sums (≤2^53 at any realistic cell),
     // floored to the mean's quantization grid so norms stay in LONG

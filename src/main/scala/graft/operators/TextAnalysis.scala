@@ -225,7 +225,7 @@ object TextAnalysis {
     * Plan: one bigram explode (bag semantics — every occurrence scores),
     * one bigram-count aggregate, a prefix-marginal re-aggregation OF
     * that count table, two keyed joins back, one per-doc rollup.
-    * Per-occurrence log terms quantized to DECIMAL(30,12), summed
+    * Per-occurrence log terms quantized to 10⁻⁹-unit LONGs, summed
     * exactly — the usual determinism convention.
     */
   /** CCNet-style reference-LM scoring: train an add-k-smoothed bigram
@@ -409,7 +409,6 @@ object TextAnalysis {
   }
 
   def fluencyScores(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val base = Dedup.spread(documents)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val bg = base.filter(size(col("toks")) >= 2)
@@ -420,20 +419,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
     val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val pref = cnt.groupBy("w1").agg(sum("c").as("p"))
+    // per-occurrence log terms in the 10⁻⁹-quantized-LONG convention
+    // (see [[scoreAgainstLm]] — same grid, same overflow headroom)
     val perDoc = bg
       .join(cnt, Seq("w1", "w2"))
       .join(pref, "w1")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        sum(log(col("c").cast("double") / col("p").cast("double"))
-          .cast(DecimalType(30, 12))).as("s"))
+        sum(round(log(col("c").cast("double") / col("p").cast("double"))
+          * 1000000000d).cast("long")).as("s"))
     documents.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         when(col("n_bigrams") > 0,
-          round(col("s").cast("double") /
+          round(col("s").cast("double") / lit(1000000000d) /
             col("n_bigrams").cast("double"), 6)).as("fluency"))
   }
 
