@@ -691,7 +691,10 @@ class PipelineSpec extends SparkSpec {
       graft.operators.Bpe.loadMerges(spark, s"${p}_merges")
     // idempotent: re-dropping a reclaimed generation is a no-op
     Pipeline.dropGeneration(spark, p, 1)
-    // and the window keeps advancing in order
+    // crash window: tables dropped but the spec advance lost — the
+    // re-run heals the record (DROP IF EXISTS no-ops, spec commits)
+    Seq(s"${p}_mix_g2", s"${p}_merges_g2", s"${p}_vocab_g2")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
     Pipeline.dropGeneration(spark, p, 2)
     graft.sources.IndexSpec.readRequired(spark, p)
       .getAs[Int]("min_generation") shouldBe 3
