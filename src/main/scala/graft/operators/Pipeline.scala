@@ -1105,8 +1105,11 @@ object Pipeline {
       .filter(_.endsWith("__spec"))
       .filter { st =>
         val df = spark.table(st)
+        // collect-exists, not head: a zero-row spec (a crashed half-
+        // write) is "no reference", not an exception in the guard
         df.columns.contains("merges_table") &&
-          df.select("merges_table").head().getString(0) == mt
+          df.select("merges_table").collect()
+            .exists(r => !r.isNullAt(0) && r.getString(0) == mt)
       }
     require(refs.isEmpty,
       s"dropGeneration: generation $gen of $statePrefix is still " +
