@@ -59,7 +59,8 @@ object SparkEntry {
     "q142_semantic_probe", "q144_pack_bpe", "q146_packed_export",
     "q147_chunk_encoded", "q149_classifier_store", "q150_lm_store",
     "q156_quantile_store", "q162_winnow_probe",
-    "q174_retrain_pressure", "q175_corpus_retrain")
+    "q174_retrain_pressure", "q175_corpus_retrain",
+    "q178_vacuum_policy")
 
   private def annQueries(t: Tables): DataFrame =
     t.embeddings.filter(col("vec_id") < 5)
@@ -1734,6 +1735,38 @@ object SparkEntry {
         TextAnalysis.fingerprints(docs.filter(col("doc_id") % 3 =!= 0))
           .select("fp"))
       s.table(idx).orderBy("fp")
+    }),
+
+    // ---- the index-vacuum POLICY gated end to end: a state family
+    // built over the v1 crawl plus companion fp/simhash indexes, ONE
+    // committed crawlV2 delta (tombstones + survivors), then a single
+    // [[Pipeline.vacuumIndexes]] call that derives every keep-set from
+    // the STANDING state and runs each family's crash-ordered swap —
+    // the q177 one-offs wired to the maintenance cadence, composed
+    // with a real commit. The oracle replays the fp leg exactly: the
+    // v1 index's distinct fp set semi-joined to the committed standing
+    // corpus's fingerprints (committedStateCtes' standingdocs — the
+    // same relation the policy's snapshot⋉standing cut produces; note
+    // crawlV2 re-adds removed docs' TEXT under shifted ids, so a
+    // re-added twin legitimately keeps its v1 fp alive — the semi-join
+    // form is exact where a stnow-only replay would not be). The
+    // simhash and band legs run in the same call; their fresh-build
+    // equivalences are PipelineSpec-gated. Own state prefix (the build
+    // + commit advance it — q170's placement must not move); a re-run
+    // re-vacuums idempotently and reads identical rows.
+    "q178_vacuum_policy" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val p = s"graft_vacpol_${dirTag(d)}"
+      if (!s.catalog.tableExists(graft.sources.IndexSpec.specTable(p))) {
+        Pipeline.corpusBuildWithState(docs, p)
+        Dedup.buildFingerprintIndex(docs, s"${p}_fpidx")
+        Dedup.buildSimhashIndex(docs, s"${p}_shidx")
+        Pipeline.corpusDelta(crawlV2(docs), docs, p, commit = true)
+      }
+      Pipeline.vacuumIndexes(s, p,
+        fingerprintIndex = Some(s"${p}_fpidx"),
+        simhashIndex = Some(s"${p}_shidx"))
+      s.table(s"${p}_fpidx").orderBy("fp")
     })
   )
 
@@ -4875,6 +4908,21 @@ object SparkEntry {
     "q177_fp_index_vacuum" ->
       s"""SELECT DISTINCT $Fp AS fp FROM documents
           WHERE doc_id % 3 <> 0
+          ORDER BY fp""",
+
+    // vacuum-policy replay: the v1 fp index's distinct hash set cut to
+    // the COMMITTED standing corpus's fingerprints — exactly the
+    // semi-join the policy's fp leg runs against the snapshot. The
+    // standing set is the full committed-delta replay
+    // (committedStateCtes), so this oracle prices the whole
+    // build → commit → policy-vacuum composition, not just the swap.
+    "q178_vacuum_policy" ->
+      s"""WITH RECURSIVE
+          $committedStateCtes,
+          v1fp AS (SELECT DISTINCT $Fp AS fp FROM documents),
+          stfp AS (SELECT DISTINCT $Fp AS fp FROM standingdocs)
+          SELECT fp FROM v1fp
+          WHERE EXISTS (SELECT 1 FROM stfp WHERE stfp.fp = v1fp.fp)
           ORDER BY fp"""
   )
 
