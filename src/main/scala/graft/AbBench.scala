@@ -92,16 +92,46 @@ object AbBench {
       .agg(count(lit(1)).as("n"),
         sum(round(col("term") * 1000000000d).cast("long")).as("s"))
 
+    // ---- classifier-shaped input: 5 bounded gradient terms per row,
+    // one global group (the logisticFit round shape), cached ----
+    val cin = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        (hash(col("doc_id")).cast("double") / 2147483647d).as("r"),
+        (abs(hash(col("text"))).cast("double") % 1000d / 1000d).as("x1"),
+        (abs(hash(col("lang"))).cast("double") % 1000d / 1000d).as("x2"),
+        (abs(hash(col("source"))).cast("double") % 1000d / 1000d).as("x3"),
+        ((col("n_chars") % 100).cast("double") / 100d).as("x4"))
+      .persist()
+    cin.count()
+
+    def gdDec(): DataFrame = cin.agg(
+      sum(col("r").cast("decimal(20,8)")).as("g0"),
+      sum((col("r") * col("x1")).cast("decimal(20,8)")).as("g1"),
+      sum((col("r") * col("x2")).cast("decimal(20,8)")).as("g2"),
+      sum((col("r") * col("x3")).cast("decimal(20,8)")).as("g3"),
+      sum((col("r") * col("x4")).cast("decimal(20,8)")).as("g4"),
+      count(lit(1)).as("n"))
+
+    def gdLng(): DataFrame = cin.agg(
+      sum(round(col("r") * 1000000d).cast("long")).as("g0"),
+      sum(round(col("r") * col("x1") * 1000000d).cast("long")).as("g1"),
+      sum(round(col("r") * col("x2") * 1000000d).cast("long")).as("g2"),
+      sum(round(col("r") * col("x3") * 1000000d).cast("long")).as("g3"),
+      sum(round(col("r") * col("x4") * 1000000d).cast("long")).as("g4"),
+      count(lit(1)).as("n"))
+
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       f().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // one untimed warmup per arm (codegen compile), then interleaved reps
-    Seq(kmeansDec _, kmeansLng _, lmDec _, lmLng _).foreach(f => time(f))
+    Seq(kmeansDec _, kmeansLng _, lmDec _, lmLng _, gdDec _, gdLng _)
+      .foreach(f => time(f))
     val arms = Seq("kmeans_decimal" -> kmeansDec _,
       "kmeans_long" -> kmeansLng _,
-      "lm_decimal" -> lmDec _, "lm_long" -> lmLng _)
+      "lm_decimal" -> lmDec _, "lm_long" -> lmLng _,
+      "gd_decimal" -> gdDec _, "gd_long" -> gdLng _)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     (1 to reps).foreach { _ =>
       arms.foreach { case (name, f) =>
