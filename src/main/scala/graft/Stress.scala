@@ -784,6 +784,21 @@ object Stress {
       },
       timeAction("retrainState")(Pipeline.retrainState(
         stressFinalCrawl, "stress_corpus").count()),
+      // the loop's retention endgame: reclaim the superseded
+      // generation the retrain above left behind — export-guard scan
+      // (catalog-sized) + three DROPs + the spec advance
+      {
+        // a filtered run that skipped the timed retrain still needs a
+        // superseded generation to reclaim (untimed here in that case)
+        if (want("dropGeneration") && !want("retrainState")) {
+          stressFoldedCorpus
+          Pipeline.retrainState(stressFinalCrawl, "stress_corpus")
+            .count(); ()
+        }
+        timeAction("dropGeneration") {
+          Pipeline.dropGeneration(spark, "stress_corpus", 1); -1L
+        }
+      },
       // hub-skew graph family (see hubEdges): the oriented operator vs
       // the naive wedge shape on the same 30k-degree-hub graph, plus
       // LPA whose per-round cost is edge-linear regardless of skew.
