@@ -60,7 +60,12 @@ object AbBench {
         count(lit(1)).as("n"),
         sum(col("dist2").cast("decimal(30,12)")).as("sd"))
 
-    // the round-14 (quantized-LONG) form, verbatim shape
+    // the round-14 (quantized-LONG) form, verbatim shape. Exact-mean
+    // bound: floor(sum.cast(double)/count) is exact below 2^53 total
+    // quantized mass (~9e9 rows/group at unit-scale embeddings) — the
+    // binding bound, tighter than the LONG sum's ~9e12-row wrap; past
+    // it the mean is 1-ulp-relative but cross-engine deterministic
+    // (both engines cast the identical LONG).
     def kmeansLng(): DataFrame = kin
       .select(col("cluster"), col("dist2"),
         posexplode(transform(col("embedding"),

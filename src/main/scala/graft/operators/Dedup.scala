@@ -771,13 +771,16 @@ object Dedup {
     write(tmp)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     repairIfPartitioned(spark, old)
+    graft.core.CrashHook.fire(s"swapRename1:$table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     repairIfPartitioned(spark, table)
+    graft.core.CrashHook.fire(s"swapRename2:$table")
     // the session's relation cache can still hold the pre-swap file
     // index (observed: a renamed partitioned table serving the tmp
     // location's now-empty paths); refresh makes the swap visible
     spark.catalog.refreshTable(table)
     spark.sql(s"DROP TABLE $old")
+    graft.core.CrashHook.fire(s"swapDrop:$table")
   }
 
   /** RENAME moves a managed table's directory but leaves hive-style

@@ -1072,11 +1072,17 @@ object Pipeline {
     * merges table — dropping it would turn every future
     * [[Bpe.readEncodedTable]] of that artifact into a missing-table
     * error with no recovery path (the ids cannot be re-derived without
-    * the merges). The guard sees only SPEC-CARRYING catalog artifacts:
-    * shards exported as loose files (e.g. [[Bpe.packedSequences]]
-    * output written to a path) are the CALLER's retention
-    * responsibility, exactly like checkpointDir GC in [[corpusDelta]] —
-    * drop a generation only once no live export depends on it. Cost:
+    * the merges). The guard sees only SPEC-CARRYING catalog artifacts
+    * in the CURRENT database (`spark.catalog.listTables()` scope —
+    * this engine registers every state/index/export table there, but a
+    * deployment that exports encoded corpora into another database
+    * must run its own cross-database sweep): shards exported as loose
+    * files (e.g. [[Bpe.packedSequences]] output written to a path) are
+    * likewise the CALLER's retention responsibility, exactly like
+    * checkpointDir GC in [[corpusDelta]] — drop a generation only once
+    * no live export depends on it. A spec table that vanishes between
+    * the listing and its read (a concurrent retirement) reads as "no
+    * reference", the same answer its completed DROP would give. Cost:
     * a driver loop over catalog names reading one-row specs, plus
     * three DROPs — a maintenance operation, run beside compaction.
     *
@@ -1104,12 +1110,17 @@ object Pipeline {
     val refs = spark.catalog.listTables().collect().map(_.name)
       .filter(_.endsWith("__spec"))
       .filter { st =>
-        val df = spark.table(st)
-        // collect-exists, not head: a zero-row spec (a crashed half-
-        // write) is "no reference", not an exception in the guard
-        df.columns.contains("merges_table") &&
-          df.select("merges_table").collect()
-            .exists(r => !r.isNullAt(0) && r.getString(0) == mt)
+        // Try: a spec dropped concurrently between the listing and this
+        // read is a RETIRED export — "no reference", like the zero-row
+        // crashed half-write below — not an exception out of the guard
+        scala.util.Try {
+          val df = spark.table(st)
+          // collect-exists, not head: a zero-row spec (a crashed half-
+          // write) is "no reference", not an exception in the guard
+          df.columns.contains("merges_table") &&
+            df.select("merges_table").collect()
+              .exists(r => !r.isNullAt(0) && r.getString(0) == mt)
+        }.getOrElse(false)
       }
     require(refs.isEmpty,
       s"dropGeneration: generation $gen of $statePrefix is still " +
@@ -1118,8 +1129,10 @@ object Pipeline {
         "are decodable only against this generation's merges table; " +
         "drop or re-encode the exports first")
     Seq(mixTable(statePrefix, gen), mergesTable(statePrefix, gen),
-      vocabTable(statePrefix, gen)).foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+      vocabTable(statePrefix, gen)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.core.CrashHook.fire(s"dropTable:$t")
+    }
     writeSpec(spark, statePrefix, spec.getAs[Long]("mix_budget_tokens"),
       spec.getAs[Int]("chunk_tokens"), spec.getAs[Long]("pack_tokens"),
       spec.getAs[Int]("num_merges"), spec.getAs[Int]("n_shards"),
@@ -1476,9 +1489,24 @@ object Pipeline {
     * lands BEFORE the corpus spec's max_bin shrink on purpose: the
     * reverse order would let a delta pack new bins into a range the
     * still-live old view already occupies.
+    *
+    * Index-vacuum cadence: the optional index-name arguments extend the
+    * compaction trigger to the FULL [[vacuumIndexes]] policy — the band
+    * index is always vacuumed at compaction (it is state-family-owned);
+    * a deployment that also maintains fingerprint / simhash / winnow /
+    * semantic companions passes their names once here and stops needing
+    * a separate vacuum caller. Same cadence as the compaction because
+    * both reclaim the same departed-doc garbage; a crash mid-policy
+    * leaves some indexes vacuumed and the rest merely stale (probes
+    * stay correct — hits are standing-filtered), healed by the next
+    * triggering fold.
     */
   def corpusTableFold(delta: DataFrame, statePrefix: String,
-      compactEvery: Int): Unit = {
+      compactEvery: Int,
+      fingerprintIndex: Option[String] = None,
+      simhashIndex: Option[String] = None,
+      winnowIndex: Option[String] = None,
+      semanticIndex: Option[String] = None): Unit = {
     require(compactEvery >= 1,
       s"corpusTableFold: compactEvery must be >= 1, got $compactEvery")
     val spark = delta.sparkSession
@@ -1505,8 +1533,11 @@ object Pipeline {
       val folded = corpusTableRead(spark, statePrefix)
       compactInto(folded, spec, chunksBase(statePrefix, epoch + 1))
       writeChunksEpoch(spark, statePrefix, epoch + 1) // reader flip
-      Dedup.compactNearDupIndex(spark, neardupTable(statePrefix),
-        spark.table(standingTable(statePrefix)))
+      // full vacuum policy on the compaction cadence: the band index
+      // always (vacuumIndexes' unconditional leg — what the bare call
+      // here used to do), plus every configured companion index
+      vacuumIndexes(spark, statePrefix, fingerprintIndex, simhashIndex,
+        winnowIndex, semanticIndex)
       val maxBin = Option(spark.table(chunksBase(statePrefix, epoch + 1))
           .agg(max("bin_id")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(-1L)

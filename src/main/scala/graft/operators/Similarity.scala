@@ -626,16 +626,25 @@ object Similarity {
       .select(col("cell"), icos(col("vq"), col("cvq")).as("cos"))
     // cos is already 6-dp-rounded, so the 10⁻⁶-LONG quantization is
     // LOSSLESS — the integer sum replaces the DECIMAL(20,10) fold with
-    // bit-identical results and ~9·10¹² rows/cell of headroom
+    // bit-identical results. Two headrooms, the smaller binding: the
+    // LONG sum wraps past ~9·10¹² rows/cell, but the mean's
+    // sum.cast(double) is EXACT only below 2⁵³ total mass (~9·10⁹
+    // rows/cell at |cos·10⁶| ≤ 10⁶); beyond that it degrades to
+    // 1-ulp-relative while staying cross-engine deterministic — DuckDB
+    // replays the identical cast on identical LONGs
     val cosStats = withCos.groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(round(col("cos") * 1000000d).cast("long"))
           .cast("double") / lit(1000000d) / count(lit(1)), 6)
           .as("mean_cos"),
         min("cos").as("min_cos"))
-    // per-dimension exact integer sums (≤2^53 at any realistic cell),
-    // floored to the mean's quantization grid so norms stay in LONG
-    // range regardless of cell size
+    // per-dimension integer sums, floored to the mean's quantization
+    // grid so norms stay in LONG range regardless of cell size. The
+    // floor-of-mean's sum.cast(double) is exact below 2⁵³ total mass —
+    // ~9·10⁹ rows/cell at unit-scale (10⁻⁶-quantized) components, the
+    // binding bound, tighter than the LONG sum's ~9·10¹² wrap; past it
+    // the mean is 1-ulp-relative but still deterministic (the DuckDB
+    // replay performs the identical cast)
     val meanVec = iq
       .select(col("cell"), posexplode(col("vq")).as(Seq("p", "v")))
       .groupBy(col("cell"), col("p"))
@@ -669,6 +678,14 @@ object Similarity {
     * one so its oracle can be exact end to end. The float publication
     * round-trips through [[quantize]] losslessly: |m| ≤ ~2·10⁶ means
     * float error < 0.25 quantization units.
+    *
+    * Accuracy bound of the floor-of-mean: the LONG sum is exact to
+    * ~9·10¹² rows/group, but its `.cast("double")` before the divide
+    * is exact only below 2⁵³ total quantized mass — ~9·10⁹ rows/group
+    * at unit-scale embeddings, the BINDING bound for an exact mean.
+    * Past it the mean degrades to 1-ulp-relative; cross-engine
+    * determinism is unaffected either way (the DuckDB oracle replays
+    * the identical cast on identical LONG sums).
     */
   def quantizedLabelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
@@ -1115,6 +1132,11 @@ object Similarity {
         // without the float→DECIMAL ulp fragility of the decimal-avg
         // form. The objective rides along as a 10⁻⁶-quantized long sum
         // (monitoring output — quantization noise is ≤5·10⁻⁷ per row).
+        // Exact-mean bound: the sum.cast(double) inside floor-of-mean
+        // is exact below 2⁵³ total mass — ~9·10⁹ rows per (cluster,
+        // pos) at unit-scale embeddings (tighter than the LONG sum's
+        // ~9·10¹² wrap); beyond it the centroid is 1-ulp-relative but
+        // still deterministic, since the oracle casts identically.
         val perDim = assignClusters(fitInput, cents)
           .select(col("cluster"), col("dist2"),
             posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))

@@ -266,6 +266,16 @@ object TextAnalysis {
         "element_at(toks, i + 1) AS w2))")).as("s"))
     .select(col("doc_id"), col("s.w1").as("w1"), col("s.w2").as("w2"))
 
+  /** The LONG-wrap headroom of the 10⁻⁹-quantized per-document nll sum:
+    * |ln·10⁹| ≤ ~3·10¹⁰ per bigram, so a document past ~3·10⁸ bigrams
+    * could wrap the 64-bit sum SILENTLY (a wrapped nll is a plausible
+    * number, not an error). [[scoreAgainstLm]] enforces it at runtime
+    * with a raise_error — the loud failure the rest of the quantized
+    * family favors — since the check is one comparison per document on
+    * the already-aggregated row, not a per-bigram cost.
+    */
+  private[graft] val MaxNllBigramsPerDoc: Long = 300000000L
+
   /** The scoring tail shared by the inline and persisted-LM paths.
     *
     * Per-bigram log terms are 10⁻⁹-quantized to LONG and summed
@@ -276,10 +286,12 @@ object TextAnalysis {
     * at 6 dp, so per-term quantization noise must stay well under
     * 10⁻⁶ after averaging — at 10⁻⁹ it is ≤ 5·10⁻¹⁰. Overflow bound:
     * |ln·10⁹| ≤ ~3·10¹⁰ per bigram leaves headroom for ~3·10⁸ bigrams
-    * per document before a LONG sum could wrap).
+    * per document before a LONG sum could wrap — enforced per document
+    * via [[MaxNllBigramsPerDoc]], overridable only for tests).
     */
-  private def scoreAgainstLm(candidates: DataFrame, cnt: DataFrame,
-      pref: DataFrame, v: Long, k: Double): DataFrame = {
+  private[graft] def scoreAgainstLm(candidates: DataFrame, cnt: DataFrame,
+      pref: DataFrame, v: Long, k: Double,
+      maxBigramsPerDoc: Long = MaxNllBigramsPerDoc): DataFrame = {
     require(k > 0, s"crossPerplexity: smoothing k must be > 0, got $k")
     val perDoc = bigramsOf(candidates)
       .join(cnt, Seq("w1", "w2"), "left_outer")
@@ -295,7 +307,15 @@ object TextAnalysis {
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        when(col("n_bigrams") > 0,
+        // wrap guard first: past the documented headroom the LONG sum
+        // is garbage, so fail LOUDLY instead of publishing it (ADVICE
+        // r14). One branch per doc row, after the aggregate — free.
+        when(col("n_bigrams") > lit(maxBigramsPerDoc),
+          raise_error(concat(lit("crossPerplexity: document "),
+            col("doc_id"), lit(s" exceeds $maxBigramsPerDoc bigrams — " +
+              "the 10^-9-quantized LONG nll sum could wrap silently; " +
+              "split the document before scoring"))).cast("double"))
+        .when(col("n_bigrams") > 0,
           round(-col("s").cast("double") / lit(1000000000d) /
             col("n_bigrams").cast("double"), 6)).as("nll"))
   }
@@ -433,7 +453,14 @@ object TextAnalysis {
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        when(col("n_bigrams") > 0,
+        // same wrap guard as [[scoreAgainstLm]]: identical grid,
+        // identical ~3·10⁸-bigrams-per-doc headroom
+        when(col("n_bigrams") > lit(MaxNllBigramsPerDoc),
+          raise_error(concat(lit("fluencyScores: document "),
+            col("doc_id"), lit(s" exceeds $MaxNllBigramsPerDoc bigrams " +
+              "— the 10^-9-quantized LONG sum could wrap silently; " +
+              "split the document before scoring"))).cast("double"))
+        .when(col("n_bigrams") > 0,
           round(col("s").cast("double") / lit(1000000000d) /
             col("n_bigrams").cast("double"), 6)).as("fluency"))
   }

@@ -136,8 +136,10 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
 
   /** K4: managed-table sink (`303-spark-sql/README.md:61-66`). */
-  def saveTable(df: DataFrame, table: String): Unit =
+  def saveTable(df: DataFrame, table: String): Unit = {
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+    graft.core.CrashHook.fire(s"saveTable:$table")
+  }
 
   /** K5: partitioned and/or bucketed managed table
     * (`303-spark-sql/README.md:71-79`). Bucketing by join/agg key is the
@@ -164,6 +166,8 @@ object Sinks {
       if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
     }
     w.saveAsTable(table)
+    graft.core.CrashHook.fire(
+      s"writeTable:${if (mode == SaveMode.Append) "append" else "overwrite"}:$table")
   }
 
   /** Append into an existing partitioned/bucketed managed table with the

@@ -673,10 +673,22 @@ class PipelineSpec extends SparkSpec {
     ex.getMessage should include(s"${p}_export1")
     spark.catalog.tableExists(s"${p}_merges") shouldBe true
 
-    // retire the export; the drop proceeds and takes EXACTLY gen 1
+    // retire the export; the drop proceeds and takes EXACTLY gen 1.
+    // The spec-shaped TEMP VIEW whose read throws stands in for a spec
+    // table dropped concurrently between the catalog listing and its
+    // read — the guard reads it as retired ("no reference") instead of
+    // aborting the reclaim (ADVICE r14)
     Seq(s"${p}_export1", s"${p}_export1__spec")
       .foreach(t => spark.sql(s"DROP TABLE $t"))
+    locally {
+      import spark.implicits._
+      Seq(1).toDF("x")
+        .select(raise_error(lit("vanished mid-scan")).cast("string")
+          .as("merges_table"))
+        .createOrReplaceTempView(s"${p}_ghost__spec")
+    }
     Pipeline.dropGeneration(spark, p, 1)
+    spark.catalog.dropTempView(s"${p}_ghost__spec")
     Seq(s"${p}_mix", s"${p}_merges", s"${p}_vocab").foreach(t =>
       withClue(t) { spark.catalog.tableExists(t) shouldBe false })
     Seq(s"${p}_mix_g2", s"${p}_merges_g2", s"${p}_vocab_g2",
@@ -761,6 +773,74 @@ class PipelineSpec extends SparkSpec {
     Pipeline.vacuumIndexes(spark, p,
       fingerprintIndex = Some(s"${p}_fpidx"))
     rowSet(spark.table(s"${p}_fpidx")) shouldBe again
+  }
+
+  test("corpusTableFold with index names: the compaction trigger runs the full vacuum policy") {
+    val spark = SparkSpec.spark
+    import graft.operators.{Dedup, Similarity}
+    val p = s"pipe_fvac_${System.nanoTime()}"
+    val v1 = tables.documents.filter(col("doc_id") < 400)
+      .localCheckpoint(true)
+    val v1c = Pipeline.corpusBuildWithState(v1, p,
+      mixBudgetTokens = 100000000L)
+    Pipeline.corpusTableInit(v1c, p)
+    Dedup.buildFingerprintIndex(v1, s"${p}_fpidx")
+    Dedup.buildSimhashIndex(v1, s"${p}_shidx")
+    Dedup.buildWinnowIndex(v1, s"${p}_wnidx")
+    val embs = tables.embeddings.filter(col("vec_id") < 400)
+      .select("vec_id", "embedding", "label")
+    Similarity.buildIvfIndex(embs, s"${p}_ivf", s"${p}_ivf_cents")
+    val fp0 = spark.table(s"${p}_fpidx").count()
+
+    def fold(d: org.apache.spark.sql.DataFrame): Unit =
+      Pipeline.corpusTableFold(d, p, compactEvery = 2,
+        fingerprintIndex = Some(s"${p}_fpidx"),
+        simhashIndex = Some(s"${p}_shidx"),
+        winnowIndex = Some(s"${p}_wnidx"),
+        semanticIndex = Some(s"${p}_ivf"))
+
+    // two SHRINK-ONLY committed crawls at compactEvery = 2 (companion
+    // indexes are append-at-ingest artifacts — a shrinking corpus is
+    // exactly the departed-doc garbage the vacuum policy reclaims)
+    val v2 = v1.filter(col("doc_id") % 3 =!= 0).localCheckpoint(true)
+    val d1 = Pipeline.corpusDelta(v2, v1, p, commit = true)
+    fold(d1)
+    // first fold does not compact — the policy must NOT have fired yet
+    spark.table(s"${p}_fpidx").count() shouldBe fp0
+    val v3 = v2.filter(col("doc_id") % 5 =!= 0).localCheckpoint(true)
+    val d2 = Pipeline.corpusDelta(v3, v2, p, commit = true)
+    fold(d2) // second fold: compaction + the full vacuum policy
+
+    // every configured family now equals a fresh build over the LIVE set
+    val standing = spark.table(s"${p}_standing").select("doc_id")
+      .localCheckpoint(true)
+    val liveDocs = v3.join(standing, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    Dedup.buildFingerprintIndex(liveDocs, s"${p}_fpidx_ref")
+    rowSet(spark.table(s"${p}_fpidx")) shouldBe
+      rowSet(spark.table(s"${p}_fpidx_ref"))
+    Dedup.buildSimhashIndex(liveDocs, s"${p}_shidx_ref")
+    rowSet(spark.table(s"${p}_shidx")) shouldBe
+      rowSet(spark.table(s"${p}_shidx_ref"))
+    Dedup.buildWinnowIndex(liveDocs, s"${p}_wnidx_ref")
+    rowSet(spark.table(s"${p}_wnidx")) shouldBe
+      rowSet(spark.table(s"${p}_wnidx_ref"))
+    rowSet(spark.table(s"${p}_neardup")) shouldBe
+      rowSet(Dedup.bandBucketTable(liveDocs, ngram = 3, k = 64,
+        bands = 32))
+    Similarity.ensureIvfIndex(spark, s"${p}_ivf_ref")
+    Similarity.appendIvfVectors(spark,
+      embs.join(standing.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      s"${p}_ivf_ref", s"${p}_ivf_cents")
+    rowSet(spark.table(s"${p}_ivf")) shouldBe
+      rowSet(spark.table(s"${p}_ivf_ref"))
+
+    // and the managed read is still EXACTLY the sequential fold
+    val expected = Pipeline.applyCorpusDelta(
+      Pipeline.applyCorpusDelta(v1c, d1), d2)
+    rowSet(Pipeline.corpusTableRead(spark, p).drop("bin_id", "shard")) shouldBe
+      rowSet(expected.drop("bin_id", "shard"))
   }
 
   test("corpus-sized intermediates are released on the failure path") {

@@ -246,6 +246,27 @@ class TextSpec extends SparkSpec {
     out(1L)._2.get should be < out(2L)._2.get
   }
 
+  test("nll wrap guard: a doc past the bigram headroom fails loudly") {
+    // the production bound (~3·10⁸ bigrams/doc) is unreachable in a
+    // test, so the guard is exercised through its test-only override:
+    // under the bound the scores are untouched, past it the quantized
+    // LONG sum refuses to publish a potentially-wrapped value
+    import SparkSpec.spark.implicits._
+    val cand = Seq((1L, "a b a b a b")).toDF("doc_id", "text") // 5 bigrams
+    val cnt = Seq(("a", "b", 2L), ("b", "a", 1L)).toDF("w1", "w2", "c")
+    val pref = Seq(("a", 2L), ("b", 1L)).toDF("w1", "p")
+    val ok = TextAnalysis.scoreAgainstLm(cand, cnt, pref, 3L, 1.0,
+      maxBigramsPerDoc = 5L).collect()
+    ok.length shouldBe 1
+    ok.head.getLong(1) shouldBe 5L
+    ok.head.isNullAt(2) shouldBe false
+    val ex = intercept[Exception] {
+      TextAnalysis.scoreAgainstLm(cand, cnt, pref, 3L, 1.0,
+        maxBigramsPerDoc = 4L).collect()
+    }
+    ex.getMessage should include("bigrams")
+  }
+
   test("persisted LM: crossPerplexityWithTable equals inline; half-built is loud") {
     val spark = SparkSpec.spark
     Seq("lm_tbl", "lm_tbl__spec", "lm_tbl__pref")
