@@ -65,6 +65,12 @@ object Bench {
       .filter(n => only.forall(_.exists(o =>
         if (exact) n == o else n.startsWith(o))))
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // build-inclusive FIRST-call wall time for the buildOnFirstCall
+    // queries: their reported timing is deliberately the warm probe
+    // (min of runs 2+), which pins index/state BUILD cost outside the
+    // artifact — so build-cost drift was invisible round over round
+    // (VERDICT r14 #3). Recorded separately, never min-merged.
+    val firstCall = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // two passes per query, report the min: this box shows ~2x run-to-run
     // variance (GC/load), and min-of-2 is the cheapest stable estimator
@@ -82,10 +88,13 @@ object Bench {
       val nRuns =
         if (SparkEntry.buildOnFirstCall(name)) math.max(runs, 2) else runs
       try {
-        (1 to nRuns).foreach { _ =>
+        (1 to nRuns).foreach { i =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (i == 1 && SparkEntry.buildOnFirstCall(name))
+            firstCall(name) = dt
+          best = math.min(best, dt)
         }
         timings(name) = best
       } catch {
@@ -163,6 +172,8 @@ object Bench {
       .mkString("{", ",", "}")
     val retr = retried.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
+    val fc = firstCall.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
     val total = timings.values.sum
     val loadEnd = loadAvg
     // getSystemLoadAverage returns -1.0 when the platform has no load
@@ -174,7 +185,7 @@ object Bench {
     val guard =
       s""""n_retry_attempts":$retryAttempts,"quiet_ref_entries":${refQ.size}"""
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,$guard,$loads,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,"first_call":$fc,$guard,$loads,"sf":${jstr(sfDir)}}"""
     // The driver reads only the stdout TAIL, and the full per-query map
     // (~4 KB) overflows that window — its head truncates mid-key and the
     // line never parses (BENCH_r02/r03 "parsed": null). So: full JSON goes
@@ -307,6 +318,7 @@ object Bench {
     // provenance must survive the stitch or the isolated artifact
     // would silently hide that a retry occurred
     val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val firstCall = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.zipWithIndex.foreach { case (name, i) =>
       val outFile = workDir.resolve(s"$name.json")
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
@@ -337,6 +349,9 @@ object Bench {
       parseQueryMap(
         s"""{"queries":{${jsonObj(line, "retried")}}}""")
         .foreach { case (k, v) => retried(k) = v }
+      parseQueryMap(
+        s"""{"queries":{${jsonObj(line, "first_call")}}}""")
+        .foreach { case (k, v) => firstCall(k) = v }
       // progress to stderr (stdout stays clean for the final summary)
       System.err.println(s"[bench-iso] ${i + 1}/${names.size} $name " +
         timings.get(name).map(sec).getOrElse("ERR"))
@@ -350,9 +365,11 @@ object Bench {
     val errs = errEntries.mkString("{", ",", "}")
     val retr = retried.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
+    val fc = firstCall.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
     val total = timings.values.sum
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"queries":$qs,"errors":$errs,"retried":$retr,$loads,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","isolated":1,"queries":$qs,"errors":$errs,"retried":$retr,"first_call":$fc,$loads,"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),

@@ -54,6 +54,37 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.parseQueryMap(s) shouldBe Map("q1" -> 2.0)
   }
 
+  test("first_call stitches through the artifact like any query map") {
+    // the build-inclusive first-call map rides the same serializer and
+    // parser as queries/retried — one shape, one guard
+    val s =
+      """{"metric":"total","value":9.0,"queries":{"q33":0.4},"first_call":{"q33":6.25},"errors":{}}"""
+    Bench.parseQueryMap(
+      s"""{"queries":{${Bench.jsonObj(s, "first_call")}}}""") shouldBe
+      Map("q33" -> 6.25)
+  }
+
+  test("the committed bench artifact records first_call for every pinned query") {
+    // VERDICT r14 #3: buildOnFirstCall pins index/state builds outside
+    // the min-of-runs, so build-cost drift was invisible — the artifact
+    // must now carry a build-inclusive first_call reading for every
+    // pinned query it timed
+    val p = java.nio.file.Paths.get("bench.json")
+    assume(java.nio.file.Files.exists(p))
+    val line = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val timed = Bench.parseQueryMap(line).keySet
+    assume(timed.size > 100) // a full-suite artifact, not a filtered run
+    val fc = Bench.parseQueryMap(
+      s"""{"queries":{${Bench.jsonObj(line, "first_call")}}}""")
+    val expected = SparkEntry.buildOnFirstCall.intersect(timed)
+    fc.keySet shouldBe expected
+    all(fc.values) should be >= 0.0
+    // build-inclusive by construction: never below the warm min
+    val warm = Bench.parseQueryMap(line)
+    fc.foreach { case (k, v) => v should be >= warm(k) * 0.999 }
+  }
+
   test("the committed quiet reference parses to a non-empty map") {
     val p = java.nio.file.Paths.get("bench_quiet.json")
     assume(java.nio.file.Files.exists(p))
