@@ -17,6 +17,45 @@ import graft.sources.Tables
   * corpus size, quadratically ONLY inside true near-dup groups).
   */
 object Stress {
+
+  /** One stress line's reading: wall seconds, result rows (-1 = timed
+    * action with no count), shuffle read/write MB, spill MB (memory +
+    * disk), and the post-op post-GC driver heap MB — the columns
+    * BASELINE.md's scale tables record per op.
+    */
+  final case class OpStat(tag: String, sec: Double, rows: Long,
+      shufReadBytes: Long, shufWriteBytes: Long, spillBytes: Long,
+      heapMb: Long) {
+    def shufReadMb: Long = shufReadBytes / (1024 * 1024)
+    def shufWriteMb: Long = shufWriteBytes / (1024 * 1024)
+    def spillMb: Long = spillBytes / (1024 * 1024)
+  }
+
+  /** Monotone totals over completed stages — shuffle read/write bytes
+    * and memory/disk spill. Stage-level task metrics are the driver's
+    * own aggregates, so this is exact, not sampled.
+    */
+  private final class StageTotalsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val read = new java.util.concurrent.atomic.AtomicLong
+    private val write = new java.util.concurrent.atomic.AtomicLong
+    private val mem = new java.util.concurrent.atomic.AtomicLong
+    private val disk = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+        : Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (read.get(), write.get(), mem.get(), disk.get())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "20").toInt
@@ -70,19 +109,55 @@ object Stress {
       .getOrElse(Set.empty)
     def want(tag: String): Boolean = only.isEmpty || only(tag)
 
+    // Per-op resource accounting (VERDICT r14 #1: scale evidence needs
+    // shuffle/spill volumes, not just wall time): a SparkListener
+    // accumulates completed-stage totals; each op snapshots the
+    // counters around its action. Listener events are delivered
+    // asynchronously, so the post-snapshot waits until the counters go
+    // quiet (two identical reads 100 ms apart, 3 s cap) — attribution
+    // is exact for this harness's strictly sequential ops.
+    val totals = new StageTotalsListener
+    spark.sparkContext.addSparkListener(totals)
+    def settledSnapshot(): (Long, Long, Long, Long) = {
+      var prev = totals.snapshot
+      var i = 0
+      while (i < 30) {
+        Thread.sleep(100)
+        val cur = totals.snapshot
+        if (cur == prev) return cur
+        prev = cur; i += 1
+      }
+      prev
+    }
+    // driver-heap reading AFTER a GC: the no-driver-memory-growth
+    // evidence — collected state (centroids, prefix sums, specs) must
+    // stay bounded however large the corpus
+    def driverHeapMb(): Long = {
+      System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    }
+
     // rows = -1 marks a timed action with no row count (index builds) —
     // distinguishable in the JSON from a genuinely empty result;
     // sec = -1 marks a filtered-out op (removed before the JSON line)
-    def timeAction(tag: String)(action: => Long): (String, Double, Long) = {
-      if (!want(tag)) return (tag, -1.0, -1L)
+    def timeAction(tag: String)(action: => Long): OpStat = {
+      if (!want(tag)) return OpStat(tag, -1.0, -1L, 0, 0, 0, 0)
+      val (r0, w0, m0, d0) = settledSnapshot()
       val t0 = System.nanoTime()
       val rows = action
       val sec = (System.nanoTime() - t0) / 1e9
+      val (r1, w1, m1, d1) = settledSnapshot()
+      val heap = driverHeapMb()
+      val stat = OpStat(tag, sec, rows, r1 - r0, w1 - w0,
+        (m1 - m0) + (d1 - d0), heap)
       val suffix = if (rows >= 0) s"  ($rows rows)" else ""
-      println(f"[stress] $tag%-24s $sec%8.2f s$suffix")
-      (tag, sec, rows)
+      println(f"[stress] $tag%-24s $sec%8.2f s$suffix  " +
+        f"shuf r/w ${stat.shufReadMb}%d/${stat.shufWriteMb}%d MB  " +
+        f"spill ${stat.spillMb}%d MB  heap ${heap}%d MB")
+      stat
     }
-    def time(tag: String)(df: => DataFrame): (String, Double, Long) =
+    def time(tag: String)(df: => DataFrame): OpStat =
       timeAction(tag)(df.count())
 
     val nDocs = docs.count()
@@ -92,7 +167,7 @@ object Stress {
     // persisted-index build/query split: the build is the one-time cost
     // that [[Similarity.lshTopK]]/[[ivfTopK]] pay on EVERY call; the
     // query probe is what repeats at serving time
-    def timed(tag: String)(body: => Unit): (String, Double, Long) =
+    def timed(tag: String)(body: => Unit): OpStat =
       timeAction(tag) { body; -1L }
 
     // dup-pair edge list materialized ONCE so the two dupComponents
@@ -799,6 +874,32 @@ object Stress {
           Pipeline.dropGeneration(spark, "stress_corpus", 1); -1L
         }
       },
+      // the WHOLE index-vacuum policy (not the per-family lines above):
+      // every companion index a deployment maintains beside the state
+      // family — fp / simhash / winnow / semantic plus the band index —
+      // reclaimed to the standing corpus in one call. Companion builds
+      // are untimed setup (their costs are the *IndexBuild lines); the
+      // timed call prices keep-set derivation (state tables only, no
+      // text rescan) + five crash-ordered swap rewrites. Runs after
+      // the corpus-state family has its committed-delta history.
+      locally {
+        if (want("vacuumIndexesPolicy")) {
+          stressFoldedCorpus
+          Dedup.buildFingerprintIndex(docs, "stress_vac_fp")
+          Dedup.buildSimhashIndex(docs, "stress_vac_sh")
+          Dedup.buildWinnowIndex(docs, "stress_vac_wn")
+          Similarity.buildIvfIndex(embs, "stress_vac_ivf",
+            "stress_vac_ivf_cents")
+        }
+        timeAction("vacuumIndexesPolicy") {
+          Pipeline.vacuumIndexes(spark, "stress_corpus",
+            fingerprintIndex = Some("stress_vac_fp"),
+            simhashIndex = Some("stress_vac_sh"),
+            winnowIndex = Some("stress_vac_wn"),
+            semanticIndex = Some("stress_vac_ivf"))
+          -1L
+        }
+      },
       // hub-skew graph family (see hubEdges): the oriented operator vs
       // the naive wedge shape on the same 30k-degree-hub graph, plus
       // LPA whose per-round cost is edge-linear regardless of skew.
@@ -811,8 +912,12 @@ object Stress {
       },
       time("hubTrianglesNaive")(naiveTriangles(hubEdges)),
       time("hubLPA")(Graph.labelPropagation(hubEdges, iters = 4)))
-    val qs = results.filter(_._2 >= 0).map { case (k, v, r) =>
-      s""""$k":{"sec":$v,"rows":$r}""" }.mkString("{", ",", "}")
+    val qs = results.filter(_.sec >= 0).map { s =>
+      s""""${s.tag}":{"sec":${s.sec},"rows":${s.rows},""" +
+        s""""shuffle_read_mb":${s.shufReadMb},""" +
+        s""""shuffle_write_mb":${s.shufWriteMb},""" +
+        s""""spill_mb":${s.spillMb},"driver_heap_mb":${s.heapMb}}"""
+    }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")
     spark.stop()
   }
