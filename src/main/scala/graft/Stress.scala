@@ -336,6 +336,12 @@ object Stress {
       time("exactDedup")(Dedup.exactDedup(docs)),
       time("minhashDupPairs")(Dedup.minhashDupPairs(docs,
         threshold = 0.7, k = 64, bands = 32)),
+      // the 8-byte verify payload (shingles xxhash64'd before the pair
+      // joins): the 100× run measured 137 GB of spill through the
+      // string-array verify at 27M pairs — this line prices the scale
+      // path against the oracle-exact string form above
+      time("minhashDupPairsHashed")(Dedup.minhashDupPairs(docs,
+        threshold = 0.7, k = 64, bands = 32, hashShingles = true)),
       // timeAction (by-name), NOT time(df): dupComponents iterates
       // EAGERLY inside the call — a strict DataFrame argument would run
       // the propagation outside the timer and clock only the last count
@@ -720,6 +726,12 @@ object Stress {
         Dedup.winnowingFingerprints(docs)),
       time("winnowMatches")(
         Dedup.winnowingMatches(docs, maxDf = 64)),
+      // at clone counts past maxDf the df cut suppresses EVERY shared
+      // window (measured: 0 matches at 100 clones / maxDf 64 — the
+      // bound working as designed); this line raises the cut above the
+      // clique size so the 100× matching cost is a real number
+      time("winnowMatchesDeep")(
+        Dedup.winnowingMatches(docs, maxDf = 256)),
       // mixture sample: one shuffle-free scan whatever the mix size
       time("mixtureSample")(Relational.mixtureSample(docs, col("doc_id"),
         col("lang"), Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.75,

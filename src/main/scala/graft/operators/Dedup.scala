@@ -1044,7 +1044,21 @@ object Dedup {
       threshold: Double,
       metric: (Column, Column) => Column = jaccard,
       metricName: String = "jaccard",
-      pruneA: Boolean = true): DataFrame = {
+      pruneA: Boolean = true,
+      hashShingles: Boolean = false): DataFrame = {
+    // hashShingles trades the shingle STRINGS for their xxhash64 longs
+    // before the pair joins. Set-based Jaccard is preserved unless two
+    // distinct shingles of the same document pair collide in 64 bits
+    // (≤ n²/2⁶⁵ per pair — vanishing at any real doc size), and the
+    // verify join's payload drops from ~3·ngram words per element to 8
+    // bytes. Measured reason to exist: the 100× stress corpus (every
+    // doc in a 100-clone clique, 27.3M verified pairs) spilled 137 GB
+    // through the string-array joins; the oracle-gated callers keep the
+    // exact string path, the scale path opts in.
+    def sh(c: Column): Column = {
+      val s = shingles(c, ngram)
+      if (hashShingles) transform(s, x => xxhash64(x)) else s
+    }
     // pruneA = false for incremental callers whose a-side is the CRAWL
     // BATCH: it is already candidate-scale, the semi-join prunes nothing,
     // and skipping it drops one of the three instantiations of the
@@ -1053,10 +1067,10 @@ object Dedup {
       aDocs.join(
         candidates.select(col(aCol).as("doc_id")).distinct(), "doc_id")
     else aDocs)
-      .select(col("doc_id").as(aCol), shingles(col("text"), ngram).as("__sh_a"))
+      .select(col("doc_id").as(aCol), sh(col("text")).as("__sh_a"))
     val bSh = bDocs
       .join(candidates.select(col(bCol).as("doc_id")).distinct(), "doc_id")
-      .select(col("doc_id").as(bCol), shingles(col("text"), ngram).as("__sh_b"))
+      .select(col("doc_id").as(bCol), sh(col("text")).as("__sh_b"))
     candidates
       .join(aSh, aCol)
       .join(bSh, bCol)
@@ -1080,7 +1094,8 @@ object Dedup {
       ngram: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      hashShingles: Boolean = false): DataFrame = {
     val docsSpread = spread(documents)
     val buckets = bandBuckets(docsSpread, ngram, k, bands)
     val bounded = buckets.withColumn(
@@ -1098,7 +1113,8 @@ object Dedup {
       // a pair found by several bands must verify once, not once per band
       .select("doc_a", "doc_b").distinct()
     verifyCandidates(candidates, docsSpread, docsSpread,
-      "doc_a", "doc_b", ngram, threshold)
+      "doc_a", "doc_b", ngram, threshold,
+      hashShingles = hashShingles)
   }
 
   /** EXACT Jaccard near-dup pairs via prefix filtering (the SSJoin/

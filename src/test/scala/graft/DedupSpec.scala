@@ -78,6 +78,12 @@ class DedupSpec extends SparkSpec {
     val brute = rowSet(Dedup.bruteForceJaccardPairs(tables.documents, 0.7))
     lsh shouldBe brute
     lsh.size shouldBe 28 // DuckDB golden at sf0.001
+    // the 8-byte verify payload (hashShingles) is pair-for-pair AND
+    // score-for-score identical — set Jaccard survives the per-shingle
+    // xxhash64 unless two shingles of one pair collide in 64 bits
+    rowSet(Dedup.minhashDupPairs(tables.documents,
+      threshold = 0.7, k = 64, bands = 32,
+      hashShingles = true)) shouldBe lsh
   }
 
   test("exactJaccardPairs: prefix filtering reproduces brute force exactly") {
