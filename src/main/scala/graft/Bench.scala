@@ -88,15 +88,20 @@ object Bench {
       val nRuns =
         if (SparkEntry.buildOnFirstCall(name)) math.max(runs, 2) else runs
       try {
+        var run1 = Double.NaN
         (1 to nRuns).foreach { i =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
-          if (i == 1 && SparkEntry.buildOnFirstCall(name))
-            firstCall(name) = dt
+          if (i == 1) run1 = dt
           best = math.min(best, dt)
         }
         timings(name) = best
+        // recorded only after ALL runs succeed: a query that builds on
+        // run 1 but dies on run 2 lands in errors, and an orphan
+        // first_call entry would break the artifact invariant
+        // (first_call keys = pinned ∩ timed)
+        if (SparkEntry.buildOnFirstCall(name)) firstCall(name) = run1
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

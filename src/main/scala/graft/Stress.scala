@@ -19,16 +19,21 @@ import graft.sources.Tables
 object Stress {
 
   /** One stress line's reading: wall seconds, result rows (-1 = timed
-    * action with no count), shuffle read/write MB, spill MB (memory +
-    * disk), and the post-op post-GC driver heap MB — the columns
-    * BASELINE.md's scale tables record per op.
+    * action with no count), shuffle read/write MB, spill MB, and the
+    * post-op post-GC driver heap MB — the columns BASELINE.md's scale
+    * tables record per op. Memory and disk spill are reported
+    * SEPARATELY: they describe the SAME spilled records (deserialized
+    * in-memory size vs serialized on-disk bytes), so summing them
+    * would double-count every spill event; disk is the I/O actually
+    * paid, memory the pressure that triggered it.
     */
   final case class OpStat(tag: String, sec: Double, rows: Long,
-      shufReadBytes: Long, shufWriteBytes: Long, spillBytes: Long,
-      heapMb: Long) {
+      shufReadBytes: Long, shufWriteBytes: Long, memSpillBytes: Long,
+      diskSpillBytes: Long, heapMb: Long) {
     def shufReadMb: Long = shufReadBytes / (1024 * 1024)
     def shufWriteMb: Long = shufWriteBytes / (1024 * 1024)
-    def spillMb: Long = spillBytes / (1024 * 1024)
+    def memSpillMb: Long = memSpillBytes / (1024 * 1024)
+    def diskSpillMb: Long = diskSpillBytes / (1024 * 1024)
   }
 
   /** Monotone totals over completed stages — shuffle read/write bytes
@@ -142,7 +147,7 @@ object Stress {
     // distinguishable in the JSON from a genuinely empty result;
     // sec = -1 marks a filtered-out op (removed before the JSON line)
     def timeAction(tag: String)(action: => Long): OpStat = {
-      if (!want(tag)) return OpStat(tag, -1.0, -1L, 0, 0, 0, 0)
+      if (!want(tag)) return OpStat(tag, -1.0, -1L, 0, 0, 0, 0, 0)
       val (r0, w0, m0, d0) = settledSnapshot()
       val t0 = System.nanoTime()
       val rows = action
@@ -150,11 +155,12 @@ object Stress {
       val (r1, w1, m1, d1) = settledSnapshot()
       val heap = driverHeapMb()
       val stat = OpStat(tag, sec, rows, r1 - r0, w1 - w0,
-        (m1 - m0) + (d1 - d0), heap)
+        m1 - m0, d1 - d0, heap)
       val suffix = if (rows >= 0) s"  ($rows rows)" else ""
       println(f"[stress] $tag%-24s $sec%8.2f s$suffix  " +
         f"shuf r/w ${stat.shufReadMb}%d/${stat.shufWriteMb}%d MB  " +
-        f"spill ${stat.spillMb}%d MB  heap ${heap}%d MB")
+        f"spill mem/disk ${stat.memSpillMb}%d/${stat.diskSpillMb}%d MB  " +
+        f"heap ${heap}%d MB")
       stat
     }
     def time(tag: String)(df: => DataFrame): OpStat =
@@ -928,7 +934,9 @@ object Stress {
       s""""${s.tag}":{"sec":${s.sec},"rows":${s.rows},""" +
         s""""shuffle_read_mb":${s.shufReadMb},""" +
         s""""shuffle_write_mb":${s.shufWriteMb},""" +
-        s""""spill_mb":${s.spillMb},"driver_heap_mb":${s.heapMb}}"""
+        s""""spill_mem_mb":${s.memSpillMb},""" +
+        s""""spill_disk_mb":${s.diskSpillMb},""" +
+        s""""driver_heap_mb":${s.heapMb}}"""
     }.mkString("{", ",", "}")
     println(s"""{"stress":{"scale":$n,"docs":$nDocs,"embs":$nEmbs,"ops":$qs}}""")
     spark.stop()

@@ -1082,7 +1082,9 @@ object Pipeline {
     * checkpointDir GC in [[corpusDelta]] — drop a generation only once
     * no live export depends on it. A spec table that vanishes between
     * the listing and its read (a concurrent retirement) reads as "no
-    * reference", the same answer its completed DROP would give. Cost:
+    * reference", the same answer its completed DROP would give; any
+    * OTHER spec-read failure aborts the drop loudly rather than
+    * disabling the guard. Cost:
     * a driver loop over catalog names reading one-row specs, plus
     * three DROPs — a maintenance operation, run beside compaction.
     *
@@ -1110,17 +1112,27 @@ object Pipeline {
     val refs = spark.catalog.listTables().collect().map(_.name)
       .filter(_.endsWith("__spec"))
       .filter { st =>
-        // Try: a spec dropped concurrently between the listing and this
-        // read is a RETIRED export — "no reference", like the zero-row
-        // crashed half-write below — not an exception out of the guard
-        scala.util.Try {
+        try {
           val df = spark.table(st)
           // collect-exists, not head: a zero-row spec (a crashed half-
           // write) is "no reference", not an exception in the guard
           df.columns.contains("merges_table") &&
             df.select("merges_table").collect()
               .exists(r => !r.isNullAt(0) && r.getString(0) == mt)
-        }.getOrElse(false)
+        } catch {
+          // ONLY a vanished relation (the spec — or its view's base —
+          // dropped concurrently between the listing and this read) is
+          // a RETIRED export: "no reference", like the zero-row crashed
+          // half-write above. Every other failure (corrupt footer, FS
+          // hiccup) must ABORT the drop, not silently disable the
+          // guard — a disabled guard would reclaim a merges table some
+          // live export still decodes against, the irrecoverable loss
+          // this guard exists to prevent.
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition)
+                .exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")) =>
+            false
+        }
       }
     require(refs.isEmpty,
       s"dropGeneration: generation $gen of $statePrefix is still " +

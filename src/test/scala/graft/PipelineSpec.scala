@@ -674,21 +674,35 @@ class PipelineSpec extends SparkSpec {
     spark.catalog.tableExists(s"${p}_merges") shouldBe true
 
     // retire the export; the drop proceeds and takes EXACTLY gen 1.
-    // The spec-shaped TEMP VIEW whose read throws stands in for a spec
-    // table dropped concurrently between the catalog listing and its
-    // read — the guard reads it as retired ("no reference") instead of
-    // aborting the reclaim (ADVICE r14)
+    // Guard robustness (ADVICE r14, narrowed in review): a spec whose
+    // RELATION vanished between the catalog listing and the read (here
+    // a spec view over a just-dropped base) is a concurrently-retired
+    // export — "no reference", tolerated...
     Seq(s"${p}_export1", s"${p}_export1__spec")
       .foreach(t => spark.sql(s"DROP TABLE $t"))
+    spark.sql(
+      s"CREATE TABLE ${p}_ghostbase AS SELECT 'x' AS merges_table")
+    spark.sql(s"CREATE VIEW ${p}_ghost__spec AS " +
+      s"SELECT merges_table FROM ${p}_ghostbase")
+    spark.sql(s"DROP TABLE ${p}_ghostbase")
+    // ...while any OTHER spec-read failure must ABORT the reclaim
+    // loudly — never silently disable the export guard
     locally {
       import spark.implicits._
       Seq(1).toDF("x")
-        .select(raise_error(lit("vanished mid-scan")).cast("string")
+        .select(raise_error(lit("io boom mid-scan")).cast("string")
           .as("merges_table"))
-        .createOrReplaceTempView(s"${p}_ghost__spec")
+        .createOrReplaceTempView(s"${p}_ghost2__spec")
     }
+    an[Exception] should be thrownBy Pipeline.dropGeneration(spark, p, 1)
+    // the abort fired in the guard, BEFORE any drop: window untouched
+    graft.sources.IndexSpec.readRequired(spark, p)
+      .getAs[Int]("min_generation") shouldBe 1
+    spark.catalog.tableExists(s"${p}_merges") shouldBe true
+    spark.catalog.dropTempView(s"${p}_ghost2__spec")
+    // with only the vanished-relation ghost left, the drop proceeds
     Pipeline.dropGeneration(spark, p, 1)
-    spark.catalog.dropTempView(s"${p}_ghost__spec")
+    spark.sql(s"DROP VIEW ${p}_ghost__spec")
     Seq(s"${p}_mix", s"${p}_merges", s"${p}_vocab").foreach(t =>
       withClue(t) { spark.catalog.tableExists(t) shouldBe false })
     Seq(s"${p}_mix_g2", s"${p}_merges_g2", s"${p}_vocab_g2",
