@@ -90,6 +90,9 @@ object Bench {
       try {
         var run1 = Double.NaN
         (1 to nRuns).foreach { i =>
+          // label the query's jobs (guide §1.5) so the UI/event log can
+          // attribute intra-query stages when profiling a bench run
+          spark.sparkContext.setJobDescription(s"$name run$i")
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9

@@ -132,12 +132,23 @@ object Stress {
         if (cur == prev) return cur
         prev = cur; i += 1
       }
+      // cap hit: a straggling op's stage-completion events may leak
+      // into the NEXT op's delta — mark the reading instead of
+      // claiming exact attribution (ADVICE r15)
+      System.err.println("[stress] WARNING: listener counters still " +
+        "moving after 3 s quiesce cap — the adjacent ops' shuffle/" +
+        "spill deltas may be cross-attributed")
       prev
     }
     // driver-heap reading AFTER a GC: the no-driver-memory-growth
     // evidence — collected state (centroids, prefix sums, specs) must
     // stay bounded however large the corpus
     def driverHeapMb(): Long = {
+      // two advisory GCs with a settle gap: a single System.gc() may
+      // not complete a full collection before the read, intermittently
+      // over-stating the post-GC footprint (ADVICE r15)
+      System.gc()
+      Thread.sleep(50)
       System.gc()
       val rt = Runtime.getRuntime
       (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
@@ -348,6 +359,12 @@ object Stress {
       // path against the oracle-exact string form above
       time("minhashDupPairsHashed")(Dedup.minhashDupPairs(docs,
         threshold = 0.7, k = 64, bands = 32, hashShingles = true)),
+      // the postings-intersection verify (VERDICT r15 #4): hashed
+      // shingles exploded to 16-byte posting rows, shared-hash count
+      // per pair — prices the residual array-payload spill of the
+      // hashed form against a pure row-streaming aggregate
+      time("minhashDupPairsPostings")(Dedup.minhashDupPairsPostings(
+        docs, threshold = 0.7, k = 64, bands = 32)),
       // timeAction (by-name), NOT time(df): dupComponents iterates
       // EAGERLY inside the call — a strict DataFrame argument would run
       // the propagation outside the timer and clock only the last count

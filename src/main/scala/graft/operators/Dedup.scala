@@ -183,6 +183,29 @@ object Dedup {
         .as(Seq("band_idx", "band_hash")))
   }
 
+  /** Drop every row of a bucket whose size exceeds `maxBucket` — the
+    * degenerate-bucket guard of the LSH paths, as a map-side-combined
+    * aggregate + broadcast anti-join on the (tiny) oversized-bucket
+    * list. The previous form (`count(*) over (partition by bucket)`
+    * then filter) shuffled and SORT-BUFFERED the full band table —
+    * including the pathological bucket itself, which landed intact on
+    * one reducer before being dropped (the §2.5 hot-key shape the guard
+    * exists to stop). Here the hot bucket's rows die at the map side:
+    * the count aggregate reduces it to one row per partition before any
+    * network, and the anti-join's build side holds only buckets PAST
+    * the bound (empty on healthy data). Row-identical to the window
+    * form by construction.
+    */
+  private[graft] def dropOversizedBuckets(buckets: DataFrame, maxBucket: Int,
+      keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val oversized = buckets.groupBy(key: _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select(key: _*)
+    buckets.join(broadcast(oversized), keyCols, "left_anti")
+  }
+
   /** Incremental exact dedup: the rows of `newDocs` whose normalized
     * fingerprint does NOT already appear in `corpus` — the operational
     * dedup shape at 100 TB, where a daily crawl anti-joins against the
@@ -231,10 +254,8 @@ object Dedup {
     val corpusSpread = spread(corpus)
     val nb = bandBuckets(newSpread, ngram, k, bands)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
-    val cb = bandBuckets(corpusSpread, ngram, k, bands)
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
+    val cb = dropOversizedBuckets(bandBuckets(corpusSpread, ngram, k, bands),
+        maxBucket, Seq("band_idx", "band_hash"))
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
     val candidates = nb.join(cb, Seq("band_idx", "band_hash"))
       .select("new_id", "corpus_id").distinct()
@@ -1002,10 +1023,16 @@ object Dedup {
     * over the probed slice equals the full-corpus bucket size and the
     * same degenerate buckets are dropped. The count window partitions by
     * the bucket key — no global funnel.
+    *
+    * `hashShingles` selects the 8-byte hashed verify payload (see
+    * [[minhashDupPairs]]) — the scale path for callers that consume pair
+    * MEMBERSHIP (the corpus-delta screen); oracle-gated jaccard emitters
+    * keep the exact string default.
     */
   def probeNearDupIndex(newDocs: DataFrame, corpus: DataFrame,
       indexTable: String, threshold: Double = 0.7, ngram: Int = 3,
-      k: Int = 64, bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+      k: Int = 64, bands: Int = 16, maxBucket: Int = 1000,
+      hashShingles: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
     requireNearDupSpec(spark, indexTable, ngram, k, bands)
     val newSpread = spread(newDocs)
@@ -1019,15 +1046,14 @@ object Dedup {
     val probed = spark.table(indexTable)
       .join(nb.select("band_idx", "band_hash").distinct(),
         Seq("band_idx", "band_hash"))
-    val bounded = probed
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
+    val bounded = dropOversizedBuckets(probed, maxBucket,
+        Seq("band_idx", "band_hash"))
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
     val candidates = nb.join(bounded, Seq("band_idx", "band_hash"))
       .select("new_id", "corpus_id").distinct()
     verifyCandidates(candidates, newSpread, spread(corpus),
-      "new_id", "corpus_id", ngram, threshold, pruneA = false)
+      "new_id", "corpus_id", ngram, threshold, pruneA = false,
+      hashShingles = hashShingles)
   }
 
   /** Exact-Jaccard verification of an LSH candidate pair list: docs
@@ -1059,19 +1085,32 @@ object Dedup {
       val s = shingles(c, ngram)
       if (hashShingles) transform(s, x => xxhash64(x)) else s
     }
+    // The candidate list is consumed THREE times (main join + the two
+    // doc-pruning semi-joins), and its plan is the whole upstream
+    // candidate pipeline (bucket self-join + pair distinct, or the
+    // prefix-filter join). AQE's exchange reuse dedups the SHUFFLES
+    // across the instantiations, but every operator ABOVE the reused
+    // exchange — the bucket join itself, the 27M-pair distinct hash
+    // aggregate at the 100× tier — re-executes per instantiation.
+    // Materializing the pair-id rows once (eager localCheckpoint;
+    // 16 bytes/pair, candidate-sized) runs that pipeline exactly once,
+    // and the checkpointed buffer carries REAL size stats (Spark 4
+    // LogicalRDD), so the semi-joins can broadcast the candidate id
+    // set instead of exchanging the corpus side.
+    val cand = candidates.localCheckpoint(eager = true)
     // pruneA = false for incremental callers whose a-side is the CRAWL
     // BATCH: it is already candidate-scale, the semi-join prunes nothing,
     // and skipping it drops one of the three instantiations of the
     // candidate pipeline from the plan (the main join prunes anyway)
     val aSh = (if (pruneA)
       aDocs.join(
-        candidates.select(col(aCol).as("doc_id")).distinct(), "doc_id")
+        cand.select(col(aCol).as("doc_id")).distinct(), "doc_id")
     else aDocs)
       .select(col("doc_id").as(aCol), sh(col("text")).as("__sh_a"))
     val bSh = bDocs
-      .join(candidates.select(col(bCol).as("doc_id")).distinct(), "doc_id")
+      .join(cand.select(col(bCol).as("doc_id")).distinct(), "doc_id")
       .select(col("doc_id").as(bCol), sh(col("text")).as("__sh_b"))
-    candidates
+    cand
       .join(aSh, aCol)
       .join(bSh, bCol)
       .withColumn(metricName, round(metric(col("__sh_a"), col("__sh_b")), 4))
@@ -1097,24 +1136,87 @@ object Dedup {
       maxBucket: Int = 1000,
       hashShingles: Boolean = false): DataFrame = {
     val docsSpread = spread(documents)
-    val buckets = bandBuckets(docsSpread, ngram, k, bands)
-    val bounded = buckets.withColumn(
-      "bucket_n",
-      count(lit(1)).over(
-        Window.partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    verifyCandidates(
+      minhashCandidates(docsSpread, ngram, k, bands, maxBucket),
+      docsSpread, docsSpread, "doc_a", "doc_b", ngram, threshold,
+      hashShingles = hashShingles)
+  }
+
+  /** The banded-LSH candidate pairs of [[minhashDupPairs]] (doc_a <
+    * doc_b, band-deduplicated) — shared by the array verify and the
+    * postings-intersection verify so the two price EXACTLY the same
+    * candidate set.
+    */
+  private def minhashCandidates(docsSpread: DataFrame, ngram: Int,
+      k: Int, bands: Int, maxBucket: Int): DataFrame = {
+    val bounded = dropOversizedBuckets(
+      bandBuckets(docsSpread, ngram, k, bands), maxBucket,
+      Seq("band_idx", "band_hash"))
     val a = bounded.select(
       col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bounded.select(
       col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       // a pair found by several bands must verify once, not once per band
       .select("doc_a", "doc_b").distinct()
-    verifyCandidates(candidates, docsSpread, docsSpread,
-      "doc_a", "doc_b", ngram, threshold,
-      hashShingles = hashShingles)
+  }
+
+  /** [[minhashDupPairs]] with the POSTINGS-INTERSECTION verify — the
+    * VERDICT-r15 pricing alternative to the hashed-array verify:
+    * instead of attaching both docs' (hashed) shingle ARRAYS to every
+    * candidate pair row (array payloads buffered through two joins —
+    * the residual spill of the hashShingles path), explode each
+    * candidate doc's hashed shingle set into 16-byte posting rows,
+    * count shared hashes per pair with a map-side-combined aggregate,
+    * and recover Jaccard as inter / (na + nb − inter). Same exact set
+    * semantics (shingles are distinct per doc; per-pair xxhash64
+    * collisions are the hashShingles bound), identical output pinned in
+    * DedupSpec. Requires threshold > 0: zero-intersection pairs fall
+    * out of the count aggregate, which is exactly their Jaccard-0
+    * verdict. Kept package-private: it exists to be PRICED against the
+    * array verify at stress scale (graft.Stress minhashDupPairsPostings
+    * tag); whichever wins carries the scale path.
+    */
+  private[graft] def minhashDupPairsPostings(
+      documents: DataFrame,
+      threshold: Double = 0.7,
+      ngram: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    require(threshold > 0,
+      "minhashDupPairsPostings: threshold must be > 0 (zero-overlap " +
+        "pairs are dropped by the intersection count)")
+    val docsSpread = spread(documents)
+    // materialized once for the same three-consumer reason as
+    // verifyCandidates' checkpoint (two posting semi-joins + main join)
+    val candidates =
+      minhashCandidates(docsSpread, ngram, k, bands, maxBucket)
+        .localCheckpoint(eager = true)
+    // hs is deduped AFTER hashing so an intra-doc 64-bit collision
+    // yields exactly the hashed-SET semantics of the array form
+    // (array_intersect/array_union are set ops over the hashed arrays)
+    def postings(idCol: String, nCol: String) = docsSpread
+      .join(candidates.select(col(idCol).as("doc_id")).distinct(),
+        "doc_id")
+      .select(col("doc_id").as(idCol),
+        array_distinct(transform(shingles(col("text"), ngram),
+          x => xxhash64(x))).as("hs"))
+      .select(col(idCol), size(col("hs")).cast("long").as(nCol),
+        explode(col("hs")).as("h"))
+    val inter = candidates
+      .join(postings("doc_a", "na"), "doc_a")
+      .join(postings("doc_b", "nb"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        max("na").as("na"), max("nb").as("nb"))
+    inter
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** EXACT Jaccard near-dup pairs via prefix filtering (the SSJoin/
@@ -1349,34 +1451,50 @@ object Dedup {
     * pipeline that must preserve original whitespace should treat the
     * runs from [[duplicatedSpanRuns]] as annotations instead.
     *
-    * Shape: run intervals explode to covered positions (output-bound by
-    * total duplicated footage), one anti-join on (doc_id, pos), and a
-    * per-doc ordered reassembly via array_sort of (pos, tok) structs —
-    * no windows, no driver state.
+    * Shape (r16): run intervals aggregate to ONE covered-position array
+    * per affected doc (output-bound by total duplicated footage — runs
+    * are boilerplate-sized, tiny next to the corpus), then a single
+    * doc_id-keyed join re-attaches them to the token arrays and the
+    * kept text is re-sliced INSIDE the row: `array_except` over the
+    * position range (hash-set based, O(n_toks + n_cut) per doc) keeps
+    * document order, `transform` re-reads the kept tokens. The previous
+    * form exploded every corpus token into (doc_id, pos, tok) rows and
+    * shuffled them through a token-level anti-join plus a collect_list
+    * reassembly — two corpus-TOKEN-sized exchanges; this shape's only
+    * shuffles are the span-df aggregate inherited from
+    * [[duplicatedSpanRuns]] and the runs-sized covered aggregate
+    * (plan diff: 30 → 13 Exchanges at the q139 entry, token explode
+    * gone). Output is row-identical: same whitespace-normalized kept
+    * text, same n_cut.
     */
   def stripDuplicatedSpans(documents: DataFrame, window: Int = 8,
       minDf: Int = 2, hashSpans: Boolean = false): DataFrame = {
     val runs = duplicatedSpanRuns(documents, window, minDf, hashSpans)
-    val covered = runs.select(col("doc_id"),
-      explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
-    val toked = spread(documents)
-      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
-        .as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("tok"))
-    val kept = toked.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok"))).as("text"),
-        count(lit(1)).as("n_kept"))
-    spread(documents).select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
-      .join(kept, Seq("doc_id"), "left")
+    val coveredSets = runs
       .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
-        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+        sequence(col("start_tok"), col("end_tok")).as("ps"))
+      .groupBy("doc_id")
+      .agg(array_distinct(flatten(collect_list(col("ps")))).as("cut_pos"))
+    spread(documents)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(coveredSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("cut_pos"), expr("array()").cast("array<long>"))
+          .as("cut"))
+      // kept positions in document order: array_except keeps the left
+      // array's order and hashes the right side (no per-token scan of
+      // the cut set). The size guard matters: sequence(1, 0) would
+      // DESCEND ([1, 0]), not produce the empty range.
+      .withColumn("kept_pos",
+        when(size(col("toks")) === 0, expr("array()").cast("array<long>"))
+          .otherwise(array_except(
+            sequence(lit(1L), size(col("toks")).cast("long")),
+            col("cut"))))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("kept_pos"),
+          p => element_at(col("toks"), p.cast("int")))).as("text"),
+        (size(col("toks")).cast("long") -
+          size(col("kept_pos")).cast("long")).as("n_cut"))
   }
 
   /** Connected components over near-dup pairs — the cluster-resolution
@@ -1674,11 +1792,8 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val chunks = simhashChunks(simhashSig(documents, portable),
       if (portable) 15 else 16)
-    val bounded = chunks.withColumn(
-      "bucket_n",
-      count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val bounded = dropOversizedBuckets(chunks, maxBucket,
+      Seq("chunk_idx", "chunk"))
     val a = bounded.select(
       col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
@@ -1819,10 +1934,8 @@ object Dedup {
     val probed = spark.table(table)
       .join(nb.select("chunk_idx", "chunk").distinct(),
         Seq("chunk_idx", "chunk"))
-    val bounded = probed
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy("chunk_idx", "chunk")))
-      .filter(col("bucket_n") <= maxBucket)
+    val bounded = dropOversizedBuckets(probed, maxBucket,
+        Seq("chunk_idx", "chunk"))
       .select(col("chunk_idx"), col("chunk"),
         col("doc_id").as("corpus_id"), col("simhash").as("sig_corpus"))
     nb.join(bounded, Seq("chunk_idx", "chunk"))
@@ -1918,7 +2031,12 @@ object Dedup {
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
-    val pruned = fps.join(keep, Seq("fp"))
+    // materialized once: both sides of the self-join consume the pruned
+    // posting list, and everything above its last exchange (the
+    // fingerprint distinct's final aggregate + the df join) would
+    // otherwise re-execute per side (the verifyCandidates checkpoint
+    // rationale; 16-byte rows, fingerprint-relation sized)
+    val pruned = fps.join(keep, Seq("fp")).localCheckpoint(eager = true)
     pruned.as("a").join(pruned.as("b"), Seq("fp"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -285,10 +285,17 @@ object Pipeline {
     // 2. canonical near-dup resolution OVER THE CURATED CORPUS (the
     //    exact-dup tier already ran inside curate; this is the fuzzy
     //    tier). keep=1 rows ARE the near-dup-deduplicated corpus.
+    //    hashShingles: the build consumes pair MEMBERSHIP only (the
+    //    jaccard column dies at the keep-set projection), so the verify
+    //    joins carry 8-byte shingle hashes instead of string arrays —
+    //    the r15 100× stress measured the string payload as the build's
+    //    dominant spill (252 GB mem-spill; the hashed path halves spill
+    //    and cuts shuffle 32% on identical pairs). PipelineSpec pins the
+    //    build's output byte-identical to the string-verify chain.
     val canon = Dedup.resolveCanonical(curatedDocs,
         Dedup.dupComponents(Dedup.minhashDupPairs(curatedDocs,
           threshold = params.neardupThreshold, ngram = NdNgram,
-          k = NdK, bands = NdBands)))
+          k = NdK, bands = NdBands, hashShingles = true)))
       .filter(col("keep") === 1L)
       .select("doc_id")
     val canonDocs = curatedDocs.join(canon, Seq("doc_id"))
@@ -676,8 +683,15 @@ object Pipeline {
       generation: Int,
       mat: (DataFrame, String) => DataFrame): (DataFrame, DataFrame) = {
     val spark = afterExact.sparkSession
+    // hashShingles on both the probe screen and the self-resolution:
+    // the delta consumes pair MEMBERSHIP only (hit doc_ids / keep sets;
+    // every jaccard column dies at a .select("doc_id")), so the verify
+    // joins ship 8-byte shingle hashes — the same spill cut the build's
+    // resolution takes (see corpusBuildOnCurated), applied to the path
+    // every crawl pays. DedupSpec pins probe hashed ≡ exact.
     val ndHits = Dedup.probeNearDupIndex(afterExact, corpusDocs,
-        neardupTable(statePrefix), threshold, NdNgram, NdK, NdBands)
+        neardupTable(statePrefix), threshold, NdNgram, NdK, NdBands,
+        hashShingles = true)
       .join(standingNow.select(col("doc_id").as("corpus_id")),
         Seq("corpus_id"))
       .select(col("new_id").as("doc_id")).distinct()
@@ -689,7 +703,7 @@ object Pipeline {
     val selfKeep = Dedup.resolveCanonical(screened,
         Dedup.dupComponents(Dedup.minhashDupPairs(screened,
           threshold = threshold, ngram = NdNgram, k = NdK,
-          bands = NdBands)))
+          bands = NdBands, hashShingles = true)))
       .filter(col("keep") === 1L)
       .select("doc_id")
     val survivors = mat(screened.join(selfKeep, Seq("doc_id")),
@@ -1120,17 +1134,22 @@ object Pipeline {
             df.select("merges_table").collect()
               .exists(r => !r.isNullAt(0) && r.getString(0) == mt)
         } catch {
-          // ONLY a vanished relation (the spec — or its view's base —
-          // dropped concurrently between the listing and this read) is
-          // a RETIRED export: "no reference", like the zero-row crashed
-          // half-write above. Every other failure (corrupt footer, FS
-          // hiccup) must ABORT the drop, not silently disable the
-          // guard — a disabled guard would reclaim a merges table some
-          // live export still decodes against, the irrecoverable loss
-          // this guard exists to prevent.
+          // ONLY a vanished SPEC RELATION (dropped concurrently between
+          // the listing and this read) is a RETIRED export: "no
+          // reference", like the zero-row crashed half-write above —
+          // and that is checked against the catalog, not inferred from
+          // the error alone: a spec VIEW that still EXISTS but whose
+          // plan references a missing base relation raises the same
+          // TABLE_OR_VIEW_NOT_FOUND, and treating it as retired would
+          // silently disable the guard (ADVICE r15). Every other
+          // failure (corrupt footer, FS hiccup, dangling view) must
+          // ABORT the drop — a disabled guard would reclaim a merges
+          // table some live export still decodes against, the
+          // irrecoverable loss this guard exists to prevent.
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition)
-                .exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")) =>
+                .exists(_.contains("TABLE_OR_VIEW_NOT_FOUND"))
+                && !spark.catalog.tableExists(st) =>
             false
         }
       }
@@ -1561,6 +1580,11 @@ object Pipeline {
       // cleanup: superseded base + folded log entries (readers already
       // filter them out by epoch, so this is reclamation, not safety)
       spark.sql(s"DROP TABLE IF EXISTS ${chunksBase(statePrefix, epoch)}")
+      // swept: this drop runs on the CLEAN fold path, so the ordinal
+      // sweep enumerates it automatically (ADVICE r15 — it previously
+      // fired no hook and crashes right after it were unswept)
+      graft.core.CrashHook.fire(
+        s"dropTable:${chunksBase(statePrefix, epoch)}")
       graft.sources.Sinks.saveTablePartitioned(emptyChangelog(delta),
         changelogTable(statePrefix),
         bucketBy = Some((32, Seq("doc_id"))), sortBy = Seq("doc_id"))

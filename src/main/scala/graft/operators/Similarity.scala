@@ -776,10 +776,8 @@ object Similarity {
       maxBucket: Int = 10000): DataFrame = {
     val idx = lshIndexFrame(embeddings, bits, tables)
       .select("tbl", "sig", "vec_id")
-    val bounded = idx.withColumn(
-      "bucket_n", count(lit(1)).over(Window.partitionBy("tbl", "sig")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val bounded = Dedup.dropOversizedBuckets(idx, maxBucket,
+      Seq("tbl", "sig"))
     val pairs = bounded.select(
         col("tbl"), col("sig"), col("vec_id").as("id_a"))
       .join(bounded.select(

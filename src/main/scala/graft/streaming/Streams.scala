@@ -666,11 +666,8 @@ object Streams {
     val probed = priorBands
       .join(nb.select("band_idx", "band_hash").distinct(),
         Seq("band_idx", "band_hash"))
-    val bounded = probed
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
+    val bounded = graft.operators.Dedup.dropOversizedBuckets(probed,
+        maxBucket, Seq("band_idx", "band_hash"))
       .select(col("band_idx"), col("band_hash"),
         col("doc_id").as("prior_id"))
     val cands = nb.join(bounded, Seq("band_idx", "band_hash"))

@@ -84,6 +84,10 @@ class DedupSpec extends SparkSpec {
     rowSet(Dedup.minhashDupPairs(tables.documents,
       threshold = 0.7, k = 64, bands = 32,
       hashShingles = true)) shouldBe lsh
+    // the postings-intersection verify (the r16 pricing alternative)
+    // is pair-for-pair AND score-for-score identical too
+    rowSet(Dedup.minhashDupPairsPostings(tables.documents,
+      threshold = 0.7, k = 64, bands = 32)) shouldBe lsh
   }
 
   test("exactJaccardPairs: prefix filtering reproduces brute force exactly") {
@@ -507,6 +511,10 @@ class DedupSpec extends SparkSpec {
     val probed = Dedup.probeNearDupIndex(batch, corpus, "neardup_idx_spec")
     val inline = Dedup.incrementalNearDup(batch, corpus)
     rowSet(probed) shouldBe rowSet(inline)
+    // the 8-byte verify payload is pair-for-pair AND score-for-score
+    // identical on the probe path too (the corpus-delta screen runs it)
+    rowSet(Dedup.probeNearDupIndex(batch, corpus, "neardup_idx_spec",
+      hashShingles = true)) shouldBe rowSet(probed)
     // doc 8 sits in a real near-dup family of the synthetic corpus, so
     // its tailed copy matches every family member; the fresh doc matches
     // nothing
@@ -547,10 +555,17 @@ class DedupSpec extends SparkSpec {
     // layout: the probe's index-side scan still reports its buckets
     graft.sources.IndexSpec.readRequired(SparkSpec.spark,
       "neardup_idx_vac").getAs[Int]("buckets") shouldBe 32
+    // the rename preserved the bucketed layout: a bucket-keyed
+    // aggregate over the swapped table scans bucketed (the probe's
+    // candidate join consumes the same scan, but since r16 it runs
+    // inside the verify's eager candidate checkpoint and is no longer
+    // visible in the probe's final lazy plan)
+    plan(SparkSpec.spark.table("neardup_idx_vac")
+      .groupBy("band_idx", "band_hash").count()) should
+      include("Bucketed: true")
     val probe = Dedup.probeNearDupIndex(
       kept.limit(1).select(lit(9301L).as("doc_id"), col("text")),
       kept, "neardup_idx_vac")
-    plan(probe) should include("Bucketed: true")
     probe.collect().map(_.getLong(0)).toSet shouldBe Set(9301L)
   }
 

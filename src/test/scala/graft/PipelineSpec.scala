@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Pipeline}
+import graft.operators.{Curation, Dedup, Pipeline}
 
 /** Composition invariants of the end-to-end corpus build (q164's
   * engine side): the per-stage operators are individually oracle-gated;
@@ -58,6 +58,25 @@ class PipelineSpec extends SparkSpec {
   test("the whole pipeline is deterministic run to run") {
     val again = Pipeline.corpusBuild(tables.documents)
     rowSet(again) shouldBe rowSet(out)
+  }
+
+  test("build's hashed near-dup resolution equals the exact string verify chain") {
+    // the build opts into the 8-byte verify payload (hashShingles) for
+    // its stage-2 resolution — the r16 spill cut; this pins the whole
+    // resolution chain (pairs → components → canonical keep set)
+    // byte-identical to the exact string-verify form on the same
+    // curated corpus, so the q164 oracle's string-semantics replay and
+    // the Spark build can never drift
+    val docs = tables.documents
+    val curated = docs
+      .join(Curation.curate(docs).select("doc_id"), Seq("doc_id"))
+    def chain(hashed: Boolean) =
+      Dedup.resolveCanonical(curated,
+        Dedup.dupComponents(Dedup.minhashDupPairs(curated,
+          threshold = 0.7, ngram = 3, k = 64, bands = 32,
+          hashShingles = hashed)))
+        .filter(col("keep") === 1L).select("doc_id")
+    rowSet(chain(hashed = true)) shouldBe rowSet(chain(hashed = false))
   }
 
   // explicit-persist ids only: localCheckpoint buffers (the BPE round
