@@ -1063,6 +1063,69 @@ object Pipeline {
     } finally standingDocs.unpersist()
   }
 
+  /** Does catalog spec entry `st` still reference merges table `mt`?
+    * The [[dropGeneration]] export guard's per-spec probe, factored
+    * out so the tolerate-vs-abort decision lives in one place:
+    *
+    *   - spec readable: answer from its `merges_table` column
+    *     (collect-exists, not head: a zero-row spec — a crashed
+    *     half-write — is "no reference", not an exception).
+    *   - spec VANISHED from the catalog between the listing and this
+    *     read (a concurrent retirement): "no reference" — the same
+    *     answer its completed DROP would give.
+    *   - spec still listed but VERIFIED DANGLING — the entry is a
+    *     view-kind object whose read fails with TABLE_OR_VIEW_NOT_FOUND
+    *     while the entry itself still exists, i.e. its base relation is
+    *     gone: "no reference". The merges-table pin lived in the
+    *     dropped base, so the export is already undecodable via this
+    *     spec regardless of what this drop reclaims; aborting would
+    *     wedge generation reclaim forever on a leftover wrapper whose
+    *     only remedy is dropping it anyway (the exact self-wedge the
+    *     crash sweep's drop leg would otherwise hit on its own healed
+    *     half-retirements). Verified, not inferred from the error
+    *     alone: the entry must still EXIST and be a VIEW/TEMPORARY —
+    *     a plain TABLE raising this condition is inconsistent catalog
+    *     state and aborts below.
+    *   - anything else (corrupt footer, FS hiccup, mid-scan error, the
+    *     inconsistent-table case above): PROPAGATE — abort the drop
+    *     loudly rather than silently disabling the guard, which could
+    *     reclaim a merges table a live export still decodes against,
+    *     the irrecoverable loss the guard exists to prevent.
+    */
+  private def specReferencesMergesTable(spark: SparkSession, st: String,
+      mt: String): Boolean = {
+    try {
+      val df = spark.table(st)
+      df.columns.contains("merges_table") &&
+        df.select("merges_table").collect()
+          .exists(r => !r.isNullAt(0) && r.getString(0) == mt)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition)
+            .exists(_.contains("TABLE_OR_VIEW_NOT_FOUND")) =>
+        if (!spark.catalog.tableExists(st)) false // concurrently retired
+        else {
+          val kind =
+            try Option(spark.catalog.getTable(st).tableType).getOrElse("")
+            catch {
+              // vanished between tableExists and getTable: retired
+              case _: org.apache.spark.sql.AnalysisException => "VIEW"
+            }
+          if (kind == "VIEW" || kind == "TEMPORARY" ||
+            kind == "TEMP_VIEW" || kind == "GLOBAL_TEMP_VIEW") {
+            false // verified dangling view: undecodable spec, tolerated
+          } else {
+            throw new IllegalStateException(
+              s"dropGeneration: export spec '$st' is a $kind yet reads " +
+                s"as TABLE_OR_VIEW_NOT_FOUND (${e.getMessage}) — " +
+                "inconsistent catalog state; aborting the drop rather " +
+                "than disabling the export-reference guard. Repair or " +
+                s"drop '$st' and re-run.", e)
+          }
+        }
+    }
+  }
+
   /** Reclaim a SUPERSEDED trained-state generation — the retention
     * endgame of [[retrainState]]'s migration discipline. Each retrain
     * deliberately leaves the old generation's mix/merges/vocab tables
@@ -1094,11 +1157,12 @@ object Pipeline {
     * files (e.g. [[Bpe.packedSequences]] output written to a path) are
     * likewise the CALLER's retention responsibility, exactly like
     * checkpointDir GC in [[corpusDelta]] — drop a generation only once
-    * no live export depends on it. A spec table that vanishes between
-    * the listing and its read (a concurrent retirement) reads as "no
-    * reference", the same answer its completed DROP would give; any
-    * OTHER spec-read failure aborts the drop loudly rather than
-    * disabling the guard. Cost:
+    * no live export depends on it. Tolerate-vs-abort per spec is
+    * [[specReferencesMergesTable]]: a vanished spec (concurrent
+    * retirement) and a VERIFIED-dangling spec view (entry exists, base
+    * relation gone — an undecodable leftover wrapper) read as "no
+    * reference"; any OTHER spec-read failure aborts the drop loudly
+    * rather than disabling the guard. Cost:
     * a driver loop over catalog names reading one-row specs, plus
     * three DROPs — a maintenance operation, run beside compaction.
     *
@@ -1125,34 +1189,7 @@ object Pipeline {
     val mt = mergesTable(statePrefix, gen)
     val refs = spark.catalog.listTables().collect().map(_.name)
       .filter(_.endsWith("__spec"))
-      .filter { st =>
-        try {
-          val df = spark.table(st)
-          // collect-exists, not head: a zero-row spec (a crashed half-
-          // write) is "no reference", not an exception in the guard
-          df.columns.contains("merges_table") &&
-            df.select("merges_table").collect()
-              .exists(r => !r.isNullAt(0) && r.getString(0) == mt)
-        } catch {
-          // ONLY a vanished SPEC RELATION (dropped concurrently between
-          // the listing and this read) is a RETIRED export: "no
-          // reference", like the zero-row crashed half-write above —
-          // and that is checked against the catalog, not inferred from
-          // the error alone: a spec VIEW that still EXISTS but whose
-          // plan references a missing base relation raises the same
-          // TABLE_OR_VIEW_NOT_FOUND, and treating it as retired would
-          // silently disable the guard (ADVICE r15). Every other
-          // failure (corrupt footer, FS hiccup, dangling view) must
-          // ABORT the drop — a disabled guard would reclaim a merges
-          // table some live export still decodes against, the
-          // irrecoverable loss this guard exists to prevent.
-          case e: org.apache.spark.sql.AnalysisException
-              if Option(e.getCondition)
-                .exists(_.contains("TABLE_OR_VIEW_NOT_FOUND"))
-                && !spark.catalog.tableExists(st) =>
-            false
-        }
-      }
+      .filter(st => specReferencesMergesTable(spark, st, mt))
     require(refs.isEmpty,
       s"dropGeneration: generation $gen of $statePrefix is still " +
         s"referenced by encoded-corpus export(s) ${refs.map(
