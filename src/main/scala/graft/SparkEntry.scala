@@ -45,12 +45,17 @@ object SparkEntry {
     md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Queries that build session-cached state (a persisted index, a
-    * merges table, bucketed prep) on FIRST call and only probe it on
-    * later calls. [[graft.Bench]]'s box-noise retry guard must NOT
-    * min-merge a warm rerun into these: the first reading is
-    * build-inclusive, the rerun probe-only — min-of-runs across the two
-    * compares different computations and under-reports the query.
+  /** Queries whose FIRST call builds session-cached state (a persisted
+    * index, a merges table, bucketed prep, a corpus-state family) that
+    * later calls reuse — so run 1 is build-inclusive and NOT comparable
+    * to the warm runs. [[graft.Bench]] pins run 1 separately in
+    * `first_call`, gives these queries one extra run so their warm
+    * estimate averages over as many comparable samples as every other
+    * query's, and its box-noise retry guard must NOT min-merge a warm
+    * rerun into the build-inclusive first reading. Membership requires
+    * only that run 1 does extra one-time table prep; queries like q170/
+    * q172 that re-run their whole operator every call (delta, compact)
+    * still belong — their run 1 additionally builds the v1 state.
     */
   val buildOnFirstCall: Set[String] = Set(
     "q34_ann_topk_lsh", "q48_bucketed_join", "q51_ann_topk_ivf",
@@ -59,6 +64,7 @@ object SparkEntry {
     "q142_semantic_probe", "q144_pack_bpe", "q146_packed_export",
     "q147_chunk_encoded", "q149_classifier_store", "q150_lm_store",
     "q156_quantile_store", "q162_winnow_probe",
+    "q170_corpus_delta", "q172_corpus_compact", "q173_reconcile_audit",
     "q174_retrain_pressure", "q175_corpus_retrain",
     "q178_vacuum_policy")
 

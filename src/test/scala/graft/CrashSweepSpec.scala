@@ -320,4 +320,111 @@ class CrashSweepSpec extends SparkSpec {
     }
     dropState(en)
   }
+
+  // ------------------------------------------------- streaming folds
+
+  test("crash sweep: streaming store→index folds heal by re-run at every write") {
+    import graft.streaming.Streams
+    import spark.implicits._
+    def tmp(tag: String): String = {
+      // created-then-deleted: the ingest's store reads handle a MISSING
+      // path (PATH_NOT_FOUND → empty), but an existing EMPTY dir fails
+      // schema inference (the StreamingSpec fixture convention)
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft-sweep-$tag")
+      java.nio.file.Files.delete(d)
+      d.toString
+    }
+
+    // ---- band (minhash) fold: every durable fold mutation — the spec/
+    // index writes through the Sinks funnels AND the store-partition
+    // deletes (the one fold write previously outside the swept funnels,
+    // VERDICT r15 #3) — killed, then healed by the documented re-run
+    // (appendBandRows anti-joins on doc_id; leftover folded partitions
+    // are rows the index already holds, removed by the re-run's GC).
+    def bandCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def bandSetup(): (String, String, String) = {
+      val n = System.nanoTime()
+      val idx = s"sweep_fold_band_$n"
+      graft.operators.Dedup.ensureNearDupIndex(spark, idx)
+      val (out, band) = (tmp("band-out"), tmp("band-store"))
+      (0 until 3).foreach { i =>
+        val docs = Seq((100L + i,
+          (0 until 60).map(j => s"w${i}t$j").mkString(" ")))
+          .toDF("doc_id", "text")
+        Streams.minhashIngestBatch(docs, i.toLong, out, band,
+          Some((idx, bandCorpus)))
+      }
+      (idx, out, band)
+    }
+    def bandPartitions(band: String): Seq[String] =
+      new java.io.File(band).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).sorted.toSeq
+    locally {
+      val (refIdx, _, refBand) = bandSetup()
+      var refSites: Seq[String] = null
+      refSites = enumerateSites {
+        Streams.foldBandStore(spark, refBand, refIdx) shouldBe Seq(0L, 1L)
+      }
+      refSites should not be empty
+      info(s"band-fold leg: ${refSites.size} crash points")
+      val refRows = rowSet(spark.table(refIdx))
+      val refParts = bandPartitions(refBand)
+      refSites.indices.foreach { i =>
+        val (idx, _, band) = bandSetup()
+        val site = crashAt(i + 1)(Streams.foldBandStore(spark, band, idx))
+        // heal: re-run the fold (append is a doc_id anti-join no-op for
+        // rows that landed; GC deletes whatever the crash left)
+        Streams.foldBandStore(spark, band, idx)
+        withClue(s"after crash at $site: ") {
+          rowSet(spark.table(idx)) shouldBe refRows
+          bandPartitions(band) shouldBe refParts
+        }
+        dropState(idx)
+      }
+      dropState(refIdx)
+    }
+
+    // ---- vector (semantic/IVF) fold: same sweep over foldVectorStore
+    // (appendIvfVectors anti-joins on vec_id — same heal argument).
+    locally {
+      val seed = embs.filter(col("vec_id") < 9)
+      def vecSetup(): (String, String, String) = {
+        val n = System.nanoTime()
+        val (idx, cents) = (s"sweep_fold_ivf_$n", s"sweep_fold_cents_$n")
+        graft.operators.Similarity.buildIvfIndex(seed, idx, cents)
+        val (out, vec) = (tmp("vec-out"), tmp("vec-store"))
+        (0 until 3).foreach { i =>
+          val batch = embs
+            .filter(col("vec_id") >= 20 + 10 * i &&
+              col("vec_id") < 23 + 10 * i)
+            .select("vec_id", "embedding")
+          Streams.semanticIngestBatch(batch, i.toLong, out, vec, cents,
+            threshold = 0.9999, nprobe = 1, indexTable = Some(idx))
+        }
+        (idx, cents, vec)
+      }
+      val (refIdx, refCents, refVec) = vecSetup()
+      var refSites: Seq[String] = null
+      refSites = enumerateSites {
+        Streams.foldVectorStore(spark, refVec, refIdx, refCents)
+          .shouldBe(Seq(0L, 1L))
+      }
+      refSites should not be empty
+      info(s"vector-fold leg: ${refSites.size} crash points")
+      val refRows = rowSet(spark.table(refIdx).select("vec_id", "cell"))
+      refSites.indices.foreach { i =>
+        val (idx, cents, vec) = vecSetup()
+        val site = crashAt(i + 1)(
+          Streams.foldVectorStore(spark, vec, idx, cents))
+        Streams.foldVectorStore(spark, vec, idx, cents)
+        withClue(s"after crash at $site: ") {
+          rowSet(spark.table(idx).select("vec_id", "cell")) shouldBe refRows
+        }
+        dropState(idx); dropState(cents)
+      }
+      dropState(refIdx); dropState(refCents)
+    }
+  }
 }

@@ -555,17 +555,42 @@ class DedupSpec extends SparkSpec {
     // layout: the probe's index-side scan still reports its buckets
     graft.sources.IndexSpec.readRequired(SparkSpec.spark,
       "neardup_idx_vac").getAs[Int]("buckets") shouldBe 32
-    // the rename preserved the bucketed layout: a bucket-keyed
-    // aggregate over the swapped table scans bucketed (the probe's
-    // candidate join consumes the same scan, but since r16 it runs
-    // inside the verify's eager candidate checkpoint and is no longer
-    // visible in the probe's final lazy plan)
-    plan(SparkSpec.spark.table("neardup_idx_vac")
-      .groupBy("band_idx", "band_hash").count()) should
-      include("Bucketed: true")
-    val probe = Dedup.probeNearDupIndex(
-      kept.limit(1).select(lit(9301L).as("doc_id"), col("text")),
-      kept, "neardup_idx_vac")
+    // the rename preserved the bucketed layout, asserted on the PROBE
+    // ITSELF (ADVICE r16): the candidate join runs inside the verify's
+    // eager construction-time materialization, so capture that job's
+    // EXECUTED plan with a QueryExecutionListener and require the
+    // swapped index's scan in it to be bucketed — a regression that
+    // re-shuffles the index on probe now fails here, where the r16
+    // proxy groupBy would have passed.
+    val capturedPlans =
+      new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        capturedPlans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    SparkSpec.spark.listenerManager.register(listener)
+    val probe =
+      try {
+        val p = Dedup.probeNearDupIndex(
+          kept.limit(1).select(lit(9301L).as("doc_id"), col("text")),
+          kept, "neardup_idx_vac")
+        // listener delivery is async — poll for the candidate job's plan
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def hit(): Boolean = {
+          import scala.jdk.CollectionConverters._
+          capturedPlans.asScala.exists(s =>
+            s.contains("neardup_idx_vac") && s.contains("Bucketed: true"))
+        }
+        while (!hit() && System.nanoTime() < deadline) Thread.sleep(50)
+        withClue("probe's construction-time candidate job must consume " +
+          "the bucketed index scan: ") { hit() shouldBe true }
+        p
+      } finally SparkSpec.spark.listenerManager.unregister(listener)
     probe.collect().map(_.getLong(0)).toSet shouldBe Set(9301L)
   }
 
